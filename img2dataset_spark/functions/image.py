@@ -1,0 +1,302 @@
+"""T1-T9/T13: image decode, geometric resize, re-encode — as pandas UDFs.
+
+Reference semantics (citations into /root/reference):
+  - decode + filters + resize + encode order: img2dataset/resizer.py:143-228
+  - size/area/aspect-ratio rejections happen on ORIGINAL dims, right
+    after decode, before any resize work: resizer.py:161-168
+  - resize modes no / keep_ratio / keep_ratio_largest / center_crop /
+    border: resizer.py:178-215
+  - resize_only_if_bigger gate: resizer.py:179-180,196-197
+  - error strings: "image too small", "image area too big",
+    "aspect ratio too big": resizer.py:161-168
+
+What is REAL here vs stubbed (this container has no PIL/OpenCV):
+  - Dimension extraction (T13) is real: pure-Python header parsers for
+    PNG / JPEG / GIF / WebP / BMP.
+  - Resize *geometry* (output dims per mode, the only_if_bigger gate,
+    and the P5-P7 filters) is real, pure arithmetic.
+  - Pixel resampling / re-encode needs an imaging library: if PIL is
+    importable it is used; otherwise pixel transforms raise
+    NotImplementedError (clearly-marked stub) — except in `mock` mode,
+    where payloads are deterministic md5-derived byte strings whose
+    formulas are also expressible in ANSI SQL (DuckDB oracle parity).
+
+Scale notes: the decode->filter->resize->encode chain is deliberately
+FUSED into one Arrow-batched UDF — Catalyst cannot reorder inside opaque
+UDFs, and the reference's cheap-before-expensive ordering (filters
+before resample) is preserved by construction (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+TRANSFORM_RESULT_SCHEMA = (
+    "data binary, width int, height int, "
+    "original_width int, original_height int, error string"
+)
+
+ERR_TOO_SMALL = "image too small"
+ERR_AREA_TOO_BIG = "image area too big"
+ERR_ASPECT_TOO_BIG = "aspect ratio too big"
+ERR_DECODE = "decode failed"
+
+
+# ---------------------------------------------------------------------------
+# Real header parsing (T13) — pure Python, no imaging library needed.
+# ---------------------------------------------------------------------------
+
+def parse_dimensions(data: bytes) -> tuple[int, int] | None:
+    """Return (width, height) from PNG/JPEG/GIF/WebP/BMP headers."""
+    if data is None or len(data) < 12:
+        return None
+    # PNG: 8-byte signature, IHDR at offset 16
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = _struct.unpack(">II", data[16:24])
+        return int(w), int(h)
+    # GIF87a / GIF89a
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = _struct.unpack("<HH", data[6:10])
+        return int(w), int(h)
+    # BMP
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = _struct.unpack("<ii", data[18:26])
+        return int(w), abs(int(h))
+    # WebP: RIFF....WEBP
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
+        fmt = data[12:16]
+        if fmt == b"VP8 ":
+            w = _struct.unpack("<H", data[26:28])[0] & 0x3FFF
+            h = _struct.unpack("<H", data[28:30])[0] & 0x3FFF
+            return int(w), int(h)
+        if fmt == b"VP8L":
+            bits = _struct.unpack("<I", data[21:25])[0]
+            return int((bits & 0x3FFF) + 1), int(((bits >> 14) & 0x3FFF) + 1)
+        if fmt == b"VP8X":
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return int(w), int(h)
+        return None
+    # JPEG: scan for SOFn marker
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        n = len(data)
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = _struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h, w = _struct.unpack(">HH", data[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Resize geometry (T2-T6) — real arithmetic, identical formulas in SQL.
+# ---------------------------------------------------------------------------
+
+def _scaled(w: int, h: int, scale: float) -> tuple[int, int]:
+    # floor(x*scale + 0.5): identical in Spark and DuckDB (unlike round(),
+    # whose half-way tie-breaking differs between engines).
+    return max(1, int(w * scale + 0.5)), max(1, int(h * scale + 0.5))
+
+
+def resize_geometry(
+    w: int,
+    h: int,
+    resize_mode: str,
+    image_size: int,
+    resize_only_if_bigger: bool,
+) -> tuple[int, int]:
+    """Output dimensions per resize mode (resizer.py:178-215)."""
+    if resize_mode == "no":
+        return w, h
+    if resize_mode in ("keep_ratio", "center_crop"):
+        if resize_only_if_bigger and min(w, h) <= image_size:
+            return w, h
+        nw, nh = _scaled(w, h, image_size / min(w, h))
+        if resize_mode == "center_crop":
+            return min(nw, image_size), min(nh, image_size)
+        return nw, nh
+    if resize_mode in ("keep_ratio_largest", "border"):
+        if resize_only_if_bigger and max(w, h) <= image_size:
+            return w, h
+        if resize_mode == "border":
+            return image_size, image_size
+        return _scaled(w, h, image_size / max(w, h))
+    raise ValueError(f"unknown resize mode {resize_mode}")
+
+
+def check_filters(
+    w: int,
+    h: int,
+    min_image_size: int,
+    max_image_area: float,
+    max_aspect_ratio: float,
+) -> str | None:
+    """P5-P7 rejections on original dims (resizer.py:161-168)."""
+    if min(w, h) < min_image_size:
+        return ERR_TOO_SMALL
+    if w * h > max_image_area:
+        return ERR_AREA_TOO_BIG
+    if max(w, h) / min(w, h) > max_aspect_ratio:
+        return ERR_ASPECT_TOO_BIG
+    return None
+
+
+def mock_decode_dims(data: bytes) -> tuple[int, int]:
+    """Deterministic fake decode for hermetic/oracle runs.  The payload is
+    an ascii md5-hex-derived string (functions.fetch.mock_payload); dims
+    derive from the ascii codes of its first 4 chars:
+
+        width  = 64 + (ascii(c1)*256 + ascii(c2)) % 1985
+        height = 64 + (ascii(c3)*256 + ascii(c4)) % 1985
+
+    SQL equivalent on url u:  m := md5(u);
+        64 + (ascii(substr(m,1,1))*256 + ascii(substr(m,2,1))) % 1985
+    """
+    s = data[:4].decode("ascii", errors="replace")
+    w = 64 + (ord(s[0]) * 256 + ord(s[1])) % 1985
+    h = 64 + (ord(s[2]) * 256 + ord(s[3])) % 1985
+    return w, h
+
+
+def mock_encode(data: bytes, nw: int, nh: int) -> bytes:
+    """Deterministic fake re-encode: md5 of '<payload-ascii>|<w>x<h>' as a
+    32-byte ascii hex string.  SQL: md5(concat(payload_str,'|',w,'x',h))."""
+    base = data.decode("ascii", errors="replace") + f"|{nw}x{nh}"
+    return hashlib.md5(base.encode("ascii")).hexdigest().encode("ascii")
+
+
+def _pil_transform(
+    data: bytes,
+    resize_mode: str,
+    image_size: int,
+    resize_only_if_bigger: bool,
+    encode_format: str,
+    encode_quality: int,
+):  # pragma: no cover - exercised only when PIL is installed
+    """Real pixel path, used when PIL is importable."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    w, h = img.size
+    nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
+    if resize_mode in ("center_crop", "border") and (nw, nh) != (w, h):
+        if resize_mode == "center_crop":
+            sw, sh = _scaled(w, h, image_size / min(w, h))
+            img = img.resize((sw, sh), Image.LANCZOS)
+            left, top = (sw - nw) // 2, (sh - nh) // 2
+            img = img.crop((left, top, left + nw, top + nh))
+        else:
+            sw, sh = _scaled(w, h, image_size / max(w, h))
+            img = img.resize((sw, sh), Image.LANCZOS)
+            canvas = Image.new("RGB", (image_size, image_size), (255, 255, 255))
+            canvas.paste(img, ((image_size - sw) // 2, (image_size - sh) // 2))
+            img = canvas
+    elif (nw, nh) != (w, h):
+        img = img.resize((nw, nh), Image.LANCZOS)
+    buf = io.BytesIO()
+    fmt = {"jpg": "JPEG", "png": "PNG", "webp": "WEBP"}[encode_format]
+    img.save(buf, format=fmt, quality=encode_quality)
+    return buf.getvalue(), nw, nh, w, h, None
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_transform_udf(
+    resize_mode: str = "border",
+    image_size: int = 256,
+    resize_only_if_bigger: bool = False,
+    min_image_size: int = 0,
+    max_image_area: float = float("inf"),
+    max_aspect_ratio: float = float("inf"),
+    encode_format: str = "jpg",
+    encode_quality: int = 95,
+    disable_all_reencoding: bool = False,
+    mock: bool = False,
+):
+    """Build the transform pandas UDF:
+    data:binary -> struct<data,width,height,original_width,original_height,error>.
+    """
+    use_pil = not mock and _pil_available()
+
+    def transform_one(data: bytes | None):
+        null = (None, None, None, None, None)
+        if data is None:
+            return null + (ERR_DECODE,)
+        if disable_all_reencoding:
+            # resizer.py:143-148 — bypass decode entirely; dims unknown
+            return (data, None, None, None, None, None)
+        if mock:
+            dims = mock_decode_dims(data)
+        else:
+            dims = parse_dimensions(data)
+        if dims is None:
+            return null + (ERR_DECODE,)
+        w, h = dims
+        err = check_filters(w, h, min_image_size, max_image_area, max_aspect_ratio)
+        if err is not None:
+            return null + (err,)
+        nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
+        if mock:
+            out = data if (nw, nh) == (w, h) else mock_encode(data, nw, nh)
+            return (out, nw, nh, w, h, None)
+        if (nw, nh) == (w, h):
+            # no-op resize: passthrough without re-encode (skip_reencode
+            # semantics, resizer.py:224-228)
+            return (data, nw, nh, w, h, None)
+        if use_pil:  # pragma: no cover
+            try:
+                return _pil_transform(
+                    data, resize_mode, image_size, resize_only_if_bigger,
+                    encode_format, encode_quality,
+                )
+            except Exception as e:
+                return null + (str(e) or type(e).__name__,)
+        # STUB: pixel resampling requires an imaging library (PIL/OpenCV)
+        # which is not available in this environment.
+        return null + ("resize not available: no imaging library installed",)
+
+    @pandas_udf(TRANSFORM_RESULT_SCHEMA)
+    def transform(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in batches:
+            rows = [transform_one(d) for d in series]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "data",
+                    "width",
+                    "height",
+                    "original_width",
+                    "original_height",
+                    "error",
+                ],
+            )
+
+    return transform

@@ -1,0 +1,247 @@
+"""Config -> lazy DataFrame plan ("the physical plan is one DataFrame").
+
+This is the Spark-native restatement of the reference's whole lifecycle
+(/root/reference/img2dataset/main.py:119-274, SURVEY §3): the reference's
+object graph distributor(downloader(reader -> fetch -> resize -> writer))
+collapses to
+
+    read -> select/rename -> shard id -> key -> fetch UDF -> hash verify
+         -> transform UDF -> status columns -> (meta sink, payload sink,
+            stats agg)
+
+with Catalyst doing analysis/optimization and the Spark scheduler
+replacing the distributor + retrier.
+
+Status semantics (downloader.py:260-322):
+  fetch error            -> status=failed_to_download, error_message set
+  hash verify mismatch   -> status=failed_to_download, "hash mismatch"
+  transform/filter error -> status=failed_to_resize, error_message set
+  otherwise              -> status=success
+Rejected rows are KEPT (payload nulled) — the true filter applies only
+to payload sinks (SURVEY §2.2 note on P5-P7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from img2dataset_spark.config import PipelineConfig
+from img2dataset_spark.functions.exif import make_exif_udf
+from img2dataset_spark.functions.fetch import make_fetch_udf
+from img2dataset_spark.functions.hashing import hash_column, hash_mismatch
+from img2dataset_spark.functions.image import make_transform_udf
+from img2dataset_spark.operators.sharding import with_key, with_shard_id
+from img2dataset_spark.sources.reader import load
+
+HASH_MISMATCH_ERROR = "hash mismatch"
+
+META_FIXED_COLUMNS = [
+    "key",
+    "status",
+    "error_message",
+    "width",
+    "height",
+    "original_width",
+    "original_height",
+]
+
+
+def build_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    input_df: DataFrame | None = None,
+    start_shard_id: int = 0,
+) -> DataFrame:
+    """Lower a PipelineConfig to a lazy DataFrame.
+
+    Returns a DataFrame with: input columns (canonical names, verify-hash
+    column dropped per downloader.py:240-245) + key, status,
+    error_message, width, height, original_width, original_height
+    [+ exif] [+ hash col] [+ <encode_format> binary payload] + shard_id.
+    """
+    if input_df is None:
+        df = load(
+            spark,
+            config.url_list,
+            input_format=config.input_format,
+            url_col=config.url_col,
+            caption_col=config.caption_col,
+            verify_hash=config.verify_hash,
+            save_additional_columns=config.save_additional_columns,
+        )
+    else:
+        df = input_df
+
+    input_cols = list(df.columns)
+
+    # R1 sharding + T12 keys.  Ordered mode = exact reference semantics
+    # (contiguous shards in url order); unordered = shuffle-free.
+    order_col = "url" if config.ordered_sharding else None
+    df = with_shard_id(
+        df,
+        config.number_sample_per_shard,
+        order_col=order_col,
+        start_shard_id=start_shard_id,
+    )
+    if config.ordered_sharding:
+        df = with_key(
+            df,
+            config.number_sample_per_shard,
+            oom_shard_count=config.oom_shard_count,
+        )
+    else:
+        # shuffle-light path: row index within shard via a window keyed on
+        # shard_id (parallel across shards)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard_id").orderBy("url")
+        df = df.withColumn("_row_idx", F.row_number().over(w).cast("long") - 1)
+        df = with_key(
+            df,
+            config.number_sample_per_shard,
+            oom_shard_count=config.oom_shard_count,
+        )
+
+    # S9/S10/P3 fetch
+    fetch = make_fetch_udf(
+        timeout=config.timeout,
+        retries=config.retries,
+        user_agent_token=config.user_agent_token,
+        disallowed_header_directives=config.disallowed_header_directives,
+        ignore_ssl_certificate=config.ignore_ssl_certificate,
+        thread_count=config.thread_count,
+        mock=config.fetch_mode == "mock",
+    )
+    df = df.withColumn("_fetch", fetch(F.col("url")))
+
+    # P4 hash verification on the raw fetched bytes (JVM built-ins)
+    if config.verify_hash is not None:
+        _, alg = config.verify_hash
+        df = df.withColumn(
+            "_hash_ok",
+            F.when(
+                F.col("_fetch.data").isNotNull(),
+                ~hash_mismatch(F.col("_fetch.data"), F.col(alg), alg),
+            ).otherwise(F.lit(None).cast("boolean")),
+        )
+    else:
+        df = df.withColumn("_hash_ok", F.lit(True))
+
+    # T1-T9 transform (decode -> P5-P7 filters -> resize -> encode, fused)
+    transform = make_transform_udf(
+        resize_mode=config.resize_mode,
+        image_size=config.image_size,
+        resize_only_if_bigger=config.resize_only_if_bigger,
+        min_image_size=config.min_image_size,
+        max_image_area=config.max_image_area,
+        max_aspect_ratio=config.max_aspect_ratio,
+        encode_format=config.encode_format,
+        encode_quality=config.encode_quality,
+        disable_all_reencoding=config.disable_all_reencoding,
+        mock=config.fetch_mode == "mock",
+    )
+    df = df.withColumn(
+        "_tr",
+        F.when(
+            F.col("_fetch.data").isNotNull() & F.col("_hash_ok"),
+            transform(F.col("_fetch.data")),
+        ),
+    )
+
+    # Status / error taxonomy
+    df = df.withColumn(
+        "status",
+        F.when(F.col("_fetch.error").isNotNull(), F.lit("failed_to_download"))
+        .when(~F.col("_hash_ok"), F.lit("failed_to_download"))
+        .when(F.col("_tr.error").isNotNull(), F.lit("failed_to_resize"))
+        .otherwise(F.lit("success")),
+    ).withColumn(
+        "error_message",
+        F.when(F.col("_fetch.error").isNotNull(), F.col("_fetch.error"))
+        .when(~F.col("_hash_ok"), F.lit(HASH_MISMATCH_ERROR))
+        .otherwise(F.col("_tr.error")),
+    )
+
+    ok = F.col("status") == "success"
+
+    # T13 dimensions
+    for c in ("width", "height", "original_width", "original_height"):
+        df = df.withColumn(c, F.when(ok, F.col(f"_tr.{c}")).cast("int"))
+
+    # T10 exif
+    if config.extract_exif:
+        df = df.withColumn(
+            "exif",
+            F.when(ok, make_exif_udf()(F.col("_fetch.data"))).otherwise(F.lit(None)),
+        )
+
+    # T11 computed hash of ORIGINAL bytes (downloader.py:338-340); nulled
+    # when the row failed (F3: mismatching row has null hash)
+    hash_cols: list[str] = []
+    for alg in dict.fromkeys(
+        ([config.verify_hash[1]] if config.verify_hash else [])
+        + ([config.compute_hash] if config.compute_hash else [])
+    ):
+        df = df.withColumn(
+            alg,
+            F.when(
+                F.col("status") != "failed_to_download",
+                hash_column(F.col("_fetch.data"), alg),
+            ),
+        )
+        hash_cols.append(alg)
+
+    # payload column named after the encode format (writer.py:69)
+    df = df.withColumn(config.encode_format, F.when(ok, F.col("_tr.data")))
+
+    # P2: drop the *expected* verify-hash input column (it was consumed) —
+    # the computed column of the same algorithm name replaces it.
+    out_input_cols = [c for c in input_cols if c != "url"]
+    if config.verify_hash is not None and config.verify_hash[1] in out_input_cols:
+        out_input_cols.remove(config.verify_hash[1])
+
+    # T14 caption normalization: None -> "" (writer.py:82,123,193,277)
+    if "caption" in df.columns:
+        df = df.withColumn("caption", F.coalesce(F.col("caption"), F.lit("")))
+
+    select_cols = (
+        ["url"]
+        + out_input_cols
+        + META_FIXED_COLUMNS
+        + (["exif"] if config.extract_exif else [])
+        + hash_cols
+        + [config.encode_format, "shard_id"]
+    )
+    return df.select(*select_cols)
+
+
+def metadata_columns(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    """W6: the metadata projection (payload column excluded)."""
+    return df.drop(config.encode_format)
+
+
+def download(
+    config: PipelineConfig,
+    spark: SparkSession | None = None,
+    input_df: DataFrame | None = None,
+):
+    """Reference-compatible entry point (main.py:73): build the plan and
+    execute all sinks.  Returns the per-shard stats as a list of Rows."""
+    from img2dataset_spark.plans.incremental import resolve_incremental
+    from img2dataset_spark.sinks.shard_writer import write_output
+
+    if spark is None:
+        from img2dataset_spark.session import get_spark
+
+        spark = get_spark()
+
+    done_shards, start_shard_id = resolve_incremental(spark, config)
+    df = build_pipeline(spark, config, input_df=input_df, start_shard_id=start_shard_id)
+    if done_shards:
+        # J1: anti-join against already-completed shards
+        done_df = spark.createDataFrame(
+            [(int(s),) for s in done_shards], "shard_id long"
+        )
+        df = df.join(F.broadcast(done_df), "shard_id", "left_anti")
+    return write_output(df, config)
