@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all DataFrame-native (SURVEY §7 M6):
+
+  exact_dedup          — hash-groupBy on content fingerprint
+  minhash_lsh_pairs    — shingle -> minhash -> band -> bucket self-join
+  ngram_jaccard_pairs  — exact n-gram Jaccard over candidate pairs
+  simhash_pairs        — 32-bit simhash + hamming-distance threshold
+  embedding_dup_pairs  — cosine near-duplicate pairs (see similarity.py)
+
+Scale design:
+  - Fingerprints/signatures are computed with pure built-in expressions
+    (functions/text.py) — whole-stage codegen, no Python.
+  - The only shuffles are (a) the band explode + repartition by band key
+    and (b) the bucket self-join; both are keyed on high-cardinality
+    hashes, so skew is bounded by design (a band bucket is a candidate
+    cluster).  At 100 TB you additionally salt giant buckets (a bucket
+    with >10k docs is a degenerate near-dup cluster; we cap via
+    `max_bucket_size`).
+  - The verify step (exact Jaccard) joins shingle SETS back per doc —
+    the join is on doc ids, broadcastable when the candidate set is
+    small relative to the corpus (it is, by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from img2dataset_spark.functions.text import (
+    fingerprint,
+    lsh_bands,
+    seeded_minhash,
+    shingles,
+    simhash32,
+    tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per exact normalized-content
+    fingerprint.  Single hash-aggregate: partial (map-side) combine makes
+    this the cheapest possible dedup at any scale."""
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, F.col("_fp").alias("fingerprint"), "dup_count")
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, distinct shingle set) — shared prep for minhash/jaccard."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text_col)), k)).alias("shingle_set"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with the
+    exact Jaccard over distinct shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 dp (floor(x*1e6+0.5)/1e6 — identical in the SQL oracle).
+    """
+    rows_per_band = num_hashes // num_bands
+    docs = doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
+    sigs = docs.select(
+        id_col,
+        "shingle_set",
+        lsh_bands(
+            seeded_minhash(F.col("shingle_set"), num_hashes), num_bands, rows_per_band
+        ).alias("bands"),
+    )
+    banded = sigs.select(id_col, F.explode("bands").alias("band"))
+    # cap degenerate buckets (giant near-dup clusters) to bound the self-join
+    bucket_sizes = banded.groupBy("band").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band"),
+        "band",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, "band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return _verified_jaccard(cand, docs, id_col, jaccard_threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs.  With `block_col`, pairs are
+    only formed within blocks (the scalable pattern); without, it is a
+    full cross self-join — quadratic, for small/verification use only."""
+    docs = doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
+    if block_col is not None:
+        blocked = docs.join(df.select(id_col, block_col), id_col)
+        a, b = blocked.alias("a"), blocked.alias("b")
+        cand = (
+            a.join(b, block_col)
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        )
+    else:
+        a, b = docs.alias("a"), docs.alias("b")
+        cand = (
+            a.crossJoin(b)
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        )
+    return _verified_jaccard(cand, docs, id_col, jaccard_threshold)
+
+
+def _verified_jaccard(
+    cand: DataFrame, docs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Join shingle sets back and compute exact Jaccard, rounded 6 dp.
+    |A ∪ B| via |A| + |B| − |A ∩ B| (avoids engine-specific union
+    dedup semantics in the oracle)."""
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sa"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jacc = inter / union
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.floor(jacc * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_hamming: int = 8,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Scale path: block on the high `block_bits` bits of the simhash so
+    the self-join is per-block (near-dups rarely split blocks for small
+    hamming radii; multi-probe would add rotations).  Returns
+    (id_a, id_b, hamming).
+    """
+    docs = (
+        doc_shingles(df, text_col, id_col, k)
+        .filter(F.size("shingle_set") > 0)
+        .select(F.col(id_col), simhash32(F.col("shingle_set")).alias("simhash"))
+    )
+    block = F.floor(F.col("simhash") / F.lit(float(2 ** (32 - block_bits)))).cast("long")
+    docs = docs.withColumn("block", block)
+    a, b = docs.alias("a"), docs.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, "block")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,477 @@
+"""DuckDB oracle SQL for every query in `queries.py`.
+
+The driver registers the parquet tables as views (region nation customer
+supplier part orders lineitem events documents embeddings), runs each
+oracle, and hash-compares against the Spark result (columns sorted by
+name, order-insensitive).
+
+Cross-engine determinism conventions (mirrored in queries.py):
+  - double SUM  -> CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE)
+  - AVG         -> exact-decimal sum / COUNT (double division)
+  - rounding    -> FLOOR(x*10^n + 0.5)/10^n
+  - timestamps  -> strftime-formatted strings
+  - int div     -> explicit FLOOR division (// in DuckDB, FLOOR in Spark)
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["s7_scan_prune"] = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem WHERE l_quantity > 45
+"""
+
+ORACLES["p1_project_rename"] = """
+SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer
+"""
+
+ORACLES["p5p7_predicates"] = """
+SELECT p_partkey, p_size AS w, CAST(FLOOR(p_retailprice/100) AS INT) AS h
+FROM part
+WHERE least(p_size, CAST(FLOOR(p_retailprice/100) AS INT)) >= 5
+  AND p_size * CAST(FLOOR(p_retailprice/100) AS INT) <= 400
+  AND greatest(p_size, CAST(FLOOR(p_retailprice/100) AS INT))
+      / least(p_size, CAST(FLOOR(p_retailprice/100) AS INT)) <= 3.0
+"""
+
+ORACLES["a1_status_counts"] = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT user_id) AS users,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+ORACLES["a2_error_topk"] = """
+SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS err_key,
+       COUNT(*) AS cnt
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY cnt DESC, err_key ASC LIMIT 10
+"""
+
+ORACLES["a3_global_agg"] = """
+SELECT COUNT(*) AS cnt,
+       COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS successes,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value,
+       COUNT(CASE WHEN event_type <> 'error' THEN 1 END) / COUNT(*) AS success_rate
+FROM events
+"""
+
+ORACLES["a6_distinct_set"] = """
+SELECT DISTINCT event_type FROM events
+"""
+
+ORACLES["o1_sort_events"] = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+ORACLES["o2_topk"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+ORACLES["j1_anti_join"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ORACLES["j2_semi_join"] = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1995-02-01 00:00:00')
+"""
+
+ORACLES["j3_union"] = """
+SELECT DISTINCT o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+ORACLES["w1_row_number"] = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+ORACLES["w2_running_sum"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_spend
+FROM orders
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3"] = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+ORACLES["tpch_q5"] = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+# --- engine operators as queries -------------------------------------------
+
+_SHARDED_100 = """
+  SELECT doc_id,
+         (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) AS idx,
+         (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 AS shard_id
+  FROM documents
+"""
+
+ORACLES["r1_sharding"] = f"""
+SELECT shard_id, COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM ({_SHARDED_100}) GROUP BY shard_id
+"""
+
+ORACLES["t12_keys"] = f"""
+SELECT doc_id, shard_id, printf('%05d%02d', shard_id, idx % 100) AS key
+FROM ({_SHARDED_100}) WHERE doc_id < 150
+"""
+
+ORACLES["a5_resume_point"] = f"""
+SELECT MAX(shard_id) + 1 AS start_shard_id FROM ({_SHARDED_100})
+"""
+
+ORACLES["p8_done_shard_skip"] = """
+SELECT DISTINCT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 50 AS shard_id
+FROM documents QUALIFY shard_id % 2 = 1
+"""
+
+ORACLES["t11_hashes"] = """
+SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+FROM documents WHERE doc_id < 100
+"""
+
+ORACLES["p4_hash_verify"] = """
+SELECT doc_id,
+  CASE WHEN expected = actual THEN 'success' ELSE 'failed_to_download' END AS status,
+  CASE WHEN expected <> actual THEN 'hash mismatch' END AS error_message
+FROM (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN md5('wrong|' || text) ELSE md5(text) END AS expected,
+    md5(text) AS actual
+  FROM documents)
+"""
+
+# ---------------------------------------------------------------------------
+# Beyond-reference operators: shared SQL fragments (built programmatically —
+# the formulas must mirror functions/text.py & operators/* exactly)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# word 3-gram shingles over a token list column named `toks`
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks)-2), "
+    "i -> array_to_string(toks[i:i+2], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+_NORm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+_EN_STOP = "['the','a','an','of','and','to','in','is','it','that']"
+
+_LANG_LISTS = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit']",
+    "en": "['the','a','of','and','is','to','in','it']",
+    "es": "['el','la','de','que','y','los','es','un']",
+    "fr": "['le','la','de','et','est','les','des','un']",
+    "zh": "['的','是','了','在','我','有','和','不']",
+}
+
+_R6 = "FLOOR(({x})*1e6 + 0.5)/1e6"
+
+
+_STOPRATIO = _R6.format(
+    x=(
+        "CASE WHEN len(toks) > 0 THEN "
+        f"len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) / len(toks) "
+        "ELSE 0.0 END"
+    )
+)
+_PUNCTRATIO = _R6.format(
+    x=(
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text) "
+        "ELSE 0.0 END"
+    )
+)
+
+ORACLES["text_stats"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  {_STOPRATIO} AS stopword_ratio,
+  {_PUNCTRATIO} AS punct_ratio,
+  md5({_NORm}) AS fingerprint
+FROM t
+"""
+
+_LANG_SCORES = ", ".join(
+    f"len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}"
+    for lang, lst in _LANG_LISTS.items()
+)
+_G = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+
+ORACLES["text_langid"] = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+s AS (SELECT {_LANG_SCORES} FROM t)
+SELECT pred_lang, COUNT(*) AS cnt FROM (
+  SELECT CASE WHEN {_G} = 0 THEN 'und'
+    WHEN s_de = {_G} THEN 'de'
+    WHEN s_en = {_G} THEN 'en'
+    WHEN s_es = {_G} THEN 'es'
+    WHEN s_fr = {_G} THEN 'fr'
+    ELSE 'zh' END AS pred_lang FROM s)
+GROUP BY pred_lang
+"""
+
+ORACLES["dedup_exact"] = f"""
+SELECT MIN(doc_id) AS doc_id, md5({_NORm}) AS fingerprint, COUNT(*) AS dup_count
+FROM documents GROUP BY 2
+"""
+
+_DOCS_SS = f"""
+  SELECT doc_id, source, list_distinct({_SHINGLES}) AS ss
+  FROM (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents)
+"""
+
+_JACCARD = (
+    "FLOOR((len(list_intersect(a.ss, b.ss)) / "
+    "(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))))*1e6 + 0.5)/1e6"
+)
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH docs AS ({_DOCS_SS}), d AS (SELECT * FROM docs WHERE len(ss) > 0)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.3
+"""
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH docs AS ({_DOCS_SS}),
+d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
+sigs AS (
+  SELECT doc_id, ss,
+    list_transform(generate_series(0, 31), s ->
+      list_aggregate(list_transform(ss, x -> md5(s::VARCHAR || '|' || x)), 'min')
+    ) AS sig
+  FROM d),
+banded AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(0, 7), b ->
+      b::VARCHAR || ':' || md5(array_to_string(sig[b*4+1:b*4+4], ',')))
+  ) AS band FROM sigs),
+ok_bands AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
+bb AS (SELECT doc_id, band FROM banded WHERE band IN (SELECT band FROM ok_bands)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b, {_JACCARD} AS jaccard
+  FROM cand c
+  JOIN d a ON a.doc_id = c.id_a
+  JOIN d b ON b.doc_id = c.id_b)
+WHERE jaccard >= 0.3
+"""
+
+# -- simhash: hex fold + bit votes, expressed relationally ------------------
+
+_HEXDIGIT = (
+    "(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
+    "THEN ascii(substr(h, {i}, 1)) - 87 ELSE ascii(substr(h, {i}, 1)) - 48 END)"
+)
+_HV = " + ".join(
+    f"{_HEXDIGIT.format(i=i)}::BIGINT * {16 ** (8 - i)}" for i in range(1, 9)
+)
+
+ORACLES["dedup_simhash"] = f"""
+WITH docs AS ({_DOCS_SS}),
+d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
+sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
+hv AS (SELECT doc_id, {_HV} AS h32 FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+votes AS (
+  SELECT doc_id, b,
+    SUM(((h32 // CAST(power(2, b) AS BIGINT)) % 2) * 2 - 1) AS vote
+  FROM hv, (SELECT unnest(generate_series(0, 31)) AS b)
+  GROUP BY doc_id, b),
+sim AS (
+  SELECT doc_id,
+    SUM(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id),
+blocked AS (SELECT doc_id, simhash, simhash // 268435456 AS block FROM sim)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
+
+# -- similarity search ------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+ORACLES["ann_cosine_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, {_R6.format(x=_cos('v', 'qv'))} AS cos_sim
+FROM e, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+dims AS (
+  SELECT label, i,
+    CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY label, i),
+cent AS (SELECT label, list(cv ORDER BY i) AS c FROM dims GROUP BY label),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT label FROM (
+    SELECT label, {_R6.format(x=_cos('c', 'qv'))} AS c_sim FROM cent, q)
+  ORDER BY c_sim DESC, label ASC LIMIT 2)
+SELECT vec_id, {_R6.format(x=_cos('v', 'qv'))} AS cos_sim
+FROM e, q WHERE label IN (SELECT label FROM probe)
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+ORACLES["embedding_dup_pairs"] = f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_R6.format(x=_cos('a.v', 'b.v'))} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.3
+"""
+
+# -- flagship pipeline oracle ----------------------------------------------
+
+_DISALLOWED_MSG = "Use of image disallowed by X-Robots-Tag directive"
+_404_MSG = "HTTP Error 404: Not Found"
+
+_PIPE_BASE = """
+  SELECT doc_id, substr(text, 1, 32) AS caption,
+    'http://synth.local/' ||
+    CASE WHEN doc_id % 17 = 0 THEN 'missing/'
+         WHEN doc_id % 23 = 0 THEN 'disallowed/'
+         ELSE 'img/' END || doc_id::VARCHAR || '.jpg' AS url
+  FROM documents
+"""
+
+ORACLES["pipeline_e2e"] = f"""
+WITH base AS ({_PIPE_BASE}),
+sharded AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY url) - 1) AS idx FROM base),
+f AS (
+  SELECT *, idx // 100 AS shard_id,
+    printf('%05d%02d', idx // 100, idx % 100) AS key,
+    CASE WHEN url LIKE '%/missing/%' THEN '{_404_MSG}'
+         WHEN url LIKE '%/disallowed/%' THEN '{_DISALLOWED_MSG}' END AS fetch_error,
+    md5(url) AS m
+  FROM sharded),
+g AS (
+  SELECT *, repeat(m, 8) AS payload,
+    64 + (ascii(substr(m,1,1))*256 + ascii(substr(m,2,1))) % 1985 AS ow,
+    64 + (ascii(substr(m,3,1))*256 + ascii(substr(m,4,1))) % 1985 AS oh
+  FROM f),
+h AS (
+  SELECT *, CASE WHEN fetch_error IS NOT NULL THEN NULL
+    WHEN least(ow, oh) < 200 THEN 'image too small'
+    WHEN ow*oh > 2000000 THEN 'image area too big'
+    WHEN greatest(ow, oh) / least(ow, oh) > 4.0 THEN 'aspect ratio too big'
+    END AS tr_error
+  FROM g)
+SELECT doc_id, url, caption, key, shard_id,
+  CASE WHEN fetch_error IS NOT NULL THEN 'failed_to_download'
+       WHEN tr_error IS NOT NULL THEN 'failed_to_resize'
+       ELSE 'success' END AS status,
+  COALESCE(fetch_error, tr_error) AS error_message,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN 256 END::INTEGER AS width,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN 256 END::INTEGER AS height,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN ow END::INTEGER AS original_width,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN oh END::INTEGER AS original_height,
+  CASE WHEN fetch_error IS NULL THEN sha256(payload) END AS sha256,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN
+    CASE WHEN ow = 256 AND oh = 256 THEN md5(payload)
+         ELSE md5(md5(payload || '|256x256')) END END AS payload_md5
+FROM h
+"""
+
+ORACLES["pipeline_verify_hash"] = f"""
+WITH base AS ({_PIPE_BASE}),
+sharded AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY url) - 1) AS idx FROM base),
+f AS (
+  SELECT *, printf('%05d%02d', idx // 100, idx % 100) AS key,
+    CASE WHEN url LIKE '%/missing/%' THEN '{_404_MSG}'
+         WHEN url LIKE '%/disallowed/%' THEN '{_DISALLOWED_MSG}' END AS fetch_error,
+    repeat(md5(url), 8) AS payload,
+    CASE WHEN doc_id % 13 = 0 THEN md5('wrong|' || url)
+         ELSE md5(repeat(md5(url), 8)) END AS expected
+  FROM sharded),
+g AS (
+  SELECT *, CASE WHEN fetch_error IS NULL AND expected <> md5(payload)
+                 THEN true ELSE false END AS mismatch
+  FROM f)
+SELECT doc_id, key,
+  CASE WHEN fetch_error IS NOT NULL THEN 'failed_to_download'
+       WHEN mismatch THEN 'failed_to_download'
+       ELSE 'success' END AS status,
+  COALESCE(fetch_error, CASE WHEN mismatch THEN 'hash mismatch' END) AS error_message,
+  CASE WHEN fetch_error IS NULL AND NOT mismatch THEN md5(payload) END AS md5
+FROM g
+"""

@@ -1,0 +1,581 @@
+"""Query registry: every SURVEY §2 operator as a (spark, sf_dir) -> DataFrame
+callable, each with a matching DuckDB oracle in `oracles.py`.
+
+Determinism rules shared with the oracles (see oracles.py header):
+  - double SUMs go through decimal(18,4)/decimal(28,12) (exact, order-
+    independent), then cast to double — bit-identical across engines;
+  - AVG is expressed as exact-sum / count in double;
+  - half-rounding uses floor(x*10^n + 0.5)/10^n (round() half-mode
+    differs between engines);
+  - timestamps are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from img2dataset_spark.operators.sharding import with_key, with_shard_id
+
+
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet; Spark 4 has
+# no nanos timestamp type, so they are read as nano-longs (legacy conf)
+# and converted to microsecond timestamps here.
+_NANO_TS_COLUMNS = {"ts", "l_shipdate", "o_orderdate"}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name in _NANO_TS_COLUMNS and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+    return df
+
+
+def dsum(col, scale: int = 4):
+    """Order-independent double sum: exact decimal accumulate -> double."""
+    return F.sum(F.col(col).cast(f"decimal(27,{scale})") if isinstance(col, str) else col.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def dsum_expr(expr, scale: int = 4):
+    return F.sum(expr.cast(f"decimal(27,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2, §2.5-2.8) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_s7_scan_prune(spark, sf_dir):
+    """S7: parquet scan with column pruning + predicate pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+def q_p1_project_rename(spark, sf_dir):
+    """P1: projection + canonical rename (url_col->url analog)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def q_p5p7_predicates(spark, sf_dir):
+    """P5-P7 as standalone predicates: least/greatest size-style filters
+    over part dimensions (p_size as a dim, p_retailprice/100 as other)."""
+    p = _t(spark, sf_dir, "part")
+    w = F.col("p_size")
+    # explicit FLOOR: double->int CAST truncates in Spark but rounds in
+    # DuckDB, so never rely on cast semantics for integerization
+    h = F.floor(F.col("p_retailprice") / 100).cast("int")
+    return (
+        p.select("p_partkey", w.alias("w"), h.alias("h"))
+        .filter(
+            (F.least(w, h) >= 5)
+            & ((w * h) <= 400)
+            & ((F.greatest(w, h) / F.least(w, h)) <= F.lit(3.0))
+        )
+    )
+
+
+def q_a1_status_counts(spark, sf_dir):
+    """A1: per-group status counts (shard stats analog on events)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").alias("users"),
+        dsum("value").alias("total_value"),
+    )
+
+
+def q_a2_error_topk(spark, sf_dir):
+    """A2: error top-k (capped-counter analog): top 10 error payload keys."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), "([0-9]+)", 1).cast("int")
+    return (
+        e.filter(F.col("event_type") == "error")
+        .select(k.alias("err_key"))
+        .groupBy("err_key")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("err_key"))
+        .limit(10)
+    )
+
+
+def q_a3_global_agg(spark, sf_dir):
+    """A3: global running totals + rates (logger.py:83-141 analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("event_type") != "error", 1)).alias("successes"),
+        dsum("value").alias("total_value"),
+        (
+            F.count(F.when(F.col("event_type") != "error", 1)) / F.count(F.lit(1))
+        ).alias("success_rate"),
+    )
+
+
+def q_a6_distinct_set(spark, sf_dir):
+    """A6: distinct-done-set analog."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+def q_o2_topk(spark, sf_dir):
+    """O2: top-k with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_o1_sort_events(spark, sf_dir):
+    """O1: ordered scan (first 100 events by ts, id tie-break)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy("ts", "event_id")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+        )
+        .limit(100)
+    )
+
+
+def q_j1_anti_join(spark, sf_dir):
+    """J1: left anti join — customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_j2_semi_join(spark, sf_dir):
+    """J2 generalization: left semi join — parts that shipped in Jan 1995."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-02-01")
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_j3_union(spark, sf_dir):
+    """J3: multi-source concat (UNION ALL) + distinct."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    ur = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.union(ur).distinct()
+
+
+def q_w1_row_number(spark, sf_dir):
+    """§2.8: row_number per partition (first 3 orders per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_w2_running_sum(spark, sf_dir):
+    """§2.8: running aggregate (cumulative spend per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (flagship relational agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc).alias("sum_disc_price"),
+            # charge has 6 true decimal digits (price 2 x disc 2 x tax 2):
+            # scale-4 would round engine-dependently at .xxxx5 midpoints
+            dsum_expr(charge, 6).alias("sum_charge"),
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+            (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join + agg + top-k (broadcast dims)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(dsum_expr(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style: 5-way star join rolled up by nation."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(rev).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine operators exercised as queries (R1/T12/A5, P4/T11, P8/J1)
+# ---------------------------------------------------------------------------
+
+def q_r1_sharding(spark, sf_dir):
+    """R1 via the real sharding operator: contiguous 100-row shards."""
+    d = _t(spark, sf_dir, "documents")
+    sharded = with_shard_id(d.select("doc_id"), 100, order_col="doc_id")
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_t12_keys(spark, sf_dir):
+    """T12 via the real key-synthesis operator."""
+    d = _t(spark, sf_dir, "documents")
+    sharded = with_shard_id(d.select("doc_id"), 100, order_col="doc_id")
+    keyed = with_key(sharded, 100, oom_shard_count=5)
+    return keyed.filter(F.col("doc_id") < 150).select("doc_id", "shard_id", "key")
+
+
+def q_a5_resume_point(spark, sf_dir):
+    """A5: extend-mode resume point = max(shard_id)+1."""
+    d = _t(spark, sf_dir, "documents")
+    sharded = with_shard_id(d.select("doc_id"), 100, order_col="doc_id")
+    return sharded.agg((F.max("shard_id") + 1).alias("start_shard_id"))
+
+
+def q_p8_done_shard_skip(spark, sf_dir):
+    """P8/J1: incremental done-shard pruning as an anti-join on a derived
+    done-set (even shard ids 'already have stats')."""
+    d = _t(spark, sf_dir, "documents")
+    sharded = with_shard_id(d.select("doc_id"), 50, order_col="doc_id")
+    shards = sharded.select("shard_id").distinct()
+    done = shards.filter(F.col("shard_id") % 2 == 0)
+    return shards.join(done, "shard_id", "left_anti")
+
+
+def q_t11_hashes(spark, sf_dir):
+    """T11: md5/sha256 built-ins over document text (sha512 exists in the
+    engine too — `hashing.hash_column` — but DuckDB lacks sha512, so it is
+    covered by pytest rather than the oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+    )
+
+
+def q_p4_hash_verify(spark, sf_dir):
+    """P4: hash-verification anti-filter against a derived manifest with
+    deliberate mismatches (doc_id % 13 == 0 gets a wrong hash)."""
+    d = _t(spark, sf_dir, "documents")
+    expected = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.md5(F.concat(F.lit("wrong|"), F.col("text")).cast("binary")),
+    ).otherwise(F.md5(F.col("text").cast("binary")))
+    actual = F.md5(F.col("text").cast("binary"))
+    return d.select(
+        "doc_id",
+        F.when(expected == actual, F.lit("success"))
+        .otherwise(F.lit("failed_to_download"))
+        .alias("status"),
+        F.when(expected != actual, F.lit("hash mismatch")).alias("error_message"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s7_scan_prune": q_s7_scan_prune,
+    "p1_project_rename": q_p1_project_rename,
+    "p5p7_predicates": q_p5p7_predicates,
+    "a1_status_counts": q_a1_status_counts,
+    "a2_error_topk": q_a2_error_topk,
+    "a3_global_agg": q_a3_global_agg,
+    "a6_distinct_set": q_a6_distinct_set,
+    "o1_sort_events": q_o1_sort_events,
+    "o2_topk": q_o2_topk,
+    "j1_anti_join": q_j1_anti_join,
+    "j2_semi_join": q_j2_semi_join,
+    "j3_union": q_j3_union,
+    "w1_row_number": q_w1_row_number,
+    "w2_running_sum": q_w2_running_sum,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "r1_sharding": q_r1_sharding,
+    "t12_keys": q_t12_keys,
+    "a5_resume_point": q_a5_resume_point,
+    "p8_done_shard_skip": q_p8_done_shard_skip,
+    "t11_hashes": q_t11_hashes,
+    "p4_hash_verify": q_p4_hash_verify,
+}
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: text analysis (M6)
+# ---------------------------------------------------------------------------
+
+def _round6(c):
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def q_text_stats(spark, sf_dir):
+    """Text quality metrics: token counts, ratios, fingerprint — all
+    built-in expressions (functions/text.py)."""
+    from img2dataset_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        _round6(X.stopword_ratio(toks)).alias("stopword_ratio"),
+        _round6(X.punct_ratio(F.col("text"))).alias("punct_ratio"),
+        X.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic: predicted language distribution."""
+    from img2dataset_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(X.predicted_lang(X.tokens(F.col("text"))).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: deduplication (M6)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from img2dataset_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from img2dataset_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        jaccard_threshold=0.3,
+        block_col="source",
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.3,
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from img2dataset_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), k=3, max_hamming=10, block_bits=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: similarity search (M6)
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from img2dataset_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from img2dataset_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=2)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    from img2dataset_spark.operators.similarity import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.3, label_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the full pipeline (mock fetch) vs a pure-SQL oracle
+# ---------------------------------------------------------------------------
+
+def _pipeline_input(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://synth.local/"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("missing/"))
+        .when(F.col("doc_id") % 23 == 0, F.lit("disallowed/"))
+        .otherwise(F.lit("img/")),
+        F.col("doc_id").cast("string"),
+        F.lit(".jpg"),
+    )
+    return d.select(
+        url.alias("url"),
+        F.substring("text", 1, 32).alias("caption"),
+        "doc_id",
+    )
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """The whole engine end-to-end (SURVEY §3) in hermetic mock-fetch
+    mode: shard -> key -> fetch -> decode -> P5-P7 filters -> border
+    resize -> encode -> hash -> status columns.  Every derived value is
+    reproduced by the SQL oracle."""
+    from img2dataset_spark.config import PipelineConfig
+    from img2dataset_spark.plans.pipeline import build_pipeline
+
+    cfg = PipelineConfig(
+        url_list="unused",
+        input_format="parquet",
+        caption_col="caption",
+        fetch_mode="mock",
+        number_sample_per_shard=100,
+        oom_shard_count=5,
+        min_image_size=200,
+        max_image_area=2_000_000,
+        max_aspect_ratio=4.0,
+        resize_mode="border",
+        image_size=256,
+        compute_hash="sha256",
+    )
+    df = build_pipeline(spark, cfg, input_df=_pipeline_input(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        "url",
+        "caption",
+        "key",
+        "shard_id",
+        "status",
+        "error_message",
+        "width",
+        "height",
+        "original_width",
+        "original_height",
+        "sha256",
+        F.md5(F.col("jpg")).alias("payload_md5"),
+    )
+
+
+def q_pipeline_verify_hash(spark, sf_dir):
+    """P4 inside the full pipeline: verify md5 against a manifest with
+    deliberate mismatches (doc_id % 13 == 0)."""
+    from img2dataset_spark.config import PipelineConfig
+    from img2dataset_spark.plans.pipeline import build_pipeline
+
+    inp = _pipeline_input(spark, sf_dir)
+    payload = F.repeat(F.md5(F.col("url").cast("binary")), 8)
+    expected = F.when(
+        F.col("doc_id") % 13 == 0, F.md5(F.concat(F.lit("wrong|"), F.col("url")).cast("binary"))
+    ).otherwise(F.md5(payload.cast("binary")))
+    inp = inp.withColumn("md5", expected)
+    cfg = PipelineConfig(
+        url_list="unused",
+        input_format="parquet",
+        caption_col="caption",
+        fetch_mode="mock",
+        number_sample_per_shard=100,
+        verify_hash=("md5", "md5"),
+        compute_hash=None,
+        resize_mode="no",
+    )
+    df = build_pipeline(spark, cfg, input_df=inp)
+    return df.select("doc_id", "key", "status", "error_message", "md5")
+
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "pipeline_e2e": q_pipeline_e2e,
+        "pipeline_verify_hash": q_pipeline_verify_hash,
+    }
+)

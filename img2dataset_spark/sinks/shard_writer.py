@@ -177,8 +177,9 @@ def make_shard_writer(config: PipelineConfig):
         else:
             raise ValueError(f"unknown output format {fmt}")
 
-        # W6: metadata parquet alongside every non-parquet payload sink
-        if fmt != "parquet":
+        # W6: metadata parquet alongside every payload sink — except dummy,
+        # whose writer emits nothing at all (writer.py:296-306)
+        if fmt not in ("parquet", "dummy"):
             write_shard_parquet(pdf, out, shard, False, payload_col)
 
         # W7/A1: per-shard stats sidecar

@@ -1,0 +1,113 @@
+"""Dedup + similarity operator tests on small hand-built tables with
+known expected outputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from img2dataset_spark.operators.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    ivf_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy cat", "a"),   # near-dup of 0
+    (2, "THE  quick   brown fox jumps over the lazy dog", "a"),  # exact dup of 0 after normalization
+    (3, "completely different text about spark engines and data", "a"),
+    (4, "another unrelated document mentioning query planners here", "b"),
+    (5, "the quick brown fox jumps over the lazy dog", "b"),   # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs_df):
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs_df).collect()}
+    # 0, 2, 5 normalize to the same fingerprint -> representative is 0
+    assert out[0] == 3
+    assert 2 not in out and 5 not in out
+    assert out[1] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_pairs_blocked(docs_df):
+    out = ngram_jaccard_pairs(docs_df, k=3, jaccard_threshold=0.5, block_col="source")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # identical shingle sets
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    # 5 is in block "b": never paired with 0 (blocking is respected)
+    assert (0, 5) not in pairs
+
+
+def test_ngram_jaccard_pairs_full(docs_df):
+    out = ngram_jaccard_pairs(docs_df, k=3, jaccard_threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 5) in pairs and (0, 2) in pairs and (2, 5) in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs_df):
+    out = minhash_lsh_pairs(docs_df, k=3, jaccard_threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    # exact dups always collide in every band
+    assert pairs[(0, 2)] == 1.0 and pairs[(0, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    # unrelated docs never pass the jaccard verify
+    assert all(a not in (3, 4) and b not in (3, 4) for a, b in pairs)
+
+
+def test_simhash_pairs(docs_df):
+    out = simhash_pairs(docs_df, k=3, max_hamming=0, block_bits=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 2) in pairs and (0, 5) in pairs  # identical -> hamming 0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0], 0),   # close to 0
+    (2, [0.0, 1.0, 0.0], 0),
+    (3, [0.0, 0.0, 1.0], 1),
+    (4, [1.0, 0.05, 0.0], 1),  # close to 0 but other label
+]
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _query(spark, vecs_df):
+    return vecs_df.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+def test_cosine_topk(spark, vecs_df):
+    out = cosine_topk(vecs_df, _query(spark, vecs_df), k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 4, 1]
+    assert out[0]["cos_sim"] == 1.0
+    assert out[1]["cos_sim"] > out[2]["cos_sim"] > 0.9
+
+
+def test_ivf_topk_prunes_to_probed_cells(spark, vecs_df):
+    # nprobe=1: only the label whose centroid is nearest the query
+    out = ivf_topk(vecs_df, _query(spark, vecs_df), k=5, nprobe=1).collect()
+    labels_present = {VECS[r["vec_id"]][2] for r in out}
+    assert len(labels_present) == 1  # pruned to a single cell
+
+
+def test_embedding_dup_pairs(spark, vecs_df):
+    out = embedding_dup_pairs(vecs_df, threshold=0.95, label_col="label")
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}  # (0,4) blocked by label, (0,2) dissimilar

@@ -1,0 +1,191 @@
+"""Unit tests for pure functions: header parsing, resize geometry,
+filters, robots directives, tfrecord encoding, exif parsing.
+Mirrors the reference's operator-unit layer (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from img2dataset_spark.functions.fetch import parse_robots_directives
+from img2dataset_spark.functions.image import (
+    ERR_AREA_TOO_BIG,
+    ERR_ASPECT_TOO_BIG,
+    ERR_TOO_SMALL,
+    check_filters,
+    mock_decode_dims,
+    parse_dimensions,
+    resize_geometry,
+)
+from img2dataset_spark.sinks.tfrecord import crc32c, encode_example, write_tfrecord
+from tests.conftest import make_png
+
+
+class TestParseDimensions:
+    def test_png(self):
+        assert parse_dimensions(make_png(320, 240)) == (320, 240)
+
+    def test_gif(self):
+        data = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00" * 100
+        assert parse_dimensions(data) == (640, 480)
+
+    def test_bmp(self):
+        hdr = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 40
+        assert parse_dimensions(hdr) == (800, 600)
+
+    def test_jpeg_sof0(self):
+        # SOI + APP0 stub + SOF0 with h=100 w=200
+        app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+            ">HH", 100, 200
+        ) + b"\x03\x00\x00\x00"
+        assert parse_dimensions(b"\xff\xd8" + app0 + sof) == (200, 100)
+
+    def test_webp_vp8l(self):
+        bits = (511 - 1) | ((255 - 1) << 14)
+        data = (
+            b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4
+            + b"\x2f" + struct.pack("<I", bits) + b"\x00" * 10
+        )
+        assert parse_dimensions(data) == (511, 255)
+
+    def test_garbage(self):
+        assert parse_dimensions(b"not an image at all") is None
+        assert parse_dimensions(b"") is None
+        assert parse_dimensions(None) is None
+
+
+class TestResizeGeometry:
+    def test_no(self):
+        assert resize_geometry(1000, 500, "no", 256, False) == (1000, 500)
+
+    def test_keep_ratio(self):
+        # smallest side -> 256
+        assert resize_geometry(1000, 500, "keep_ratio", 256, False) == (512, 256)
+
+    def test_keep_ratio_largest(self):
+        assert resize_geometry(1000, 500, "keep_ratio_largest", 256, False) == (256, 128)
+
+    def test_center_crop(self):
+        assert resize_geometry(1000, 500, "center_crop", 256, False) == (256, 256)
+
+    def test_border(self):
+        assert resize_geometry(1000, 500, "border", 256, False) == (256, 256)
+
+    def test_only_if_bigger_skips_small(self):
+        assert resize_geometry(100, 80, "keep_ratio", 256, True) == (100, 80)
+        assert resize_geometry(100, 80, "border", 256, True) == (100, 80)
+
+    def test_only_if_bigger_resizes_big(self):
+        assert resize_geometry(1000, 500, "keep_ratio", 256, True) == (512, 256)
+
+    def test_upscale(self):
+        assert resize_geometry(100, 50, "keep_ratio", 256, False) == (512, 256)
+
+    def test_rounding_half(self):
+        # 333 * (256/200) = 426.24 -> 426 ; floor(x+0.5) semantics
+        assert resize_geometry(333, 200, "keep_ratio", 256, False) == (426, 256)
+
+
+class TestCheckFilters:
+    def test_too_small(self):
+        assert check_filters(100, 300, 150, float("inf"), float("inf")) == ERR_TOO_SMALL
+
+    def test_area(self):
+        assert check_filters(2000, 2000, 0, 1e6, float("inf")) == ERR_AREA_TOO_BIG
+
+    def test_aspect(self):
+        assert check_filters(1000, 100, 0, float("inf"), 4.0) == ERR_ASPECT_TOO_BIG
+
+    def test_pass(self):
+        assert check_filters(500, 400, 100, 1e6, 2.0) is None
+
+    def test_order_small_before_area(self):
+        # both violated -> "too small" wins (resizer.py:161-168 order)
+        assert check_filters(10, 10, 100, 50, 1.0) == ERR_TOO_SMALL
+
+
+class TestRobotsDirectives:
+    def test_global(self):
+        assert parse_robots_directives("noai, noindex", None) == {"noai", "noindex"}
+
+    def test_ua_scoped_matches(self):
+        assert parse_robots_directives("mybot: noai", "mybot") == {"noai"}
+
+    def test_ua_scoped_other_bot(self):
+        assert parse_robots_directives("otherbot: noai", "mybot") == set()
+
+    def test_unavailable_after_ignored(self):
+        assert parse_robots_directives("unavailable_after: 2030-01-01", "mybot") == set()
+
+    def test_mixed(self):
+        got = parse_robots_directives("noindex, mybot: noai", "mybot")
+        assert got == {"noindex", "noai"}
+
+
+class TestTfrecord:
+    def test_crc32c_known_vector(self):
+        # public test vector: crc32c of 32 zero bytes
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+        assert crc32c(b"123456789") == 0xE3069283
+
+    def test_example_roundtrip_framing(self, tmp_path):
+        path = str(tmp_path / "x.tfrecord")
+        write_tfrecord(
+            path,
+            [
+                {"key": "0001", "jpg": b"\x01\x02", "width": 32, "score": 0.5,
+                 "labels": [1, 2, 3]},
+            ],
+        )
+        raw = open(path, "rb").read()
+        (length,) = struct.unpack("<Q", raw[:8])
+        payload = raw[12 : 12 + length]
+        assert len(raw) == 8 + 4 + length + 4
+        # protobuf: field 1 (features), length-delimited
+        assert payload[0] == 0x0A
+        assert b"key" in payload and b"jpg" in payload and b"labels" in payload
+
+    def test_example_deterministic(self):
+        a = encode_example({"b": 1, "a": "x"})
+        b = encode_example({"a": "x", "b": 1})
+        assert a == b  # sorted feature order
+
+
+class TestMockDecode:
+    def test_deterministic(self):
+        from img2dataset_spark.functions.fetch import mock_payload
+
+        p = mock_payload("http://x/1.jpg")
+        assert len(p) == 256
+        w, h = mock_decode_dims(p)
+        assert 64 <= w <= 2048 and 64 <= h <= 2048
+        assert mock_decode_dims(p) == (w, h)
+
+
+class TestExif:
+    def test_synthetic_exif_jpeg(self):
+        from img2dataset_spark.functions.exif import extract_exif_json
+        import json
+
+        # build JPEG with APP1/EXIF: IFD0 with Make tag (0x010F), ASCII "Test\0"
+        tiff = (
+            b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 1)                       # 1 entry
+            + struct.pack("<HHII", 0x010F, 2, 5, 26)     # Make, ASCII, len 5, offset
+            + struct.pack("<I", 0)                       # next IFD
+            + b"Test\x00"
+        )
+        exif_seg = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(exif_seg) + 2) + exif_seg
+        data = b"\xff\xd8" + app1 + b"\xff\xd9"
+        out = json.loads(extract_exif_json(data))
+        assert out == {"Image Make": "Test"}
+
+    def test_non_jpeg(self):
+        from img2dataset_spark.functions.exif import extract_exif_json
+
+        assert extract_exif_json(b"\x89PNG") == "{}"
+        assert extract_exif_json(None) == "{}"

@@ -1,0 +1,222 @@
+"""End-to-end pipeline tests: hermetic HTTP fixture (real fetch over a
+local server with X-Robots-Tag on /disallowed/, like the reference's
+tests/conftest.py), plus mock-mode determinism and sink layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from img2dataset_spark import PipelineConfig, build_pipeline, download
+
+
+def _input_parquet(tmp_path, urls, captions=None, **extra) -> str:
+    d = {"url": urls}
+    if captions is not None:
+        d["caption"] = captions
+    d.update(extra)
+    p = str(tmp_path / "in.parquet")
+    pd.DataFrame(d).to_parquet(p)
+    return p
+
+
+class TestRealHttpFetch:
+    def test_fetch_resize_no(self, spark, http_fixture, tmp_path):
+        base, images = http_fixture
+        names = sorted(images)
+        urls = (
+            [f"{base}/allowed/{n}" for n in names[:6]]
+            + [f"{base}/disallowed/{names[6]}"]
+            + [f"{base}/missing/nope.png"]
+        )
+        cfg = PipelineConfig(
+            url_list=_input_parquet(tmp_path, urls),
+            input_format="parquet",
+            output_folder=str(tmp_path / "out"),
+            output_format="parquet",
+            number_sample_per_shard=100,
+            resize_mode="no",
+            compute_hash="sha256",
+            fetch_mode="http",
+            thread_count=8,
+        )
+        download(cfg, spark=spark)
+        meta = pd.read_parquet(str(tmp_path / "out" / "00000.parquet"))
+        by_url = meta.set_index("url")
+        for n in names[:6]:
+            row = by_url.loc[f"{base}/allowed/{n}"]
+            assert row["status"] == "success"
+            # real header parsing on real PNG bytes
+            assert (row["width"], row["height"]) == (32 + names.index(n) * 8,
+                                                     24 + names.index(n) * 4)
+            assert row["jpg"] is not None and bytes(row["jpg"]) == images[n]
+        dis = by_url.loc[f"{base}/disallowed/{names[6]}"]
+        assert dis["status"] == "failed_to_download"
+        assert "X-Robots-Tag" in dis["error_message"]
+        mis = by_url.loc[f"{base}/missing/nope.png"]
+        assert mis["status"] == "failed_to_download"
+        assert "404" in mis["error_message"]
+
+    def test_min_size_filter_real_images(self, spark, http_fixture, tmp_path):
+        base, images = http_fixture
+        urls = [f"{base}/allowed/{n}" for n in sorted(images)]
+        cfg = PipelineConfig(
+            url_list=_input_parquet(tmp_path, urls),
+            input_format="parquet",
+            output_folder=str(tmp_path / "out2"),
+            output_format="dummy",
+            resize_mode="no",
+            min_image_size=40,  # images 0,1 have min side 24,28 -> rejected...
+            fetch_mode="http",
+            thread_count=4,
+        )
+        df = build_pipeline(spark, cfg)
+        got = {r["url"]: r for r in df.collect()}
+        for i, n in enumerate(sorted(images)):
+            r = got[f"{base}/allowed/{n}"]
+            if min(32 + i * 8, 24 + i * 4) < 40:
+                assert r["status"] == "failed_to_resize"
+                assert r["error_message"] == "image too small"
+            else:
+                assert r["status"] == "success"
+
+
+class TestMockPipeline:
+    def _cfg(self, tmp_path, urls, **kw):
+        defaults = dict(
+            url_list=_input_parquet(tmp_path, urls, captions=[f"c{i}" for i in range(len(urls))]),
+            input_format="parquet",
+            caption_col="caption",
+            output_folder=str(tmp_path / "out"),
+            output_format="webdataset",
+            number_sample_per_shard=10,
+            fetch_mode="mock",
+            compute_hash="sha256",
+        )
+        defaults.update(kw)
+        return PipelineConfig(**defaults)
+
+    def test_webdataset_layout_and_determinism(self, spark, tmp_path):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(25)]
+        cfg = self._cfg(tmp_path, urls)
+        stats = download(cfg, spark=spark)
+        assert sorted(r["shard_id"] for r in stats) == [0, 1, 2]
+        assert {r["shard_id"]: r["count"] for r in stats} == {0: 10, 1: 10, 2: 5}
+        out = cfg.output_folder
+        names = sorted(os.listdir(out))
+        assert names == [
+            "00000.parquet", "00000.tar", "00000_stats.json",
+            "00001.parquet", "00001.tar", "00001_stats.json",
+            "00002.parquet", "00002.tar", "00002_stats.json",
+        ]
+        with tarfile.open(os.path.join(out, "00000.tar")) as t:
+            members = t.getnames()
+            # shard size 10 -> in-shard index width = ceil(log10(10)) = 1
+            assert members[:3] == ["000000.jpg", "000000.txt", "000000.json"]
+            j = json.load(t.extractfile("000000.json"))
+            assert j["status"] == "success"
+            assert set(j) >= {"url", "caption", "key", "status", "width", "height",
+                              "original_width", "original_height", "sha256"}
+        # byte-determinism: rerun in overwrite mode produces identical tar
+        tar0 = open(os.path.join(out, "00000.tar"), "rb").read()
+        cfg2 = self._cfg(tmp_path, urls, incremental_mode="overwrite")
+        download(cfg2, spark=spark)
+        assert open(os.path.join(out, "00000.tar"), "rb").read() == tar0
+
+    def test_files_sink(self, spark, tmp_path):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(5)]
+        cfg = self._cfg(tmp_path, urls, output_format="files",
+                        number_sample_per_shard=100)
+        download(cfg, spark=spark)
+        shard_dir = os.path.join(cfg.output_folder, "00000")
+        files = sorted(os.listdir(shard_dir))
+        assert "0000000.jpg" in files and "0000000.json" in files and "0000000.txt" in files
+
+    def test_tfrecord_sink(self, spark, tmp_path):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(5)]
+        cfg = self._cfg(tmp_path, urls, output_format="tfrecord",
+                        number_sample_per_shard=100)
+        download(cfg, spark=spark)
+        p = os.path.join(cfg.output_folder, "00000.tfrecord")
+        assert os.path.getsize(p) > 100
+        # metadata parquet written alongside
+        assert os.path.exists(os.path.join(cfg.output_folder, "00000.parquet"))
+
+    def test_stats_sidecar_schema(self, spark, tmp_path):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(4)] + [
+            "http://fixture.local/missing/x.jpg"
+        ]
+        cfg = self._cfg(tmp_path, urls, output_format="dummy",
+                        number_sample_per_shard=100)
+        download(cfg, spark=spark)
+        s = json.load(open(os.path.join(cfg.output_folder, "00000_stats.json")))
+        assert s["count"] == 5 and s["successes"] == 4
+        assert s["failed_to_download"] == 1 and s["failed_to_resize"] == 0
+        assert "duration" in s and "start_time" in s and "end_time" in s
+        assert json.loads(s["status_dict"]) == {"HTTP Error 404: Not Found": 1}
+
+    def test_verify_hash_mismatch(self, spark, tmp_path):
+        from img2dataset_spark.functions.fetch import mock_payload
+        import hashlib
+
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(4)]
+        goods = [hashlib.md5(mock_payload(u)).hexdigest() for u in urls]
+        goods[2] = "0" * 32  # deliberate mismatch
+        p = _input_parquet(tmp_path, urls, md5s=goods)
+        cfg = PipelineConfig(
+            url_list=p, input_format="parquet",
+            output_folder=str(tmp_path / "out"), output_format="dummy",
+            verify_hash=("md5s", "md5"), compute_hash=None, fetch_mode="mock",
+        )
+        df = build_pipeline(spark, cfg)
+        rows = sorted(df.collect(), key=lambda r: r["url"])
+        assert [r["status"] for r in rows] == [
+            "success", "success", "failed_to_download", "success"]
+        assert rows[2]["error_message"] == "hash mismatch"
+        assert rows[2]["md5"] is None  # F3: mismatching row has null hash
+        assert rows[0]["md5"] == goods[0]
+
+    def test_extract_exif_wiring(self, spark, tmp_path):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(3)]
+        cfg = self._cfg(tmp_path, urls, output_format="dummy", extract_exif=True)
+        df = build_pipeline(spark, cfg)
+        assert "exif" in df.columns
+        rows = df.collect()
+        assert all(r["exif"] == "{}" for r in rows if r["status"] == "success")
+
+
+class TestIncremental:
+    def test_incremental_and_extend(self, spark, tmp_path):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(20)]
+        p = _input_parquet(tmp_path, urls)
+        out = str(tmp_path / "out")
+        cfg = PipelineConfig(
+            url_list=p, input_format="parquet", output_folder=out,
+            output_format="dummy", number_sample_per_shard=10, fetch_mode="mock",
+        )
+        assert len(download(cfg, spark=spark)) == 2
+        # incremental rerun: everything done
+        assert len(download(cfg, spark=spark)) == 0
+        # extend: continues numbering
+        cfg_e = PipelineConfig(
+            url_list=p, input_format="parquet", output_folder=out,
+            output_format="dummy", number_sample_per_shard=10, fetch_mode="mock",
+            incremental_mode="extend",
+        )
+        stats = download(cfg_e, spark=spark)
+        assert sorted(r["shard_id"] for r in stats) == [2, 3]
+        # overwrite: starts fresh
+        cfg_o = PipelineConfig(
+            url_list=p, input_format="parquet", output_folder=out,
+            output_format="dummy", number_sample_per_shard=10, fetch_mode="mock",
+            incremental_mode="overwrite",
+        )
+        stats = download(cfg_o, spark=spark)
+        assert sorted(r["shard_id"] for r in stats) == [0, 1]
+        assert sorted(os.listdir(out)) == ["00000_stats.json", "00001_stats.json"]

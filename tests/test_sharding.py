@@ -1,0 +1,80 @@
+"""R1/T12 sharding tests: exact contiguity, shard sizes, key synthesis.
+Mirrors /root/reference/tests/test_reader.py:32-102 (shard contents
+equal exact input slices)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.sharding import (
+    with_global_index,
+    with_key,
+    with_shard_id,
+)
+
+
+def test_global_index_is_contiguous_permutation(spark):
+    df = spark.range(0, 1003).select((F.col("id") * 7919 % 1003).alias("k"))
+    out = with_global_index(df, "k").collect()
+    assert len(out) == 1003
+    idxs = sorted(r["_row_idx"] for r in out)
+    assert idxs == list(range(1003))
+    # index order must follow k order
+    by_idx = sorted(out, key=lambda r: r["_row_idx"])
+    ks = [r["k"] for r in by_idx]
+    assert ks == sorted(ks)
+
+
+def test_shard_sizes_exact(spark):
+    df = spark.range(0, 950).select(F.col("id").alias("k"))
+    out = with_shard_id(df, 100, order_col="k")
+    sizes = {r["shard_id"]: r["cnt"] for r in
+             out.groupBy("shard_id").agg(F.count("*").alias("cnt")).collect()}
+    assert sizes == {i: 100 for i in range(9)} | {9: 50}
+
+
+def test_shard_contents_are_exact_slices(spark):
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    out = with_shard_id(df, 100, order_col="k")
+    rows = out.filter(F.col("shard_id") == 1).select("k").collect()
+    assert sorted(r["k"] for r in rows) == list(range(100, 200))
+
+
+def test_start_shard_id_offset(spark):
+    df = spark.range(0, 150).select(F.col("id").alias("k"))
+    out = with_shard_id(df, 100, order_col="k", start_shard_id=7)
+    shards = sorted(
+        r["shard_id"] for r in out.select("shard_id").distinct().collect()
+    )
+    assert shards == [7, 8]
+
+
+def test_key_format(spark):
+    df = spark.range(0, 250).select(F.col("id").alias("k"))
+    out = with_key(
+        with_shard_id(df, 100, order_col="k"), 100, oom_shard_count=5
+    )
+    rows = {r["k"]: r["key"] for r in out.collect()}
+    assert rows[0] == "0000000"      # shard 00000, idx 00
+    assert rows[105] == "0000105"    # shard 00001, idx 05
+    assert rows[249] == "0000249"
+    assert all(len(v) == 7 for v in rows.values())
+
+
+def test_key_with_offset_uses_modulo(spark):
+    # start_shard_id > 0 must not produce negative in-shard indices
+    df = spark.range(0, 120).select(F.col("id").alias("k"))
+    out = with_key(
+        with_shard_id(df, 100, order_col="k", start_shard_id=3), 100
+    )
+    rows = {r["k"]: r["key"] for r in out.collect()}
+    assert rows[0] == "0000300"
+    assert rows[119] == "0000419"
+
+
+def test_hash_sharding_no_order(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("k")).repartition(4)
+    out = with_shard_id(df, 100)
+    assert out.count() == 500
+    n_shards = out.select("shard_id").distinct().count()
+    assert n_shards == 4  # one shard per partition
