@@ -184,6 +184,13 @@ def mock_encode(data: bytes, nw: int, nh: int) -> bytes:
     return hashlib.md5(base.encode("ascii")).hexdigest().encode("ascii")
 
 
+def mock_blur(data: bytes, n_boxes: int) -> bytes:
+    """Deterministic fake blur marker for hermetic runs.
+    SQL: md5(concat(payload_str, '|blur', n_boxes))."""
+    base = data.decode("ascii", errors="replace") + f"|blur{n_boxes}"
+    return hashlib.md5(base.encode("ascii")).hexdigest().encode("ascii")
+
+
 def _pil_transform(
     data: bytes,
     resize_mode: str,
@@ -191,6 +198,7 @@ def _pil_transform(
     resize_only_if_bigger: bool,
     encode_format: str,
     encode_quality: int,
+    bboxes=None,
 ):  # pragma: no cover - exercised only when PIL is installed
     """Real pixel path, used when PIL is importable."""
     import io
@@ -214,6 +222,14 @@ def _pil_transform(
             img = canvas
     elif (nw, nh) != (w, h):
         img = img.resize((nw, nh), Image.LANCZOS)
+    if bboxes is not None and len(bboxes) > 0:
+        # T9: blur after resize, before encode (resizer.py:187-188,219-221);
+        # bboxes are relative [0,1] so they survive the resize unchanged
+        import numpy as np
+
+        from img2dataset_spark.functions.blur import blur_bboxes
+
+        img = Image.fromarray(blur_bboxes(np.asarray(img), bboxes))
     buf = io.BytesIO()
     fmt = {"jpg": "JPEG", "png": "PNG", "webp": "WEBP"}[encode_format]
     img.save(buf, format=fmt, quality=encode_quality)
@@ -240,13 +256,17 @@ def make_transform_udf(
     encode_quality: int = 95,
     disable_all_reencoding: bool = False,
     mock: bool = False,
+    with_blur: bool = False,
 ):
     """Build the transform pandas UDF:
     data:binary -> struct<data,width,height,original_width,original_height,error>.
+
+    With ``with_blur`` the UDF takes a second array<array<double>> column
+    of relative [x0,y0,x1,y1] bboxes (T9, blurrer.py:20-92).
     """
     use_pil = not mock and _pil_available()
 
-    def transform_one(data: bytes | None):
+    def transform_one(data: bytes | None, bboxes=None):
         null = (None, None, None, None, None)
         if data is None:
             return null + (ERR_DECODE,)
@@ -264,10 +284,13 @@ def make_transform_udf(
         if err is not None:
             return null + (err,)
         nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
+        n_boxes = 0 if bboxes is None else len(bboxes)
         if mock:
             out = data if (nw, nh) == (w, h) else mock_encode(data, nw, nh)
+            if n_boxes > 0:
+                out = mock_blur(out, n_boxes)
             return (out, nw, nh, w, h, None)
-        if (nw, nh) == (w, h):
+        if (nw, nh) == (w, h) and n_boxes == 0:
             # no-op resize: passthrough without re-encode (skip_reencode
             # semantics, resizer.py:224-228)
             return (data, nw, nh, w, h, None)
@@ -275,28 +298,42 @@ def make_transform_udf(
             try:
                 return _pil_transform(
                     data, resize_mode, image_size, resize_only_if_bigger,
-                    encode_format, encode_quality,
+                    encode_format, encode_quality, bboxes=bboxes,
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
+        if (nw, nh) == (w, h):
+            # blur requested but no pixel decoder: keep the row, flag it
+            return null + ("blur not available: no imaging library installed",)
         # STUB: pixel resampling requires an imaging library (PIL/OpenCV)
         # which is not available in this environment.
         return null + ("resize not available: no imaging library installed",)
+
+    columns = [
+        "data",
+        "width",
+        "height",
+        "original_width",
+        "original_height",
+        "error",
+    ]
+
+    if with_blur:
+
+        @pandas_udf(TRANSFORM_RESULT_SCHEMA)
+        def transform_blur(
+            batches: Iterator[tuple[pd.Series, pd.Series]],
+        ) -> Iterator[pd.DataFrame]:
+            for data_s, bbox_s in batches:
+                rows = [transform_one(d, b) for d, b in zip(data_s, bbox_s)]
+                yield pd.DataFrame(rows, columns=columns)
+
+        return transform_blur
 
     @pandas_udf(TRANSFORM_RESULT_SCHEMA)
     def transform(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for series in batches:
             rows = [transform_one(d) for d in series]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "data",
-                    "width",
-                    "height",
-                    "original_width",
-                    "original_height",
-                    "error",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=columns)
 
     return transform

@@ -60,6 +60,10 @@ def build_pipeline(
     error_message, width, height, original_width, original_height
     [+ exif] [+ hash col] [+ <encode_format> binary payload] + shard_id.
     """
+    extra_cols = list(config.save_additional_columns or [])
+    if config.bbox_col is not None and config.bbox_col not in extra_cols:
+        # T9: the bbox column rides along as an additional column
+        extra_cols.append(config.bbox_col)
     if input_df is None:
         df = load(
             spark,
@@ -68,7 +72,7 @@ def build_pipeline(
             url_col=config.url_col,
             caption_col=config.caption_col,
             verify_hash=config.verify_hash,
-            save_additional_columns=config.save_additional_columns,
+            save_additional_columns=extra_cols or None,
         )
     else:
         df = input_df
@@ -128,7 +132,8 @@ def build_pipeline(
     else:
         df = df.withColumn("_hash_ok", F.lit(True))
 
-    # T1-T9 transform (decode -> P5-P7 filters -> resize -> encode, fused)
+    # T1-T9 transform (decode -> P5-P7 filters -> resize -> blur -> encode,
+    # fused into one Arrow-batched UDF)
     transform = make_transform_udf(
         resize_mode=config.resize_mode,
         image_size=config.image_size,
@@ -140,12 +145,16 @@ def build_pipeline(
         encode_quality=config.encode_quality,
         disable_all_reencoding=config.disable_all_reencoding,
         mock=config.fetch_mode == "mock",
+        with_blur=config.bbox_col is not None,
     )
+    transform_args = [F.col("_fetch.data")]
+    if config.bbox_col is not None:
+        transform_args.append(F.col(config.bbox_col))
     df = df.withColumn(
         "_tr",
         F.when(
             F.col("_fetch.data").isNotNull() & F.col("_hash_ok"),
-            transform(F.col("_fetch.data")),
+            transform(*transform_args),
         ),
     )
 
@@ -238,10 +247,29 @@ def download(
 
     done_shards, start_shard_id = resolve_incremental(spark, config)
     df = build_pipeline(spark, config, input_df=input_df, start_shard_id=start_shard_id)
-    if done_shards:
-        # J1: anti-join against already-completed shards
-        done_df = spark.createDataFrame(
-            [(int(s),) for s in done_shards], "shard_id long"
-        )
-        df = df.join(F.broadcast(done_df), "shard_id", "left_anti")
-    return write_output(df, config)
+
+    def _minus_done(frame, done: set[int]):
+        if not done:
+            return frame
+        # J1: broadcast anti-join against already-completed shards
+        done_df = spark.createDataFrame([(int(s),) for s in done], "shard_id long")
+        return frame.join(F.broadcast(done_df), "shard_id", "left_anti")
+
+    # R4: Spark task retries (spark.task.maxFailures) handle transient
+    # task failures; this outer loop adds the reference's SHARD-granular
+    # end-of-job retry (distributor.py:10-21,36-38) — on a job abort,
+    # re-run only the shards whose stats sidecar never landed.
+    from img2dataset_spark.plans.incremental import existing_shard_ids
+
+    attempts = 0
+    stats: list = []
+    remaining_df = _minus_done(df, done_shards)
+    while True:
+        try:
+            stats.extend(write_output(remaining_df, config))
+            return stats
+        except Exception:
+            attempts += 1
+            if attempts > config.max_shard_retry:
+                raise
+            remaining_df = _minus_done(df, existing_shard_ids(config.output_folder))
