@@ -68,29 +68,63 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text).cast("binary"))
 
 
-def seeded_minhash(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature as an array of md5-hex strings.
+MINHASH_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne): a*h+b < 2^60+2^28 fits int64
 
-    Signature element s = min over shingles of md5('<s>|' || shingle);
-    lexicographic min over a uniform hex hash is a valid minwise hash,
-    and (unlike integer hashing) is bit-identical across engines.
-    Empty shingle set -> nulls (no signature).
+
+def minhash_coeffs(num_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a odd, b) shared
+    verbatim by the Spark expression and the SQL oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 28) | 1, rng.randrange(0, 1 << 28))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hashes32(shingle_arr: Column) -> Column:
+    """ONE 32-bit integer hash per shingle (hex fold of md5).  All minhash
+    permutations derive from this single digest — higher-order functions
+    run interpreted (outside whole-stage codegen), so the expensive md5
+    must be evaluated once per shingle, not once per (shingle, seed)."""
+    return F.transform(shingle_arr, lambda x: hex_to_int32(F.md5(x.cast("binary"))))
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from a precomputed per-shingle int-hash array:
+    sig[s] = min over shingles of (a_s*h + b_s) mod P, with fixed
+    coefficients from `minhash_coeffs` — the classic single-hash +
+    affine-permutation family, bit-identical across engines in int64.
+
+    IMPORTANT for performance: pass `hashes` as a materialized COLUMN
+    (see `shingle_hashes32`), not an inline expression — this builder
+    references it num_hashes times.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                shingle_arr,
-                lambda x: F.md5(
-                    F.concat(s.cast("string"), F.lit("|"), x).cast("binary")
-                ),
-            )
-        ),
+    p = F.lit(MINHASH_PRIME)
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % p
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, _perm(a, b)))
+            for a, b in minhash_coeffs(num_hashes)
+        ]
     )
 
 
+def seeded_minhash(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature straight from a shingle array (convenience; for
+    the performant two-step form see shingle_hashes32 + minhash_from_hashes)."""
+    return minhash_from_hashes(shingle_hashes32(shingle_arr), num_hashes)
+
+
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """Group a minhash signature into band keys 'b:md5(concat(rows))'."""
+    """Group a minhash signature into band keys 'b:md5(concat(rows))'.
+    Integer signature elements are rendered as decimal strings (identical
+    in DuckDB's array_to_string)."""
+    sig_str = F.transform(signature, lambda v: v.cast("string"))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.concat(
@@ -98,7 +132,7 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
             F.lit(":"),
             F.md5(
                 F.array_join(
-                    F.slice(signature, b * rows_per_band + 1, rows_per_band), ","
+                    F.slice(sig_str, b * rows_per_band + 1, rows_per_band), ","
                 ).cast("binary")
             ),
         ),
@@ -120,26 +154,51 @@ def hex_to_int32(hex_str: Column) -> Column:
     )
 
 
-def simhash32(shingle_arr: Column) -> Column:
-    """32-bit SimHash over shingles: bit b of the output is 1 when the
-    majority of shingle hashes have bit b set (classic Charikar simhash
-    with +/-1 votes)."""
-    hashes = F.transform(shingle_arr, lambda x: hex_to_int32(F.md5(x.cast("binary"))))
-    # bit extraction via arithmetic ((h div 2^b) mod 2): the pyspark
-    # shiftright wrapper only takes literal shift amounts, and the same
-    # formula runs verbatim in the SQL oracle
-    pow2 = lambda b: F.pow(F.lit(2.0), b).cast("long")  # noqa: E731
-    bit_vote = lambda b: F.aggregate(  # noqa: E731
+def simhash_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a precomputed per-shingle int-hash array: bit b
+    of the output is 1 when the majority of shingle hashes have bit b set
+    (classic Charikar simhash with +/-1 votes).
+
+    Single pass over the hashes: the vote accumulator is a 32-element
+    array updated with zip_with — higher-order functions are interpreted
+    (no codegen), so the per-(shingle, bit) work must be trivial
+    arithmetic and each hash must be visited exactly once.
+    """
+    zeros = F.array_repeat(F.lit(0).cast("long"), 32)
+    bits = F.sequence(F.lit(0), F.lit(31))
+    # ((h div 2^b) mod 2)*2 - 1: +/-1 vote for bit b of hash h — arithmetic
+    # form because the pyspark shiftright wrapper only takes literal shift
+    # amounts, and the same formula runs verbatim in the SQL oracle
+    votes = F.aggregate(
         hashes,
-        F.lit(0).cast("long"),
-        lambda votes, h: votes + F.pmod(F.floor(h / pow2(b)).cast("long"), F.lit(2)) * 2 - 1,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda v, b: v
+            + F.pmod(
+                F.floor(h / F.pow(F.lit(2.0), b).cast("long")).cast("long"), F.lit(2)
+            )
+            * 2
+            - 1,
+        ),
     )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(bit_vote(b) > 0, pow2(b)).otherwise(F.lit(0).cast("long")),
+    # Fold votes -> int.  `votes` must stay an ARRAY ARGUMENT of the HOFs
+    # (evaluated once per row), never appear inside a lambda body (which
+    # would re-evaluate the whole aggregation per element).
+    powers = F.array(*[F.lit(2**b).cast("long") for b in range(32)])
+    bit_values = F.zip_with(
+        votes,
+        powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
     )
+    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash32(shingle_arr: Column) -> Column:
+    """32-bit SimHash straight from a shingle array (convenience; for the
+    performant two-step form see shingle_hashes32 + simhash_from_hashes)."""
+    return simhash_from_hashes(shingle_hashes32(shingle_arr))
 
 
 def punct_ratio(text: Column) -> Column:

@@ -1,0 +1,115 @@
+"""Arrow-vectorized (pandas UDF) implementations of the dedup hot path.
+
+`functions.text` expresses tokenize -> shingle -> hash -> minhash/simhash
+as pure Catalyst expressions.  That form is the right *specification*
+(and what the SQL oracle mirrors), but Spark evaluates higher-order
+functions (transform/aggregate/zip_with) in INTERPRETED mode — outside
+whole-stage codegen — and the optimizer freely inlines the big lambda
+trees into multiple consumers, so the md5-per-shingle work explodes by
+orders of magnitude on real plans (measured: 5k docs x ~50 shingles
+took minutes instead of seconds).
+
+These UDFs compute the exact same formulas batch-at-a-time with
+hashlib (C md5) + numpy (vectorized affine permutations / bit votes):
+
+  token     = split(trim(lower(text)), '\\s+')
+  shingle   = k consecutive tokens joined by ' ', distinct
+  h32       = int(md5(shingle)[:8 hex], 16)            (32-bit fold)
+  minhash_s = min over shingles of (a_s*h32 + b_s) mod (2^61-1)
+  band key  = '<b>:' || md5(sig[b*r:(b+1)*r] joined by ',')
+  simhash   = bit b set iff sum over shingles of ((h>>b & 1)*2-1) > 0
+
+Coefficients (a_s, b_s) come from `text.minhash_coeffs` — shared with
+the expression form and the DuckDB oracle, so all three agree
+bit-for-bit.
+
+Factories (not module-level UDFs): pandas_udf registration requires an
+active SparkSession.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from img2dataset_spark.functions.text import MINHASH_PRIME, minhash_coeffs
+
+_WS = re.compile(r"\s+")
+
+
+def _shingle_set(text: str | None, k: int) -> list[str]:
+    if text is None:
+        return []
+    toks = _WS.split(text.strip().lower())
+    if len(toks) < k:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - k + 1):
+        seen[" ".join(toks[i : i + k])] = None
+    return list(seen)
+
+
+def _h32(shingle_list: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in shingle_list),
+        dtype=np.int64,
+        count=len(shingle_list),
+    )
+
+
+def make_shingle_set_udf(k: int = 3):
+    """text -> distinct word-k-gram shingles (array<string>)."""
+
+    @pandas_udf("array<string>")
+    def shingle_set(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _shingle_set(t, k))
+
+    return shingle_set
+
+
+def make_minhash_bands_udf(num_hashes: int = 32, num_bands: int = 8):
+    """shingle_set -> LSH band keys (array<string>); [] for empty sets."""
+    rows = num_hashes // num_bands
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    def bands_of(shingle_list) -> list[str]:
+        if shingle_list is None or len(shingle_list) == 0:
+            return []
+        h = _h32(list(shingle_list))[None, :]
+        sig = ((A * h + B) % MINHASH_PRIME).min(axis=1)
+        return [
+            f"{b}:" + hashlib.md5(
+                ",".join(str(int(v)) for v in sig[b * rows : (b + 1) * rows]).encode()
+            ).hexdigest()
+            for b in range(num_bands)
+        ]
+
+    @pandas_udf("array<string>")
+    def minhash_bands(sets: pd.Series) -> pd.Series:
+        return sets.map(bands_of)
+
+    return minhash_bands
+
+
+def make_simhash_udf():
+    """shingle_set -> 32-bit simhash (long); null for empty sets."""
+    bit_idx = np.arange(32, dtype=np.int64)
+
+    def simhash_of(shingle_list):
+        if shingle_list is None or len(shingle_list) == 0:
+            return None
+        h = _h32(list(shingle_list))
+        votes = (((h[:, None] >> bit_idx[None, :]) & 1) * 2 - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.int64) << bit_idx).sum())
+
+    @pandas_udf("long")
+    def simhash(sets: pd.Series) -> pd.Series:
+        return sets.map(simhash_of)
+
+    return simhash

@@ -27,14 +27,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from img2dataset_spark.functions.text import (
-    fingerprint,
-    lsh_bands,
-    seeded_minhash,
-    shingles,
-    simhash32,
-    tokens,
+from pyspark import StorageLevel
+
+from img2dataset_spark.functions.text import fingerprint
+from img2dataset_spark.functions.text_fast import (
+    make_minhash_bands_udf,
+    make_shingle_set_udf,
+    make_simhash_udf,
 )
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    """Mark a frame reused by multiple plan subtrees (self-join sides,
+    bucket stats + join) as cached: without this, Spark re-executes the
+    full upstream (tokenize -> shingle -> md5) once per reference."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Small dimension-style inputs often arrive as ONE partition (a single
+    parquet row group), which would serialize the whole shingle/hash
+    stage onto one core; at 100 TB the scan itself yields thousands of
+    splits and this becomes a no-op-sized shuffle relative to the data."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def exact_dedup(
@@ -59,10 +76,13 @@ def exact_dedup(
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, distinct shingle set) — shared prep for minhash/jaccard."""
-    return df.select(
+    """(id, distinct shingle set) — shared prep for minhash/jaccard.
+    Arrow-vectorized UDF (see functions.text_fast header for why not a
+    Catalyst higher-order-function expression)."""
+    shingle_set = make_shingle_set_udf(k)
+    return _parallel(df).select(
         F.col(id_col),
-        F.array_distinct(shingles(tokens(F.col(text_col)), k)).alias("shingle_set"),
+        shingle_set(F.col(text_col)).alias("shingle_set"),
     )
 
 
@@ -82,16 +102,15 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 dp (floor(x*1e6+0.5)/1e6 — identical in the SQL oracle).
     """
-    rows_per_band = num_hashes // num_bands
-    docs = doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
-    sigs = docs.select(
-        id_col,
-        "shingle_set",
-        lsh_bands(
-            seeded_minhash(F.col("shingle_set"), num_hashes), num_bands, rows_per_band
-        ).alias("bands"),
+    docs = _persisted(
+        doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
     )
-    banded = sigs.select(id_col, F.explode("bands").alias("band"))
+    minhash_bands = make_minhash_bands_udf(num_hashes, num_bands)
+    banded = _persisted(
+        docs.select(
+            id_col, F.explode(minhash_bands(F.col("shingle_set"))).alias("band")
+        )
+    )
     # cap degenerate buckets (giant near-dup clusters) to bound the self-join
     bucket_sizes = banded.groupBy("band").count()
     banded = banded.join(
@@ -121,7 +140,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs.  With `block_col`, pairs are
     only formed within blocks (the scalable pattern); without, it is a
     full cross self-join — quadratic, for small/verification use only."""
-    docs = doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
+    docs = _persisted(
+        doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
+    )
     if block_col is not None:
         blocked = docs.join(df.select(id_col, block_col), id_col)
         a, b = blocked.alias("a"), blocked.alias("b")
@@ -175,13 +196,14 @@ def simhash_pairs(
     hamming radii; multi-probe would add rotations).  Returns
     (id_a, id_b, hamming).
     """
+    simhash = make_simhash_udf()
     docs = (
         doc_shingles(df, text_col, id_col, k)
         .filter(F.size("shingle_set") > 0)
-        .select(F.col(id_col), simhash32(F.col("shingle_set")).alias("simhash"))
+        .select(F.col(id_col), simhash(F.col("shingle_set")).alias("simhash"))
     )
     block = F.floor(F.col("simhash") / F.lit(float(2 ** (32 - block_bits)))).cast("long")
-    docs = docs.withColumn("block", block)
+    docs = _persisted(docs.withColumn("block", block))
     a, b = docs.alias("a"), docs.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (

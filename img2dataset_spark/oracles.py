@@ -288,15 +288,42 @@ SELECT id_a, id_b, jaccard FROM (
 WHERE jaccard >= 0.3
 """
 
+_HEXDIGIT_S = (
+    "(CASE WHEN ascii(substr({h}, {i}, 1)) >= 97 "
+    "THEN ascii(substr({h}, {i}, 1)) - 87 ELSE ascii(substr({h}, {i}, 1)) - 48 END)"
+)
+
+
+def _hv_of(h: str) -> str:
+    """32-bit fold of the first 8 hex chars of md5-hex column {h} —
+    identical to functions.text.hex_to_int32."""
+    return " + ".join(
+        f"{_HEXDIGIT_S.format(h=h, i=i)}::BIGINT * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """sig[s] = min((a_s*h + b_s) % P) — same coefficients as the Spark
+    expression (functions.text.minhash_coeffs)."""
+    from img2dataset_spark.functions.text import MINHASH_PRIME, minhash_coeffs
+
+    elems = ", ".join(
+        f"list_min(list_transform(h32, h -> ({a}::BIGINT * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_coeffs(32)
+    )
+    return f"[{elems}]"
+
+
 ORACLES["dedup_minhash_lsh"] = f"""
 WITH docs AS ({_DOCS_SS}),
 d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
-sigs AS (
+hashed AS (
   SELECT doc_id, ss,
-    list_transform(generate_series(0, 31), s ->
-      list_aggregate(list_transform(ss, x -> md5(s::VARCHAR || '|' || x)), 'min')
-    ) AS sig
+    list_transform(ss, x -> {_hv_of('md5(x)')}) AS h32
   FROM d),
+sigs AS (
+  SELECT doc_id, ss, {_minhash_sig_sql()} AS sig FROM hashed),
 banded AS (
   SELECT doc_id, unnest(
     list_transform(generate_series(0, 7), b ->
