@@ -234,6 +234,14 @@ _PUNCTRATIO = _R6.format(
     )
 )
 
+ORACLES["events_window"] = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
 ORACLES["text_stats"] = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,

@@ -564,8 +564,17 @@ def q_pipeline_verify_hash(spark, sf_dir):
     return df.select("doc_id", "key", "status", "error_message", "md5")
 
 
+def q_events_window(spark, sf_dir):
+    """Event-time tumbling-window rollup (streaming/windowed.py recipe in
+    batch mode; the streaming variant adds a watermark to the same plan)."""
+    from img2dataset_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"), window="1 hour")
+
+
 QUERIES.update(
     {
+        "events_window": q_events_window,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
