@@ -37,11 +37,23 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="img2dataset_spark_bench")
-    # warm the JVM/codegen path (not counted)
+    # warm the JVM/codegen path and the Python worker pool (not counted):
+    # the first Arrow-UDF stage spawns one pyspark worker per core, a
+    # fixed ~seconds cost that would otherwise land on whichever query
+    # happens to hit Python first.
     spark.range(1000).selectExpr("sum(id)").collect()
+    (
+        spark.range(64)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)))
+        .mapInPandas(lambda it: it, "id long")
+        .count()
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # operators persist() frames reused across self-join subtrees;
+        # drop leftover cache between queries so each is measured cold
+        spark.catalog.clearCache()
         fn = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -12,8 +12,13 @@ Instead `with_global_index` does the classic distributed zip-with-index:
 
   1. `repartitionByRange(order_col)` — range shuffle, fully parallel;
   2. persist, count rows per partition (tiny job: one long per partition);
-  3. broadcast the prefix-sum offsets and assign
-     `offset[pid] + local_row_number` via mapInPandas (no second shuffle).
+  3. assign `offset[pid] + local_position`, all JVM-side:
+     `monotonically_increasing_id()` already encodes the within-partition
+     scan position in its low 33 bits (upper bits are the partition id),
+     and the scan order of the persisted sorted partition IS the sort
+     order — so the index is `map[pid] + (mid & (2^33-1))` with the
+     prefix-sum offsets inlined as a literal map.  No Python stage, no
+     second shuffle, stays inside whole-stage codegen.
 
 Cost at scale: exactly one range shuffle + one lightweight count pass —
 the minimum possible for *exact* contiguous global numbering.  When exact
@@ -24,12 +29,12 @@ with zero shuffles.
 from __future__ import annotations
 
 import math
-from typing import Iterator
 
-import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_MID_LOCAL_MASK = (1 << 33) - 1  # low 33 bits of monotonically_increasing_id
 
 
 def with_global_index(
@@ -47,33 +52,28 @@ def with_global_index(
     )
     # Persist so the count pass and the index pass see identical partitions
     # (repartitionByRange samples boundaries; without persist the two jobs
-    # could sample differently).
+    # could sample differently) AND a frozen in-partition row order (the
+    # local counter below is assigned in scan order over the cached rows).
     ranged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
         ranged.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     )
     sizes: dict[int, int] = {r["pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
+    offsets: list = []
     acc = 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.extend([F.lit(pid), F.lit(acc)])
         acc += sizes[pid]
 
-    out_schema = ranged.withColumn(index_col, F.lit(0).cast("long")).schema
-
-    def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        next_idx = offsets.get(pid, 0)
-        for pdf in iterator:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf[index_col] = range(next_idx, next_idx + n)
-            next_idx += n
-            yield pdf
-
-    return ranged.mapInPandas(assign, schema=out_schema)
+    offset_of_pid = (
+        F.element_at(F.create_map(*offsets), F.spark_partition_id())
+        if offsets
+        else F.lit(0)
+    )
+    local_pos = F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_LOCAL_MASK))
+    return ranged.withColumn(
+        index_col, (offset_of_pid + local_pos).cast("long")
+    )
 
 
 def with_shard_id(

@@ -29,7 +29,15 @@ _NANO_TS_COLUMNS = {"ts", "l_shipdate", "o_orderdate"}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # NOTE on parallelism: these test files are single-row-group, so scans
+    # run as one task.  A blanket repartition here measured SLOWER (the
+    # extra exchange costs more than the parallel aggregation saves, and
+    # the shuffles the plans already contain — groupBy/range/join — give
+    # downstream parallelism).  Operators whose per-row work is genuinely
+    # heavy (interpreted/Python stages) repartition themselves instead
+    # (operators/dedup.py _parallel).
     for field in df.schema.fields:
         if field.name in _NANO_TS_COLUMNS and field.dataType.simpleString() == "bigint":
             df = df.withColumn(
