@@ -191,6 +191,47 @@ def mock_blur(data: bytes, n_boxes: int) -> bytes:
     return hashlib.md5(base.encode("ascii")).hexdigest().encode("ascii")
 
 
+INTERPOLATIONS = (
+    "nearest", "linear", "bilinear", "cubic", "bicubic", "area", "lanczos", "lanczos4",
+)
+
+
+def select_interpolation(
+    w: int,
+    h: int,
+    resize_mode: str,
+    image_size: int,
+    upscale: str = "lanczos",
+    downscale: str = "area",
+) -> str:
+    """T7: per-image interpolation choice (resizer.py:114-115,177-198):
+    the DOWNSCALE filter when the controlling original side exceeds the
+    target (min side for keep_ratio/center_crop, max side for
+    keep_ratio_largest/border), else the UPSCALE filter."""
+    if resize_mode in ("keep_ratio", "center_crop"):
+        is_down = min(w, h) > image_size
+    elif resize_mode in ("keep_ratio_largest", "border"):
+        is_down = max(w, h) > image_size
+    else:
+        return downscale
+    return downscale if is_down else upscale
+
+
+def _pil_filter(name: str):  # pragma: no cover - needs PIL
+    from PIL import Image
+
+    return {
+        "nearest": Image.NEAREST,
+        "linear": Image.BILINEAR,
+        "bilinear": Image.BILINEAR,
+        "cubic": Image.BICUBIC,
+        "bicubic": Image.BICUBIC,
+        "area": Image.BOX,
+        "lanczos": Image.LANCZOS,
+        "lanczos4": Image.LANCZOS,
+    }[name]
+
+
 def _pil_transform(
     data: bytes,
     resize_mode: str,
@@ -199,37 +240,50 @@ def _pil_transform(
     encode_format: str,
     encode_quality: int,
     bboxes=None,
+    upscale_interpolation: str = "lanczos",
+    downscale_interpolation: str = "area",
 ):  # pragma: no cover - exercised only when PIL is installed
     """Real pixel path, used when PIL is importable."""
     import io
 
     from PIL import Image
 
+    def _blur(im):
+        # T9: blur AFTER the aspect-preserving resize but BEFORE crop/pad
+        # (resizer.py:186-205) — relative bboxes stay valid only while the
+        # frame is a pure scale of the original.
+        if bboxes is not None and len(bboxes) > 0:
+            import numpy as np
+
+            from img2dataset_spark.functions.blur import blur_bboxes
+
+            return Image.fromarray(blur_bboxes(np.asarray(im), bboxes))
+        return im
+
     img = Image.open(io.BytesIO(data)).convert("RGB")
     w, h = img.size
     nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
+    resample = _pil_filter(
+        select_interpolation(
+            w, h, resize_mode, image_size, upscale_interpolation, downscale_interpolation
+        )
+    )
     if resize_mode in ("center_crop", "border") and (nw, nh) != (w, h):
         if resize_mode == "center_crop":
             sw, sh = _scaled(w, h, image_size / min(w, h))
-            img = img.resize((sw, sh), Image.LANCZOS)
+            img = _blur(img.resize((sw, sh), resample))
             left, top = (sw - nw) // 2, (sh - nh) // 2
             img = img.crop((left, top, left + nw, top + nh))
         else:
             sw, sh = _scaled(w, h, image_size / max(w, h))
-            img = img.resize((sw, sh), Image.LANCZOS)
+            img = _blur(img.resize((sw, sh), resample))
             canvas = Image.new("RGB", (image_size, image_size), (255, 255, 255))
             canvas.paste(img, ((image_size - sw) // 2, (image_size - sh) // 2))
             img = canvas
     elif (nw, nh) != (w, h):
-        img = img.resize((nw, nh), Image.LANCZOS)
-    if bboxes is not None and len(bboxes) > 0:
-        # T9: blur after resize, before encode (resizer.py:187-188,219-221);
-        # bboxes are relative [0,1] so they survive the resize unchanged
-        import numpy as np
-
-        from img2dataset_spark.functions.blur import blur_bboxes
-
-        img = Image.fromarray(blur_bboxes(np.asarray(img), bboxes))
+        img = _blur(img.resize((nw, nh), resample))
+    else:
+        img = _blur(img)
     buf = io.BytesIO()
     fmt = {"jpg": "JPEG", "png": "PNG", "webp": "WEBP"}[encode_format]
     img.save(buf, format=fmt, quality=encode_quality)
@@ -257,6 +311,8 @@ def make_transform_udf(
     disable_all_reencoding: bool = False,
     mock: bool = False,
     with_blur: bool = False,
+    upscale_interpolation: str = "lanczos",
+    downscale_interpolation: str = "area",
 ):
     """Build the transform pandas UDF:
     data:binary -> struct<data,width,height,original_width,original_height,error>.
@@ -299,6 +355,8 @@ def make_transform_udf(
                 return _pil_transform(
                     data, resize_mode, image_size, resize_only_if_bigger,
                     encode_format, encode_quality, bboxes=bboxes,
+                    upscale_interpolation=upscale_interpolation,
+                    downscale_interpolation=downscale_interpolation,
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)

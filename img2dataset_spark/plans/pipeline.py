@@ -146,6 +146,8 @@ def build_pipeline(
         disable_all_reencoding=config.disable_all_reencoding,
         mock=config.fetch_mode == "mock",
         with_blur=config.bbox_col is not None,
+        upscale_interpolation=config.upscale_interpolation,
+        downscale_interpolation=config.downscale_interpolation,
     )
     transform_args = [F.col("_fetch.data")]
     if config.bbox_col is not None:
