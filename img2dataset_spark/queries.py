@@ -580,9 +580,26 @@ def q_events_window(spark, sf_dir):
     return windowed_event_counts(_t(spark, sf_dir, "events"), window="1 hour")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch form of the stateful streaming
+    operator in streaming/sessions.py; 30-minute gap)."""
+    from img2dataset_spark.streaming.sessions import sessionize_batch
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    s = sessionize_batch(e, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 QUERIES.update(
     {
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
