@@ -166,15 +166,24 @@ def _verified_jaccard(
 ) -> DataFrame:
     """Join shingle sets back and compute exact Jaccard, rounded 6 dp.
     |A ∪ B| via |A| + |B| − |A ∩ B| (avoids engine-specific union
-    dedup semantics in the oracle)."""
+    dedup semantics in the oracle).
+
+    Size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    whose set sizes differ by more than the threshold ratio can never
+    pass — they skip the O(|A|*|B|) intersection entirely.  Pure pruning
+    (never removes a qualifying pair), so the oracle is unchanged."""
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sa"))
     sb = docs.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sb"))
+    na, nb = F.size("sa"), F.size("sb")
     inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+    union = na + nb - inter
     jacc = inter / union
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        # threshold - 1e-6: the accept filter compares the 6-dp ROUNDED
+        # jaccard, which can round up by half an ulp — keep that margin
+        .where(F.least(na, nb) >= (threshold - 1e-6) * F.greatest(na, nb))
         .withColumn("jaccard", F.floor(jacc * 1e6 + F.lit(0.5)) / 1e6)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
