@@ -103,7 +103,10 @@ def encode_example(features: dict[str, object]) -> bytes:
                 )
         else:
             f = _feature_bytes([str(value).encode("utf-8")])
-        entry = _len_delimited(1, name.encode("utf-8")) + f
+        # Map entry message: field 1 = key (string), field 2 = value
+        # (the serialized Feature message).  The Feature must be wrapped
+        # as field 2, not spliced raw into the entry.
+        entry = _len_delimited(1, name.encode("utf-8")) + _len_delimited(2, f)
         feats += _len_delimited(1, entry)  # Features.feature map entry
     features_msg = bytes(feats)
     example = _len_delimited(1, features_msg)  # Example.features = 1

@@ -153,6 +153,78 @@ class TestTfrecord:
         b = encode_example({"a": "x", "b": 1})
         assert a == b  # sorted feature order
 
+    @staticmethod
+    def _pb_fields(buf):
+        """Minimal protobuf walker: yield (field_no, wire_type, value)."""
+        i = 0
+        while i < len(buf):
+            tag = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                tag |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            field_no, wire = tag >> 3, tag & 7
+            if wire == 2:  # length-delimited
+                ln = 0
+                shift = 0
+                while True:
+                    b = buf[i]
+                    i += 1
+                    ln |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                yield field_no, wire, buf[i : i + ln]
+                i += ln
+            elif wire == 0:  # varint
+                v = 0
+                shift = 0
+                while True:
+                    b = buf[i]
+                    i += 1
+                    v |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                yield field_no, wire, v
+            else:
+                raise AssertionError(f"unexpected wire type {wire}")
+
+    def test_example_decodes_as_map_entries(self):
+        """Map entries must carry key as field 1 and the Feature message
+        as field 2 — a spliced Feature shows up as fields [1,1] or [1,3]
+        and TF would mis-parse every record."""
+        ex = encode_example({"jpg": b"\xff\xd8", "width": 32, "score": 0.5})
+        (outer,) = list(self._pb_fields(ex))
+        assert outer[0] == 1  # Example.features
+        entries = {}
+        for fno, _, entry in self._pb_fields(outer[2]):
+            assert fno == 1  # Features.feature map entry
+            fields = list(self._pb_fields(entry))
+            assert [f[0] for f in fields] == [1, 2], (
+                "map entry must be [key=1, value=2], got "
+                f"{[f[0] for f in fields]}"
+            )
+            entries[fields[0][2].decode()] = fields[1][2]
+        assert set(entries) == {"jpg", "width", "score"}
+        # jpg -> Feature{bytes_list=1{value=1}}
+        (bl,) = list(self._pb_fields(entries["jpg"]))
+        assert bl[0] == 1
+        (bv,) = list(self._pb_fields(bl[2]))
+        assert bv[0] == 1 and bv[2] == b"\xff\xd8"
+        # width -> Feature{int64_list=3{packed value=1}}
+        (il,) = list(self._pb_fields(entries["width"]))
+        assert il[0] == 3
+        (iv,) = list(self._pb_fields(il[2]))
+        assert iv[0] == 1 and iv[2] == b"\x20"  # varint 32, packed
+        # score -> Feature{float_list=2}
+        (fl,) = list(self._pb_fields(entries["score"]))
+        assert fl[0] == 2
+
 
 class TestMockDecode:
     def test_deterministic(self):
