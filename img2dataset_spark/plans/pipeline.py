@@ -96,11 +96,29 @@ def build_pipeline(
         )
     else:
         # shuffle-light path: row index within shard via a window keyed on
-        # shard_id (parallel across shards)
+        # shard_id (parallel across shards).  A source partition can hold
+        # far more than number_sample_per_shard rows (file-split driven),
+        # so sub-split it: the k-th chunk of N rows in partition p becomes
+        # shard p + k*P (P = source partition count, so ids never collide
+        # across partitions).  Without this, with_key's pmod(_row_idx, N)
+        # wraps and rows N apart in the same partition get the SAME key —
+        # silent overwrites in the files sink, duplicate tar members.
+        # P is stable here: df is scan+withColumn only (no shuffle before
+        # the window), so the planned partition count equals the runtime
+        # spark_partition_id domain.
         from pyspark.sql import Window
 
+        num_src_parts = df.rdd.getNumPartitions()
         w = Window.partitionBy("shard_id").orderBy("url")
         df = df.withColumn("_row_idx", F.row_number().over(w).cast("long") - 1)
+        df = df.withColumn(
+            "shard_id",
+            (
+                F.col("shard_id")
+                + F.lit(num_src_parts)
+                * F.floor(F.col("_row_idx") / config.number_sample_per_shard)
+            ).cast("long"),
+        )
         df = with_key(
             df,
             config.number_sample_per_shard,

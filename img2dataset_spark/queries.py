@@ -301,6 +301,33 @@ def q_t12_keys(spark, sf_dir):
     return keyed.filter(F.col("doc_id") < 150).select("doc_id", "shard_id", "key")
 
 
+def q_t12_keys_hash_mode(spark, sf_dir):
+    """T12 in hash (unordered) sharding mode: shard assignment depends on
+    Spark's physical partitioning, so per-row values aren't
+    oracle-expressible — but the uniqueness invariant IS.  Input is
+    repartitioned to 2 partitions with N=50, so each partition holds far
+    more than N rows; before the sub-splitting fix pmod wrapped and keys
+    silently collided (see plans/pipeline.py unordered branch)."""
+    from img2dataset_spark.config import PipelineConfig
+    from img2dataset_spark.plans.pipeline import build_pipeline
+
+    cfg = PipelineConfig(
+        url_list="unused",
+        input_format="parquet",
+        caption_col="caption",
+        fetch_mode="mock",
+        number_sample_per_shard=50,
+        ordered_sharding=False,
+        resize_mode="no",
+    )
+    inp = _pipeline_input(spark, sf_dir).repartition(2)
+    df = build_pipeline(spark, cfg, input_df=inp)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("key").alias("n_distinct_keys"),
+    )
+
+
 def q_a5_resume_point(spark, sf_dir):
     """A5: extend-mode resume point = max(shard_id)+1."""
     d = _t(spark, sf_dir, "documents")
@@ -368,6 +395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "r1_sharding": q_r1_sharding,
     "t12_keys": q_t12_keys,
+    "t12_keys_hash_mode": q_t12_keys_hash_mode,
     "a5_resume_point": q_a5_resume_point,
     "p8_done_shard_skip": q_p8_done_shard_skip,
     "t11_hashes": q_t11_hashes,

@@ -78,3 +78,37 @@ def test_hash_sharding_no_order(spark):
     assert out.count() == 500
     n_shards = out.select("shard_id").distinct().count()
     assert n_shards == 4  # one shard per partition
+
+
+def test_hash_mode_keys_unique_when_partition_exceeds_shard_size(spark):
+    """A source partition holding > number_sample_per_shard rows must be
+    sub-split into multiple shards so keys never wrap (pmod collision)."""
+    from img2dataset_spark.config import PipelineConfig
+    from img2dataset_spark.plans.pipeline import build_pipeline
+
+    n_shard = 50
+    inp = (
+        spark.range(0, 2 * n_shard + 30)
+        .select(
+            F.concat(F.lit("http://x/"), F.col("id"), F.lit(".jpg")).alias("url"),
+            F.concat(F.lit("cap "), F.col("id")).alias("caption"),
+        )
+        .coalesce(1)  # ONE partition of 130 rows (> 2N)
+    )
+    cfg = PipelineConfig(
+        url_list="unused", input_format="parquet", caption_col="caption",
+        fetch_mode="mock", number_sample_per_shard=n_shard,
+        ordered_sharding=False, resize_mode="no",
+    )
+    out = build_pipeline(spark, cfg, input_df=inp)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("key").alias("nk"),
+        F.countDistinct("shard_id").alias("ns"),
+    ).collect()[0]
+    assert agg["n"] == 130
+    assert agg["nk"] == 130  # no key collisions
+    assert agg["ns"] == 3    # 130 rows / 50 per shard -> 3 sub-shards
+    # no shard may exceed the configured shard size
+    per_shard = out.groupBy("shard_id").count().collect()
+    assert max(r["count"] for r in per_shard) <= n_shard
