@@ -113,4 +113,7 @@ def blur_bboxes(img: np.ndarray, bbox_list) -> np.ndarray:
     blurred_img = gaussian_blur(fimg, kernel_size, sigma)
     blurred_mask = gaussian_blur(mask, kernel_size, sigma)
     result = fimg * (1.0 - blurred_mask) + blurred_img * blurred_mask
-    return np.clip(result * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # Truncating cast, exactly like the reference (blurrer.py:91
+    # `(result * 255.0).astype(np.uint8)`) — bit-level parity with its
+    # goldens requires matching its rounding, not improving on it.
+    return np.clip(result * 255.0, 0, 255).astype(np.uint8)

@@ -60,6 +60,16 @@ def parse_robots_directives(header_value: str, user_agent_token: str | None) -> 
     return directives
 
 
+def build_user_agent(user_agent_token: str | None) -> str:
+    """The reference ALWAYS sends the Mozilla UA and appends the token
+    clause only when set (downloader.py:42-44); UA-less requests get
+    rejected by many CDNs, changing real-world success rates."""
+    ua = "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:72.0) Gecko/20100101 Firefox/72.0"
+    if user_agent_token:
+        ua += f" (compatible; {user_agent_token}; +https://github.com/rom1504/img2dataset)"
+    return ua
+
+
 def _fetch_one(
     url: str,
     timeout: int,
@@ -134,12 +144,7 @@ def make_fetch_udf(
     disallowed = frozenset(
         d.lower() for d in (disallowed_header_directives or ())
     )
-    ua_string = (
-        f"Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:72.0) Gecko/20100101 Firefox/72.0 "
-        f"(compatible; {user_agent_token}; +https://github.com/rom1504/img2dataset)"
-        if user_agent_token
-        else None
-    )
+    ua_string = build_user_agent(user_agent_token)
 
     @pandas_udf(FETCH_RESULT_SCHEMA)
     def fetch(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:

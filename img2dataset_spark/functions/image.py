@@ -7,8 +7,8 @@ Reference semantics (citations into /root/reference):
   - resize modes no / keep_ratio / keep_ratio_largest / center_crop /
     border: resizer.py:178-215
   - resize_only_if_bigger gate: resizer.py:179-180,196-197
-  - error strings: "image too small", "image area too big",
-    "aspect ratio too big": resizer.py:161-168
+  - error strings: "image too small", "image area too large",
+    "aspect ratio too large": resizer.py:161-168
 
 What is REAL here vs stubbed (this container has no PIL/OpenCV):
   - Dimension extraction (T13) is real: pure-Python header parsers for
@@ -42,14 +42,33 @@ TRANSFORM_RESULT_SCHEMA = (
 )
 
 ERR_TOO_SMALL = "image too small"
-ERR_AREA_TOO_BIG = "image area too big"
-ERR_ASPECT_TOO_BIG = "aspect ratio too big"
+ERR_AREA_TOO_BIG = "image area too large"
+ERR_ASPECT_TOO_BIG = "aspect ratio too large"
 ERR_DECODE = "decode failed"
 
 
 # ---------------------------------------------------------------------------
 # Real header parsing (T13) — pure Python, no imaging library needed.
 # ---------------------------------------------------------------------------
+
+def detect_format(data: bytes) -> str | None:
+    """imghdr-style container detection ("jpeg"/"png"/"gif"/"bmp"/"webp"),
+    matching the names the reference compares against its what_ext
+    (resizer.py:120-126,148)."""
+    if data is None or len(data) < 12:
+        return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    return None
+
 
 def parse_dimensions(data: bytes) -> tuple[int, int] | None:
     """Return (width, height) from PNG/JPEG/GIF/WebP/BMP headers."""
@@ -299,7 +318,7 @@ def _pil_available() -> bool:
         return False
 
 
-def make_transform_udf(
+def make_transform_fn(
     resize_mode: str = "border",
     image_size: int = 256,
     resize_only_if_bigger: bool = False,
@@ -309,17 +328,14 @@ def make_transform_udf(
     encode_format: str = "jpg",
     encode_quality: int = 95,
     disable_all_reencoding: bool = False,
+    skip_reencode: bool = False,
     mock: bool = False,
-    with_blur: bool = False,
     upscale_interpolation: str = "lanczos",
     downscale_interpolation: str = "area",
 ):
-    """Build the transform pandas UDF:
-    data:binary -> struct<data,width,height,original_width,original_height,error>.
-
-    With ``with_blur`` the UDF takes a second array<array<double>> column
-    of relative [x0,y0,x1,y1] bboxes (T9, blurrer.py:20-92).
-    """
+    """Row-level transform closure shared by the pandas UDF and unit tests:
+    (data, bboxes) -> (data, width, height, original_width, original_height,
+    error)."""
     use_pil = not mock and _pil_available()
 
     def transform_one(data: bytes | None, bboxes=None):
@@ -346,9 +362,16 @@ def make_transform_udf(
             if n_boxes > 0:
                 out = mock_blur(out, n_boxes)
             return (out, nw, nh, w, h, None)
-        if (nw, nh) == (w, h) and n_boxes == 0:
-            # no-op resize: passthrough without re-encode (skip_reencode
-            # semantics, resizer.py:224-228)
+        # Reference re-encode gate (resizer.py:148): with skip_reencode,
+        # passthrough only when the DETECTED container already matches
+        # encode_format; otherwise re-encoding is always needed.  A png
+        # input with encode_format="jpg" must never land as raw PNG bytes
+        # in a column named "jpg".
+        what_ext = {"jpg": "jpeg"}.get(encode_format, encode_format)
+        src_fmt = detect_format(data)
+        encode_needed = (src_fmt != what_ext) if skip_reencode else True
+        if (nw, nh) == (w, h) and n_boxes == 0 and not encode_needed:
+            # skip_reencode fast path (resizer.py:224-228)
             return (data, nw, nh, w, h, None)
         if use_pil:  # pragma: no cover
             try:
@@ -360,12 +383,35 @@ def make_transform_udf(
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
+        if (nw, nh) == (w, h) and n_boxes == 0:
+            if src_fmt == what_ext:
+                # Same-format re-encode with no imaging library: the
+                # reference would decode+re-encode (new bytes, same
+                # pixels); passing the original bytes through is the
+                # documented no-pixel-lib deviation — container and
+                # pixels are already exactly what was asked for.
+                return (data, nw, nh, w, h, None)
+            # Format conversion genuinely requires a pixel codec.
+            return null + ("re-encode not available: no imaging library installed",)
         if (nw, nh) == (w, h):
             # blur requested but no pixel decoder: keep the row, flag it
             return null + ("blur not available: no imaging library installed",)
         # STUB: pixel resampling requires an imaging library (PIL/OpenCV)
         # which is not available in this environment.
         return null + ("resize not available: no imaging library installed",)
+
+    return transform_one
+
+
+def make_transform_udf(with_blur: bool = False, **kwargs):
+    """Build the transform pandas UDF:
+    data:binary -> struct<data,width,height,original_width,original_height,error>.
+
+    With ``with_blur`` the UDF takes a second array<array<double>> column
+    of relative [x0,y0,x1,y1] bboxes (T9, blurrer.py:20-92).
+    Keyword args are forwarded to :func:`make_transform_fn`.
+    """
+    transform_one = make_transform_fn(**kwargs)
 
     columns = [
         "data",

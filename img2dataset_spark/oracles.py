@@ -493,8 +493,8 @@ g AS (
 h AS (
   SELECT *, CASE WHEN fetch_error IS NOT NULL THEN NULL
     WHEN least(ow, oh) < 200 THEN 'image too small'
-    WHEN ow*oh > 2000000 THEN 'image area too big'
-    WHEN greatest(ow, oh) / least(ow, oh) > 4.0 THEN 'aspect ratio too big'
+    WHEN ow*oh > 2000000 THEN 'image area too large'
+    WHEN greatest(ow, oh) / least(ow, oh) > 4.0 THEN 'aspect ratio too large'
     END AS tr_error
   FROM g)
 SELECT doc_id, url, caption, key, shard_id,

@@ -162,6 +162,7 @@ def build_pipeline(
         encode_format=config.encode_format,
         encode_quality=config.encode_quality,
         disable_all_reencoding=config.disable_all_reencoding,
+        skip_reencode=config.skip_reencode,
         mock=config.fetch_mode == "mock",
         with_blur=config.bbox_col is not None,
         upscale_interpolation=config.upscale_interpolation,

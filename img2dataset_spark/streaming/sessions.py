@@ -65,6 +65,11 @@ def make_session_func(gap_minutes: int = 30):
     flushes it once the watermark passes end + gap."""
     gap_us = gap_minutes * 60 * 1_000_000
 
+    # Deviation note: total_value accumulates in float64 here (streaming
+    # state must be a flat Spark struct; the batch twin uses exact decimal
+    # sums).  At session cardinality (<1e6 values/session) the float64
+    # error is <1 ulp per add and the oracle comparison rounds to 6
+    # decimals, which absorbs it.
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -105,8 +110,15 @@ def make_session_func(gap_minutes: int = 30):
                 end, n, total = t, n + 1, total + float(v)
         state.update((int(start), int(end), int(n), float(total)))
         # close the open session once the event-time watermark passes
-        # end + gap (no wall-clock involved: pure event-time semantics)
-        state.setTimeoutTimestamp(int(end) // 1000 + gap_minutes * 60 * 1000)
+        # end + gap (no wall-clock involved: pure event-time semantics).
+        # applyInPandasWithState does NOT drop late rows, so a group fed
+        # only late events can compute end+gap at or behind the current
+        # watermark — Spark rejects such a timestamp and fails the query.
+        # Clamp to watermark+1 ms so the session flushes on the next
+        # microbatch instead.
+        timeout_ms = int(end) // 1000 + gap_minutes * 60 * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
         if closed:
             yield pd.DataFrame(

@@ -261,3 +261,106 @@ class TestExif:
 
         assert extract_exif_json(b"\x89PNG") == "{}"
         assert extract_exif_json(None) == "{}"
+
+
+class TestReencodeGate:
+    """Reference resizer.py:148: encode_needed = (detected != what_ext) if
+    skip_reencode else True — a png input must never pass through into a
+    jpg-named payload column."""
+
+    def _fn(self, **kw):
+        from img2dataset_spark.functions.image import make_transform_fn
+
+        return make_transform_fn(resize_mode="no", encode_format="jpg", **kw)
+
+    def test_png_to_jpg_not_passed_through_default(self):
+        png = make_png(32, 16)
+        out = self._fn()(png)
+        # no imaging library: format conversion must fail loudly, not
+        # mislabel PNG bytes as jpg
+        assert out[0] is None
+        assert "re-encode not available" in out[5]
+
+    def test_png_to_jpg_not_passed_through_skip_reencode(self):
+        png = make_png(32, 16)
+        out = self._fn(skip_reencode=True)(png)
+        assert out[0] is None
+        assert "re-encode not available" in out[5]
+
+    def test_jpg_to_jpg_skip_reencode_passthrough(self):
+        jpg = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+               b"\xff\xc0\x00\x11\x08\x00\x10\x00\x20\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+               b"\xff\xd9")
+        out = self._fn(skip_reencode=True)(jpg)
+        assert out[0] == jpg  # identical bytes, skip path
+        assert out[1:5] == (32, 16, 32, 16)
+        assert out[5] is None
+
+    def test_png_to_png_passthrough(self):
+        from img2dataset_spark.functions.image import make_transform_fn
+
+        png = make_png(8, 8)
+        out = make_transform_fn(resize_mode="no", encode_format="png")(png)
+        assert out[0] == png
+        assert out[5] is None
+
+    def test_detect_format(self):
+        from img2dataset_spark.functions.image import detect_format
+
+        assert detect_format(make_png(4, 4)) == "png"
+        assert detect_format(b"\xff\xd8" + b"\x00" * 16) == "jpeg"
+        assert detect_format(b"GIF89a" + b"\x00" * 8) == "gif"
+        assert detect_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+        assert detect_format(b"garbage bytes!") is None
+
+
+class TestUserAgent:
+    def test_always_present_without_token(self):
+        from img2dataset_spark.functions.fetch import build_user_agent
+
+        ua = build_user_agent(None)
+        assert ua.startswith("Mozilla/5.0")
+        assert "compatible" not in ua
+
+    def test_token_appended(self):
+        from img2dataset_spark.functions.fetch import build_user_agent
+
+        ua = build_user_agent("img2dataset")
+        assert ua.startswith("Mozilla/5.0")
+        assert "(compatible; img2dataset; +https://github.com/rom1504/img2dataset)" in ua
+
+    def test_header_sent_on_real_request(self):
+        import http.server
+        import threading
+
+        from img2dataset_spark.functions.fetch import _fetch_one, build_user_agent
+
+        seen = {}
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                seen["ua"] = self.headers.get("User-Agent")
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
+
+            def log_message(self, *a):  # silence
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            data, err = _fetch_one(
+                f"http://127.0.0.1:{srv.server_address[1]}/x.jpg",
+                timeout=5,
+                user_agent_string=build_user_agent(None),
+                user_agent_token=None,
+                disallowed=frozenset(),
+                ignore_ssl_certificate=False,
+            )
+        finally:
+            srv.shutdown()
+        assert err is None and data == b"ok"
+        assert seen["ua"].startswith("Mozilla/5.0")

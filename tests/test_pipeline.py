@@ -42,6 +42,10 @@ class TestRealHttpFetch:
             output_format="parquet",
             number_sample_per_shard=100,
             resize_mode="no",
+            # PNG inputs: matching encode_format so the no-op resize is a
+            # legitimate passthrough (png bytes into a jpg column would be
+            # a format-conversion failure per resizer.py:148)
+            encode_format="png",
             compute_hash="sha256",
             fetch_mode="http",
             thread_count=8,
@@ -55,7 +59,7 @@ class TestRealHttpFetch:
             # real header parsing on real PNG bytes
             assert (row["width"], row["height"]) == (32 + names.index(n) * 8,
                                                      24 + names.index(n) * 4)
-            assert row["jpg"] is not None and bytes(row["jpg"]) == images[n]
+            assert row["png"] is not None and bytes(row["png"]) == images[n]
         dis = by_url.loc[f"{base}/disallowed/{names[6]}"]
         assert dis["status"] == "failed_to_download"
         assert "X-Robots-Tag" in dis["error_message"]
@@ -72,6 +76,7 @@ class TestRealHttpFetch:
             output_folder=str(tmp_path / "out2"),
             output_format="dummy",
             resize_mode="no",
+            encode_format="png",
             min_image_size=40,  # images 0,1 have min side 24,28 -> rejected...
             fetch_mode="http",
             thread_count=4,
