@@ -15,14 +15,12 @@ on its own (SURVEY §4).
 
 from __future__ import annotations
 
-import glob
-import os
 import re
-import shutil
 
 from pyspark.sql import SparkSession
 
 from img2dataset_spark.config import PipelineConfig
+from img2dataset_spark.io import fs
 
 _STATS_RE = re.compile(r"(\d+)_stats\.json$")
 
@@ -30,8 +28,8 @@ _STATS_RE = re.compile(r"(\d+)_stats\.json$")
 def existing_shard_ids(output_folder: str) -> set[int]:
     """Shard ids recovered from '{shard}_stats.json' sidecars (A6)."""
     ids: set[int] = set()
-    for path in glob.glob(os.path.join(output_folder, "*_stats.json")):
-        m = _STATS_RE.search(os.path.basename(path))
+    for path in fs.glob(fs.join(output_folder, "*_stats.json")):
+        m = _STATS_RE.search(fs.basename(path))
         if m:
             ids.add(int(m.group(1)))
     return ids
@@ -43,8 +41,8 @@ def resolve_incremental(
     """Returns (done_shards, start_shard_id) per the configured mode."""
     out = config.output_folder
     if config.incremental_mode == "overwrite":
-        if os.path.isdir(out):
-            shutil.rmtree(out)
+        if fs.isdir(out):
+            fs.rmtree(out)
         return set(), 0
     if config.incremental_mode == "incremental":
         return existing_shard_ids(out), 0

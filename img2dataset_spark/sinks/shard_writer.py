@@ -21,15 +21,16 @@ stats row (A1).  One job therefore executes payload sink + metadata
 sink + stats aggregation in a single pass with no extra shuffle beyond
 the groupBy-by-shard (which the sharding step already keyed).
 
-Paths are plain POSIX here; on a cluster these writers target shared
-storage mounted by executors or an s3a/gs fsspec-equivalent mount.
+All paths go through img2dataset_spark.io.fs, so `output_folder`
+accepts file:// (or bare paths), memory:// (tests/dry-runs), and — with
+fsspec + a backend installed — s3://, gs://, hdfs://, matching the
+reference's fsspec routing (writer.py:107-113).
 """
 
 from __future__ import annotations
 
 import io
 import json
-import os
 import tarfile
 import time
 
@@ -38,6 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from img2dataset_spark.config import PipelineConfig
+from img2dataset_spark.io import fs
 from img2dataset_spark.plans.pipeline import metadata_columns  # noqa: F401
 
 STATS_SCHEMA = (
@@ -74,19 +76,19 @@ def write_shard_files(
     pdf: pd.DataFrame, out: str, shard: str, payload_col: str, caption: bool
 ) -> None:
     """W1: one file-triple per row in a per-shard subfolder."""
-    d = os.path.join(out, shard)
-    os.makedirs(d, exist_ok=True)
+    d = fs.join(out, shard)
+    fs.makedirs(d)
     for rec, payload in zip(
         _meta_records(pdf, payload_col), pdf[payload_col], strict=True
     ):
         key = rec["key"]
         if payload is not None:
-            with open(os.path.join(d, f"{key}.{_ext(payload_col)}"), "wb") as fh:
+            with fs.open_write(fs.join(d, f"{key}.{_ext(payload_col)}")) as fh:
                 fh.write(payload)
             if caption:
-                with open(os.path.join(d, f"{key}.txt"), "w") as fh:
+                with fs.open_write(fs.join(d, f"{key}.txt"), text=True) as fh:
                     fh.write(rec.get("caption") or "")
-        with open(os.path.join(d, f"{key}.json"), "w") as fh:
+        with fs.open_write(fs.join(d, f"{key}.json"), text=True) as fh:
             json.dump(rec, fh, default=str)
 
 
@@ -94,8 +96,8 @@ def write_shard_webdataset(
     pdf: pd.DataFrame, out: str, shard: str, payload_col: str, caption: bool
 ) -> None:
     """W2: tar per shard with key.jpg/key.txt/key.json members."""
-    path = os.path.join(out, f"{shard}.tar")
-    with tarfile.open(path, "w") as tar:
+    with fs.open_write(fs.join(out, f"{shard}.tar")) as raw:
+        tar = tarfile.open(fileobj=raw, mode="w")
         for rec, payload in zip(
             _meta_records(pdf, payload_col), pdf[payload_col], strict=True
         ):
@@ -106,6 +108,7 @@ def write_shard_webdataset(
             if caption:
                 _tar_add(tar, f"{key}.txt", (rec.get("caption") or "").encode())
             _tar_add(tar, f"{key}.json", json.dumps(rec, default=str).encode())
+        tar.close()
 
 
 def _tar_add(tar: tarfile.TarFile, name: str, data: bytes) -> None:
@@ -124,7 +127,8 @@ def write_shard_parquet(
     if not include_payload:
         cols = cols.drop(columns=[payload_col], errors="ignore")
     table = pa.Table.from_pandas(cols, preserve_index=False)
-    pq.write_table(table, os.path.join(out, f"{shard}.parquet"))
+    with fs.open_write(fs.join(out, f"{shard}.parquet")) as fh:
+        pq.write_table(table, fh)
 
 
 def write_shard_tfrecord(
@@ -141,7 +145,8 @@ def write_shard_tfrecord(
         ex = dict(rec)
         ex[payload_col] = bytes(payload)
         examples.append(ex)
-    write_tfrecord(os.path.join(out, f"{shard}.tfrecord"), examples)
+    with fs.open_write(fs.join(out, f"{shard}.tfrecord")) as fh:
+        write_tfrecord(fh, examples)
 
 
 def _ext(payload_col: str) -> str:
@@ -162,7 +167,7 @@ def make_shard_writer(config: PipelineConfig):
         pdf = pdf.sort_values("key").reset_index(drop=True)
         shard_id = int(pdf["shard_id"].iloc[0])
         shard = _shard_name(shard_id, oom)
-        os.makedirs(out, exist_ok=True)
+        fs.makedirs(out)
 
         if fmt == "files":
             write_shard_files(pdf, out, shard, payload_col, has_caption)
@@ -203,7 +208,7 @@ def make_shard_writer(config: PipelineConfig):
                 {str(k): int(v) for k, v in errors.items()}, sort_keys=True
             ),
         }
-        with open(os.path.join(out, f"{shard}_stats.json"), "w") as fh:
+        with fs.open_write(fs.join(out, f"{shard}_stats.json"), text=True) as fh:
             json.dump(stats, fh)
         return pd.DataFrame([stats])
 

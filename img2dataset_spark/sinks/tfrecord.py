@@ -113,8 +113,10 @@ def encode_example(features: dict[str, object]) -> bytes:
     return example
 
 
-def write_tfrecord(path: str, examples: list[dict[str, object]]) -> None:
-    with open(path, "wb") as fh:
+def write_tfrecord(path_or_file, examples: list[dict[str, object]]) -> None:
+    """Write TFRecord-framed Examples to a path or writable binary file."""
+
+    def _write(fh) -> None:
         for ex in examples:
             payload = encode_example(ex)
             length = struct.pack("<Q", len(payload))
@@ -122,3 +124,9 @@ def write_tfrecord(path: str, examples: list[dict[str, object]]) -> None:
             fh.write(struct.pack("<I", _masked_crc(length)))
             fh.write(payload)
             fh.write(struct.pack("<I", _masked_crc(payload)))
+
+    if isinstance(path_or_file, str):
+        with open(path_or_file, "wb") as fh:
+            _write(fh)
+    else:
+        _write(path_or_file)
