@@ -19,6 +19,8 @@ buckets, i.e. partition pruning on the centroid id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -128,20 +130,256 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str | None = "label",
+    dim: int = 64,
 ) -> DataFrame:
     """Cosine near-duplicate pairs.  With `label_col`, the self-join is
-    blocked per cell (the IVF trick again); without, full quadratic."""
+    blocked per cell (the IVF trick); without one, candidates come from
+    random-hyperplane LSH bucketing (`embedding_dup_pairs_lsh`) — there
+    is no quadratic path."""
+    if label_col is None:
+        return embedding_dup_pairs_lsh(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col, dim=dim
+        )
     a, b = df.alias("a"), df.alias("b")
-    if label_col is not None:
-        joined = a.join(b, label_col)
-    else:
-        joined = a.crossJoin(b)
     return (
-        joined.where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, label_col)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             round6(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF fit/transform: k-means codebook trained once, reused across queries
+# ---------------------------------------------------------------------------
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-to-right f64 fold (same order as the
+    DuckDB oracle's list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _seed_order(id_col: str):
+    # md5 of the id: pseudo-random but deterministic and SQL-expressible
+    return [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+
+
+def ivf_fit(
+    df: DataFrame,
+    num_cells: int = 10,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train an IVF codebook: Lloyd's k-means with deterministic
+    md5-ordered seeding.  Returns (cell, centroid) — tiny (num_cells
+    rows), meant to be persisted/broadcast and reused by every
+    subsequent `ivf_assign`/`ivf_topk_fitted` call, unlike the per-query
+    label-derived codebook of `ivf_topk`.
+
+    Scale shape per iteration: one broadcast of k centroids against the
+    corpus scan (k is small — tens to thousands), one argmin window
+    keyed by vector id, one (cell, dim) aggregation with exact decimal
+    sums.  No corpus self-join anywhere."""
+    from pyspark.sql import Window
+
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seeds = e.orderBy(*_seed_order(id_col)).limit(num_cells)
+    w = Window.orderBy(*_seed_order(id_col))
+    cents = seeds.select((F.row_number().over(w) - 1).alias("cell"), F.col("v").alias("centroid"))
+    for _ in range(iters):
+        assigned = _assign_cells(e, cents, "v", id_col)
+        dims = (
+            assigned.select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+        )
+        cents = (
+            dims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pv"))
+            .select(
+                "cell", F.transform(F.col("pv"), lambda s: s["cv"]).alias("centroid")
+            )
+        )
+    return cents
+
+
+def _assign_cells(
+    e: DataFrame, cents: DataFrame, vec_field: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny codebook, argmin
+    by (distance, cell) — the tie-break makes it deterministic."""
+    from pyspark.sql import Window
+
+    joined = e.crossJoin(F.broadcast(cents))
+    scored = joined.withColumn("_d", l2sq(F.col(vec_field), F.col("centroid")))
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_d", "centroid")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Transform step: tag every vector with its codebook cell.  At scale
+    this is the one-off partitioning pass whose output is written
+    bucketed by cell; queries then prune to nprobe cells."""
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    return _assign_cells(e, codebook, "v", id_col)
+
+
+def ivf_topk_fitted(
+    assigned: DataFrame,
+    codebook: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search with a pre-fit codebook over pre-assigned vectors: rank
+    cells by cosine(query, centroid), scan only the top `nprobe` cells."""
+    q = F.broadcast(query_df.select("query_vec"))
+    probed = (
+        codebook.crossJoin(q)
+        .select(
+            "cell",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    pruned = assigned.join(F.broadcast(probed), "cell")
+    return cosine_topk(pruned, query_df, k=k, vec_col="v", id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign-bit) LSH — the label-free scale path
+# ---------------------------------------------------------------------------
+
+_QUANT = 1 << 20  # fixed-point scale for exact integer sign computation
+
+
+def hyperplane_coeffs(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplane coefficients in [-1000, 1000]:
+    c[j][i] = (int(md5("hp:j:i")[:8 hex], 16) % 2001) - 1000.  md5-seeded
+    (independent pseudo-random planes, unlike an LCG ramp) and shared
+    verbatim with the DuckDB oracle, like text.minhash_coeffs."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[:8], 16) % 2001)
+            - 1000
+            for i in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
+def make_hyperplane_bands_udf(num_planes: int, num_bands: int, dim: int):
+    """vec -> LSH band keys (array<string>).  Arrow-vectorized: quantize
+    to fixed point, integer matmul against the hyperplane matrix (exact —
+    no float fold-order hazards), sign bits, then r-bit band keys.
+    Per-batch cost is one (n x dim) @ (dim x planes) int64 matmul."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(hyperplane_coeffs(num_planes, dim), dtype=np.int64).T  # d x H
+    rows = num_planes // num_bands
+
+    @pandas_udf("array<string>")
+    def bands(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append([])
+                continue
+            q = np.floor(
+                np.asarray(v, dtype=np.float64) * _QUANT + 0.5
+            ).astype(np.int64)
+            bits = (q @ C) >= 0  # H sign bits, exact integer dot
+            out.append(
+                [
+                    f"{b}:" + "".join("1" if x else "0" for x in bits[b * rows : (b + 1) * rows])
+                    for b in range(num_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return bands
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 16,
+    num_bands: int = 4,
+    max_bucket_size: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """Label-free cosine near-duplicate pairs: random-hyperplane sign-bit
+    signatures, banded into `num_bands` keys; candidates share a band
+    (bucket join on high-cardinality keys, degenerate buckets capped —
+    the same 100TB shape as dedup.minhash_lsh_pairs); exact cosine
+    verification last.  No crossJoin anywhere in the plan."""
+    from pyspark import StorageLevel
+
+    bands_udf = make_hyperplane_bands_udf(num_planes, num_bands, dim)
+    vecs = df.select(id_col, vec_col)
+    vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = vecs.select(
+        id_col, F.explode(bands_udf(F.col(vec_col))).alias("band")
+    )
+    banded.persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_sizes = banded.groupBy("band").count()
+    capped = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band"),
+        "band",
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(b, "band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round6(cosine(F.col("_va"), F.col("_vb"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

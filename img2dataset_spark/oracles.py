@@ -460,6 +460,102 @@ SELECT id_a, id_b, cos_sim FROM (
 WHERE cos_sim >= 0.3
 """
 
+# -- IVF fit/transform: deterministic 2-iteration k-means -------------------
+
+_L2 = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+
+def _kmeans_iter_sql(n: int, prev_c: str) -> str:
+    """One Lloyd iteration: argmin assignment (tie-break by cell) then
+    exact-decimal means — mirrors similarity.ivf_fit step for step."""
+    d = _L2.format(a="q.v", b="c.centroid")
+    return f"""
+a{n} AS (SELECT vec_id, v, cell FROM (
+  SELECT q.vec_id, q.v, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {d}, c.cell) AS rn
+  FROM e q, {prev_c} c) WHERE rn = 1),
+d{n} AS (SELECT cell, i,
+           CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
+         FROM a{n}, (SELECT unnest(generate_series(1, 64)) AS i)
+         GROUP BY cell, i),
+c{n} AS (SELECT cell, list(cv ORDER BY i) AS centroid FROM d{n} GROUP BY cell)"""
+
+
+ORACLES["ann_ivf_fit_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+af AS (SELECT vec_id, v, cell FROM (
+  SELECT q.vec_id, q.v, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_L2.format(a='q.v', b='c.centroid')},
+                                     c.cell) AS rn
+  FROM e q, c2 c) WHERE rn = 1),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
+  ORDER BY c_sim DESC, cell ASC LIMIT 2)
+SELECT vec_id, {_R6.format(x=_cos('v', 'qv'))} AS cos_sim
+FROM af, qq WHERE cell IN (SELECT cell FROM probe)
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+# -- random-hyperplane LSH near-dup (label-free) ----------------------------
+# Same md5-seeded integer hyperplanes as operators.similarity
+# .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer
+# dot over fixed-point-quantized vectors (floor(x*2^20+0.5)), so both
+# engines agree bit-for-bit with no float fold-order hazard.
+
+
+def _hp_band_sql(num_planes: int = 16, num_bands: int = 4, dim: int = 64) -> str:
+    from img2dataset_spark.operators.similarity import hyperplane_coeffs
+
+    hp = hyperplane_coeffs(num_planes, dim)
+    rows = num_planes // num_bands
+
+    def bit(j: int) -> str:
+        coeffs = "[" + ",".join(str(c) for c in hp[j]) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(generate_series(1,{dim}), "
+            f"i -> qv[i] * ({coeffs})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+
+    bands = ", ".join(
+        f"'{b}:' || " + " || ".join(bit(b * rows + r) for r in range(rows))
+        for b in range(num_bands)
+    )
+    return f"[{bands}]"
+
+
+ORACLES["embedding_dup_pairs_lsh"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+qz AS (SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x*1048576 + 0.5) AS BIGINT)) AS qv
+       FROM e),
+banded AS (SELECT vec_id, unnest({_hp_band_sql()}) AS band FROM qz),
+ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
+bb AS (SELECT vec_id, band FROM banded WHERE band IN (SELECT band FROM ok)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT c.id_a, c.id_b, {_R6.format(x=_cos('a.v', 'b.v'))} AS cos_sim
+  FROM cand c
+  JOIN e a ON a.vec_id = c.id_a
+  JOIN e b ON b.vec_id = c.id_b)
+WHERE cos_sim >= 0.3
+"""
+
 # -- flagship pipeline oracle ----------------------------------------------
 
 _DISALLOWED_MSG = "Use of image disallowed by X-Robots-Tag directive"

@@ -506,11 +506,37 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=2)
 
 
+def q_ann_ivf_fit_topk(spark, sf_dir):
+    """IVF with the fit/transform split: codebook trained once
+    (deterministic 2-iteration k-means), vectors assigned, then a
+    pruned nprobe search — vs a full k-means twin in SQL."""
+    from img2dataset_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_topk_fitted,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = ivf_fit(e, num_cells=10, iters=2).persist()
+    assigned = ivf_assign(e, cb)
+    return ivf_topk_fitted(assigned, cb, _query_vec(spark, sf_dir), k=10, nprobe=2)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(e, threshold=0.3, label_col="label")
+
+
+def q_embedding_dup_pairs_lsh(spark, sf_dir):
+    """Label-free near-dup pairs: random-hyperplane sign-bit LSH banding
+    (exact integer dot against md5-seeded hyperplanes, shared with the
+    SQL oracle), bucket join, exact cosine verify."""
+    from img2dataset_spark.operators.similarity import embedding_dup_pairs_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(e, threshold=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -636,7 +662,9 @@ QUERIES.update(
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_fit_topk": q_ann_ivf_fit_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "pipeline_e2e": q_pipeline_e2e,
         "pipeline_verify_hash": q_pipeline_verify_hash,
     }

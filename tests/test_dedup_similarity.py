@@ -111,3 +111,61 @@ def test_embedding_dup_pairs(spark, vecs_df):
     out = embedding_dup_pairs(vecs_df, threshold=0.95, label_col="label")
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(0, 1)}  # (0,4) blocked by label, (0,2) dissimilar
+
+
+class TestEmbeddingLsh:
+    def test_no_cartesian_in_plan(self, spark):
+        """The label-free path must never fall back to a quadratic join."""
+        from img2dataset_spark.operators.similarity import (
+            embedding_dup_pairs,
+            embedding_dup_pairs_lsh,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        for out in (
+            embedding_dup_pairs_lsh(df, threshold=0.3),
+            embedding_dup_pairs(df, threshold=0.3, label_col=None),
+        ):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_lsh_recall_vs_exact_at_high_threshold(self, spark):
+        """Every exact pair >= 0.5 whose members share a band must be
+        found; LSH results are a subset of the exact pair set."""
+        from pyspark.sql import functions as F
+
+        from img2dataset_spark.operators.similarity import (
+            cosine,
+            embedding_dup_pairs_lsh,
+            round6,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_dup_pairs_lsh(df, threshold=0.5).collect()
+        }
+        a, b = df.alias("a"), df.alias("b")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                round6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias("s"),
+            )
+            .filter(F.col("s") >= 0.5)
+            .collect()
+        }
+        assert lsh <= exact  # no false positives after exact verify
+
+    def test_hyperplane_coeffs_deterministic(self):
+        from img2dataset_spark.operators.similarity import hyperplane_coeffs
+
+        a = hyperplane_coeffs(4, 8)
+        b = hyperplane_coeffs(4, 8)
+        assert a == b
+        assert all(-1000 <= c <= 1000 for row in a for c in row)
+        # planes must differ (md5-seeded, not an LCG ramp)
+        assert a[0] != a[1]
