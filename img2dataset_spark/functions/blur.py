@@ -82,7 +82,11 @@ def blur_bboxes(img: np.ndarray, bbox_list) -> np.ndarray:
 
     Mirrors /root/reference/img2dataset/blurrer.py:20-92 step for step.
     """
-    bboxes = [b for b in (bbox_list or []) if b is not None]
+    bboxes = [
+        b
+        for b in (bbox_list if bbox_list is not None else [])
+        if b is not None
+    ]
     if len(bboxes) == 0:
         return img
 
@@ -92,10 +96,14 @@ def blur_bboxes(img: np.ndarray, bbox_list) -> np.ndarray:
 
     max_diagonal = 0
     for bbox in bboxes:
-        x0 = int(bbox[0] * width)
-        y0 = int(bbox[1] * height)
-        x1 = int(bbox[2] * width)
-        y1 = int(bbox[3] * height)
+        # float32 multiply, exactly like the reference under NumPy 2 weak
+        # promotion (bbox.npy is float32; float32 * int stays float32).
+        # Verified against the golden: f64 here lands 234*0.60154 at
+        # 233.9999..., one pixel off the reference's mask.
+        x0 = int(np.float32(bbox[0]) * np.float32(width))
+        y0 = int(np.float32(bbox[1]) * np.float32(height))
+        x1 = int(np.float32(bbox[2]) * np.float32(width))
+        y1 = int(np.float32(bbox[3]) * np.float32(height))
         diagonal = max(x1 - x0, y1 - y0)
         max_diagonal = max(max_diagonal, diagonal)
         # 10% dilation (imagenet-face-obfuscation recipe)
@@ -110,8 +118,12 @@ def blur_bboxes(img: np.ndarray, bbox_list) -> np.ndarray:
     if kernel_size % 2 == 0:
         kernel_size += 1
 
-    blurred_img = gaussian_blur(fimg, kernel_size, sigma)
-    blurred_mask = gaussian_blur(mask, kernel_size, sigma)
+    # sigma sizes the KERNEL only; the Gaussian itself uses OpenCV's
+    # auto-sigma (sigma=0 path) because the reference's A.GaussianBlur
+    # call never receives sigma (blurrer.py:83, albumentations
+    # sigma_limit default 0).  Verified pixel-exact vs blurred.png.
+    blurred_img = gaussian_blur(fimg, kernel_size, 0)
+    blurred_mask = gaussian_blur(mask, kernel_size, 0)
     result = fimg * (1.0 - blurred_mask) + blurred_img * blurred_mask
     # Truncating cast, exactly like the reference (blurrer.py:91
     # `(result * 255.0).astype(np.uint8)`) — bit-level parity with its

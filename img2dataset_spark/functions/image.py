@@ -394,7 +394,18 @@ def make_transform_fn(
             # Format conversion genuinely requires a pixel codec.
             return null + ("re-encode not available: no imaging library installed",)
         if (nw, nh) == (w, h):
-            # blur requested but no pixel decoder: keep the row, flag it
+            # Blur without geometry change: the PNG pixel path is REAL
+            # (pure-Python codec + the golden-verified numpy Gaussian) —
+            # no imaging library needed for png -> png.
+            if src_fmt == "png" and what_ext == "png":
+                try:
+                    from img2dataset_spark.functions.blur import blur_bboxes
+                    from img2dataset_spark.functions.png import decode_png, encode_png
+
+                    out = encode_png(blur_bboxes(decode_png(data), bboxes))
+                    return (out, nw, nh, w, h, None)
+                except Exception as e:
+                    return null + (str(e) or type(e).__name__,)
             return null + ("blur not available: no imaging library installed",)
         # STUB: pixel resampling requires an imaging library (PIL/OpenCV)
         # which is not available in this environment.
