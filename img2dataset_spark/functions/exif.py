@@ -3,11 +3,16 @@
 Reference: /root/reference/img2dataset/downloader.py:324-336 parses EXIF
 tags with the `exifread` library and serializes to a JSON string.
 
-This container has no EXIF library; the parser below is a minimal real
-implementation for the common case (JPEG APP1/TIFF IFD0 ASCII tags) and
-returns "{}" for everything else — the Spark-side plumbing (UDF
-signature, schema, queryability via from_json/get_json_object) is real
-and tested with synthetic EXIF blobs.
+This container has no EXIF library; the parser below is a real TIFF/EXIF
+walker over the public EXIF 2.3 spec constants: IFD0, the EXIF sub-IFD
+(pointer tag 0x8769) and the GPS IFD (0x8825), covering ASCII, BYTE,
+SHORT, LONG, RATIONAL and SRATIONAL value types.  Tag names use
+exifread's "<group> <TagName>" convention ("Image Make",
+"EXIF ExposureTime", "GPS GPSLatitude").  Values serialize as exifread
+prints them where that is mechanical (ints, "num/den" rationals,
+"[a, b, c]" lists); exifread's *descriptive* renderings (e.g.
+Orientation -> "Horizontal (normal)") are not reproduced — documented
+deviation, the numeric value is emitted instead.
 """
 
 from __future__ import annotations
@@ -19,16 +24,48 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-# Tag ids for IFD0 ASCII tags commonly present (EXIF 2.3 spec, public).
-_TAG_NAMES = {
+# (EXIF 2.3 spec, public) — tag id -> exifread-style name, per IFD group.
+_IFD0_TAGS = {
     0x010E: "Image ImageDescription",
     0x010F: "Image Make",
     0x0110: "Image Model",
+    0x0112: "Image Orientation",
+    0x011A: "Image XResolution",
+    0x011B: "Image YResolution",
+    0x0128: "Image ResolutionUnit",
     0x0131: "Image Software",
     0x0132: "Image DateTime",
     0x013B: "Image Artist",
     0x8298: "Image Copyright",
 }
+_EXIF_TAGS = {
+    0x829A: "EXIF ExposureTime",
+    0x829D: "EXIF FNumber",
+    0x8827: "EXIF ISOSpeedRatings",
+    0x9003: "EXIF DateTimeOriginal",
+    0x9004: "EXIF DateTimeDigitized",
+    0x9201: "EXIF ShutterSpeedValue",
+    0x9202: "EXIF ApertureValue",
+    0x9204: "EXIF ExposureBiasValue",
+    0x920A: "EXIF FocalLength",
+    0xA002: "EXIF ExifImageWidth",
+    0xA003: "EXIF ExifImageLength",
+    0xA405: "EXIF FocalLengthIn35mmFilm",
+}
+_GPS_TAGS = {
+    0x0001: "GPS GPSLatitudeRef",
+    0x0002: "GPS GPSLatitude",
+    0x0003: "GPS GPSLongitudeRef",
+    0x0004: "GPS GPSLongitude",
+    0x0005: "GPS GPSAltitudeRef",
+    0x0006: "GPS GPSAltitude",
+}
+_EXIF_IFD_POINTER = 0x8769
+_GPS_IFD_POINTER = 0x8825
+
+# TIFF value types: type id -> (struct code, byte size).  ASCII (2) and
+# rationals (5, 10) are handled specially.
+_SCALAR_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 9: ("i", 4)}
 
 
 def extract_exif_json(data: bytes | None) -> str:
@@ -49,24 +86,85 @@ def extract_exif_json(data: bytes | None) -> str:
         return "{}"
 
 
-def _parse_tiff(tiff: bytes) -> str:
-    if len(tiff) < 8:
-        return "{}"
-    endian = "<" if tiff[:2] == b"II" else ">"
-    (ifd_off,) = _struct.unpack(endian + "I", tiff[4:8])
+def _read_values(tiff: bytes, endian: str, entry_off: int):
+    """Decode one 12-byte IFD entry -> python value or None."""
+    tag, typ, n_vals, _ = _struct.unpack(
+        endian + "HHII", tiff[entry_off : entry_off + 12]
+    )
+    if typ == 2:  # ASCII
+        size = n_vals
+        off = _value_offset(tiff, endian, entry_off, size)
+        raw = tiff[off : off + n_vals]
+        return tag, raw.rstrip(b"\x00").decode("ascii", "replace")
+    if typ in _SCALAR_TYPES:
+        code, unit = _SCALAR_TYPES[typ]
+        size = unit * n_vals
+        off = _value_offset(tiff, endian, entry_off, size)
+        vals = _struct.unpack(endian + code * n_vals, tiff[off : off + size])
+        return tag, _fmt_list([str(v) for v in vals])
+    if typ in (5, 10):  # RATIONAL / SRATIONAL: two (u)int32 per value
+        code = "II" if typ == 5 else "ii"
+        size = 8 * n_vals
+        off = _value_offset(tiff, endian, entry_off, size)
+        parts = _struct.unpack(endian + code * n_vals, tiff[off : off + size])
+        vals = []
+        for k in range(n_vals):
+            num, den = parts[2 * k], parts[2 * k + 1]
+            # exifread prints N/1 as plain N
+            vals.append(str(num) if den == 1 else f"{num}/{den}")
+        return tag, _fmt_list(vals)
+    return tag, None
+
+
+def _value_offset(tiff: bytes, endian: str, entry_off: int, size: int) -> int:
+    if size <= 4:
+        return entry_off + 8
+    (off,) = _struct.unpack(endian + "I", tiff[entry_off + 8 : entry_off + 12])
+    return off
+
+
+def _fmt_list(vals: list[str]) -> str:
+    return vals[0] if len(vals) == 1 else "[" + ", ".join(vals) + "]"
+
+
+def _parse_ifd(
+    tiff: bytes, endian: str, ifd_off: int, names: dict[int, str], out: dict
+) -> dict[int, int]:
+    """Parse one IFD's named tags into `out`; returns sub-IFD pointers."""
     if ifd_off + 2 > len(tiff):
-        return "{}"
+        return {}
     (count,) = _struct.unpack(endian + "H", tiff[ifd_off : ifd_off + 2])
-    out: dict[str, str] = {}
+    pointers: dict[int, int] = {}
     for k in range(count):
         e = ifd_off + 2 + k * 12
         if e + 12 > len(tiff):
             break
         tag, typ, n_vals, val = _struct.unpack(endian + "HHII", tiff[e : e + 12])
-        if tag in _TAG_NAMES and typ == 2:  # ASCII
-            off = val if n_vals > 4 else e + 8
-            raw = tiff[off : off + n_vals]
-            out[_TAG_NAMES[tag]] = raw.rstrip(b"\x00").decode("ascii", "replace")
+        if tag in (_EXIF_IFD_POINTER, _GPS_IFD_POINTER) and typ == 4:
+            pointers[tag] = val
+            continue
+        if tag not in names:
+            continue
+        try:
+            _, decoded = _read_values(tiff, endian, e)
+        except Exception:
+            decoded = None
+        if decoded is not None:
+            out[names[tag]] = decoded
+    return pointers
+
+
+def _parse_tiff(tiff: bytes) -> str:
+    if len(tiff) < 8:
+        return "{}"
+    endian = "<" if tiff[:2] == b"II" else ">"
+    (ifd_off,) = _struct.unpack(endian + "I", tiff[4:8])
+    out: dict[str, str] = {}
+    pointers = _parse_ifd(tiff, endian, ifd_off, _IFD0_TAGS, out)
+    if _EXIF_IFD_POINTER in pointers:
+        _parse_ifd(tiff, endian, pointers[_EXIF_IFD_POINTER], _EXIF_TAGS, out)
+    if _GPS_IFD_POINTER in pointers:
+        _parse_ifd(tiff, endian, pointers[_GPS_IFD_POINTER], _GPS_TAGS, out)
     return json.dumps(out, sort_keys=True)
 
 

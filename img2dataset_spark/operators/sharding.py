@@ -37,14 +37,36 @@ from pyspark.sql import functions as F
 _MID_LOCAL_MASK = (1 << 33) - 1  # low 33 bits of monotonically_increasing_id
 
 
+def _assert_unique_index(df: DataFrame, index_col: str) -> None:
+    """Defensive gate for the cached-scan-order invariant: the index
+    assignment relies on (a) persisted partitions never being recomputed
+    with different range boundaries and (b) monotonically_increasing_id
+    low bits matching the cached scan order.  Executor loss at cluster
+    scale recomputes partitions, and a stale literal offset map would
+    then mis-index SILENTLY — this cheap count==countDistinct job turns
+    that into a loud failure."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(index_col).alias("nd")
+    ).collect()[0]
+    if agg["n"] != agg["nd"]:
+        raise RuntimeError(
+            f"global index is not unique ({agg['nd']} distinct of {agg['n']} "
+            "rows) — a persisted partition was likely recomputed with "
+            "different range boundaries; re-run with a checkpointed input"
+        )
+
+
 def with_global_index(
     df: DataFrame,
     order_col: str,
     index_col: str = "_row_idx",
     num_partitions: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Exact contiguous 0-based global row index ordered by `order_col`,
-    without a single-partition global window."""
+    without a single-partition global window.  With ``strict`` the
+    returned frame has been verified unique (one extra lightweight
+    aggregation job over the persisted partitions)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, F.col(order_col)).sortWithinPartitions(
@@ -71,9 +93,12 @@ def with_global_index(
         else F.lit(0)
     )
     local_pos = F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_LOCAL_MASK))
-    return ranged.withColumn(
+    indexed = ranged.withColumn(
         index_col, (offset_of_pid + local_pos).cast("long")
     )
+    if strict:
+        _assert_unique_index(indexed, index_col)
+    return indexed
 
 
 def with_shard_id(

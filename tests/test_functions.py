@@ -262,6 +262,72 @@ class TestExif:
         assert extract_exif_json(b"\x89PNG") == "{}"
         assert extract_exif_json(None) == "{}"
 
+    @staticmethod
+    def _jpeg_with_tiff(tiff: bytes) -> bytes:
+        exif_seg = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(exif_seg) + 2) + exif_seg
+        return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+    def test_exif_sub_ifd_short_rational_gps(self):
+        """EXIF sub-IFD (0x8769 pointer) + GPS IFD (0x8825): SHORT,
+        RATIONAL (incl. multi-value), SRATIONAL, and the N/1 -> N
+        rendering."""
+        import json
+
+        from img2dataset_spark.functions.exif import extract_exif_json
+
+        # layout (little endian): header(8) | IFD0 @8 (42 B) |
+        # EXIF IFD @50 (30 B) | GPS IFD @100 (30 B) | value area @130
+        ifd0 = (
+            struct.pack("<H", 3)
+            + struct.pack("<HHIHxx", 0x0112, 3, 1, 6)   # Orientation SHORT=6 inline
+            + struct.pack("<HHII", 0x8769, 4, 1, 50)    # EXIF IFD pointer
+            + struct.pack("<HHII", 0x8825, 4, 1, 100)   # GPS IFD pointer
+            + struct.pack("<I", 0)
+        )
+        exif_ifd = (
+            struct.pack("<H", 2)
+            + struct.pack("<HHII", 0x829A, 5, 1, 130)    # ExposureTime 1/200
+            + struct.pack("<HHII", 0x9204, 10, 1, 138)   # ExposureBias -1/3
+            + struct.pack("<I", 0)
+        )
+        gps_ifd = (
+            struct.pack("<H", 2)
+            + struct.pack("<HHII", 0x0002, 5, 3, 146)    # GPSLatitude 3 rationals
+            + struct.pack("<HHI", 0x0001, 2, 2) + b"N\x00\x00\x00"  # LatitudeRef inline
+            + struct.pack("<I", 0)
+        )
+        header = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        assert len(header + ifd0) == 50 and len(exif_ifd) == 30 and len(gps_ifd) == 30
+        tiff = bytearray(200)
+        tiff[0:8] = header
+        tiff[8 : 8 + len(ifd0)] = ifd0
+        tiff[50 : 50 + len(exif_ifd)] = exif_ifd
+        tiff[100 : 100 + len(gps_ifd)] = gps_ifd
+        tiff[130:138] = struct.pack("<II", 1, 200)        # 1/200
+        tiff[138:146] = struct.pack("<ii", -1, 3)         # -1/3
+        tiff[146:170] = struct.pack("<IIIIII", 40, 1, 26, 1, 30, 1)  # 40,26,30 deg/min/sec
+        out = json.loads(extract_exif_json(self._jpeg_with_tiff(bytes(tiff))))
+        assert out["Image Orientation"] == "6"
+        assert out["EXIF ExposureTime"] == "1/200"
+        assert out["EXIF ExposureBiasValue"] == "-1/3"
+        assert out["GPS GPSLatitudeRef"] == "N"
+        assert out["GPS GPSLatitude"] == "[40, 26, 30]"   # N/1 prints as N
+
+    def test_big_endian_tiff(self):
+        import json
+
+        from img2dataset_spark.functions.exif import extract_exif_json
+
+        tiff = (
+            b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHIHxx", 0x0112, 3, 1, 3)
+            + struct.pack(">I", 0)
+        )
+        out = json.loads(extract_exif_json(self._jpeg_with_tiff(tiff)))
+        assert out == {"Image Orientation": "3"}
+
 
 class TestReencodeGate:
     """Reference resizer.py:148: encode_needed = (detected != what_ext) if

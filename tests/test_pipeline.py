@@ -225,3 +225,59 @@ class TestIncremental:
         stats = download(cfg_o, spark=spark)
         assert sorted(r["shard_id"] for r in stats) == [0, 1]
         assert sorted(os.listdir(out)) == ["00000_stats.json", "00001_stats.json"]
+
+
+class TestCli:
+    def test_parse_args_types(self):
+        from img2dataset_spark.__main__ import parse_args
+
+        cfg = parse_args([
+            "--url_list", "urls.txt", "--image_size=128",
+            "--resize_only_if_bigger",  # bare boolean
+            "--caption_col", "null",
+            "--save_additional_columns", "a,b",
+            "--verify_hash", "m,md5",
+            "--max_aspect_ratio", "4.5",
+            "--fetch_mode", "mock",
+        ])
+        assert cfg.url_list == "urls.txt"
+        assert cfg.image_size == 128
+        assert cfg.resize_only_if_bigger is True
+        assert cfg.caption_col is None
+        assert cfg.save_additional_columns == ["a", "b"]
+        assert cfg.verify_hash == ("m", "md5")
+        assert cfg.max_aspect_ratio == 4.5
+
+    def test_parse_args_rejects_unknown(self):
+        import pytest as _pytest
+
+        from img2dataset_spark.__main__ import parse_args
+
+        with _pytest.raises(SystemExit, match="unknown option"):
+            parse_args(["--url_list", "x", "--frobnicate", "1"])
+        with _pytest.raises(SystemExit, match="url_list is required"):
+            parse_args(["--image_size", "64"])
+
+    def test_cli_subprocess_end_to_end(self, tmp_path):
+        """python -m img2dataset_spark produces a shard + stats sidecar
+        from a txt url list (reference main.py:277-278 CLI parity)."""
+        import subprocess
+        import sys
+
+        urls = tmp_path / "urls.txt"
+        urls.write_text("".join(f"http://x/{i}.jpg\n" for i in range(8)))
+        out = tmp_path / "out"
+        proc = subprocess.run(
+            [sys.executable, "-m", "img2dataset_spark",
+             "--url_list", str(urls), "--input_format", "txt",
+             "--output_folder", str(out), "--output_format", "webdataset",
+             "--number_sample_per_shard", "5", "--fetch_mode", "mock",
+             "--shuffle_partitions", "4"],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "success" in proc.stdout
+        made = sorted(p.name for p in out.iterdir())
+        assert "00000.tar" in made and "00000_stats.json" in made
+        assert "00001.tar" in made  # 8 urls / 5 per shard -> 2 shards

@@ -112,3 +112,23 @@ def test_hash_mode_keys_unique_when_partition_exceeds_shard_size(spark):
     # no shard may exceed the configured shard size
     per_shard = out.groupBy("shard_id").count().collect()
     assert max(r["count"] for r in per_shard) <= n_shard
+
+
+def test_global_index_strict_passes_on_healthy_frame(spark):
+    df = spark.range(0, 500).select((F.col("id") * 31 % 500).alias("k"))
+    out = with_global_index(df, "k", strict=True)
+    assert out.count() == 500
+
+
+def test_strict_gate_raises_on_duplicate_index(spark):
+    """Simulate the failure a recomputed cache would produce: a frame
+    whose index column has collisions must fail loudly."""
+    import pytest
+
+    from img2dataset_spark.operators.sharding import _assert_unique_index
+
+    corrupted = spark.range(0, 100).select(
+        (F.col("id") % 60).alias("_row_idx")  # 40 duplicate indices
+    )
+    with pytest.raises(RuntimeError, match="global index is not unique"):
+        _assert_unique_index(corrupted, "_row_idx")
