@@ -309,6 +309,54 @@ def _pil_transform(
     return buf.getvalue(), nw, nh, w, h, None
 
 
+def _numpy_transform(
+    data: bytes,
+    resize_mode: str,
+    image_size: int,
+    resize_only_if_bigger: bool,
+    encode_format: str,
+    bboxes=None,
+    upscale_interpolation: str = "lanczos",
+    downscale_interpolation: str = "area",
+):
+    """Real pixel path for PNG without any imaging library: pure-Python
+    PNG codec + numpy resampling (functions/png.py, functions/resample.py).
+    Mirrors the reference pipeline order (resizer.py:178-215): aspect
+    -preserving resize -> blur -> center-crop / white-pad."""
+    from img2dataset_spark.functions.blur import blur_bboxes
+    from img2dataset_spark.functions.png import decode_png, encode_png
+    from img2dataset_spark.functions.resample import crop_center, pad_center, resize
+
+    def _blur(arr):
+        # T9: blur AFTER the aspect-preserving resize but BEFORE crop/pad
+        # (resizer.py:186-205) — relative bboxes stay valid only while
+        # the frame is a pure scale of the original.
+        if bboxes is not None and len(bboxes) > 0:
+            return blur_bboxes(arr, bboxes)
+        return arr
+
+    img = decode_png(data)
+    h, w = img.shape[:2]
+    nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
+    mode = select_interpolation(
+        w, h, resize_mode, image_size, upscale_interpolation, downscale_interpolation
+    )
+    if resize_mode in ("center_crop", "border") and (nw, nh) != (w, h):
+        if resize_mode == "center_crop":
+            sw, sh = _scaled(w, h, image_size / min(w, h))
+            img = _blur(resize(img, sw, sh, mode))
+            img = crop_center(img, nw, nh)
+        else:
+            sw, sh = _scaled(w, h, image_size / max(w, h))
+            img = _blur(resize(img, sw, sh, mode))
+            img = pad_center(img, image_size, image_size, value=255)
+    elif (nw, nh) != (w, h):
+        img = _blur(resize(img, nw, nh, mode))
+    else:
+        img = _blur(img)
+    return encode_png(img), nw, nh, w, h, None
+
+
 def _pil_available() -> bool:
     try:
         import PIL  # noqa: F401
@@ -393,22 +441,24 @@ def make_transform_fn(
                 return (data, nw, nh, w, h, None)
             # Format conversion genuinely requires a pixel codec.
             return null + ("re-encode not available: no imaging library installed",)
+        # png -> png pixel path is REAL without any imaging library:
+        # pure-Python PNG codec + numpy resampling + the golden-verified
+        # numpy Gaussian blur.
+        if src_fmt == "png" and what_ext == "png":
+            try:
+                return _numpy_transform(
+                    data, resize_mode, image_size, resize_only_if_bigger,
+                    encode_format, bboxes=bboxes,
+                    upscale_interpolation=upscale_interpolation,
+                    downscale_interpolation=downscale_interpolation,
+                )
+            except Exception as e:
+                return null + (str(e) or type(e).__name__,)
         if (nw, nh) == (w, h):
-            # Blur without geometry change: the PNG pixel path is REAL
-            # (pure-Python codec + the golden-verified numpy Gaussian) —
-            # no imaging library needed for png -> png.
-            if src_fmt == "png" and what_ext == "png":
-                try:
-                    from img2dataset_spark.functions.blur import blur_bboxes
-                    from img2dataset_spark.functions.png import decode_png, encode_png
-
-                    out = encode_png(blur_bboxes(decode_png(data), bboxes))
-                    return (out, nw, nh, w, h, None)
-                except Exception as e:
-                    return null + (str(e) or type(e).__name__,)
+            # blur requested but no pixel decoder for this format
             return null + ("blur not available: no imaging library installed",)
-        # STUB: pixel resampling requires an imaging library (PIL/OpenCV)
-        # which is not available in this environment.
+        # STUB: pixel resampling for non-PNG formats requires an imaging
+        # library (PIL/OpenCV), absent in this environment.
         return null + ("resize not available: no imaging library installed",)
 
     return transform_one

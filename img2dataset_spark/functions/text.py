@@ -68,6 +68,39 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text).cast("binary"))
 
 
+ROLLING_BASE = 257
+ROLLING_MOD = 1_000_000_007  # acc*257 + 255 < 2.6e11, int64-safe
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of the normalized text:
+    Horner fold (acc*B + code) % M over character codes, B=257,
+    M=1e9+7.  Left-to-right integer fold — bit-identical in any engine
+    (DuckDB twin uses list_reduce over ascii codes, which equals this
+    fold because init 0 makes the first step acc = code_1)."""
+    codes = F.transform(
+        F.split(normalized_text(text), ""), lambda c: F.ascii(c).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )
+
+
+# GPT-2-style pre-tokenizer classes, reduced to constructs with identical
+# semantics in Java (Spark) and RE2-ish (DuckDB) regex engines:
+# contractions, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count with a BPE pre-tokenizer regex — the
+    standard cheap estimator of LLM token cost when a real BPE vocab
+    isn't loaded."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 MINHASH_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne): a*h+b < 2^60+2^28 fits int64
 
 

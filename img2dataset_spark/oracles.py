@@ -281,6 +281,27 @@ SELECT doc_id,
 FROM t
 """
 
+# Rolling hash: list_reduce's seedless fold equals the Horner fold with
+# init 0 (first step acc = code_1); codes and modulus are integers, so the
+# engines agree exactly.  Regex classes in BPE_TOKEN_RE are restricted to
+# constructs with identical Java/RE2 semantics.
+ORACLES["text_fingerprint"] = """
+WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t,
+                  lower(text) AS lt
+           FROM documents)
+SELECT doc_id,
+  CASE WHEN length(t) = 0 THEN 0 ELSE
+    list_reduce(
+      list_transform(generate_series(1, length(t)),
+                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+      (acc, c) -> (acc * 257 + c) % 1000000007)
+  END AS rolling_hash,
+  len(regexp_extract_all(lt,
+      '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+'))
+  AS bpe_tokens
+FROM n
+"""
+
 _LANG_SCORES = ", ".join(
     f"len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}"
     for lang, lst in _LANG_LISTS.items()

@@ -429,6 +429,20 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint + BPE-ish token count — the other two
+    text-analysis estimators (functions/text.py), integer-exact across
+    engines."""
+    from img2dataset_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.rolling_fingerprint(F.col("text")).alias("rolling_hash"),
+        X.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def q_text_langid(spark, sf_dir):
     """Language-ID heuristic: predicted language distribution."""
     from img2dataset_spark.functions import text as X
@@ -655,6 +669,7 @@ QUERIES.update(
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
