@@ -30,6 +30,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_fit_topk",
+    "embedding_dup_pairs_lsh",
+    "text_fingerprint",
     "pipeline_e2e",
 ]
 

@@ -483,21 +483,27 @@ WHERE cos_sim >= 0.3
 
 # -- IVF fit/transform: deterministic 2-iteration k-means -------------------
 
-_L2 = (
+# Assignment distance = exact int64 squared-L2 over 2^-20 fixed-point
+# quantized vectors AND centroids (matching similarity._assign_cells's
+# Arrow matmul — order-independent integer sums, no fold hazard).
+_QL2 = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
 )
+_QUANTIZE = "list_transform({v}, x -> CAST(floor(x*1048576 + 0.5) AS BIGINT))"
 
 
 def _kmeans_iter_sql(n: int, prev_c: str) -> str:
-    """One Lloyd iteration: argmin assignment (tie-break by cell) then
-    exact-decimal means — mirrors similarity.ivf_fit step for step."""
-    d = _L2.format(a="q.v", b="c.centroid")
+    """One Lloyd iteration: quantized-distance argmin assignment
+    (tie-break by cell) then exact-decimal means — mirrors
+    similarity.ivf_fit step for step."""
+    d = _QL2.format(a="q.qv", b="c.qc")
     return f"""
+cq{n} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM {prev_c}),
 a{n} AS (SELECT vec_id, v, cell FROM (
   SELECT q.vec_id, q.v, c.cell,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {d}, c.cell) AS rn
-  FROM e q, {prev_c} c) WHERE rn = 1),
+  FROM e q, cq{n} c) WHERE rn = 1),
 d{n} AS (SELECT cell, i,
            CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
          FROM a{n}, (SELECT unnest(generate_series(1, 64)) AS i)
@@ -506,7 +512,8 @@ c{n} AS (SELECT cell, list(cv ORDER BY i) AS centroid FROM d{n} GROUP BY cell)""
 
 
 ORACLES["ann_ivf_fit_topk"] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
 seeds AS (SELECT vec_id, v FROM e
           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
@@ -514,12 +521,13 @@ c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
          AS cell, v AS centroid FROM seeds),
 {_kmeans_iter_sql(1, 'c0')},
 {_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
 af AS (SELECT vec_id, v, cell FROM (
   SELECT q.vec_id, q.v, c.cell,
          row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY {_L2.format(a='q.v', b='c.centroid')},
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
                                      c.cell) AS rn
-  FROM e q, c2 c) WHERE rn = 1),
+  FROM e q, cqf c) WHERE rn = 1),
 qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 probe AS (
   SELECT cell FROM (
@@ -537,7 +545,7 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 # engines agree bit-for-bit with no float fold-order hazard.
 
 
-def _hp_band_sql(num_planes: int = 16, num_bands: int = 4, dim: int = 64) -> str:
+def _hp_band_sql(num_planes: int = 32, num_bands: int = 4, dim: int = 64) -> str:
     from img2dataset_spark.operators.similarity import hyperplane_coeffs
 
     hp = hyperplane_coeffs(num_planes, dim)
@@ -557,6 +565,11 @@ def _hp_band_sql(num_planes: int = 16, num_bands: int = 4, dim: int = 64) -> str
     return f"[{bands}]"
 
 
+# Verification metric = cosine of the quantized vectors (matching
+# make_pair_qcosine_udf): integer dot/norms are exact and
+# order-independent, so numpy batch sums and list_sum agree bit-for-bit.
+_QDOT = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i]*{b}[i]))"
+
 ORACLES["embedding_dup_pairs_lsh"] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
            FROM embeddings),
@@ -570,10 +583,13 @@ cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bb a JOIN bb b ON a.band = b.band AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos_sim FROM (
-  SELECT c.id_a, c.id_b, {_R6.format(x=_cos('a.v', 'b.v'))} AS cos_sim
+  SELECT c.id_a, c.id_b,
+    {_R6.format(x=f"({_QDOT.format(a='a.qv', b='b.qv')})::DOUBLE / "
+                  f"(sqrt(({_QDOT.format(a='a.qv', b='a.qv')})::DOUBLE) * "
+                  f"sqrt(({_QDOT.format(a='b.qv', b='b.qv')})::DOUBLE))")} AS cos_sim
   FROM cand c
-  JOIN e a ON a.vec_id = c.id_a
-  JOIN e b ON b.vec_id = c.id_b)
+  JOIN qz a ON a.vec_id = c.id_a
+  JOIN qz b ON b.vec_id = c.id_b)
 WHERE cos_sim >= 0.3
 """
 
