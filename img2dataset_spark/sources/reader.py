@@ -95,6 +95,18 @@ def _read_whole_file_json(spark: SparkSession, path: str) -> DataFrame:
             )
         else:
             files = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
+        # This fallback parses on the DRIVER (pandas) — cap it so a
+        # misrouted multi-GB input fails with advice instead of OOMing
+        # the driver.  256 MB compressed is far beyond any sane
+        # column-oriented JSON document.
+        total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        if total > 256 * 1024 * 1024:
+            raise ValueError(
+                f"column-oriented JSON input is {total >> 20} MB; this "
+                "format parses on the driver and is meant for small "
+                "files — convert to jsonl (line-delimited) for a "
+                "distributed scan"
+            )
         parts = [pd.read_json(f) for f in files]
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         df = spark.createDataFrame(pdf)
