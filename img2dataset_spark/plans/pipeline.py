@@ -111,12 +111,16 @@ def build_pipeline(
         num_src_parts = df.rdd.getNumPartitions()
         w = Window.partitionBy("shard_id").orderBy("url")
         df = df.withColumn("_row_idx", F.row_number().over(w).cast("long") - 1)
+        # start_shard_id offsets extend-mode resumes here too — without it
+        # a rerun restarts at shard 0 and silently overwrites earlier
+        # output files.
         df = df.withColumn(
             "shard_id",
             (
                 F.col("shard_id")
                 + F.lit(num_src_parts)
                 * F.floor(F.col("_row_idx") / config.number_sample_per_shard)
+                + F.lit(start_shard_id)
             ).cast("long"),
         )
         df = with_key(

@@ -281,3 +281,26 @@ class TestCli:
         made = sorted(p.name for p in out.iterdir())
         assert "00000.tar" in made and "00000_stats.json" in made
         assert "00001.tar" in made  # 8 urls / 5 per shard -> 2 shards
+
+
+class TestUnorderedExtend:
+    def test_extend_mode_offsets_hash_shards(self, spark, tmp_path):
+        """A rerun in extend mode with ordered_sharding=False must continue
+        shard numbering, not restart at 0 and overwrite earlier output."""
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(20)]
+        def cfg():
+            return PipelineConfig(
+                url_list=_input_parquet(tmp_path, urls,
+                                        captions=[f"c{i}" for i in range(20)]),
+                input_format="parquet", caption_col="caption",
+                output_folder=str(tmp_path / "out"), output_format="webdataset",
+                number_sample_per_shard=10, fetch_mode="mock",
+                ordered_sharding=False, incremental_mode="extend",
+                resize_mode="no",
+            )
+        s1 = sorted(r["shard_id"] for r in download(cfg(), spark=spark))
+        s2 = sorted(r["shard_id"] for r in download(cfg(), spark=spark))
+        assert min(s2) > max(s1)  # disjoint, continuing numbering
+        made = sorted(p.name for p in (tmp_path / "out").iterdir()
+                      if p.name.endswith(".tar"))
+        assert len(made) == len(s1) + len(s2)  # nothing overwritten
