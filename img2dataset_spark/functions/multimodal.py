@@ -131,21 +131,85 @@ def make_wav_meta_udf():
     return wav_meta
 
 
+def parse_y4m_header(data: bytes):
+    """YUV4MPEG2 (Y4M) stream header — a tiny public plain-text format:
+    'YUV4MPEG2 W<w> H<h> F<num>:<den> ... \\n' then per frame a
+    'FRAME...\\n' marker followed by planar YUV pixel data.
+    Returns (width, height, fps, frame_bytes, header_end) or None."""
+    if not data.startswith(b"YUV4MPEG2"):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fps = None
+    chroma = "420"
+    for tok in data[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) / int(den)
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode("ascii", "replace")
+    if not w or not h:
+        return None
+    if chroma.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    elif chroma.startswith("422"):
+        frame_bytes = w * h * 2
+    elif chroma.startswith("444"):
+        frame_bytes = w * h * 3
+    elif chroma.startswith("mono"):
+        frame_bytes = w * h
+    else:
+        return None
+    return w, h, fps, frame_bytes, nl + 1
+
+
+def sample_y4m_frames(data: bytes, num_frames: int) -> list[bytes] | None:
+    """Evenly-spaced raw YUV frames from a Y4M stream (REAL pixel data,
+    no decoder dependency — Y4M is uncompressed)."""
+    hdr = parse_y4m_header(data)
+    if hdr is None:
+        return None
+    _, _, _, frame_bytes, pos = hdr
+    offsets = []
+    n = len(data)
+    while pos < n and data[pos : pos + 5] == b"FRAME":
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            break
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + frame_bytes
+    if not offsets:
+        return None
+    total = len(offsets)
+    picks = sorted({min(total - 1, i * total // num_frames) for i in range(num_frames)})
+    return [data[offsets[i] : offsets[i] + frame_bytes] for i in picks]
+
+
 def make_frame_sample_udf(num_frames: int = 4, mock: bool = False):
     """binary video -> array<binary> of `num_frames` sampled frames.
 
-    STUB: real decoding needs pyav/ffmpeg (not in this environment).
-    mock=True returns deterministic evenly-spaced byte slices so the
-    plumbing (schema, batch shape, downstream explode) is testable.
+    REAL for Y4M (uncompressed YUV4MPEG2 — parsed natively, returns raw
+    planar frames).  Compressed containers (mp4/webm/...) need
+    pyav/ffmpeg, absent here: clearly-marked stub raises.  mock=True
+    returns deterministic evenly-spaced byte slices so the plumbing
+    (schema, batch shape, downstream explode) stays testable.
     """
 
     def sample_one(data: bytes | None):
         if data is None:
             return None
+        if data[:9] == b"YUV4MPEG2":
+            return sample_y4m_frames(data, num_frames)
         if not mock:
-            # clearly-marked stub — no video decoder available
+            # clearly-marked stub — no compressed-video decoder available
             raise NotImplementedError(
-                "video frame sampling requires an av/ffmpeg library"
+                "compressed video frame sampling requires an av/ffmpeg library"
             )
         n = len(data)
         step = max(1, n // num_frames)
@@ -157,6 +221,62 @@ def make_frame_sample_udf(num_frames: int = 4, mock: bool = False):
             yield series.map(sample_one)
 
     return frame_sample
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "duration_s double, rms double, peak double, zcr double, error string"
+)
+
+
+def wav_pcm_features(data: bytes | None):
+    """Real signal features from WAV PCM bytes (numpy, no audio lib):
+    RMS and peak of the normalized signal, zero-crossing rate.  8-bit
+    (unsigned) and 16-bit (signed) PCM supported."""
+    import numpy as np
+
+    meta = parse_wav_header(data)
+    if meta is None:
+        return (None, None, None, None, "unsupported codec (WAV only)")
+    rate, channels, bits, n_frames, duration = meta
+    # locate the data chunk payload
+    pos, n = 12, len(data)
+    payload = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = _struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            payload = data[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size % 2)
+    if payload is None:
+        return (None, None, None, None, "no data chunk")
+    if bits == 16:
+        x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return (None, None, None, None, f"unsupported bit depth {bits}")
+    if channels > 1:
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+    if len(x) == 0:
+        return (float(duration), 0.0, 0.0, 0.0, None)
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return (float(duration), rms, peak, zcr, None)
+
+
+def make_audio_features_udf():
+    """binary -> struct(duration_s, rms, peak, zcr, error) — REAL DSP for
+    WAV PCM; other codecs flagged, not faked."""
+
+    @pandas_udf(AUDIO_FEATURES_SCHEMA)
+    def audio_features(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        cols = ["duration_s", "rms", "peak", "zcr", "error"]
+        for series in batches:
+            yield pd.DataFrame([wav_pcm_features(d) for d in series], columns=cols)
+
+    return audio_features
 
 
 def extract_image_features(df: DataFrame, data_col: str = "jpg") -> DataFrame:

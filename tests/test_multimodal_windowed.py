@@ -127,3 +127,82 @@ class TestWindowedAggregation:
             for r in batch.collect()
         }
         assert got == want and len(want) > 0
+
+
+def y4m_bytes(w: int, h: int, n_frames: int, fps=(25, 1)) -> bytes:
+    """Synthetic YUV4MPEG2 stream: frame k filled with byte value k."""
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    frame_bytes = w * h * 3 // 2
+    out = bytearray(hdr)
+    for k in range(n_frames):
+        out += b"FRAME\n" + bytes([k & 0xFF]) * frame_bytes
+    return bytes(out)
+
+
+class TestY4m:
+    def test_header(self):
+        from img2dataset_spark.functions.multimodal import parse_y4m_header
+
+        w, h, fps, fb, off = parse_y4m_header(y4m_bytes(16, 8, 1))
+        assert (w, h, fps) == (16, 8, 25.0)
+        assert fb == 16 * 8 * 3 // 2
+
+    def test_real_frame_sampling(self):
+        from img2dataset_spark.functions.multimodal import sample_y4m_frames
+
+        data = y4m_bytes(8, 4, 10)
+        frames = sample_y4m_frames(data, 4)
+        assert len(frames) == 4
+        fb = 8 * 4 * 3 // 2
+        assert all(len(f) == fb for f in frames)
+        # evenly spaced: frames 0, 2, 5, 7 (i*10//4)
+        assert [f[0] for f in frames] == [0, 2, 5, 7]
+
+    def test_udf_routes_y4m_without_mock(self, spark):
+        from img2dataset_spark.functions.multimodal import sample_video_frames
+
+        df = spark.createDataFrame(
+            [(0, y4m_bytes(8, 4, 6))], "id long, video binary"
+        )
+        out = sample_video_frames(df, num_frames=3, mock=False).collect()[0]["frames"]
+        assert len(out) == 3 and len(out[0]) == 8 * 4 * 3 // 2
+
+
+class TestAudioFeatures:
+    def test_silence_and_square_wave(self, spark):
+        import struct as _s
+
+        import numpy as np
+
+        from img2dataset_spark.functions.multimodal import wav_pcm_features
+
+        # silence
+        d, rms, peak, zcr, err = wav_pcm_features(wav_bytes(8000, 1, 16, 800))
+        assert err is None and rms == 0.0 and peak == 0.0
+        assert abs(d - 0.1) < 1e-9
+        # full-scale square wave at Nyquist/2: rms == peak == amplitude
+        amp = 16384
+        n = 1000
+        samples = np.tile([amp, amp, -amp, -amp], n // 4).astype("<i2")
+        payload = samples.tobytes()
+        hdr = (b"RIFF" + _s.pack("<I", 36 + len(payload)) + b"WAVE"
+               + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+               + b"data" + _s.pack("<I", len(payload)))
+        d, rms, peak, zcr, err = wav_pcm_features(hdr + payload)
+        assert err is None
+        assert abs(peak - 0.5) < 1e-6        # 16384/32768
+        assert abs(rms - 0.5) < 1e-6         # square wave: rms == peak
+        assert abs(zcr - 0.5) < 0.01         # crosses every 2 samples
+
+    def test_udf(self, spark):
+        from img2dataset_spark.functions.multimodal import make_audio_features_udf
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(0, wav_bytes(16000, 2, 16, 1600)), (1, b"nope")],
+            "id long, audio binary",
+        )
+        feats = make_audio_features_udf()
+        out = {r["id"]: r["f"] for r in df.select("id", feats(F.col("audio")).alias("f")).collect()}
+        assert out[0]["error"] is None and abs(out[0]["duration_s"] - 0.1) < 1e-9
+        assert out[1]["error"] is not None
