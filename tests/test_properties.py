@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis) over the pure kernels: codecs,
+geometry, resampling weights, and hashes.  These cover input shapes the
+example-based tests can't enumerate."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from img2dataset_spark.functions.image import resize_geometry
+from img2dataset_spark.functions.png import decode_png, encode_png
+from img2dataset_spark.functions.resample import _axis_weights, resize
+
+dims = st.integers(min_value=1, max_value=24)
+
+
+class TestPngCodec:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=dims, h=dims,
+        nch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_any_shape(self, w, h, nch, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        if nch == 1:
+            assert np.array_equal(out, img[:, :, 0])
+        else:
+            assert np.array_equal(out, img)
+
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=64))
+    def test_garbage_never_crashes_silently(self, data):
+        try:
+            decode_png(data)
+        except ValueError:
+            pass  # the only acceptable failure mode
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"unexpected {type(e).__name__}") from e
+
+
+class TestResampleWeights:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n_in=st.integers(1, 40), n_out=st.integers(1, 40),
+        mode=st.sampled_from(["nearest", "bilinear", "cubic", "lanczos4", "area"]),
+    )
+    def test_partition_of_unity(self, n_in, n_out, mode):
+        W = _axis_weights(n_in, n_out, mode)
+        assert W.shape == (n_out, n_in)
+        assert np.allclose(W.sum(axis=1), 1.0)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 16), h=st.integers(1, 16),
+        ow=st.integers(1, 16), oh=st.integers(1, 16),
+        v=st.integers(0, 255),
+        mode=st.sampled_from(["nearest", "bilinear", "cubic", "lanczos4", "area"]),
+    )
+    def test_constant_image_invariant(self, w, h, ow, oh, v, mode):
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        out = resize(img, ow, oh, mode)
+        assert out.shape == (oh, ow, 3)
+        assert (out == v).all()  # partition of unity => constants preserved
+
+
+class TestResizeGeometry:
+    @settings(max_examples=100, deadline=None)
+    @given(
+        w=st.integers(1, 10_000), h=st.integers(1, 10_000),
+        size=st.integers(1, 4096),
+        mode=st.sampled_from(
+            ["no", "keep_ratio", "keep_ratio_largest", "center_crop", "border"]
+        ),
+        bigger=st.booleans(),
+    )
+    def test_bounds_and_modes(self, w, h, size, mode, bigger):
+        nw, nh = resize_geometry(w, h, mode, size, bigger)
+        assert nw >= 1 and nh >= 1
+        if mode == "no":
+            assert (nw, nh) == (w, h)
+        if mode == "border" and not (bigger and max(w, h) <= size):
+            assert (nw, nh) == (size, size)
+        if mode == "center_crop" and not (bigger and min(w, h) <= size):
+            assert max(nw, nh) <= size  # crop never exceeds the target box
+        if mode == "keep_ratio_largest" and not (bigger and max(w, h) <= size):
+            assert max(nw, nh) == size
+        if bigger and mode != "no":
+            controlling = min(w, h) if mode in ("keep_ratio", "center_crop") else max(w, h)
+            if controlling <= size:
+                assert (nw, nh) == (w, h)  # only_if_bigger passthrough
+
+    @settings(max_examples=60, deadline=None)
+    @given(w=st.integers(2, 10_000), h=st.integers(2, 10_000), size=st.integers(1, 4096))
+    def test_keep_ratio_preserves_aspect(self, w, h, size):
+        nw, nh = resize_geometry(w, h, "keep_ratio", size, False)
+        assert min(nw, nh) in (size, size + 1) or min(w, h) == 1
+        # aspect preserved within rounding of 1 pixel on the scaled side
+        scale = size / min(w, h)
+        assert abs(nw - w * scale) <= 0.5 + 1e-9
+        assert abs(nh - h * scale) <= 0.5 + 1e-9
+
+
+class TestTfrecordRoundtrip:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        feats=st.dictionaries(
+            st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+            st.one_of(
+                st.binary(max_size=16),
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.text(max_size=12),
+            ),
+            min_size=1, max_size=5,
+        )
+    )
+    def test_map_entries_decode(self, feats):
+        from img2dataset_spark.sinks.tfrecord import encode_example
+        from tests.test_functions import TestTfrecord
+
+        ex = encode_example(feats)
+        (outer,) = list(TestTfrecord._pb_fields(ex))
+        names = []
+        for _, _, entry in TestTfrecord._pb_fields(outer[2]):
+            fields = list(TestTfrecord._pb_fields(entry))
+            assert [f[0] for f in fields] == [1, 2]
+            names.append(fields[0][2].decode())
+        assert sorted(names) == sorted(feats)
+
+
+class TestRollingHash:
+    @settings(max_examples=60, deadline=None)
+    @given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+    def test_matches_direct_horner(self, s):
+        """The Spark expression implements h = fold((acc*B + code) % M);
+        reimplement directly and compare via the same normalization."""
+        import re
+
+        from img2dataset_spark.functions.text import ROLLING_BASE, ROLLING_MOD
+
+        norm = re.sub(r"\s+", " ", s.strip().lower())
+        h = 0
+        for ch in norm:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        assert 0 <= h < ROLLING_MOD
+        # associativity-free: prefix property h(s+c) = (h(s)*B + c) % M
+        if norm:
+            h_prefix = 0
+            for ch in norm[:-1]:
+                h_prefix = (h_prefix * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+            assert h == (h_prefix * ROLLING_BASE + ord(norm[-1])) % ROLLING_MOD
