@@ -197,13 +197,19 @@ def simhash_pairs(
     k: int = 3,
     max_hamming: int = 8,
     block_bits: int = 16,
+    probes: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance.
 
     Scale path: block on the high `block_bits` bits of the simhash so
-    the self-join is per-block (near-dups rarely split blocks for small
-    hamming radii; multi-probe would add rotations).  Returns
-    (id_a, id_b, hamming).
+    the self-join is per-block.  With ``probes`` > 1, multi-probe
+    ROTATIONS close the prefix blind spot: a pair whose differing bits
+    all fall inside the block prefix is missed by single blocking, but
+    rotating the 32-bit hash by i*32/probes moves the prefix window —
+    the pair co-blocks under any rotation whose window lands on agreeing
+    bits.  Each probe multiplies candidate volume by ~1x (same blocking
+    selectivity), so cost is linear in probes, not quadratic.  Returns
+    distinct (id_a, id_b, hamming).
     """
     simhash = make_simhash_udf()
     docs = (
@@ -211,12 +217,32 @@ def simhash_pairs(
         .filter(F.size("shingle_set") > 0)
         .select(F.col(id_col), simhash(F.col("shingle_set")).alias("simhash"))
     )
-    block = F.floor(F.col("simhash") / F.lit(float(2 ** (32 - block_bits)))).cast("long")
-    docs = _persisted(docs.withColumn("block", block))
-    a, b = docs.alias("a"), docs.alias("b")
+
+    def rotated_block(r: int):
+        # rot32(h, r) = ((h << r) | (h >> (32-r))) & 0xFFFFFFFF, as
+        # overflow-free long arithmetic (mirrored in the SQL oracle)
+        sim = F.col("simhash")
+        rot = (
+            F.pmod(sim * F.lit(2**r), F.lit(2**32))
+            + F.floor(sim / F.lit(float(2 ** (32 - r)))).cast("long")
+        )
+        return F.floor(rot / F.lit(float(2 ** (32 - block_bits)))).cast("long")
+
+    rotations = [i * 32 // probes for i in range(probes)]
+    probe_entries = F.array(
+        *[
+            F.struct(F.lit(i).alias("p"), rotated_block(r).alias("block"))
+            for i, r in enumerate(rotations)
+        ]
+    )
+    blocked = _persisted(
+        docs.select(id_col, "simhash", F.explode(probe_entries).alias("pb"))
+        .select(id_col, "simhash", F.col("pb.p").alias("p"), F.col("pb.block").alias("block"))
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
-        a.join(b, "block")
+        a.join(b, ["p", "block"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
@@ -225,4 +251,5 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             "hamming",
         )
+        .distinct()
     )

@@ -429,6 +429,49 @@ FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
 """
 
+# Multi-probe rotations (operators.dedup.simhash_pairs probes>1):
+# rot32(h, r) = ((h*2^r) % 2^32 + h // 2^(32-r)), block = high bits.
+_SIMHASH_PREAMBLE = f"""
+WITH docs AS ({_DOCS_SS}),
+d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
+sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
+hv AS (SELECT doc_id, {_HV} AS h32 FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+votes AS (
+  SELECT doc_id, b,
+    SUM(((h32 // CAST(power(2, b) AS BIGINT)) % 2) * 2 - 1) AS vote
+  FROM hv, (SELECT unnest(generate_series(0, 31)) AS b)
+  GROUP BY doc_id, b),
+sim AS (
+  SELECT doc_id,
+    SUM(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id)"""
+
+
+def _simhash_probe_entries(probes: int, block_bits: int) -> str:
+    entries = []
+    for i in range(probes):
+        r = i * 32 // probes
+        rot = f"(simhash * {2**r}) % 4294967296 + simhash // {2**(32-r)}"
+        entries.append(
+            f"struct_pack(p := {i}, block := ({rot}) // {2**(32-block_bits)})"
+        )
+    return "[" + ", ".join(entries) + "]"
+
+
+ORACLES["dedup_simhash_multiprobe"] = f"""
+{_SIMHASH_PREAMBLE},
+blocked AS (
+  SELECT doc_id, simhash, u.p AS p, u.block AS block FROM (
+    SELECT doc_id, simhash,
+           unnest({_simhash_probe_entries(4, 8)}) AS u
+    FROM sim))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.p = b.p AND a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
+
 # -- similarity search ------------------------------------------------------
 
 _DOT = (

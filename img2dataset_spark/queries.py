@@ -497,6 +497,18 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_multiprobe(spark, sf_dir):
+    """Multi-probe simhash: finer 8-bit blocks (cheaper join) with 4
+    rotations recovering pairs whose differing bits fall inside any one
+    prefix window."""
+    from img2dataset_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), k=3, max_hamming=10, block_bits=8,
+        probes=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: similarity search (M6)
 # ---------------------------------------------------------------------------
@@ -675,6 +687,7 @@ QUERIES.update(
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,

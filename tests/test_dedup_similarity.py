@@ -169,3 +169,19 @@ class TestEmbeddingLsh:
         assert all(-1000 <= c <= 1000 for row in a for c in row)
         # planes must differ (md5-seeded, not an LCG ramp)
         assert a[0] != a[1]
+
+
+class TestSimhashMultiprobe:
+    def test_multiprobe_is_superset_of_single_probe(self, spark):
+        from img2dataset_spark.operators.dedup import simhash_pairs
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(d, max_hamming=10, block_bits=8).collect()
+        }
+        multi = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(d, max_hamming=10, block_bits=8, probes=4).collect()
+        }
+        assert single <= multi  # rotations only ADD co-blocking chances
