@@ -241,6 +241,28 @@ _PUNCTRATIO = _R6.format(
     )
 )
 
+# As-of join: right side first deduped to one row per (user_id, ts)
+# (greatest event_id wins) so both engines pick the same match; DuckDB's
+# native ASOF LEFT JOIN then equals the Spark union-merge plan.
+ORACLES["events_asof"] = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts,
+         arg_max(event_id, event_id) AS r_event_id,
+         arg_max(value, event_id) AS r_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       r.r_event_id AS click_event_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_s,
+       r.r_value AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 ORACLES["events_window"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

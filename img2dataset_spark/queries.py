@@ -652,6 +652,30 @@ def q_pipeline_verify_hash(spark, sf_dir):
     return df.select("doc_id", "key", "status", "error_message", "md5")
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase event picks up the
+    most recent click by the same user at or before its timestamp.
+    Single-shuffle union-merge plan vs DuckDB's native ASOF LEFT JOIN."""
+    from img2dataset_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts", seq_col="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.col("r_event_id").alias("click_event_id"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"),
+        F.col("r_value").alias("click_value"),
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming/windowed.py recipe in
     batch mode; the streaming variant adds a watermark to the same plan)."""
@@ -678,6 +702,7 @@ def q_sessionize(spark, sf_dir):
 
 QUERIES.update(
     {
+        "events_asof": q_events_asof,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
