@@ -420,6 +420,26 @@ SELECT id_a, id_b, jaccard FROM (
 WHERE jaccard >= 0.3
 """
 
+# Connected components over the minhash-LSH pair edges: the recursive
+# CTE materializes full reachability (fine at oracle scale; Spark uses
+# iterative min-label propagation instead), then component = min
+# reachable id (LEAST with self covers single-edge nodes).
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
 # -- simhash: hex fold + bit votes, expressed relationally ------------------
 
 _HEXDIGIT = (

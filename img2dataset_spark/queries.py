@@ -509,6 +509,25 @@ def q_dedup_simhash_multiprobe(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: minhash-LSH edges (same params
+    as dedup_minhash_lsh) -> iterative min-label connected components
+    (operators/graph.py) -> (doc_id, component).  The SQL twin computes
+    the transitive closure with a recursive CTE."""
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs
+    from img2dataset_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.3,
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: similarity search (M6)
 # ---------------------------------------------------------------------------
@@ -713,6 +732,7 @@ QUERIES.update(
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
+        "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,

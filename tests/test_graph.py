@@ -1,0 +1,52 @@
+"""operators/graph.py — connected components + representative dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.graph import (
+    connected_components,
+    dedup_representatives,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _comp(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_chain_and_separate_component(spark):
+    # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds)
+    # plus a separate pair 10-11; node 99 absent (singleton, not listed)
+    cc = _comp(
+        connected_components(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+        )
+    )
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    n = 16
+    cc = _comp(connected_components(_edges(spark, [(i, i + 1) for i in range(n)])))
+    assert set(cc.values()) == {0}
+    assert len(cc) == n + 1
+
+
+def test_max_iter_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=2
+        )
+
+
+def test_dedup_representatives(spark):
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    comps = connected_components(_edges(spark, [(1, 2), (2, 3)]))
+    kept = sorted(
+        r["doc_id"] for r in dedup_representatives(docs, comps).collect()
+    )
+    # cluster {1,2,3} keeps only 1; singletons 0,4,5 all survive
+    assert kept == [0, 1, 4, 5]
