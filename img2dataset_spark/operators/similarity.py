@@ -180,19 +180,22 @@ def ivf_fit(
     centroids in the UDF closure (k is small — tens to thousands; one
     (n x d) @ (d x k) matmul per batch, no n*k row explosion, no
     per-vector window shuffle), then one (cell, dim) aggregation with
-    exact decimal sums.  No corpus self-join anywhere."""
-    from pyspark.sql import Window
+    exact decimal sums.  No corpus self-join anywhere.  The training
+    frame is persisted across the iteration scans; seed cell ids are
+    assigned on the driver from the collected orderBy+limit rows (k
+    rows) — a row_number window here would be a global single-partition
+    window, the one shape to never ship."""
+    from pyspark import StorageLevel
 
-    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    seeds = e.orderBy(*_seed_order(id_col)).limit(num_cells)
-    w = Window.orderBy(*_seed_order(id_col))
-    cents = seeds.select((F.row_number().over(w) - 1).alias("cell"), F.col("v").alias("centroid"))
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    seed_rows = e.orderBy(*_seed_order(id_col)).limit(num_cells).collect()
+    cents = _literal_codebook(
+        df.sparkSession,
+        [{"cell": i, "centroid": r["v"]} for i, r in enumerate(seed_rows)],
+    )
     for _ in range(iters):
-        # Materialize the tiny codebook to a LITERAL frame each
-        # iteration (k-means is inherently driver-coordinated): one job
-        # per iteration, and downstream plans don't drag the whole
-        # training lineage along for re-execution.
-        cents = _literal_codebook(df.sparkSession, cents.collect())
         assigned = _assign_cells(e, cents, "v", id_col)
         dims = (
             assigned.select("cell", F.posexplode("v"))
@@ -204,14 +207,20 @@ def ivf_fit(
                 ).alias("cv")
             )
         )
-        cents = (
+        updated = (
             dims.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pv"))
             .select(
                 "cell", F.transform(F.col("pv"), lambda s: s["cv"]).alias("centroid")
             )
         )
-    return _literal_codebook(df.sparkSession, cents.collect())
+        # Materialize the tiny codebook to a LITERAL frame each
+        # iteration (k-means is inherently driver-coordinated): one job
+        # per iteration, and downstream plans don't drag the whole
+        # training lineage along for re-execution.
+        cents = _literal_codebook(df.sparkSession, updated.collect())
+    e.unpersist()
+    return cents
 
 
 def _literal_codebook(spark, rows) -> DataFrame:

@@ -431,14 +431,21 @@ def q_text_stats(spark, sf_dir):
 
 def q_text_fingerprint(spark, sf_dir):
     """Rolling-hash fingerprint + BPE-ish token count — the other two
-    text-analysis estimators (functions/text.py), integer-exact across
-    engines."""
+    text-analysis estimators.  The rolling hash uses the Arrow fast path
+    (text_fast.make_rolling_fingerprint_udf) over JVM-normalized text:
+    bit-identical to the `text.rolling_fingerprint` expression (pytest
+    asserts it) but without the per-character interpreted lambda walk."""
     from img2dataset_spark.functions import text as X
+    from img2dataset_spark.functions.text_fast import make_rolling_fingerprint_udf
+    from img2dataset_spark.operators.dedup import _parallel
 
-    d = _t(spark, sf_dir, "documents")
+    roll = make_rolling_fingerprint_udf()
+    # single-row-group test file -> 1 scan task; spread the Arrow stage
+    # (same rationale as operators/dedup._parallel: no-op at real scale)
+    d = _parallel(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
-        X.rolling_fingerprint(F.col("text")).alias("rolling_hash"),
+        roll(X.normalized_text(F.col("text"))).alias("rolling_hash"),
         X.bpe_token_count(F.col("text")).alias("bpe_tokens"),
     )
 
