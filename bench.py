@@ -33,6 +33,9 @@ HEADLINE = [
     "ann_ivf_fit_topk",
     "embedding_dup_pairs_lsh",
     "text_fingerprint",
+    "text_vocab",
+    "events_asof",
+    "dedup_components",
     "pipeline_e2e",
 ]
 

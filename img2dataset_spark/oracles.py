@@ -755,3 +755,58 @@ SELECT doc_id, key,
   CASE WHEN fetch_error IS NULL AND NOT mismatch THEN md5(payload) END AS md5
 FROM g
 """
+
+# -- corpus profiling / sampling (beyond-reference M6 additions) ------------
+
+ORACLES["text_vocab"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+t AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok WHERE token <> '' GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, tf, df,
+       FLOOR(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) / 1e6 AS idf
+FROM t, n
+ORDER BY tf DESC, token ASC LIMIT 50
+"""
+
+ORACLES["sample_stratified"] = f"""
+SELECT doc_id, source FROM documents
+WHERE ({_hv_of("md5(doc_id::VARCHAR)")}) % 100 < 20
+"""
+
+ORACLES["text_length_quantiles"] = """
+SELECT source,
+       COUNT(*) AS cnt,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       FLOOR(quantile_cont(n_chars, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+       FLOOR(quantile_cont(n_chars, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+       FLOOR(quantile_cont(n_chars, 0.99) * 1e6 + 0.5) / 1e6 AS p99
+FROM documents GROUP BY source
+"""
+
+# Range join: the oracle states the inequality join directly (DuckDB's
+# IEJoin machinery executes it); Spark uses the bucketed equi-join plan
+# in operators/rangejoin.py.
+ORACLES["events_range_join"] = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       COUNT(r.ts) AS n_clicks,
+       CAST(SUM(CAST(r.value AS DECIMAL(27,4))) AS DOUBLE) AS clicks_value
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+GROUP BY l.event_id, l.user_id, l.ts
+"""

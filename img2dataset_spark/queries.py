@@ -450,6 +450,81 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary with IDF — the token-frequency build every
+    LLM-data pipeline runs (vocab pruning, IDF weighting, stopword
+    discovery).  One explode + one hash-agg with map-side combine; the
+    doc-count side is a broadcast 1-row crossJoin.  Top-50 by term
+    frequency, deterministic tie-break."""
+    from img2dataset_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "tf",
+            "df",
+            _round6(F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("idf"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based sampling — reproducible train/eval
+    splits without storing a split table: keep rows whose md5-derived
+    bucket (of the stable id) falls under the rate.  Embarrassingly
+    parallel (a filter, no shuffle), identical row set on any cluster
+    layout and in the SQL oracle."""
+    from img2dataset_spark.functions.text import hex_to_int32
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hex_to_int32(F.md5(F.col("doc_id").cast("string").cast("binary"))),
+        F.lit(100),
+    )
+    return d.filter(bucket < 20).select("doc_id", "source")
+
+
+def q_text_length_quantiles(spark, sf_dir):
+    """Per-source document-length distribution (exact p50/p90/p99).
+    Exact `percentile` materializes each group's values — right for
+    per-source profiling (groups are few, values fit); at 100 TB with
+    huge groups swap in approx_percentile (t-digest sketch, mergeable
+    map-side) — same query shape, sketch instead of sort.  Exact form
+    kept here because it is oracle-verifiable bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").alias("_ps"),
+        )
+        .select(
+            "source",
+            "cnt",
+            "min_chars",
+            "max_chars",
+            _round6(F.col("_ps")[0]).alias("p50"),
+            _round6(F.col("_ps")[1]).alias("p90"),
+            _round6(F.col("_ps")[2]).alias("p99"),
+        )
+    )
+
+
 def q_text_langid(spark, sf_dir):
     """Language-ID heuristic: predicted language distribution."""
     from img2dataset_spark.functions import text as X
@@ -702,6 +777,38 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_range_join(spark, sf_dir):
+    """Bucketed range join (operators/rangejoin.py): clicks attributed
+    to each purchase by the same user within the preceding hour, rolled
+    up per purchase.  Left join back onto purchases keeps zero-click
+    purchases (n_clicks = 0, clicks_value NULL — matching SQL SUM over
+    an empty group)."""
+    from img2dataset_spark.operators.rangejoin import range_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    matched = range_join(purchases, clicks, on="user_id", window_sec=3600)
+    per_purchase = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dsum("r_value").alias("clicks_value"),
+    )
+    return (
+        purchases.join(per_purchase, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "clicks_value",
+        )
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming/windowed.py recipe in
     batch mode; the streaming variant adds a watermark to the same plan)."""
@@ -729,11 +836,15 @@ def q_sessionize(spark, sf_dir):
 QUERIES.update(
     {
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
+        "text_vocab": q_text_vocab,
+        "sample_stratified": q_sample_stratified,
+        "text_length_quantiles": q_text_length_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -1,0 +1,56 @@
+"""operators/rangejoin.py — bucketed range join semantics + plan shape."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.rangejoin import range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:00"))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), 1.0),   # exactly ts - w: inclusive
+            (1, _ts("2024-01-01 08:59:59.999999"), 2.0),  # just outside
+            (1, _ts("2024-01-01 09:20:00"), 3.0),   # previous w-bucket, in range
+            (1, _ts("2024-01-01 10:00:00"), 4.0),   # equal ts: inclusive
+            (1, _ts("2024-01-01 10:00:00.000001"), 5.0),  # just after
+            (2, _ts("2024-01-01 09:30:00"), 6.0),   # other key
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_boundaries_buckets_and_keys(spark):
+    left, right = _frames(spark)
+    out = range_join(left, right, on="user_id", window_sec=3600)
+    vals = sorted(r["r_value"] for r in out.collect())
+    assert vals == [1.0, 3.0, 4.0]
+
+
+def test_no_duplicate_pairs(spark):
+    left, right = _frames(spark)
+    out = range_join(left, right, on="user_id", window_sec=3600)
+    assert out.count() == out.dropDuplicates(["event_id", "r_ts"]).count()
+
+
+def test_equi_join_plan(spark):
+    """The physical join must be hash/sort-merge on (key, bucket) — a
+    BroadcastNestedLoopJoin or CartesianProduct here means the
+    inequality leaked into the join condition."""
+    left, right = _frames(spark)
+    plan = (
+        range_join(left, right, on="user_id", window_sec=3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
