@@ -185,3 +185,30 @@ class TestSimhashMultiprobe:
             for r in simhash_pairs(d, max_hamming=10, block_bits=8, probes=4).collect()
         }
         assert single <= multi  # rotations only ADD co-blocking chances
+
+
+def test_ivf_assign_partitioned_write_prunes_files(spark, vecs_df, tmp_path):
+    """The 100 TB IVF deployment story end-to-end: fit a codebook,
+    write vectors PARTITIONED BY cell, and confirm a probe-filtered
+    read plans only the probed cells' files (physical partition
+    pruning — the disk-level analog of ivf_topk's cell pruning)."""
+    import os
+
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    out = os.path.join(str(tmp_path), "ivf")
+    cb = ivf_fit(vecs_df, num_cells=3, iters=1)
+    assigned = ivf_assign(vecs_df, cb)
+    assigned.write.partitionBy("cell").parquet(out)
+
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert len(cells) > 1, "fixture degenerated to one cell"
+    probe = min(cells)
+    rd = spark.read.parquet(out).filter(F.col("cell") == probe)
+    # the partition predicate must reach the scan's PartitionFilters
+    # (file-level pruning), not survive as a post-scan Filter only
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # and the pruned read returns exactly that cell's rows
+    want = assigned.filter(F.col("cell") == probe).count()
+    assert rd.count() == want > 0
