@@ -4,6 +4,19 @@ Mirrors the knob surface of the reference CLI (`/root/reference/
 img2dataset/main.py:73-112`) and its validation rules
 (`main.py:31-70`).  A `PipelineConfig` is declarative: `plans.pipeline`
 lowers it to a lazy DataFrame plan that Catalyst optimizes.
+
+Reference knobs deliberately absent, with their Spark replacement:
+  processes_count / thread_count topology  -> executor/core counts are
+      cluster config, not query config (thread_count survives as the
+      per-task fetch concurrency knob);
+  distributor / subjob_size                -> the Spark scheduler IS
+      the distributor (SURVEY §2.4: subjob batching unnecessary);
+  enable_wandb / wandb_project             -> no external telemetry
+      service; the stats sidecars + streaming/progress.py aggregation
+      are the engine-native equivalent.
+Spark-side extras: fetch_mode (hermetic mock fetch for tests/oracles),
+ordered_sharding (global contiguous ids vs cheaper hash mode),
+shuffle_partitions.
 """
 
 from __future__ import annotations
