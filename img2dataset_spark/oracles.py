@@ -810,3 +810,39 @@ FROM l LEFT JOIN r
  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
 GROUP BY l.event_id, l.user_id, l.ts
 """
+
+# Gopher-style repetition: mode fraction per (doc, token/bigram).
+# Bigrams use DuckDB's INCLUSIVE list slicing: toks[i:i+1] is 2 elements.
+ORACLES["text_repetition"] = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS g FROM t
+),
+tok_counts AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM tok WHERE g <> '' GROUP BY doc_id, g
+),
+tok_stats AS (
+  SELECT doc_id, MAX(c) AS top_tok, SUM(c) AS n_tok FROM tok_counts GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks)-1),
+                     i -> array_to_string(toks[i:i+1], ' '))
+    ELSE []::VARCHAR[] END) AS g
+  FROM t
+),
+bg_counts AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+),
+bg_stats AS (
+  SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM bg_counts GROUP BY doc_id
+)
+SELECT ts.doc_id,
+       FLOOR(CAST(ts.top_tok AS DOUBLE) / ts.n_tok * 1e6 + 0.5) / 1e6 AS top_token_frac,
+       FLOOR(CAST(bs.top_bg AS DOUBLE) / bs.n_bg * 1e6 + 0.5) / 1e6 AS top_bigram_frac
+FROM tok_stats ts LEFT JOIN bg_stats bs ON ts.doc_id = bs.doc_id
+"""

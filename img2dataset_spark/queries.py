@@ -481,6 +481,40 @@ def q_text_vocab(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: fraction of tokens taken by the
+    most frequent token / bigram per document — the standard cheap
+    detector of boilerplate and degenerate generations.  Per-doc mode
+    via explode -> (doc, gram) count -> (doc) max/sum: two hash-agg
+    shuffles keyed on doc_id with map-side combine, no windows, no
+    per-doc quadratic array scans.  Docs with fewer than 2 tokens get
+    NULL bigram fraction (left join)."""
+    from img2dataset_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    tok_stats = (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_tok"), F.sum("count").alias("n_tok"))
+    )
+    bg_stats = (
+        toks.select("doc_id", F.explode(X.shingles(F.col("toks"), 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"), F.sum("count").alias("n_bg"))
+    )
+    return tok_stats.join(bg_stats, "doc_id", "left").select(
+        "doc_id",
+        _round6(F.col("top_tok") / F.col("n_tok")).alias("top_token_frac"),
+        _round6(F.col("top_bg") / F.col("n_bg")).alias("top_bigram_frac"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based sampling — reproducible train/eval
     splits without storing a split table: keep rows whose md5-derived
@@ -843,6 +877,7 @@ QUERIES.update(
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_vocab": q_text_vocab,
+        "text_repetition": q_text_repetition,
         "sample_stratified": q_sample_stratified,
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_exact": q_dedup_exact,
