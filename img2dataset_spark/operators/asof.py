@@ -45,17 +45,22 @@ def asof_join(
     ts_col: str = "ts",
     seq_col: str | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: for every ``left`` row, attach the most recent
-    ``right`` row with the same ``on`` key and ``right.ts <= left.ts``
-    (``<`` when ``strict``).  Unmatched left rows keep NULL right
-    columns (ASOF LEFT JOIN semantics).
+    """Left as-of join: for every ``left`` row, attach the nearest
+    ``right`` row with the same ``on`` key — the most recent one with
+    ``right.ts <= left.ts`` (``direction="backward"``, default) or the
+    next one with ``right.ts >= left.ts`` (``direction="forward"``);
+    ``strict`` excludes the equal-ts case.  Unmatched left rows keep
+    NULL right columns (ASOF LEFT JOIN semantics).
 
     ``right`` value columns come back prefixed ``r_`` (plus
     ``r_<ts_col>`` = the matched row's timestamp).  ``seq_col`` breaks
     (key, ts) ties deterministically (greatest wins); when None, right
     should be unique per (key, ts).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_cols = list(left.columns)
     r_vals = [c for c in right.columns if c != on]  # keep right ts as a value
 
@@ -94,8 +99,11 @@ def asof_join(
     # so equal-ts rights are inside the frame.  Strict: order
     # (ts, _side desc) puts them AFTER, so the running frame holds only
     # strictly-earlier rights (a row's own _r is NULL, so including
-    # itself is harmless).
-    order = [F.col("_ts"), F.col("_side").desc() if strict else F.col("_side").asc()]
+    # itself is harmless).  Forward direction is the mirror image: walk
+    # the key's timeline in DESCENDING ts order and "most recent seen"
+    # becomes "next at-or-after".
+    ts_order = F.col("_ts").desc() if direction == "forward" else F.col("_ts").asc()
+    order = [ts_order, F.col("_side").desc() if strict else F.col("_side").asc()]
     w = W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     matched = F.last("_r", ignorenulls=True).over(w).alias("_m")
     return (

@@ -846,3 +846,24 @@ SELECT ts.doc_id,
        FLOOR(CAST(bs.top_bg AS DOUBLE) / bs.n_bg * 1e6 + 0.5) / 1e6 AS top_bigram_frac
 FROM tok_stats ts LEFT JOIN bg_stats bs ON ts.doc_id = bs.doc_id
 """
+
+# Survivors = all docs minus non-representative members of near-dup
+# clusters (composition of the dedup_components closure).
+ORACLES["dedup_survivors"] = f"""
+WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""

@@ -644,6 +644,25 @@ def q_dedup_components(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The full dedup story end-to-end: minhash-LSH pairs -> connected
+    components -> drop non-representative cluster members; returns the
+    surviving corpus rows.  The anti-join side (non-representatives) is
+    tiny relative to the corpus, so it broadcasts."""
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs
+    from img2dataset_spark.operators.graph import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, k=3, num_hashes=32, num_bands=8, jaccard_threshold=0.3
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return dedup_representatives(d, cc).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: similarity search (M6)
 # ---------------------------------------------------------------------------
@@ -886,6 +905,7 @@ QUERIES.update(
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
         "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,

@@ -69,6 +69,38 @@ def test_strict_excludes_equal_ts(spark, frames):
     assert out[101]["r_event_id"] == 12  # strictly earlier still matches
 
 
+def test_forward_direction(spark, frames):
+    left, right = frames
+    out = _by_event(
+        asof_join(left, right, on="user_id", seq_col="event_id", direction="forward")
+    )
+    # equal-ts right eligible (tie-broken to max seq 11)
+    assert out[100]["r_event_id"] == 11
+    # next right at-or-after 12:00 for user 1: none exist
+    assert out[101]["r_event_id"] is None
+    # user 2 at 09:00: the 09:30 right row is the next one
+    assert out[200]["r_event_id"] == 20
+    assert out[300]["r_event_id"] is None
+
+
+def test_forward_strict(spark, frames):
+    left, right = frames
+    out = _by_event(
+        asof_join(
+            left, right, on="user_id", seq_col="event_id",
+            direction="forward", strict=True,
+        )
+    )
+    # equal-ts rights excluded; next strictly-after is the 11:00 row
+    assert out[100]["r_event_id"] == 12
+
+
+def test_bad_direction_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="user_id", direction="sideways")
+
+
 def test_single_shuffle_plan(spark, frames):
     """The physical plan must be the union-merge shape: no join operator
     at all (a SortMergeJoin/BroadcastHashJoin here would mean the
