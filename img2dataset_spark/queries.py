@@ -278,6 +278,33 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q5_full(spark, sf_dir):
+    """Real TPC-H Q5 semantics — adds the supplier leg (l_suppkey =
+    s_suppkey AND c_nationkey = s_nationkey, the classic 'local
+    supplier' predicate), region filter, and a one-year date window.
+    supplier/nation/region are broadcast; the two big-table joins
+    (lineitem-orders, then customer) shuffle on their keys."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(rev).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Engine operators exercised as queries (R1/T12/A5, P4/T11, P8/J1)
 # ---------------------------------------------------------------------------
@@ -393,6 +420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q5_full": q_tpch_q5_full,
     "r1_sharding": q_r1_sharding,
     "t12_keys": q_t12_keys,
     "t12_keys_hash_mode": q_t12_keys_hash_mode,
