@@ -882,3 +882,12 @@ WHERE r_name = 'ASIA'
   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 """
+
+# Ops rollup over the e2e pipeline output (oracle composed from the
+# pipeline_e2e closure).
+ORACLES["pipeline_route_stats"] = f"""
+WITH out AS ({ORACLES["pipeline_e2e"]})
+SELECT regexp_extract(url, 'synth\\.local/([a-z]+)/', 1) AS route,
+       status, error_message, COUNT(*) AS cnt
+FROM out GROUP BY 1, 2, 3
+"""

@@ -890,6 +890,20 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_pipeline_route_stats(spark, sf_dir):
+    """Ops rollup over the pipeline output: per URL route, status and
+    error distribution — the 'which sources fail and why' question every
+    production crawl asks.  Pure composition: the e2e pipeline plan
+    feeds one map-side-combine aggregation."""
+    out = q_pipeline_e2e(spark, sf_dir)
+    route = F.regexp_extract(F.col("url"), r"synth\.local/([a-z]+)/", 1)
+    return (
+        out.groupBy(
+            route.alias("route"), "status", "error_message"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming/windowed.py recipe in
     batch mode; the streaming variant adds a watermark to the same plan)."""
@@ -941,5 +955,6 @@ QUERIES.update(
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "pipeline_e2e": q_pipeline_e2e,
         "pipeline_verify_hash": q_pipeline_verify_hash,
+        "pipeline_route_stats": q_pipeline_route_stats,
     }
 )
