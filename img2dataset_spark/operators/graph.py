@@ -13,11 +13,17 @@ repeated until a fixpoint.  Per round: one join (labels onto edge
 endpoints) + one min-aggregation — two hash shuffles, both keyed on
 node id, plus an O(1)-row convergence check.  Rounds needed = graph
 diameter; near-dup clusters are dense and shallow (diameter ≲ 3-4 in
-practice), so this converges in a handful of rounds.  For adversarial
-long-chain graphs at 100 TB you'd switch to the large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) whose round count is O(log n) regardless of
-diameter; the per-round plan shape is identical, so the swap is local.
+practice), so this converges in a handful of rounds.
+
+For adversarial long-chain graphs at 100 TB,
+:func:`connected_components_two_phase` implements the
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), whose round count is
+O(log² n) — and O(log n) in practice — regardless of diameter.  Each
+round is the same shuffle shape (a groupBy-min plus a join keyed on
+node id), but the edge set itself is rewritten toward a star forest
+instead of propagating labels over a fixed topology, which is what
+removes the diameter dependence.
 
 Lineage is truncated every round with an eager localCheckpoint —
 without it each iteration's plan would embed all previous ones and
@@ -76,6 +82,91 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "use the large-star/small-star variant for long-chain graphs"
+    )
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14): same (node, component) contract as
+    :func:`connected_components`, but converges in O(log² n) rounds
+    independent of graph diameter — the variant to use when cluster
+    chains can be long (transitive near-dup chains over a 100 TB
+    corpus).
+
+    Each round alternates two edge rewrites, both expressed as one
+    groupBy-min + one join (two hash shuffles keyed on node id):
+
+    * large-star(u): connect every neighbor v > u to
+      m = min(N(u) ∪ {u}) — strictly-larger neighbors re-hang below
+      the local minimum;
+    * small-star(u): on the resulting bigger→smaller edges, connect u
+      and all its smaller neighbors to m = min(N≤(u)) — compresses
+      downward paths.
+
+    The fixpoint of the alternation is a star forest rooted at each
+    component's minimum id, from which labels are read off directly.
+    Convergence is detected by edge-set stability (two exceptAll
+    probes, each short-circuited by limit(1)).  Lineage is truncated
+    per round with localCheckpoint, same rationale as the label-
+    propagation variant.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.limit(1).count() == 0:
+        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    for _ in range(max_iter):
+        # -- large star: operate on the full (symmetric) neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("nmin"))
+            .select("u", F.least("nmin", F.col("u")).alias("m"))
+        )
+        # every strictly-larger neighbor v re-hangs onto m (m <= u < v,
+        # so the emitted edge is already in bigger->smaller form)
+        le = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small star: edges are bigger->smaller, so N<=(u) is just v
+        smin = le.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            le.join(smin, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+        )
+        e_new = small.distinct().localCheckpoint()
+        stable = (
+            e_new.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e_new).limit(1).count() == 0
+        )
+        e = e_new
+        if stable:
+            # fixpoint == star forest rooted at component minima
+            members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+            roots = (
+                e.select(F.col("v").alias("node"))
+                .distinct()
+                .withColumn("component", F.col("node"))
+            )
+            return members.union(roots)
+    raise RuntimeError(
+        f"connected_components_two_phase did not converge in {max_iter} rounds"
     )
 
 

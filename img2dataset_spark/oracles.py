@@ -440,6 +440,10 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
 FROM reach GROUP BY a
 """
 
+# The two-phase (large-star/small-star) Spark implementation must
+# produce byte-identical clusters, so it checks against the same SQL.
+ORACLES["dedup_components_2phase"] = ORACLES["dedup_components"]
+
 # -- simhash: hex fold + bit votes, expressed relationally ------------------
 
 _HEXDIGIT = (

@@ -672,6 +672,27 @@ def q_dedup_components(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_dedup_components_2phase(spark, sf_dir):
+    """Same clusters as dedup_components, computed with the
+    large-star/small-star edge-rewrite algorithm
+    (operators/graph.py:connected_components_two_phase) whose round
+    count is diameter-independent — the variant for long transitive
+    near-dup chains at scale.  Must agree exactly with the
+    label-propagation result, so it shares the recursive-CTE oracle."""
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs
+    from img2dataset_spark.operators.graph import connected_components_two_phase
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.3,
+    )
+    cc = connected_components_two_phase(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_dedup_survivors(spark, sf_dir):
     """The full dedup story end-to-end: minhash-LSH pairs -> connected
     components -> drop non-representative cluster members; returns the
@@ -947,6 +968,7 @@ QUERIES.update(
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
         "dedup_components": q_dedup_components,
+        "dedup_components_2phase": q_dedup_components_2phase,
         "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from img2dataset_spark.operators.graph import (
     connected_components,
+    connected_components_two_phase,
     dedup_representatives,
 )
 
@@ -40,6 +41,35 @@ def test_max_iter_raises(spark):
         connected_components(
             _edges(spark, [(i, i + 1) for i in range(12)]), max_iter=2
         )
+
+
+def test_two_phase_matches_label_propagation(spark):
+    # mixed topology: a chain, a triangle, an isolated pair, shared nodes
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (8, 9), (7, 9), (20, 21)]
+    edges = _edges(spark, pairs)
+    assert _comp(connected_components_two_phase(edges)) == _comp(
+        connected_components(edges)
+    )
+
+
+def test_two_phase_long_chain_logarithmic_rounds(spark):
+    # 64-node chain: label propagation needs ~diameter rounds (64);
+    # large-star/small-star must finish within O(log^2 n) — 10 rounds
+    # is generous for n=65 and far below the diameter bound.
+    n = 64
+    cc = _comp(
+        connected_components_two_phase(
+            _edges(spark, [(i, i + 1) for i in range(n)]), max_iter=10
+        )
+    )
+    assert set(cc.values()) == {0}
+    assert len(cc) == n + 1
+
+
+def test_two_phase_empty_edges(spark):
+    out = connected_components_two_phase(_edges(spark, []))
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
 
 
 def test_dedup_representatives(spark):
