@@ -32,6 +32,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_fit_topk",
     "embedding_dup_pairs_lsh",
+    "decontamination",
     "text_fingerprint",
     "text_vocab",
     "events_asof",

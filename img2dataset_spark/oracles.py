@@ -815,6 +815,22 @@ FROM l LEFT JOIN r
 GROUP BY l.event_id, l.user_id, l.ts
 """
 
+# Benchmark decontamination: bench = doc_id % 37 slice; per-doc score =
+# |shingles ∩ bench shingles| / |shingles|, 6-decimal floor-rounded.
+# The Spark side broadcasts the bench set into a fused Arrow UDF; the
+# oracle expresses the same membership count with list_intersect
+# against the aggregated bench shingle list.
+ORACLES["decontamination"] = f"""
+WITH ds AS ({_DOCS_SS}),
+bl AS (
+  SELECT list_distinct(flatten(list(ss))) AS b FROM ds WHERE doc_id % 37 = 0
+)
+SELECT doc_id,
+       FLOOR(len(list_intersect(ss, b)) / len(ss) * 1e6 + 0.5) / 1e6
+         AS contamination
+FROM ds, bl WHERE len(ss) > 0
+"""
+
 # Gopher-style repetition: mode fraction per (doc, token/bigram).
 # Bigrams use DuckDB's INCLUSIVE list slicing: toks[i:i+1] is 2 elements.
 ORACLES["text_repetition"] = """

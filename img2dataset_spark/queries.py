@@ -543,6 +543,20 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark-overlap contamination score per document
+    (operators/decontaminate.py): the 'benchmark' is the deterministic
+    doc_id % 37 == 0 slice of the corpus, its distinct 3-shingles are
+    broadcast, and scoring is a fused zero-shuffle Arrow UDF pass —
+    the plan shape decontamination needs when the corpus is 100 TB and
+    the benchmark is MBs."""
+    from img2dataset_spark.operators.decontaminate import contamination_scores
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    return contamination_scores(d, bench, k=3)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based sampling — reproducible train/eval
     splits without storing a split table: keep rows whose md5-derived
@@ -961,6 +975,7 @@ QUERIES.update(
         "text_vocab": q_text_vocab,
         "text_repetition": q_text_repetition,
         "sample_stratified": q_sample_stratified,
+        "decontamination": q_decontamination,
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
