@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_ivf_fit_topk",
     "embedding_dup_pairs_lsh",
     "decontamination",
+    "redact_pii",
     "text_fingerprint",
     "text_vocab",
     "events_asof",

@@ -831,6 +831,43 @@ SELECT doc_id,
 FROM ds, bl WHERE len(ss) > 0
 """
 
+# PII redaction: the chained regexp_count/regexp_replace CTEs are built
+# from functions.redact.PII_PATTERNS itself, so the oracle can never
+# drift from the Spark patterns or the (semantic) redaction order.
+# DuckDB single-quoted strings keep backslashes literal, so \b/\d pass
+# through unchanged; counts run on the progressively-redacted text,
+# exactly like redact_expr.
+def _redact_sql() -> str:
+    from img2dataset_spark.functions.redact import PII_PATTERNS
+
+    sql = """
+WITH r0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text
+    ELSE text || ' contact user' || doc_id || '@example.com ip 10.'
+         || (doc_id % 256) || '.0.99 ssn 123-45-6789 tel 555-123-4567'
+    END AS text
+  FROM documents
+)"""
+    prev = "r0"
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, 1):
+        keep = ", ".join(carried) + (", " if carried else "")
+        sql += f""",
+r{i} AS (
+  SELECT doc_id, {keep}
+    len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name},
+    regexp_replace(text, '{pat}', '{token}', 'g') AS text
+  FROM {prev}
+)"""
+        carried.append(f"n_{name}")
+        prev = f"r{i}"
+    names = ", ".join(carried)
+    return f"{sql}\nSELECT doc_id, md5(text) AS redacted_md5, {names} FROM {prev}"
+
+
+ORACLES["redact_pii"] = _redact_sql()
+
 # Gopher-style repetition: mode fraction per (doc, token/bigram).
 # Bigrams use DuckDB's INCLUSIVE list slicing: toks[i:i+1] is 2 elements.
 ORACLES["text_repetition"] = """

@@ -557,6 +557,35 @@ def q_decontamination(spark, sf_dir):
     return contamination_scores(d, bench, k=3)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (functions/redact.py) over documents with
+    deterministic injected PII (the synthetic corpus contains none):
+    docs with doc_id % 3 != 0 get an email + ip + ssn + phone appended,
+    then the redaction chain runs and the result is pinned by
+    md5(redacted_text) plus per-kind counts.  Pure codegen — no
+    shuffle, no Python."""
+    from img2dataset_spark.functions.redact import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.99 ssn 123-45-6789 tel 555-123-4567"),
+        )
+    )
+    out = redact_pii(d.select("doc_id", injected.alias("text")))
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("redacted_md5"),
+        *[F.col(f"n_{k}").cast("long").alias(f"n_{k}")
+          for k in ("email", "ssn", "phone", "ipv4")],
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based sampling — reproducible train/eval
     splits without storing a split table: keep rows whose md5-derived
@@ -976,6 +1005,7 @@ QUERIES.update(
         "text_repetition": q_text_repetition,
         "sample_stratified": q_sample_stratified,
         "decontamination": q_decontamination,
+        "redact_pii": q_redact_pii,
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
