@@ -34,6 +34,7 @@ HEADLINE = [
     "embedding_dup_pairs_lsh",
     "decontamination",
     "redact_pii",
+    "resample_mixture",
     "text_fingerprint",
     "text_vocab",
     "events_asof",

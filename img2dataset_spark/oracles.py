@@ -831,6 +831,29 @@ SELECT doc_id,
 FROM ds, bl WHERE len(ss) > 0
 """
 
+# Mixture resampling: S = min_g(n_g / f_g), rate_g = S*f_g/n_g, keep a
+# row iff its md5 bucket (of 1e6) clears floor(rate*1e6 + 0.5) — the
+# exact formula in operators/mixture.py with the same double
+# arithmetic (fracs cast to DOUBLE; DuckDB's bare 0.5 literals are
+# DECIMAL, which would change the rounding).
+ORACLES["resample_mixture"] = f"""
+WITH fr(source, frac) AS (
+  VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)
+),
+counts AS (
+  SELECT d.source, COUNT(*) AS n, ANY_VALUE(frac) AS frac
+  FROM documents d JOIN fr ON d.source = fr.source GROUP BY d.source
+),
+s AS (SELECT MIN(n / frac) AS scale FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0::DOUBLE, scale * frac / n) AS rate
+  FROM counts, s
+)
+SELECT doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
+WHERE ({_hv_of("md5(doc_id::VARCHAR)")}) % 1000000
+      < FLOOR(rate * 1000000 + 0.5)
+"""
+
 # PII redaction: the chained regexp_count/regexp_replace CTEs are built
 # from functions.redact.PII_PATTERNS itself, so the oracle can never
 # drift from the Spark patterns or the (semantic) redaction order.

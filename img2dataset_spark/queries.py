@@ -586,6 +586,22 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_resample_mixture(spark, sf_dir):
+    """Static mixture reweighting (operators/mixture.py): target 50/30/20
+    over src0/src1/src2, everything else dropped; keep-decisions are
+    md5-bucket deterministic so the oracle reproduces the exact row set.
+    Plan: tiny count agg -> broadcast rates join -> codegen filter; the
+    corpus is never shuffled."""
+    from img2dataset_spark.operators.mixture import resample_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    out = resample_mixture(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        group_col="source", id_col="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based sampling — reproducible train/eval
     splits without storing a split table: keep rows whose md5-derived
@@ -1004,6 +1020,7 @@ QUERIES.update(
         "text_vocab": q_text_vocab,
         "text_repetition": q_text_repetition,
         "sample_stratified": q_sample_stratified,
+        "resample_mixture": q_resample_mixture,
         "decontamination": q_decontamination,
         "redact_pii": q_redact_pii,
         "text_length_quantiles": q_text_length_quantiles,
