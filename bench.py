@@ -37,6 +37,7 @@ HEADLINE = [
     "resample_mixture",
     "text_fingerprint",
     "text_vocab",
+    "text_lm_score",
     "events_asof",
     "dedup_components",
     "pipeline_e2e",

@@ -831,6 +831,30 @@ SELECT doc_id,
 FROM ds, bl WHERE len(ss) > 0
 """
 
+# Unigram LM scoring: costs are integer micro-nats
+# (floor(ln(total/c)*1e6 + 0.5)) so per-doc sums are exact integer
+# arithmetic in both engines; vocab capped at 20 by (count desc, token
+# asc) — same deterministic TakeOrdered tie-break as the Spark side.
+ORACLES["text_lm_score"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+counts AS (SELECT token, COUNT(*) AS c FROM t2 GROUP BY token),
+tot AS (SELECT SUM(c) AS total FROM counts),
+vocab AS (
+  SELECT token, FLOOR(ln(total / c) * 1e6 + 0.5)::BIGINT AS nlp_micro
+  FROM counts, tot ORDER BY c DESC, token ASC LIMIT 20
+),
+oov AS (SELECT FLOOR(ln(total::DOUBLE) * 1e6 + 0.5)::BIGINT AS oov_micro FROM tot),
+per AS (
+  SELECT doc_id, SUM(COALESCE(nlp_micro, oov_micro)) AS s, COUNT(*) AS n
+  FROM t2 LEFT JOIN vocab USING(token) CROSS JOIN oov GROUP BY doc_id
+)
+SELECT doc_id, n AS n_toks, FLOOR(s / n + 0.5)::BIGINT AS nlp_mean_micro
+FROM per
+"""
+
 # Mixture resampling: S = min_g(n_g / f_g), rate_g = S*f_g/n_g, keep a
 # row iff its md5 bucket (of 1e6) clears floor(rate*1e6 + 0.5) — the
 # exact formula in operators/mixture.py with the same double

@@ -509,6 +509,19 @@ def q_text_vocab(spark, sf_dir):
     )
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring (operators/lm.py): fit on the corpus
+    with max_vocab=20 (the synthetic vocabulary is ~30 words, so the
+    cap genuinely pushes the tail into OOV), then mean micro-nat cost
+    per document.  Integer fixed-point sums keep the result independent
+    of partitioning and bit-identical to the SQL twin."""
+    from img2dataset_spark.operators.lm import fit_unigram_lm, score_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    vocab, oov = fit_unigram_lm(d, max_vocab=20)
+    return score_unigram(d, vocab, oov)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals: fraction of tokens taken by the
     most frequent token / bigram per document — the standard cheap
@@ -1019,6 +1032,7 @@ QUERIES.update(
         "text_langid": q_text_langid,
         "text_vocab": q_text_vocab,
         "text_repetition": q_text_repetition,
+        "text_lm_score": q_text_lm_score,
         "sample_stratified": q_sample_stratified,
         "resample_mixture": q_resample_mixture,
         "decontamination": q_decontamination,
