@@ -39,6 +39,7 @@ HEADLINE = [
     "text_vocab",
     "text_lm_score",
     "events_asof",
+    "events_salted_join",
     "dedup_components",
     "pipeline_e2e",
 ]

@@ -831,6 +831,18 @@ SELECT doc_id,
 FROM ds, bl WHERE len(ss) > 0
 """
 
+# Salted join: the oracle is the PLAIN join — salting must never
+# change the answer.  MAX keeps the dimension exact (no float-sum
+# order dependence); tmax/2 is an exact IEEE halving in both engines.
+ORACLES["events_salted_join"] = """
+WITH dim AS (SELECT event_type, MAX(value) AS tmax FROM events GROUP BY 1)
+SELECT e.event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN e.value > tmax / 2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_above_half_max
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+"""
+
 # Unigram LM scoring: costs are integer micro-nats
 # (floor(ln(total/c)*1e6 + 0.5)) so per-doc sums are exact integer
 # arithmetic in both engines; vocab capped at 20 by (count desc, token

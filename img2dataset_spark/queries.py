@@ -725,6 +725,26 @@ def q_dedup_simhash_multiprobe(spark, sf_dir):
     )
 
 
+def q_events_salted_join(spark, sf_dir):
+    """Skew-mitigated enrich-join (operators/skew.py): events have only
+    5 event types — the canonical hot-key shuffle shape — so the
+    per-type stats dimension is joined back with an 8-way salt and the
+    result re-aggregated.  Row-identical to the plain join (the oracle
+    IS the plain join), which is the point: salting changes the
+    shuffle layout, never the answer."""
+    from img2dataset_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.max("value").alias("tmax"))
+    j = salted_join(ev, dim, ["event_type"], salt=8)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("value") > F.col("tmax") / F.lit(2), 1).otherwise(0)
+        ).cast("long").alias("n_above_half_max"),
+    )
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: minhash-LSH edges (same params
     as dedup_minhash_lsh) -> iterative min-label connected components
@@ -1045,6 +1065,7 @@ QUERIES.update(
         "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
         "dedup_components": q_dedup_components,
         "dedup_components_2phase": q_dedup_components_2phase,
+        "events_salted_join": q_events_salted_join,
         "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
