@@ -44,3 +44,90 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def static_band_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """(band, ref_id) MinHash-LSH index of an EXISTING batch corpus,
+    for stream-static near-dup checks.  Same shingle/minhash/banding
+    formulas as the batch pair generator (operators.dedup), so a
+    stream-side collision means exactly "this band would have joined
+    in minhash_lsh_pairs".  Persist the result: Spark re-reads the
+    static side every micro-batch, and a persisted tiny index turns
+    that into a memory lookup."""
+    from img2dataset_spark.functions.text_fast import (
+        make_minhash_bands_udf,
+        make_shingle_set_udf,
+    )
+
+    shingle_set = make_shingle_set_udf(k)
+    bands = make_minhash_bands_udf(num_hashes, num_bands)
+    docs = corpus.select(
+        F.col(id_col).alias("ref_id"),
+        shingle_set(F.col(text_col)).alias("_ss"),
+    ).filter(F.size("_ss") > 0)
+    return docs.select(
+        "ref_id", F.explode(bands(F.col("_ss"))).alias("band")
+    ).distinct()
+
+
+def streaming_neardup_flags(
+    stream: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Ingestion-time near-dup screening: each streaming document is
+    banded with the SAME minhash formulas and stream-static LEFT-joined
+    against ``index``; the per-document aggregation emits
+    (id, ts, n_band_hits, is_neardup).
+
+    The stream-static join is stateless (the static side is a lookup);
+    the only state is the per-document aggregation, bounded by the
+    watermark.  Documents too short to shingle have no bands and are
+    emitted with n_band_hits = 0 via a zero-band placeholder, so every
+    incoming document gets a verdict.  This answers "does the new doc
+    collide with the EXISTING corpus"; duplicates *within* the stream
+    are streaming_exact_dedup's job (and a periodic batch
+    minhash_lsh_pairs compaction covers stream-vs-stream near-dups —
+    the same lambda split documented in the module header)."""
+    from img2dataset_spark.functions.text_fast import (
+        make_minhash_bands_udf,
+        make_shingle_set_udf,
+    )
+
+    shingle_set = make_shingle_set_udf(k)
+    bands = make_minhash_bands_udf(num_hashes, num_bands)
+    banded = (
+        stream.select(
+            F.col(id_col), F.col(ts_col),
+            shingle_set(F.col(text_col)).alias("_ss"),
+        )
+        .withColumn(
+            "band",
+            F.explode_outer(
+                F.when(F.size("_ss") > 0, bands(F.col("_ss")))
+            ),
+        )
+        .drop("_ss")
+    )
+    hits = banded.join(index, "band", "left")
+    return (
+        hits.withWatermark(ts_col, watermark)
+        .groupBy(id_col, ts_col)
+        .agg(
+            F.count("ref_id").alias("n_band_hits"),
+            F.max(F.col("ref_id").isNotNull()).alias("is_neardup"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""streaming/dedup.py — stream-static near-dup screening agrees with
+the batch band-collision semantics."""
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from img2dataset_spark.streaming.dedup import (
+    static_band_index,
+    streaming_neardup_flags,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog every day"),
+            (101, "completely different reference material about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _stream_rows():
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mk = lambda i, s, text: (i, t0 + dt.timedelta(seconds=s), text)
+    return [
+        # exact copy of ref 100 -> every band collides
+        mk(1, 0, "the quick brown fox jumps over the lazy dog every day"),
+        # perturbed copy -> most bands still collide
+        mk(2, 10, "the quick brown fox jumps over the lazy dog every night"),
+        # novel text -> no collision
+        mk(3, 20, "unrelated streaming document with novel content entirely"),
+        # too short to shingle -> zero bands, still emitted
+        mk(4, 30, "hi"),
+    ]
+
+
+def test_stream_static_neardup_flags(spark, tmp_path):
+    corpus = _corpus(spark)
+    index = static_band_index(corpus).persist()
+    index.count()
+
+    src = os.path.join(str(tmp_path), "src")
+    batch = spark.createDataFrame(
+        _stream_rows(), "doc_id long, ts timestamp, text string"
+    )
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    flagged = streaming_neardup_flags(stream, index)
+    q = (
+        flagged.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_neardup")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["n_band_hits"], r["is_neardup"])
+        for r in spark.table("t_neardup").collect()
+    }
+
+    assert set(got) == {1, 2, 3, 4}  # every doc gets a verdict
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2][1] is True  # near-dup still collides in >=1 band
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)  # short doc: zero bands, emitted
+
+    # batch twin: same band join must yield the same hit counts
+    from img2dataset_spark.functions.text_fast import (
+        make_minhash_bands_udf,
+        make_shingle_set_udf,
+    )
+    ss = make_shingle_set_udf(3)
+    bands = make_minhash_bands_udf(32, 8)
+    b = (
+        batch.select("doc_id", ss(F.col("text")).alias("_ss"))
+        .withColumn(
+            "band", F.explode_outer(F.when(F.size("_ss") > 0, bands(F.col("_ss"))))
+        )
+        .join(index, "band", "left")
+        .groupBy("doc_id")
+        .agg(F.count("ref_id").alias("n"))
+    )
+    want = {r["doc_id"]: r["n"] for r in b.collect()}
+    assert {d: n for d, (n, _) in got.items()} == want
+    index.unpersist()
