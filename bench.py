@@ -38,6 +38,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_vocab",
     "text_lm_score",
+    "quality_flags",
     "events_asof",
     "events_salted_join",
     "dedup_components",

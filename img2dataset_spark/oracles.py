@@ -831,6 +831,69 @@ SELECT doc_id,
 FROM ds, bl WHERE len(ss) > 0
 """
 
+# Composite Gopher-style quality verdicts: every ratio is 6-dp
+# floor-rounded BEFORE threshold comparison (verdicts bit-stable);
+# reasons are list_filter'd CASE labels in the same fixed rule order
+# as operators/quality.py; repetition rules pass on NULL (short docs).
+_MEANLEN = _R6.format(
+    x="CASE WHEN len(toks) > 0 THEN "
+    "length(regexp_replace(trim(text), '\\s+', '', 'g')) / len(toks) "
+    "ELSE 0.0 END"
+)
+ORACLES["quality_flags"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS nt,
+    {_MEANLEN} AS ml,
+    {_STOPRATIO} AS swr,
+    {_PUNCTRATIO} AS pr
+  FROM t
+),
+tk AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE tok <> ''
+),
+tok_counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id,
+         FLOOR(CAST(MAX(c) AS DOUBLE) / SUM(c) * 1e6 + 0.5) / 1e6 AS ttf
+  FROM tok_counts GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks)-1),
+                     i -> array_to_string(toks[i:i+1], ' '))
+    ELSE []::VARCHAR[] END) AS b
+  FROM t
+),
+bg_counts AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id,
+         FLOOR(CAST(MAX(c) AS DOUBLE) / SUM(c) * 1e6 + 0.5) / 1e6 AS tbf
+  FROM bg_counts GROUP BY doc_id
+),
+j AS (
+  SELECT m.*, ts.ttf, bs.tbf FROM m
+  LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)
+),
+rl AS (
+  SELECT doc_id, list_filter([
+    CASE WHEN nt < 30 THEN 'too_few_tokens' END,
+    CASE WHEN nt > 90 THEN 'too_many_tokens' END,
+    CASE WHEN ml < 3.0 OR ml > 10.0 THEN 'mean_tok_len_out_of_range' END,
+    CASE WHEN swr < 0.02 THEN 'low_stopword_ratio' END,
+    CASE WHEN pr > 0.1 THEN 'high_punct_ratio' END,
+    CASE WHEN ttf > 0.1 THEN 'repeated_top_token' END,
+    CASE WHEN tbf > 0.05 THEN 'repeated_top_bigram' END
+  ], x -> x IS NOT NULL) AS rs FROM j
+)
+SELECT doc_id, len(rs) = 0 AS passed,
+       COALESCE(array_to_string(rs, ','), '') AS reasons
+FROM rl
+"""
+
 # Salted join: the oracle is the PLAIN join — salting must never
 # change the answer.  MAX keeps the dimension exact (no float-sum
 # order dependence); tmax/2 is an exact IEEE halving in both engines.

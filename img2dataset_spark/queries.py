@@ -556,6 +556,16 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_quality_flags(spark, sf_dir):
+    """Composite Gopher-style quality verdicts (operators/quality.py):
+    per-doc passed flag + comma-joined drop reasons in fixed rule
+    order.  Thresholds tuned so the synthetic corpus genuinely splits
+    (token bounds 30..90 around the 56-token median)."""
+    from img2dataset_spark.operators.quality import quality_flags
+
+    return quality_flags(_t(spark, sf_dir, "documents"))
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark-overlap contamination score per document
     (operators/decontaminate.py): the 'benchmark' is the deterministic
@@ -1057,6 +1067,7 @@ QUERIES.update(
         "resample_mixture": q_resample_mixture,
         "decontamination": q_decontamination,
         "redact_pii": q_redact_pii,
+        "quality_flags": q_quality_flags,
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
