@@ -11,20 +11,61 @@ list in FIXED rule order, so downstream can both filter and audit
 health dashboard).
 
 Plan shape: every per-row signal is a codegen expression over the text
-column; only the repetition signals aggregate (two explode→hash-agg
-passes keyed on doc id, map-side combined — same shape as
-text_repetition), then one broadcast-free join back on doc id.  All
-ratios round to 6 dp before threshold comparison, so verdicts are
-bit-stable across engines (the SQL oracle compares the identically
-rounded values).
+column, and the repetition signals (top token / top bigram fraction)
+are a fused Arrow UDF that counts grams per document in one pass — so
+the whole filter is MAP-ONLY: no explode, no shuffle, no join.  (The
+standalone text_repetition query keeps the relational explode→agg
+formulation as the spec; per-document mode counting is exactly the
+workload where an Arrow pass beats two hash-agg shuffles — see the
+functions/text_fast.py header.)  All ratios round to 6 dp before
+threshold comparison, so verdicts are bit-stable across engines (the
+SQL oracle compares the identically rounded values).
 """
 
 from __future__ import annotations
 
+import math
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from img2dataset_spark.functions import text as X
+
+_WS = re.compile(r"\s+")
+
+
+def make_repetition_udf():
+    """struct<ttf, tbf>: top-token and top-bigram fraction per text,
+    6-dp floor-rounded, null when the document has no token / bigram.
+    Tokenization mirrors functions.text.tokens (split of trimmed
+    lowered text on whitespace) and bigrams mirror shingles(toks, 2),
+    so the values are bit-identical to the relational text_repetition
+    formulation and its DuckDB oracle."""
+
+    def frac(counts: Counter):
+        if not counts:
+            return None
+        n = sum(counts.values())
+        return math.floor(max(counts.values()) / n * 1e6 + 0.5) / 1e6
+
+    @pandas_udf("struct<ttf: double, tbf: double>")
+    def repetition(texts: pd.Series) -> pd.DataFrame:
+        ttfs, tbfs = [], []
+        for t in texts:
+            raw = _WS.split(t.strip().lower()) if t is not None else []
+            toks = [w for w in raw if w != ""]
+            bigrams = [
+                f"{raw[i]} {raw[i + 1]}" for i in range(len(raw) - 1)
+            ] if len(raw) >= 2 else []
+            ttfs.append(frac(Counter(toks)))
+            tbfs.append(frac(Counter(bigrams)))
+        return pd.DataFrame({"ttf": ttfs, "tbf": tbfs})
+
+    return repetition
 
 # fixed rule order — reasons are emitted in this order
 GOPHER_RULES: dict[str, float] = {
@@ -68,38 +109,16 @@ def quality_flags(
     swr = _round6(X.stopword_ratio(toks))
     pr = _round6(X.punct_ratio(F.col(text_col)))
 
-    base = df.select(
+    rep = make_repetition_udf()(F.col(text_col))
+    j = df.select(
         F.col(id_col),
         n_tokens.alias("_nt"),
         mean_len.alias("_ml"),
         swr.alias("_swr"),
         pr.alias("_pr"),
+        rep.getField("ttf").alias("_ttf"),
+        rep.getField("tbf").alias("_tbf"),
     )
-
-    tok_rows = df.select(
-        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("t")
-    ).filter(F.col("t") != "")
-    tok_stats = (
-        tok_rows.groupBy(id_col, "t")
-        .count()
-        .groupBy(id_col)
-        .agg(
-            _round6(F.max("count") / F.sum("count")).alias("_ttf"),
-        )
-    )
-    bg_rows = df.select(
-        F.col(id_col),
-        F.explode(X.shingles(X.tokens(F.col(text_col)), 2)).alias("b"),
-    )
-    bg_stats = (
-        bg_rows.groupBy(id_col, "b")
-        .count()
-        .groupBy(id_col)
-        .agg(
-            _round6(F.max("count") / F.sum("count")).alias("_tbf"),
-        )
-    )
-    j = base.join(tok_stats, id_col, "left").join(bg_stats, id_col, "left")
 
     checks = [
         ("too_few_tokens", F.col("_nt") < F.lit(int(r["min_tokens"]))),
