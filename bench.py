@@ -42,6 +42,7 @@ HEADLINE = [
     "events_asof",
     "events_salted_join",
     "dedup_components",
+    "curation_e2e",
     "pipeline_e2e",
 ]
 

@@ -1047,6 +1047,54 @@ SELECT doc_id, source FROM documents
 WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 """
 
+# Full curation pipeline: composes the already-proven fragments
+# (near-dup closure, quality verdicts, contamination scores) as scoped
+# nested-WITH subqueries, then applies the mixture formula over the
+# SURVIVING set (rates must be computed post-filter, exactly as the
+# Spark plan does).
+ORACLES["curation_e2e"] = f"""
+WITH RECURSIVE
+pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+qf AS (SELECT doc_id FROM ({ORACLES["quality_flags"]}) q WHERE q.passed),
+cs AS (
+  SELECT doc_id FROM ({ORACLES["decontamination"]}) c
+  WHERE c.contamination >= 0.9
+),
+surv AS (
+  SELECT d.doc_id, d.source FROM documents d
+  WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    AND d.doc_id IN (SELECT doc_id FROM qf)
+    AND d.doc_id NOT IN (SELECT doc_id FROM cs)
+),
+fr(source, frac) AS (
+  VALUES ('src0', 0.4::DOUBLE), ('src1', 0.2::DOUBLE),
+         ('src2', 0.2::DOUBLE), ('src3', 0.2::DOUBLE)
+),
+counts AS (
+  SELECT s.source, COUNT(*) AS n, ANY_VALUE(frac) AS frac
+  FROM surv s JOIN fr ON s.source = fr.source GROUP BY s.source
+),
+sc AS (SELECT MIN(n / frac) AS scale FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0::DOUBLE, scale * frac / n) AS rate
+  FROM counts, sc
+)
+SELECT s.doc_id, s.source FROM surv s JOIN rates r ON s.source = r.source
+WHERE ({_hv_of("md5(s.doc_id::VARCHAR)")}) % 1000000
+      < FLOOR(rate * 1000000 + 0.5)
+"""
+
 ORACLES["tpch_q5_full"] = """
 SELECT n_name,
   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue

@@ -814,6 +814,47 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup_representatives(d, cc).select("doc_id", "source")
 
 
+def q_curation_e2e(spark, sf_dir):
+    """The full training-data curation story as ONE DataFrame plan:
+    minhash-LSH near-dup dedup (keep cluster representatives) ->
+    Gopher quality filter -> benchmark decontamination (drop docs with
+    >= 0.9 overlap vs the doc_id % 37 slice) -> mixture resampling to
+    a 40/20/20/20 target over src0-src3.  Every stage is one of the
+    already-oracle-checked operators; this query pins that they
+    COMPOSE — same lazy plan, no materialization between stages.
+    Returns the surviving (doc_id, source)."""
+    from img2dataset_spark.operators.decontaminate import contamination_scores
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs
+    from img2dataset_spark.operators.graph import (
+        connected_components,
+        dedup_representatives,
+    )
+    from img2dataset_spark.operators.mixture import resample_mixture
+    from img2dataset_spark.operators.quality import quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, k=3, num_hashes=32, num_bands=8, jaccard_threshold=0.3
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    surv = dedup_representatives(d, cc)
+
+    passed = quality_flags(d).filter("passed").select("doc_id")
+    surv = surv.join(passed, "doc_id", "left_semi")
+
+    scores = contamination_scores(d, d.where(F.col("doc_id") % 37 == 0), k=3)
+    contaminated = scores.where(F.col("contamination") >= 0.9).select("doc_id")
+    surv = surv.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    out = resample_mixture(
+        surv,
+        {"src0": 0.4, "src1": 0.2, "src2": 0.2, "src3": 0.2},
+        group_col="source",
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: similarity search (M6)
 # ---------------------------------------------------------------------------
@@ -1077,6 +1118,7 @@ QUERIES.update(
         "dedup_components": q_dedup_components,
         "dedup_components_2phase": q_dedup_components_2phase,
         "events_salted_join": q_events_salted_join,
+        "curation_e2e": q_curation_e2e,
         "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
