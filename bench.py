@@ -21,6 +21,7 @@ from img2dataset_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q6",
     "tpch_q3",
     "tpch_q5",
     "a1_status_counts",

@@ -1095,6 +1095,16 @@ WHERE ({_hv_of("md5(s.doc_id::VARCHAR)")}) % 1000000
       < FLOOR(rate * 1000000 + 0.5)
 """
 
+ORACLES["tpch_q6"] = """
+SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(27,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
 ORACLES["tpch_q5_full"] = """
 SELECT n_name,
   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue

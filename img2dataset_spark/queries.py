@@ -244,6 +244,28 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-style forecasting revenue change: pure filter + global
+    decimal agg — the canonical predicate-pushdown showcase (all four
+    predicates reach the parquet scan; window shifted to 1996 to match
+    the synthetic shipdate range)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-style: 3-way join + agg + top-k (broadcast dims)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -418,6 +440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w1_row_number": q_w1_row_number,
     "w2_running_sum": q_w2_running_sum,
     "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q5_full": q_tpch_q5_full,
