@@ -34,4 +34,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # one SQL string per queries() key (ORACLES also covers the
+    # EXTRA_QUERIES variants that only pytest checks)
+    return {name: ORACLES[name] for name in QUERIES}

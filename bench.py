@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from img2dataset_spark.queries import QUERIES  # noqa: E402
+from img2dataset_spark.queries import ALL_QUERIES  # noqa: E402
 from img2dataset_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -63,16 +63,26 @@ def main() -> None:
         .count()
     )
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    load_start = os.getloadavg()
+
+    def run_once(name: str) -> float:
         # operators persist() frames reused across self-join subtrees;
         # drop leftover cache between queries so each is measured cold
         spark.catalog.clearCache()
-        fn = QUERIES[name]
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {times[name]}s", file=sys.stderr, flush=True)
+        ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # Two timed runs per query, keep the min: a transiently contended box
+    # (round 2's bench recorded 1.3-6x phantom "regressions" from driver
+    # co-jobs) can slow one run, but not both, so min-of-2 measures the
+    # engine rather than the neighbors.
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        a = run_once(name)
+        b = run_once(name)
+        times[name] = min(a, b)
+        print(f"  {name}: {times[name]}s (runs {a}/{b})", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,6 +94,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # contention self-identification: 1/5/15-min load averages
+                # at start and end of the run (32-core box; load >> 32
+                # means the numbers above include neighbor noise)
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "timing": "min_of_2_runs",
             }
         )
     )

@@ -136,10 +136,19 @@ def ngram_jaccard_pairs(
     k: int = 3,
     jaccard_threshold: float = 0.5,
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.  With `block_col`, pairs are
     only formed within blocks (the scalable pattern); without, it is a
-    full cross self-join — quadratic, for small/verification use only."""
+    full cross self-join — quadratic, so it must be opted into with
+    ``allow_quadratic=True`` (verification/small-data only) and can
+    never reach a production plan by accident."""
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is a quadratic cross "
+            "self-join; pass block_col=... (the scalable path) or opt in "
+            "explicitly with allow_quadratic=True for small verification runs"
+        )
     docs = _persisted(
         doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
     )

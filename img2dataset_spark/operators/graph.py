@@ -25,11 +25,14 @@ node id), but the edge set itself is rewritten toward a star forest
 instead of propagating labels over a fixed topology, which is what
 removes the diameter dependence.
 
-Lineage is truncated every round with an eager localCheckpoint —
-without it each iteration's plan would embed all previous ones and
-re-execute the whole history per action (and overflow the planner at
-depth).  On a real cluster use a reliable checkpoint dir instead
-(localCheckpoint does not survive executor loss).
+Lineage is truncated every round with an eager checkpoint — without
+it each iteration's plan would embed all previous ones and re-execute
+the whole history per action (and overflow the planner at depth).
+Locally that is `localCheckpoint()` (executor memory/disk); on a real
+cluster pass ``checkpoint_dir=`` to both CC functions to use a
+RELIABLE `df.checkpoint()` into HDFS/object storage instead —
+localCheckpoint blocks are lost with their executor, which on a
+1000-executor preemptible fleet means a dead job mid-iteration.
 """
 
 from __future__ import annotations
@@ -38,27 +41,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Eager lineage truncation: reliable checkpoint when a dir is given
+    (survives executor loss), localCheckpoint otherwise (local mode)."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir stores a qualified path (scheme + per-context
+        # UUID subdir), so compare by containment to avoid re-setting
+        # (and re-mkdir-ing a fresh UUID dir) every round
+        current = sc.getCheckpointDir()
+        if current is None or checkpoint_dir.rstrip("/") not in current:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the smallest node id reachable from the node
     (including itself).  Raises if not converged after ``max_iter``
     rounds (diameter-bound exceeded — see module docstring)."""
-    sym = (
+    sym = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
-    labels = (
+    labels = _truncate(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -74,7 +93,8 @@ def connected_components(
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_changed"),
             )
-        ).localCheckpoint()
+        )
+        new_labels = _truncate(new_labels, checkpoint_dir)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -90,6 +110,7 @@ def connected_components_two_phase(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     SoCC'14): same (node, component) contract as
@@ -115,14 +136,14 @@ def connected_components_two_phase(
     per round with localCheckpoint, same rationale as the label-
     propagation variant.
     """
-    e = (
+    e = _truncate(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     if e.limit(1).count() == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -150,7 +171,7 @@ def connected_components_two_phase(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smin.select("u", F.col("m").alias("v")))
         )
-        e_new = small.distinct().localCheckpoint()
+        e_new = _truncate(small.distinct(), checkpoint_dir)
         stable = (
             e_new.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(e_new).limit(1).count() == 0
@@ -178,9 +199,16 @@ def dedup_representatives(
     """Keep one row per near-dup cluster: the component representative
     (min id) survives, other members drop; rows not in any component
     (singletons — never emitted as an edge endpoint) all survive.
-    Anti-join against the non-representative member set, which is tiny
-    relative to the corpus, so it broadcasts."""
+
+    The anti-join side is the NON-representative member set.  For a
+    heavily-duplicated corpus (web crawls routinely shed 30-80% of rows
+    to dedup) that set is a large fraction of the corpus, so no
+    broadcast hint is forced here: the plan stays a shuffle anti-join
+    unless the runtime decides otherwise (AQE converts it to broadcast
+    when the built side measures under
+    spark.sql.autoBroadcastJoinThreshold — the safe direction, decided
+    from observed size rather than an assumption)."""
     dupes = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(dupes), id_col, "left_anti")
+    return df.join(dupes, id_col, "left_anti")

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from img2dataset_spark.functions.eventtime import ensure_event_time
+
 _US = 1_000_000  # microseconds per second
 
 
@@ -41,6 +43,8 @@ def range_join(
     ``[left.ts - window_sec, left.ts]`` and the ``on`` keys match.
     Returns left columns plus right value columns prefixed ``r_``.
     """
+    left = ensure_event_time(left, ts_col)
+    right = ensure_event_time(right, ts_col)
     w_us = int(window_sec) * _US
     l_cols = list(left.columns)
     r_vals = [c for c in right.columns if c != on]

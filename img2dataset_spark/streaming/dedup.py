@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from img2dataset_spark.functions.eventtime import ensure_event_time
 from img2dataset_spark.functions.text import fingerprint
 
 
@@ -40,7 +41,7 @@ def streaming_exact_dedup(
     fingerprint within the watermark horizon.  State per fingerprint is
     dropped when the watermark passes its event time + delay."""
     return (
-        with_fingerprint(stream, text_col)
+        ensure_event_time(with_fingerprint(stream, text_col), ts_col)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
@@ -122,7 +123,7 @@ def streaming_neardup_flags(
         )
         .drop("_ss")
     )
-    hits = banded.join(index, "band", "left")
+    hits = ensure_event_time(banded.join(index, "band", "left"), ts_col)
     return (
         hits.withWatermark(ts_col, watermark)
         .groupBy(id_col, ts_col)

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from img2dataset_spark.functions.eventtime import ensure_event_time
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"
@@ -36,6 +38,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: gap-based session ids via lag + running sum.
     One shuffle (partitionBy user), whole-stage codegen throughout."""
     gap_s = gap_minutes * 60
+    events = ensure_event_time(events, "ts")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     new_session = (
         F.when(
@@ -90,7 +93,9 @@ def make_session_func(gap_minutes: int = 30):
             )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # (ts, event_id) tie-break matches the batch twin's
+        # orderBy(ts, event_id) exactly on equal timestamps.
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
         vals = rows["value"].astype(float)
 
@@ -141,7 +146,8 @@ def streaming_sessionize(
     event-time timeouts bound it — the watermark both admits late data
     and garbage-collects state."""
     return (
-        stream.withWatermark("ts", watermark)
+        ensure_event_time(stream, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             make_session_func(gap_minutes),

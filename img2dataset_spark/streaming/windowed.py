@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from img2dataset_spark.functions.eventtime import ensure_event_time
+
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window counts + value sums per event_type.
@@ -47,7 +49,8 @@ def streaming_windowed_event_counts(
     state size is O(active windows), not O(history)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return (
-        stream.withWatermark("ts", watermark)
+        ensure_event_time(stream, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -88,7 +88,7 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> dict:
 
 
 def run_all(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, dict]:
-    from img2dataset_spark.queries import QUERIES
+    from img2dataset_spark.queries import ALL_QUERIES as QUERIES
     from img2dataset_spark.oracles import ORACLES
 
     con = duckdb_conn(sf_dir)

@@ -51,9 +51,18 @@ def test_ngram_jaccard_pairs_blocked(docs_df):
 
 
 def test_ngram_jaccard_pairs_full(docs_df):
-    out = ngram_jaccard_pairs(docs_df, k=3, jaccard_threshold=0.99)
+    out = ngram_jaccard_pairs(
+        docs_df, k=3, jaccard_threshold=0.99, allow_quadratic=True
+    )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 5) in pairs and (0, 2) in pairs and (2, 5) in pairs
+
+
+def test_ngram_jaccard_quadratic_requires_opt_in(docs_df):
+    import pytest
+
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs_df, k=3, jaccard_threshold=0.99)
 
 
 def test_minhash_lsh_finds_exact_and_near_dups(docs_df):

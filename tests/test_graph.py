@@ -72,6 +72,28 @@ def test_two_phase_empty_edges(spark):
     assert out.count() == 0
 
 
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to a reliable
+    df.checkpoint(): same answer, and checkpoint files actually land
+    in the given directory (so executor loss on a cluster is survivable)."""
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert _comp(connected_components(edges, checkpoint_dir=ckpt)) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+    }
+    assert _comp(
+        connected_components_two_phase(edges, checkpoint_dir=ckpt)
+    ) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    import os
+
+    written = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert written, "no reliable checkpoint files were written"
+
+
 def test_dedup_representatives(spark):
     docs = spark.range(6).select(F.col("id").alias("doc_id"))
     comps = connected_components(_edges(spark, [(1, 2), (2, 3)]))

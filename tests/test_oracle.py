@@ -7,14 +7,18 @@ from __future__ import annotations
 import pytest
 
 from img2dataset_spark.oracles import ORACLES
-from img2dataset_spark.queries import QUERIES
+from img2dataset_spark.queries import ALL_QUERIES, QUERIES
 from tests.oracle_harness import compare, duckdb_conn
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLES)
+    assert set(ALL_QUERIES) == set(ORACLES)
+
+
+def test_driver_facing_registry_fits_the_50_entry_window():
+    assert len(QUERIES) == 50
 
 
 @pytest.fixture(scope="module")
@@ -22,9 +26,9 @@ def con():
     return duckdb_conn(SF_DIR)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_oracle_exact(spark, con, name):
-    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    spark_pdf = ALL_QUERIES[name](spark, SF_DIR).toPandas()
     oracle_pdf = con.execute(ORACLES[name]).fetchdf()
     r = compare(spark_pdf, oracle_pdf)
     assert r["verdict"] == "EXACT", r

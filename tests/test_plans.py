@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from img2dataset_spark.queries import QUERIES
+from img2dataset_spark.queries import ALL_QUERIES as QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,6 +40,17 @@ class TestJoinStrategies:
     def test_j1_anti_join_broadcasts(self, spark):
         plan = plan_of("j1_anti_join", spark)
         assert "LeftAnti" in plan
+
+    def test_dedup_survivors_no_forced_broadcast(self, spark):
+        """dedup_representatives must NOT hint broadcast: the dupe set can
+        be a large fraction of the corpus, so the choice belongs to the
+        runtime (AQE / threshold), not a hint.  Assert the hint is absent
+        from the logical plan — at test scale AQE may still legitimately
+        CHOOSE broadcast from observed size, which is fine."""
+        df = QUERIES["dedup_survivors"](spark, SF_DIR)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in logical.lower()
+        assert "LeftAnti" in plan_of("dedup_survivors", spark)
 
     def test_no_cartesian_anywhere_in_dedup_similarity(self, spark):
         for name in ("dedup_minhash_lsh", "dedup_simhash",
