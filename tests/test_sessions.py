@@ -82,3 +82,43 @@ class TestStreamingSessionize:
                 expected.append(last)
         assert _canon(got) == _canon(expected)
         assert len(got) > 0
+
+    def test_duplicate_timestamps_match_batch(self, spark, tmp_path):
+        """Equal-ts events must sessionize identically in batch and
+        stream: the micro-batch sort uses the same (ts, event_id)
+        tie-break as the batch twin's orderBy."""
+        rows = [
+            # user 1: three events at the SAME instant, then a far event
+            (1, 3, "2024-01-01 00:00:00", 1.0),
+            (1, 1, "2024-01-01 00:00:00", 2.0),
+            (1, 2, "2024-01-01 00:00:00", 4.0),
+            (1, 4, "2024-01-01 02:00:00", 8.0),
+            # user 2: duplicate ts pair straddling nothing (one session)
+            (2, 5, "2024-01-01 00:30:00", 1.5),
+            (2, 6, "2024-01-01 00:30:00", 2.5),
+            # sentinel far in the future so the watermark passes
+            # everyone's end + gap and all sessions flush
+            (9, 99, "2024-03-01 00:00:00", 0.0),
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+        src = str(tmp_path / "src")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            streaming_sessionize(stream, 30, watermark="0 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_sessions_dup")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = _canon(spark.table("t_sessions_dup").collect())
+        want = _canon(
+            sessionize_batch(events, 30).filter("user_id != 9").collect()
+        )
+        assert got == want
