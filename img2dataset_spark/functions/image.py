@@ -15,11 +15,14 @@ What is REAL here vs stubbed (this container has no PIL/OpenCV):
     PNG / JPEG / GIF / WebP / BMP.
   - Resize *geometry* (output dims per mode, the only_if_bigger gate,
     and the P5-P7 filters) is real, pure arithmetic.
-  - Pixel resampling / re-encode needs an imaging library: if PIL is
-    importable it is used; otherwise pixel transforms raise
-    NotImplementedError (clearly-marked stub) — except in `mock` mode,
-    where payloads are deterministic md5-derived byte strings whose
-    formulas are also expressible in ANSI SQL (DuckDB oracle parity).
+  - PNG and JPEG pixels are real with no imaging library: pure-Python
+    codecs (functions/png.py, functions/jpeg.py) + numpy resampling
+    cover decode, resize, blur, re-encode, and png<->jpg conversion.
+    If PIL is importable it is preferred (faster, more formats).
+  - webp/gif/bmp pixel transforms without PIL raise a clearly-marked
+    error — except in `mock` mode, where payloads are deterministic
+    md5-derived byte strings whose formulas are also expressible in
+    ANSI SQL (DuckDB oracle parity).
 
 Scale notes: the decode->filter->resize->encode chain is deliberately
 FUSED into one Arrow-batched UDF — Catalyst cannot reorder inside opaque
@@ -309,22 +312,71 @@ def _pil_transform(
     return buf.getvalue(), nw, nh, w, h, None
 
 
+def _codec_decode(data: bytes):
+    """Format-dispatched pure-Python decode (PNG + baseline JPEG)."""
+    fmt = detect_format(data)
+    if fmt == "png":
+        from img2dataset_spark.functions.png import decode_png
+
+        return decode_png(data)
+    if fmt == "jpeg":
+        from img2dataset_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise NotImplementedError(
+        f"no dependency-free decoder for format {fmt!r} (png/jpeg only)"
+    )
+
+
+def _codec_encode(img, encode_format: str, quality: int = 95) -> bytes:
+    """Format-dispatched pure-Python encode (PNG + baseline JPEG).
+    RGBA -> JPEG follows the reference's alpha handling: matte onto a
+    white background (resizer.py:154-159)."""
+    import numpy as np
+
+    if encode_format == "png":
+        from img2dataset_spark.functions.png import encode_png
+
+        return encode_png(img)
+    if encode_format in ("jpg", "jpeg"):
+        from img2dataset_spark.functions.jpeg import encode_jpeg
+
+        arr = np.asarray(img)
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            alpha = arr[:, :, 3:4].astype(np.float64)
+            arr = np.rint(
+                (alpha / 255.0) * arr[:, :, :3] + 255.0 - alpha
+            ).clip(0, 255).astype(np.uint8)
+        elif arr.ndim == 3 and arr.shape[2] == 2:  # gray + alpha
+            alpha = arr[:, :, 1:2].astype(np.float64)
+            arr = (
+                np.rint((alpha[:, :, 0] / 255.0) * arr[:, :, 0] + 255.0 - alpha[:, :, 0])
+                .clip(0, 255)
+                .astype(np.uint8)
+            )
+        return encode_jpeg(arr, quality)
+    raise NotImplementedError(
+        f"no dependency-free encoder for format {encode_format!r} (png/jpg only)"
+    )
+
+
 def _numpy_transform(
     data: bytes,
     resize_mode: str,
     image_size: int,
     resize_only_if_bigger: bool,
     encode_format: str,
+    encode_quality: int = 95,
     bboxes=None,
     upscale_interpolation: str = "lanczos",
     downscale_interpolation: str = "area",
 ):
-    """Real pixel path for PNG without any imaging library: pure-Python
-    PNG codec + numpy resampling (functions/png.py, functions/resample.py).
-    Mirrors the reference pipeline order (resizer.py:178-215): aspect
-    -preserving resize -> blur -> center-crop / white-pad."""
+    """Real pixel path without any imaging library: pure-Python PNG and
+    baseline-JPEG codecs + numpy resampling (functions/png.py,
+    functions/jpeg.py, functions/resample.py).  Mirrors the reference
+    pipeline order (resizer.py:178-215): aspect-preserving resize ->
+    blur -> center-crop / white-pad."""
     from img2dataset_spark.functions.blur import blur_bboxes
-    from img2dataset_spark.functions.png import decode_png, encode_png
     from img2dataset_spark.functions.resample import crop_center, pad_center, resize
 
     def _blur(arr):
@@ -335,7 +387,7 @@ def _numpy_transform(
             return blur_bboxes(arr, bboxes)
         return arr
 
-    img = decode_png(data)
+    img = _codec_decode(data)
     h, w = img.shape[:2]
     nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
     mode = select_interpolation(
@@ -354,7 +406,7 @@ def _numpy_transform(
         img = _blur(resize(img, nw, nh, mode))
     else:
         img = _blur(img)
-    return encode_png(img), nw, nh, w, h, None
+    return _codec_encode(img, encode_format, encode_quality), nw, nh, w, h, None
 
 
 def _pil_available() -> bool:
@@ -431,33 +483,38 @@ def make_transform_fn(
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
-        if (nw, nh) == (w, h) and n_boxes == 0:
-            if src_fmt == what_ext:
-                # Same-format re-encode with no imaging library: the
-                # reference would decode+re-encode (new bytes, same
-                # pixels); passing the original bytes through is the
-                # documented no-pixel-lib deviation — container and
-                # pixels are already exactly what was asked for.
-                return (data, nw, nh, w, h, None)
-            # Format conversion genuinely requires a pixel codec.
-            return null + ("re-encode not available: no imaging library installed",)
-        # png -> png pixel path is REAL without any imaging library:
-        # pure-Python PNG codec + numpy resampling + the golden-verified
-        # numpy Gaussian blur.
-        if src_fmt == "png" and what_ext == "png":
+        if (nw, nh) == (w, h) and n_boxes == 0 and src_fmt == what_ext:
+            # Same-format re-encode with no imaging library: the
+            # reference would decode+re-encode (new bytes, same pixels);
+            # passing the original bytes through is the documented
+            # no-pixel-lib deviation — container and pixels are already
+            # exactly what was asked for (and for JPEG it also avoids a
+            # pointless generation loss).
+            return (data, nw, nh, w, h, None)
+        # png/jpeg pixel path is REAL without any imaging library:
+        # pure-Python PNG codec (functions/png.py) + baseline-JPEG codec
+        # (functions/jpeg.py) + numpy resampling + the golden-verified
+        # numpy Gaussian blur.  Covers decode, resize, blur, re-encode,
+        # and png<->jpg conversion.
+        if src_fmt in ("png", "jpeg") and what_ext in ("png", "jpeg"):
             try:
                 return _numpy_transform(
                     data, resize_mode, image_size, resize_only_if_bigger,
-                    encode_format, bboxes=bboxes,
+                    encode_format, encode_quality=encode_quality,
+                    bboxes=bboxes,
                     upscale_interpolation=upscale_interpolation,
                     downscale_interpolation=downscale_interpolation,
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
+        if (nw, nh) == (w, h) and n_boxes == 0:
+            # Format conversion involving webp/gif/bmp genuinely
+            # requires an imaging library.
+            return null + ("re-encode not available: no imaging library installed",)
         if (nw, nh) == (w, h):
             # blur requested but no pixel decoder for this format
             return null + ("blur not available: no imaging library installed",)
-        # STUB: pixel resampling for non-PNG formats requires an imaging
+        # STUB: pixel resampling for webp/gif/bmp requires an imaging
         # library (PIL/OpenCV), absent in this environment.
         return null + ("resize not available: no imaging library installed",)
 

@@ -7,10 +7,12 @@ mapInPandas batch shapes — with REAL pure-Python parsing where no media
 library is needed and clearly-marked stubs where one is:
 
   REAL   image_meta   — width/height/format from PNG/JPEG/GIF/WebP/BMP headers
+  REAL   image pixel features — full raster decode for PNG and JPEG
+                        (baseline + progressive) via the dependency-free
+                        codecs (functions/png.py, functions/jpeg.py);
+                        webp/gif/bmp pixels still need PIL
   REAL   wav_meta     — sample rate / channels / bit depth / duration from
                         RIFF/WAVE headers (pure struct parsing)
-  STUB   pixel decode — full raster decode needs PIL/OpenCV; raises
-                        NotImplementedError unless PIL is importable
   STUB   video frame-sample — needs pyav/ffmpeg; deterministic byte-slice
                         fake keeps the plumbing testable hermetically
 
@@ -129,6 +131,57 @@ def make_wav_meta_udf():
             yield pd.DataFrame([meta_one(d) for d in series], columns=cols)
 
     return wav_meta
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "width int, height int, channels int, mean double, std double, "
+    "luma_entropy double, error string"
+)
+
+
+def image_pixel_features(data: bytes | None):
+    """Real pixel statistics from PNG/JPEG bytes (dependency-free
+    decode): dims, channel count, global mean/std, and 8-bit luma
+    histogram entropy — the cheap quality signals an image-curation
+    pipeline filters on (flat/blank detection, exposure outliers)."""
+    import numpy as np
+
+    if data is None:
+        return (None, None, None, None, None, None, "no data")
+    try:
+        from img2dataset_spark.functions.image import _codec_decode
+
+        arr = _codec_decode(data)
+    except Exception as e:  # undecodable or unsupported container
+        return (None, None, None, None, None, None, str(e) or type(e).__name__)
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    f = arr.astype(np.float64)
+    luma = f if arr.ndim == 2 else f[..., :3].mean(axis=2)
+    hist = np.bincount(
+        np.clip(luma, 0, 255).astype(np.int64).ravel(), minlength=256
+    )
+    p = hist / hist.sum()
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    return (w, h, nch, float(f.mean()), float(f.std()), entropy, None)
+
+
+def make_image_features_udf():
+    """binary -> struct(width, height, channels, mean, std, luma_entropy,
+    error).  Iterator pandas UDF: one Arrow batch of (large) media rows
+    in memory per task at a time."""
+
+    @pandas_udf(IMAGE_FEATURES_SCHEMA)
+    def image_features(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        cols = ["width", "height", "channels", "mean", "std",
+                "luma_entropy", "error"]
+        for series in batches:
+            yield pd.DataFrame(
+                [image_pixel_features(d) for d in series], columns=cols
+            )
+
+    return image_features
 
 
 def parse_y4m_header(data: bytes):

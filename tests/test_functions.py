@@ -339,19 +339,24 @@ class TestReencodeGate:
 
         return make_transform_fn(resize_mode="no", encode_format="jpg", **kw)
 
-    def test_png_to_jpg_not_passed_through_default(self):
+    def test_png_to_jpg_really_converts_default(self):
+        from img2dataset_spark.functions.jpeg import decode_jpeg
+
         png = make_png(32, 16)
         out = self._fn()(png)
-        # no imaging library: format conversion must fail loudly, not
-        # mislabel PNG bytes as jpg
-        assert out[0] is None
-        assert "re-encode not available" in out[5]
+        # real png -> jpg conversion via the dependency-free codecs:
+        # output must be actual JPEG bytes with the same dims, never
+        # PNG bytes mislabeled as jpg
+        assert out[5] is None
+        assert out[0][:2] == b"\xff\xd8"
+        assert decode_jpeg(out[0]).shape[:2] == (16, 32)
+        assert out[1:5] == (32, 16, 32, 16)
 
-    def test_png_to_jpg_not_passed_through_skip_reencode(self):
+    def test_png_to_jpg_really_converts_skip_reencode(self):
         png = make_png(32, 16)
         out = self._fn(skip_reencode=True)(png)
-        assert out[0] is None
-        assert "re-encode not available" in out[5]
+        assert out[5] is None
+        assert out[0][:2] == b"\xff\xd8"
 
     def test_jpg_to_jpg_skip_reencode_passthrough(self):
         jpg = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"

@@ -91,6 +91,40 @@ class TestSparkPlumbing:
         with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
             sample_video_frames(df, mock=False).collect()
 
+    def test_image_pixel_features_udf(self, spark):
+        """Real raster features via the dependency-free PNG/JPEG codecs:
+        known-constant PNG gives exact mean/std/entropy; JPEG decodes
+        for real; webp errors cleanly."""
+        import numpy as np
+
+        from img2dataset_spark.functions.jpeg import encode_jpeg
+        from img2dataset_spark.functions.multimodal import (
+            make_image_features_udf,
+        )
+        from img2dataset_spark.functions.png import encode_png
+
+        flat = np.full((10, 20, 3), 77, np.uint8)
+        rows = [
+            (0, encode_png(flat)),
+            (1, encode_jpeg(flat, 95)),
+            (2, b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, img binary")
+        feats = make_image_features_udf()
+        out = {
+            r["id"]: r["f"]
+            for r in df.select("id", feats("img").alias("f")).collect()
+        }
+        assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (20, 10, 3)
+        assert out[0]["mean"] == pytest.approx(77.0)
+        assert out[0]["std"] == pytest.approx(0.0)
+        assert out[0]["luma_entropy"] == pytest.approx(0.0)
+        assert out[1]["error"] is None
+        assert out[1]["mean"] == pytest.approx(77.0, abs=2.0)
+        assert "png/jpeg" in out[2]["error"]
+        assert out[3]["error"] == "no data"
+
 
 class TestWindowedAggregation:
     def test_streaming_matches_batch(self, spark, tmp_path):
