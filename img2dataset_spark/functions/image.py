@@ -313,7 +313,9 @@ def _pil_transform(
 
 
 def _codec_decode(data: bytes):
-    """Format-dispatched pure-Python decode (PNG + baseline JPEG)."""
+    """Format-dispatched pure-Python decode (PNG, JPEG incl.
+    progressive, GIF first-frame, uncompressed BMP).  WebP is the one
+    reference-accepted container left to an imaging library (VP8)."""
     fmt = detect_format(data)
     if fmt == "png":
         from img2dataset_spark.functions.png import decode_png
@@ -323,8 +325,16 @@ def _codec_decode(data: bytes):
         from img2dataset_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        from img2dataset_spark.functions.gif import decode_gif
+
+        return decode_gif(data)
+    if fmt == "bmp":
+        from img2dataset_spark.functions.gif import decode_bmp
+
+        return decode_bmp(data)
     raise NotImplementedError(
-        f"no dependency-free decoder for format {fmt!r} (png/jpeg only)"
+        f"no dependency-free decoder for format {fmt!r} (png/jpeg/gif/bmp)"
     )
 
 
@@ -491,12 +501,12 @@ def make_transform_fn(
             # exactly what was asked for (and for JPEG it also avoids a
             # pointless generation loss).
             return (data, nw, nh, w, h, None)
-        # png/jpeg pixel path is REAL without any imaging library:
-        # pure-Python PNG codec (functions/png.py) + baseline-JPEG codec
-        # (functions/jpeg.py) + numpy resampling + the golden-verified
-        # numpy Gaussian blur.  Covers decode, resize, blur, re-encode,
-        # and png<->jpg conversion.
-        if src_fmt in ("png", "jpeg") and what_ext in ("png", "jpeg"):
+        # png/jpeg/gif/bmp pixel path is REAL without any imaging
+        # library: pure-Python codecs (functions/png.py, jpeg.py,
+        # gif.py) + numpy resampling + the golden-verified numpy
+        # Gaussian blur.  Covers decode, resize, blur, re-encode, and
+        # cross-format conversion into png/jpg.
+        if src_fmt in ("png", "jpeg", "gif", "bmp") and what_ext in ("png", "jpeg"):
             try:
                 return _numpy_transform(
                     data, resize_mode, image_size, resize_only_if_bigger,
@@ -508,14 +518,14 @@ def make_transform_fn(
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
         if (nw, nh) == (w, h) and n_boxes == 0:
-            # Format conversion involving webp/gif/bmp genuinely
-            # requires an imaging library.
+            # Format conversion involving webp (or webp/gif encode
+            # targets) genuinely requires an imaging library.
             return null + ("re-encode not available: no imaging library installed",)
         if (nw, nh) == (w, h):
             # blur requested but no pixel decoder for this format
             return null + ("blur not available: no imaging library installed",)
-        # STUB: pixel resampling for webp/gif/bmp requires an imaging
-        # library (PIL/OpenCV), absent in this environment.
+        # STUB: pixel work on webp (and non-png/jpg encode targets)
+        # requires an imaging library (PIL/OpenCV), absent here.
         return null + ("resize not available: no imaging library installed",)
 
     return transform_one
