@@ -108,9 +108,29 @@ class TestPngResizeEndToEnd:
         assert err is None and (w, h) == (32, 16)
         assert data == src  # skip_reencode fast path, bytes untouched
 
-    def test_jpeg_resize_still_stubbed(self):
+    def test_jpeg_resize_is_real(self):
+        """JPEG pixels resize for real via functions/jpeg.py (this was a
+        stub before the dependency-free codec existed)."""
+        import numpy as np
+
+        from img2dataset_spark.functions.image import make_transform_fn
+        from img2dataset_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        jpg = encode_jpeg(np.full((16, 32, 3), 90, np.uint8), 95)
+        fn = make_transform_fn(
+            resize_mode="border", image_size=64, encode_format="jpg"
+        )
+        data, w, h, ow, oh, err = fn(jpg)
+        assert err is None and (w, h, ow, oh) == (64, 64, 32, 16)
+        dec = decode_jpeg(data)
+        assert dec.shape == (64, 64, 3)
+        # border mode pads with white around the scaled content
+        assert abs(float(dec[32, 32].mean()) - 90.0) < 4
+        assert abs(float(dec[4, 32].mean()) - 255.0) < 4
+
+    def test_truncated_jpeg_errors_cleanly(self):
         fn = self._fn(resize_mode="border", image_size=64)
         jpg = (b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x20\x03"
                b"\x01\x22\x00\x02\x11\x01\x03\x11\x01\xff\xd9")
         out = fn(jpg)
-        assert out[0] is None and "no imaging library" in out[5]
+        assert out[0] is None and out[5]  # loud error, no silent bytes
