@@ -20,11 +20,13 @@ scans, EOB runs, interleaved and non-interleaved), 8-bit, 1- or
 4:1:1), DRI restarts.  Arithmetic coding, 12-bit, lossless, and
 hierarchical raise ValueError — detected, never silently mis-decoded.
 
-encode (`encode_jpeg`): 4:4:4 (or single-component) baseline with the
-Annex K quantization tables scaled by the libjpeg quality formula and
-the Annex K Huffman tables; forward DCT is the same einsum transposed.
-Output is deterministic for a given array+quality (sink tests rely on
-byte-stable shards).
+encode (`encode_jpeg`): baseline with the Annex K quantization tables
+scaled by the libjpeg quality formula and the Annex K Huffman tables;
+forward DCT is the same einsum transposed.  Default chroma subsampling
+is 4:2:0 (interleaved 2x2-luma MCUs, box-mean chroma — the
+libjpeg/cv2 default the reference's outputs use, ~35% smaller files);
+pass subsampling="444" for full chroma.  Output is deterministic for a
+given array+quality (sink tests rely on byte-stable shards).
 
 The entropy loop is per-symbol Python (Huffman is inherently
 sequential); everything after coefficients is vectorized numpy.  This
@@ -717,8 +719,48 @@ def _magnitude(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
-    """uint8 (H, W) or (H, W, 3) RGB -> baseline JPEG bytes (4:4:4)."""
+def _emit_block(bw: _BitWriter, row, dctab, actab, pred: int) -> int:
+    """Huffman-encode one zigzag coefficient row; returns the new DC
+    predictor."""
+    dc = int(row[0])
+    diff = dc - pred
+    s = _magnitude(diff)
+    code, length = dctab[s]
+    bw.write(code, length)
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(v, s)
+    run = 0
+    last_nz = int(np.nonzero(row[1:])[0][-1]) + 1 if row[1:].any() else 0
+    for k in range(1, last_nz + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = actab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _magnitude(v)
+        code, length = actab[(run << 4) | s]
+        bw.write(code, length)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        bw.write(vv, s)
+        run = 0
+    if last_nz < 63:
+        code, length = actab[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 95, subsampling: str = "420"
+) -> bytes:
+    """uint8 (H, W) or (H, W, 3) RGB -> baseline JPEG bytes.
+
+    ``subsampling`` is "420" (2x2 box-mean chroma, the libjpeg/cv2
+    default the reference's outputs use — ~35% smaller files) or "444"
+    (full chroma).  Grayscale input ignores it."""
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[2] == 4:
         img = img[:, :, :3]
@@ -726,6 +768,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("420", "444"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "420" and not gray
     ql, qc = scaled_quant_tables(quality)
 
     if gray:
@@ -737,6 +782,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub:
+            # pad everything to the 16-pixel MCU grid, then 2x2 box-mean
+            # the chroma (the encoder-side norm; decode box-upsamples)
+            ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+            pad = ((0, ph - h), (0, pw - w))
+            y = np.pad(y, pad, mode="edge")
+            cb = np.pad(cb, pad, mode="edge")
+            cr = np.pad(cr, pad, mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qts = [ql, qc, qc]
 
@@ -754,40 +809,33 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
         coefs.append(quant[:, ZIGZAG])
 
     bw = _BitWriter()
-    nby, nbx = -(-h // 8), -(-w // 8)
     preds = [0] * len(planes)
-    for bi in range(nby * nbx):
-        for ci in range(len(planes)):
-            row = coefs[ci][bi]
-            dctab, actab = dc_codes[ci], ac_codes[ci]
-            diff = int(row[0]) - preds[ci]
-            preds[ci] = int(row[0])
-            s = _magnitude(diff)
-            code, length = dctab[s]
-            bw.write(code, length)
-            if s:
-                v = diff if diff >= 0 else diff + (1 << s) - 1
-                bw.write(v, s)
-            run = 0
-            last_nz = int(np.nonzero(row[1:])[0][-1]) + 1 if row[1:].any() else 0
-            for k in range(1, last_nz + 1):
-                v = int(row[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = actab[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                s = _magnitude(v)
-                code, length = actab[(run << 4) | s]
-                bw.write(code, length)
-                vv = v if v >= 0 else v + (1 << s) - 1
-                bw.write(vv, s)
-                run = 0
-            if last_nz < 63:
-                code, length = actab[0x00]  # EOB
-                bw.write(code, length)
+    if sub:
+        # interleaved 4:2:0 MCUs: 4 luma blocks (2x2) + Cb + Cr
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        ybw = 2 * mcux
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(2):
+                    for hh in range(2):
+                        preds[0] = _emit_block(
+                            bw, coefs[0][(2 * my + v) * ybw + (2 * mx + hh)],
+                            dc_codes[0], ac_codes[0], preds[0],
+                        )
+                ci_idx = my * mcux + mx
+                preds[1] = _emit_block(
+                    bw, coefs[1][ci_idx], dc_codes[1], ac_codes[1], preds[1]
+                )
+                preds[2] = _emit_block(
+                    bw, coefs[2][ci_idx], dc_codes[2], ac_codes[2], preds[2]
+                )
+    else:
+        nby, nbx = -(-h // 8), -(-w // 8)
+        for bi in range(nby * nbx):
+            for ci in range(len(planes)):
+                preds[ci] = _emit_block(
+                    bw, coefs[ci][bi], dc_codes[ci], ac_codes[ci], preds[ci]
+                )
     bw.flush()
 
     # ---- assemble the file
@@ -808,7 +856,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
     nc = 1 if gray else 3
     sof = struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hv = 0x22 if (sub and ci == 0) else 0x11
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + sof
 
     def dht(tc: int, th: int, spec) -> bytes:

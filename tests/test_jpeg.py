@@ -48,9 +48,23 @@ class TestRoundtrip:
     @pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (123, 77), (64, 200)])
     def test_rgb_psnr(self, h, w):
         img = _synthetic(h, w)
-        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="444"))
         assert dec.shape == img.shape
         assert _psnr(dec, img) > 40
+
+    @pytest.mark.parametrize("h,w", [(16, 24), (123, 77), (31, 33)])
+    def test_rgb_420_default(self, h, w):
+        """Default 4:2:0: meaningfully smaller than 4:4:4, luma still
+        high-fidelity (chroma pays the box-subsample cost)."""
+        img = _synthetic(h, w)
+        e420 = encode_jpeg(img, quality=95)
+        e444 = encode_jpeg(img, quality=95, subsampling="444")
+        assert len(e420) < len(e444)
+        dec = decode_jpeg(e420)
+        assert dec.shape == img.shape
+        assert _psnr(dec, img) > 30
+        luma = lambda a: a.astype(np.float64) @ [0.299, 0.587, 0.114]  # noqa: E731
+        assert _psnr(luma(dec), luma(img)) > 40
 
     def test_gray(self):
         g = _synthetic(50, 40)[:, :, 0]
@@ -139,7 +153,7 @@ class TestCrossCodec:
         JPEG codec: decoded pixels agree within JPEG loss."""
         img = _synthetic(48, 64)
         via_png = decode_png(encode_png(img))
-        via_jpeg = decode_jpeg(encode_jpeg(img, 95))
+        via_jpeg = decode_jpeg(encode_jpeg(img, 95, subsampling="444"))
         assert np.array_equal(via_png, img)  # PNG is lossless
         assert _psnr(via_jpeg, via_png) > 40
 
@@ -152,7 +166,7 @@ class TestCrossCodec:
         from PIL import Image
 
         img = _synthetic(40, 56)
-        enc = encode_jpeg(img, 95)
+        enc = encode_jpeg(img, 95, subsampling="444")
         ours = decode_jpeg(enc)
         theirs = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
         # IDCT implementations may differ by a rounding step
