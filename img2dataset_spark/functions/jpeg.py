@@ -754,13 +754,19 @@ def _emit_block(bw: _BitWriter, row, dctab, actab, pred: int) -> int:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 95, subsampling: str = "420"
+    img: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (H, W) or (H, W, 3) RGB -> baseline JPEG bytes.
 
     ``subsampling`` is "420" (2x2 box-mean chroma, the libjpeg/cv2
     default the reference's outputs use — ~35% smaller files) or "444"
-    (full chroma).  Grayscale input ignores it."""
+    (full chroma).  Grayscale input ignores it.  ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs —
+    what hardware/parallel encoders produce; also how the decoder's
+    restart-resync path gets a true roundtrip test."""
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[2] == 4:
         img = img[:, :, :3]
@@ -811,31 +817,47 @@ def encode_jpeg(
     bw = _BitWriter()
     preds = [0] * len(planes)
     if sub:
-        # interleaved 4:2:0 MCUs: 4 luma blocks (2x2) + Cb + Cr
         mcux, mcuy = -(-w // 16), -(-h // 16)
+        total_mcus = mcux * mcuy
         ybw = 2 * mcux
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for v in range(2):
-                    for hh in range(2):
-                        preds[0] = _emit_block(
-                            bw, coefs[0][(2 * my + v) * ybw + (2 * mx + hh)],
-                            dc_codes[0], ac_codes[0], preds[0],
-                        )
-                ci_idx = my * mcux + mx
-                preds[1] = _emit_block(
-                    bw, coefs[1][ci_idx], dc_codes[1], ac_codes[1], preds[1]
-                )
-                preds[2] = _emit_block(
-                    bw, coefs[2][ci_idx], dc_codes[2], ac_codes[2], preds[2]
-                )
     else:
         nby, nbx = -(-h // 8), -(-w // 8)
-        for bi in range(nby * nbx):
+        total_mcus = nby * nbx
+    rst_n = 0
+
+    def maybe_restart(done: int) -> None:
+        """Between-interval RSTn: byte-align, emit marker, reset DC."""
+        nonlocal rst_n
+        if restart_interval and done % restart_interval == 0 and done < total_mcus:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) & 7
+            for i in range(len(preds)):
+                preds[i] = 0
+
+    for mcu in range(total_mcus):
+        if sub:
+            # interleaved 4:2:0 MCU: 4 luma blocks (2x2) + Cb + Cr
+            my, mx = divmod(mcu, mcux)
+            for v in range(2):
+                for hh in range(2):
+                    preds[0] = _emit_block(
+                        bw, coefs[0][(2 * my + v) * ybw + (2 * mx + hh)],
+                        dc_codes[0], ac_codes[0], preds[0],
+                    )
+            ci_idx = my * mcux + mx
+            preds[1] = _emit_block(
+                bw, coefs[1][ci_idx], dc_codes[1], ac_codes[1], preds[1]
+            )
+            preds[2] = _emit_block(
+                bw, coefs[2][ci_idx], dc_codes[2], ac_codes[2], preds[2]
+            )
+        else:
             for ci in range(len(planes)):
                 preds[ci] = _emit_block(
-                    bw, coefs[ci][bi], dc_codes[ci], ac_codes[ci], preds[ci]
+                    bw, coefs[ci][mcu], dc_codes[ci], ac_codes[ci], preds[ci]
                 )
+        maybe_restart(mcu + 1)
     bw.flush()
 
     # ---- assemble the file
@@ -872,6 +894,9 @@ def encode_jpeg(
     out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
     if not gray:
         out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     sos = struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):

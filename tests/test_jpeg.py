@@ -89,6 +89,20 @@ class TestRoundtrip:
         rgba = np.dstack([img, np.full((16, 16), 255, np.uint8)])
         assert decode_jpeg(encode_jpeg(rgba, 95)).shape == (16, 16, 3)
 
+    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    @pytest.mark.parametrize("interval", [1, 3])
+    def test_restart_markers_roundtrip(self, subsampling, interval):
+        """DRI + RSTn emission and the decoder's restart-resync path:
+        identical pixels with and without restarts."""
+        img = _synthetic(40, 56)
+        plain = decode_jpeg(encode_jpeg(img, 90, subsampling=subsampling))
+        enc = encode_jpeg(
+            img, 90, subsampling=subsampling, restart_interval=interval
+        )
+        assert b"\xff\xdd" in enc  # DRI present
+        assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+        assert np.array_equal(decode_jpeg(enc), plain)
+
     def test_flat_image_exact(self):
         img = np.full((24, 24, 3), 137, np.uint8)
         dec = decode_jpeg(encode_jpeg(img, 95))
