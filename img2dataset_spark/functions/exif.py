@@ -10,9 +10,11 @@ SHORT, LONG, RATIONAL and SRATIONAL value types.  Tag names use
 exifread's "<group> <TagName>" convention ("Image Make",
 "EXIF ExposureTime", "GPS GPSLatitude").  Values serialize as exifread
 prints them where that is mechanical (ints, "num/den" rationals,
-"[a, b, c]" lists); exifread's *descriptive* renderings (e.g.
-Orientation -> "Horizontal (normal)") are not reproduced — documented
-deviation, the numeric value is emitted instead.
+"[a, b, c]" lists).  Descriptive enum renderings (Orientation ->
+"Horizontal (normal)", ResolutionUnit, ExposureProgram, MeteringMode,
+ColorSpace, ExposureMode, WhiteBalance, GPSAltitudeRef) follow the
+EXIF 2.3 value descriptions as exifread prints them; enum tags outside
+that set emit the numeric value — the (small) documented deviation.
 """
 
 from __future__ import annotations
@@ -41,15 +43,20 @@ _IFD0_TAGS = {
 _EXIF_TAGS = {
     0x829A: "EXIF ExposureTime",
     0x829D: "EXIF FNumber",
+    0x8822: "EXIF ExposureProgram",
     0x8827: "EXIF ISOSpeedRatings",
     0x9003: "EXIF DateTimeOriginal",
     0x9004: "EXIF DateTimeDigitized",
     0x9201: "EXIF ShutterSpeedValue",
     0x9202: "EXIF ApertureValue",
     0x9204: "EXIF ExposureBiasValue",
+    0x9207: "EXIF MeteringMode",
     0x920A: "EXIF FocalLength",
+    0xA001: "EXIF ColorSpace",
     0xA002: "EXIF ExifImageWidth",
     0xA003: "EXIF ExifImageLength",
+    0xA402: "EXIF ExposureMode",
+    0xA403: "EXIF WhiteBalance",
     0xA405: "EXIF FocalLengthIn35mmFilm",
 }
 _GPS_TAGS = {
@@ -62,6 +69,49 @@ _GPS_TAGS = {
 }
 _EXIF_IFD_POINTER = 0x8769
 _GPS_IFD_POINTER = 0x8825
+
+# Descriptive renderings for single-value SHORT/BYTE enum tags, matching
+# exifread's printable strings (which are the EXIF 2.3 spec's own value
+# descriptions).  Tags without an entry keep their numeric rendering —
+# that remaining subset is the documented deviation.
+_DESCRIPTIONS: dict[int, dict[int, str]] = {
+    0x0112: {  # Orientation
+        1: "Horizontal (normal)",
+        2: "Mirrored horizontal",
+        3: "Rotated 180",
+        4: "Mirrored vertical",
+        5: "Mirrored horizontal then rotated 90 CCW",
+        6: "Rotated 90 CW",
+        7: "Mirrored horizontal then rotated 90 CW",
+        8: "Rotated 90 CCW",
+    },
+    0x0128: {1: "Not Absolute", 2: "Pixels/Inch", 3: "Pixels/Centimeter"},
+    0x8822: {  # ExposureProgram
+        0: "Unidentified",
+        1: "Manual",
+        2: "Program Normal",
+        3: "Aperture Priority",
+        4: "Shutter Priority",
+        5: "Program Creative",
+        6: "Program Action",
+        7: "Portrait Mode",
+        8: "Landscape Mode",
+    },
+    0x9207: {  # MeteringMode
+        0: "Unidentified",
+        1: "Average",
+        2: "CenterWeightedAverage",
+        3: "Spot",
+        4: "MultiSpot",
+        5: "Pattern",
+        6: "Partial",
+        255: "other",
+    },
+    0xA001: {1: "sRGB", 2: "Adobe RGB", 65535: "Uncalibrated"},
+    0xA402: {0: "Auto Exposure", 1: "Manual Exposure", 2: "Auto Bracket"},
+    0xA403: {0: "Auto", 1: "Manual"},
+    0x0005: {0: "Sea level", 1: "Below sea level"},  # GPSAltitudeRef
+}
 
 # TIFF value types: type id -> (struct code, byte size).  ASCII (2) and
 # rationals (5, 10) are handled specially.
@@ -101,6 +151,10 @@ def _read_values(tiff: bytes, endian: str, entry_off: int):
         size = unit * n_vals
         off = _value_offset(tiff, endian, entry_off, size)
         vals = _struct.unpack(endian + code * n_vals, tiff[off : off + size])
+        if n_vals == 1 and tag in _DESCRIPTIONS:
+            desc = _DESCRIPTIONS[tag].get(int(vals[0]))
+            if desc is not None:
+                return tag, desc
         return tag, _fmt_list([str(v) for v in vals])
     if typ in (5, 10):  # RATIONAL / SRATIONAL: two (u)int32 per value
         code = "II" if typ == 5 else "ii"

@@ -262,6 +262,44 @@ class TestExif:
         assert extract_exif_json(b"\x89PNG") == "{}"
         assert extract_exif_json(None) == "{}"
 
+    def test_descriptive_enum_renderings(self):
+        import json
+
+        from img2dataset_spark.functions.exif import extract_exif_json
+
+        # IFD0: Orientation=6 (SHORT) + ResolutionUnit=2 (SHORT)
+        tiff = (
+            b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 2)
+            + struct.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+            + struct.pack("<HHIHH", 0x0128, 3, 1, 2, 0)
+            + struct.pack("<I", 0)
+        )
+        exif_seg = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(exif_seg) + 2) + exif_seg
+        out = json.loads(extract_exif_json(b"\xff\xd8" + app1 + b"\xff\xd9"))
+        assert out == {
+            "Image Orientation": "Rotated 90 CW",
+            "Image ResolutionUnit": "Pixels/Inch",
+        }
+
+    def test_unmapped_enum_stays_numeric(self):
+        import json
+
+        from img2dataset_spark.functions.exif import extract_exif_json
+
+        # Orientation=99: outside the spec enum -> numeric fallback
+        tiff = (
+            b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 0x0112, 3, 1, 99, 0)
+            + struct.pack("<I", 0)
+        )
+        exif_seg = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(exif_seg) + 2) + exif_seg
+        out = json.loads(extract_exif_json(b"\xff\xd8" + app1 + b"\xff\xd9"))
+        assert out == {"Image Orientation": "99"}
+
     @staticmethod
     def _jpeg_with_tiff(tiff: bytes) -> bytes:
         exif_seg = b"Exif\x00\x00" + tiff
@@ -308,7 +346,7 @@ class TestExif:
         tiff[138:146] = struct.pack("<ii", -1, 3)         # -1/3
         tiff[146:170] = struct.pack("<IIIIII", 40, 1, 26, 1, 30, 1)  # 40,26,30 deg/min/sec
         out = json.loads(extract_exif_json(self._jpeg_with_tiff(bytes(tiff))))
-        assert out["Image Orientation"] == "6"
+        assert out["Image Orientation"] == "Rotated 90 CW"
         assert out["EXIF ExposureTime"] == "1/200"
         assert out["EXIF ExposureBiasValue"] == "-1/3"
         assert out["GPS GPSLatitudeRef"] == "N"
@@ -326,7 +364,7 @@ class TestExif:
             + struct.pack(">I", 0)
         )
         out = json.loads(extract_exif_json(self._jpeg_with_tiff(tiff)))
-        assert out == {"Image Orientation": "3"}
+        assert out == {"Image Orientation": "Rotated 180"}
 
 
 class TestReencodeGate:
