@@ -73,6 +73,17 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> np.ndarray:
 
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> first frame as uint8 (H, W, 3) RGB or (H, W, 4) RGBA."""
+    try:
+        return _decode_gif(data)
+    except (IndexError, ValueError) as e:
+        # a truncated stream surfaces as an out-of-range read mid-parse;
+        # normalize to the parser's single failure mode
+        if isinstance(e, ValueError):
+            raise
+        raise ValueError("truncated GIF") from e
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw = int.from_bytes(data[6:8], "little")
@@ -157,6 +168,15 @@ def decode_gif(data: bytes) -> np.ndarray:
 def decode_bmp(data: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit bottom-up BMP -> uint8 (H, W, 3|4) array
     (RGB/RGBA).  Compressed or paletted BMPs raise ValueError."""
+    try:
+        return _decode_bmp(data)
+    except (IndexError, ValueError) as e:
+        if isinstance(e, ValueError):
+            raise
+        raise ValueError("truncated BMP") from e
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     pixel_off = int.from_bytes(data[10:14], "little")

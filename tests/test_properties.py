@@ -42,6 +42,77 @@ class TestPngCodec:
             raise AssertionError(f"unexpected {type(e).__name__}") from e
 
 
+class TestJpegCodec:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 40),
+        quality=st.integers(50, 100),
+        sub=st.sampled_from(["420", "444"]),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_any_shape(self, w, h, quality, sub, gray, seed):
+        """Smooth content must survive encode->decode at any size,
+        quality, subsampling, and channel count: exact shape back,
+        bounded error (JPEG is lossy, but a correct codec's error on a
+        CONSTANT image is a couple of levels, not garbage)."""
+        from img2dataset_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        base = int(rng.integers(30, 226))
+        shape = (h, w) if gray else (h, w, 3)
+        img = np.full(shape, base, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality, subsampling=sub))
+        assert dec.shape == shape
+        assert np.abs(dec.astype(int) - base).max() <= 3
+
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=96))
+    def test_garbage_never_crashes_silently(self, data):
+        from img2dataset_spark.functions.jpeg import decode_jpeg
+
+        try:
+            decode_jpeg(b"\xff\xd8" + data)
+        except ValueError:
+            pass  # the only acceptable failure mode
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"unexpected {type(e).__name__}") from e
+
+
+class TestGifCodec:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        ncol=st.integers(2, 4),
+        interlaced=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_any_shape(self, w, h, ncol, interlaced, seed):
+        from img2dataset_spark.functions.gif import decode_gif
+        from tests.test_gif import make_gif
+
+        rng = np.random.default_rng(seed)
+        palette = [tuple(int(x) for x in rng.integers(0, 256, 3))
+                   for _ in range(ncol)]
+        grid = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+        arr = decode_gif(make_gif(grid, palette, interlaced=interlaced))
+        assert arr.shape == (h, w, 3)
+        expect = np.array(palette, dtype=np.uint8)[grid]
+        assert np.array_equal(arr, expect)
+
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=96))
+    def test_garbage_never_crashes_silently(self, data):
+        from img2dataset_spark.functions.gif import decode_gif
+
+        try:
+            decode_gif(b"GIF89a" + data)
+        except ValueError:
+            pass
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"unexpected {type(e).__name__}") from e
+
+
 class TestResampleWeights:
     @settings(max_examples=60, deadline=None)
     @given(
