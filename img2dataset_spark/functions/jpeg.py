@@ -39,7 +39,6 @@ scale the Arrow-batched UDF runs it embarrassingly parallel per core.
 from __future__ import annotations
 
 import struct
-from typing import Any
 
 import numpy as np
 
