@@ -41,7 +41,10 @@ HEADLINE = [
     "text_lm_score",
     "quality_flags",
     "events_asof",
+    "events_range_join",
+    "sessionize",
     "events_salted_join",
+    "dedup_survivors",
     "dedup_components",
     "curation_e2e",
     "pipeline_e2e",
