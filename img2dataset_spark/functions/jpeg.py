@@ -761,8 +761,9 @@ def encode_jpeg(
     """uint8 (H, W) or (H, W, 3) RGB -> baseline JPEG bytes.
 
     ``subsampling`` is "420" (2x2 box-mean chroma, the libjpeg/cv2
-    default the reference's outputs use — ~35% smaller files) or "444"
-    (full chroma).  Grayscale input ignores it.  ``restart_interval``
+    default the reference's outputs use — ~35% smaller files), "422"
+    (horizontal-only), "440" (vertical-only), or "444" (full chroma).
+    Grayscale input ignores it.  ``restart_interval``
     > 0 emits a DRI segment and RSTn markers every that-many MCUs —
     what hardware/parallel encoders produce; also how the decoder's
     restart-resync path gets a true roundtrip test."""
@@ -773,9 +774,11 @@ def encode_jpeg(
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    if subsampling not in ("420", "444"):
+    _FACTORS = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+    if subsampling not in _FACTORS:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sub = subsampling == "420" and not gray
+    hs, vs = _FACTORS[subsampling] if not gray else (1, 1)
+    sub = (hs, vs) != (1, 1)
     ql, qc = scaled_quant_tables(quality)
 
     if gray:
@@ -788,15 +791,17 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         if sub:
-            # pad everything to the 16-pixel MCU grid, then 2x2 box-mean
-            # the chroma (the encoder-side norm; decode box-upsamples)
-            ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+            # pad everything to the MCU pixel grid (8*hs x 8*vs), then
+            # box-mean the chroma by the sampling factors (the
+            # encoder-side norm; decode box-upsamples)
+            mh, mw = 8 * vs, 8 * hs
+            ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
             pad = ((0, ph - h), (0, pw - w))
             y = np.pad(y, pad, mode="edge")
             cb = np.pad(cb, pad, mode="edge")
             cr = np.pad(cr, pad, mode="edge")
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cb = cb.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+            cr = cr.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qts = [ql, qc, qc]
 
@@ -816,9 +821,9 @@ def encode_jpeg(
     bw = _BitWriter()
     preds = [0] * len(planes)
     if sub:
-        mcux, mcuy = -(-w // 16), -(-h // 16)
+        mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
         total_mcus = mcux * mcuy
-        ybw = 2 * mcux
+        ybw = hs * mcux
     else:
         nby, nbx = -(-h // 8), -(-w // 8)
         total_mcus = nby * nbx
@@ -836,12 +841,12 @@ def encode_jpeg(
 
     for mcu in range(total_mcus):
         if sub:
-            # interleaved 4:2:0 MCU: 4 luma blocks (2x2) + Cb + Cr
+            # interleaved MCU: hs*vs luma blocks (row-major) + Cb + Cr
             my, mx = divmod(mcu, mcux)
-            for v in range(2):
-                for hh in range(2):
+            for v in range(vs):
+                for hh in range(hs):
                     preds[0] = _emit_block(
-                        bw, coefs[0][(2 * my + v) * ybw + (2 * mx + hh)],
+                        bw, coefs[0][(vs * my + v) * ybw + (hs * mx + hh)],
                         dc_codes[0], ac_codes[0], preds[0],
                     )
             ci_idx = my * mcux + mx
@@ -877,7 +882,7 @@ def encode_jpeg(
     nc = 1 if gray else 3
     sof = struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        hv = 0x22 if (sub and ci == 0) else 0x11
+        hv = ((hs << 4) | vs) if (sub and ci == 0) else 0x11
         sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + sof
 

@@ -66,6 +66,17 @@ class TestRoundtrip:
         luma = lambda a: a.astype(np.float64) @ [0.299, 0.587, 0.114]  # noqa: E731
         assert _psnr(luma(dec), luma(img)) > 40
 
+    @pytest.mark.parametrize("subsampling", ["422", "440"])
+    def test_asymmetric_subsampling_roundtrip(self, subsampling):
+        """4:2:2 / 4:4:0 exercise the decoder's asymmetric
+        sampling-factor handling (one axis subsampled, one full)."""
+        img = _synthetic(37, 51)
+        dec = decode_jpeg(encode_jpeg(img, 92, subsampling=subsampling))
+        assert dec.shape == img.shape
+        assert _psnr(dec, img) > 28
+        luma = lambda a: a.astype(np.float64) @ [0.299, 0.587, 0.114]  # noqa: E731
+        assert _psnr(luma(dec), luma(img)) > 38
+
     def test_gray(self):
         g = _synthetic(50, 40)[:, :, 0]
         dec = decode_jpeg(encode_jpeg(g, quality=90))
@@ -89,7 +100,7 @@ class TestRoundtrip:
         rgba = np.dstack([img, np.full((16, 16), 255, np.uint8)])
         assert decode_jpeg(encode_jpeg(rgba, 95)).shape == (16, 16, 3)
 
-    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    @pytest.mark.parametrize("subsampling", ["444", "422", "440", "420"])
     @pytest.mark.parametrize("interval", [1, 3])
     def test_restart_markers_roundtrip(self, subsampling, interval):
         """DRI + RSTn emission and the decoder's restart-resync path:
