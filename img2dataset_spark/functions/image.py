@@ -282,7 +282,18 @@ def _pil_transform(
             return Image.fromarray(blur_bboxes(np.asarray(im), bboxes))
         return im
 
-    img = Image.open(io.BytesIO(data)).convert("RGB")
+    img = Image.open(io.BytesIO(data))
+    if img.mode in ("RGBA", "LA", "PA") or (
+        img.mode == "P" and "transparency" in img.info
+    ):
+        # reference parity (resizer.py:155-158): alpha mattes onto a
+        # WHITE background (PIL's bare convert("RGB") would drop alpha
+        # over black instead)
+        rgba = img.convert("RGBA")
+        canvas = Image.new("RGBA", rgba.size, (255, 255, 255, 255))
+        img = Image.alpha_composite(canvas, rgba).convert("RGB")
+    else:
+        img = img.convert("RGB")
     w, h = img.size
     nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
     resample = _pil_filter(
@@ -310,6 +321,44 @@ def _pil_transform(
     fmt = {"jpg": "JPEG", "png": "PNG", "webp": "WEBP"}[encode_format]
     img.save(buf, format=fmt, quality=encode_quality)
     return buf.getvalue(), nw, nh, w, h, None
+
+
+def _png_has_alpha(data: bytes) -> bool:
+    """Cheap header probe: PNG color type 4/6 (alpha channel) or a tRNS
+    chunk on a palette/gray/RGB image."""
+    if len(data) < 26 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return False
+    color_type = data[25]
+    if color_type in (4, 6):
+        return True
+    # scan chunk headers for tRNS (appears before IDAT)
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = _struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"tRNS":
+            return True
+        if ctype == b"IDAT":
+            return False
+        pos += 12 + length
+    return False
+
+
+def _white_matte(arr):
+    """Reference parity (resizer.py:154-159): a decoded image with an
+    alpha channel is matted onto a WHITE background right after decode,
+    so every downstream stage (resize/blur/encode) sees gray or RGB.
+    `np.rint(clip(alpha/255*color + 255 - alpha))`, exactly the
+    reference's formula."""
+    import numpy as np
+
+    if arr.ndim != 3 or arr.shape[2] not in (2, 4):
+        return arr
+    color = arr[:, :, :-1].astype(np.float64)
+    alpha = arr[:, :, -1:].astype(np.float64)
+    out = np.rint((alpha / 255.0 * color + 255.0 - alpha).clip(0, 255))
+    out = out.astype(np.uint8)
+    return out[:, :, 0] if out.shape[2] == 1 else out
 
 
 def _codec_decode(data: bytes):
@@ -397,7 +446,7 @@ def _numpy_transform(
             return blur_bboxes(arr, bboxes)
         return arr
 
-    img = _codec_decode(data)
+    img = _white_matte(_codec_decode(data))
     h, w = img.shape[:2]
     nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
     mode = select_interpolation(
@@ -493,13 +542,21 @@ def make_transform_fn(
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
-        if (nw, nh) == (w, h) and n_boxes == 0 and src_fmt == what_ext:
+        if (
+            (nw, nh) == (w, h)
+            and n_boxes == 0
+            and src_fmt == what_ext
+            and not (src_fmt == "png" and _png_has_alpha(data))
+        ):
             # Same-format re-encode with no imaging library: the
             # reference would decode+re-encode (new bytes, same pixels);
             # passing the original bytes through is the documented
             # no-pixel-lib deviation — container and pixels are already
             # exactly what was asked for (and for JPEG it also avoids a
-            # pointless generation loss).
+            # pointless generation loss).  Alpha PNGs are excluded: the
+            # reference mattes them onto white and re-encodes
+            # unconditionally (resizer.py:155-159), so they take the
+            # pixel path below.
             return (data, nw, nh, w, h, None)
         # png/jpeg/gif/bmp pixel path is REAL without any imaging
         # library: pure-Python codecs (functions/png.py, jpeg.py,

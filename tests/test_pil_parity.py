@@ -97,6 +97,27 @@ def test_pil_resize_contract(image_size, mode, only_if_bigger, encode_format):
         _check_geometry(w, h, ow, oh, image_size, mode, only_if_bigger)
 
 
+def test_pil_alpha_mattes_onto_white():
+    """Alpha inputs matte onto WHITE in the PIL path too (reference
+    resizer.py:155-158), matching the numpy path's formula."""
+    import numpy as np
+
+    from img2dataset_spark.functions.png import encode_png
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[:, :, 0] = 200
+    rgba[:, :, 3] = 128
+    out, w, h, ow, oh, err = _pil_transform(
+        encode_png(rgba), "no", 64, False, "png", 9
+    )
+    assert err is None
+    arr = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    # rint(128/255*200 + 127) = 227 over white; PIL's compositor may
+    # round a level differently
+    assert abs(int(arr[0, 0, 0]) - 227) <= 1
+    assert abs(int(arr[0, 0, 1]) - 127) <= 1
+
+
 def test_pil_blur_keeps_frame_scaled():
     """Bbox blur composes with resize: blurred output has the same
     geometry as unblurred (blur happens on the aspect-preserved frame,

@@ -128,6 +128,28 @@ class TestPngResizeEndToEnd:
         assert abs(float(dec[32, 32].mean()) - 90.0) < 4
         assert abs(float(dec[4, 32].mean()) - 255.0) < 4
 
+    def test_alpha_png_matted_onto_white(self):
+        """Reference parity (resizer.py:155-159): an alpha PNG is matted
+        onto white and re-encoded even when geometry is a no-op — never
+        passed through with its alpha intact."""
+        import numpy as np
+
+        from img2dataset_spark.functions.image import make_transform_fn
+        from img2dataset_spark.functions.png import encode_png
+
+        rgba = np.zeros((10, 10, 4), np.uint8)
+        rgba[:, :, 0] = 200
+        rgba[:, :, 3] = 128
+        src = encode_png(rgba)
+        fn = make_transform_fn(resize_mode="no", encode_format="png")
+        data, w, h, ow, oh, err = fn(src)
+        assert err is None and (w, h) == (10, 10)
+        assert data != src
+        out = decode_png(data)
+        assert out.shape == (10, 10, 3)
+        # rint(128/255*200 + 255-128) = 227 red over white; G/B = 127
+        assert tuple(out[0, 0]) == (227, 127, 127)
+
     def test_truncated_jpeg_errors_cleanly(self):
         fn = self._fn(resize_mode="border", image_size=64)
         jpg = (b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x20\x03"
