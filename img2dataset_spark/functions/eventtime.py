@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 
 def ensure_event_time(df: DataFrame, *cols: str) -> DataFrame:
@@ -40,7 +45,10 @@ def ensure_event_time(df: DataFrame, *cols: str) -> DataFrame:
         dt = by_name.get(c)
         if dt is None or isinstance(dt, TimestampType):
             continue
-        if isinstance(dt, TimestampNTZType):
+        if isinstance(dt, (TimestampNTZType, DateType)):
+            # DATE tolerated too (the driver has re-encoded these
+            # columns between rounds; midnight-UTC cast is deterministic
+            # under the pinned session timezone)
             df = df.withColumn(c, F.col(c).cast("timestamp"))
         elif isinstance(dt, LongType):
             # legacy nanosAsLong read of TIMESTAMP(NANOS)

@@ -400,20 +400,9 @@ def _codec_encode(img, encode_format: str, quality: int = 95) -> bytes:
     if encode_format in ("jpg", "jpeg"):
         from img2dataset_spark.functions.jpeg import encode_jpeg
 
-        arr = np.asarray(img)
-        if arr.ndim == 3 and arr.shape[2] == 4:
-            alpha = arr[:, :, 3:4].astype(np.float64)
-            arr = np.rint(
-                (alpha / 255.0) * arr[:, :, :3] + 255.0 - alpha
-            ).clip(0, 255).astype(np.uint8)
-        elif arr.ndim == 3 and arr.shape[2] == 2:  # gray + alpha
-            alpha = arr[:, :, 1:2].astype(np.float64)
-            arr = (
-                np.rint((alpha[:, :, 0] / 255.0) * arr[:, :, 0] + 255.0 - alpha[:, :, 0])
-                .clip(0, 255)
-                .astype(np.uint8)
-            )
-        return encode_jpeg(arr, quality)
+        # alpha must not reach the JPEG encoder; _numpy_transform mattes
+        # at decode, this covers direct callers
+        return encode_jpeg(_white_matte(np.asarray(img)), quality)
     raise NotImplementedError(
         f"no dependency-free encoder for format {encode_format!r} (png/jpg only)"
     )

@@ -204,7 +204,16 @@ def _split_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 ndarray (H, W, 3) RGB, or (H, W) grayscale."""
+    """JPEG bytes -> uint8 ndarray (H, W, 3) RGB, or (H, W) grayscale.
+    Malformed input fails with ValueError — the parser's single failure
+    mode (mid-parse out-of-range reads are normalized here)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, TypeError, struct.error) as e:
+        raise ValueError("malformed JPEG") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -218,7 +227,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     any_scan = False
     hmax = vmax = mcux = mcuy = 0
     by_id: dict[int, _Component] = {}
-    eobrun_state: dict[int, int] = {}
 
     n = len(data)
     while pos < n - 1:
@@ -227,6 +235,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:
+            # 0xFF fill byte before a marker (T.81 B.1.1.2) — skip one
+            # fill byte and rescan from the next
+            pos -= 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -256,6 +269,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                # 4-component = Adobe CMYK/YCCK: decoding it as YCbCr
+                # would silently emit garbage colors
+                raise ValueError(
+                    f"unsupported JPEG component count {nc} (CMYK/YCCK)"
+                )
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq_id))
@@ -310,7 +329,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 _progressive_scan(
                     segments, scan_comps, ss, se, ah, al,
                     restart_interval, mcux, mcuy, width, height, hmax, vmax,
-                    eobrun_state,
+                )
+            elif len(comps) == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved
+                # — blocks in raster order, one per data unit, even when
+                # the frame declares sampling factors > 1
+                _decode_baseline_single(
+                    segments, comps[0], restart_interval, width, height
                 )
             else:
                 if len(scan_comps) != len(comps) or ss != 0 or se != 63:
@@ -383,7 +408,6 @@ def _decode_segment(
     nbits = 0
     spos = 0
     slen = len(seg)
-    zz = ZIGZAG  # local alias
 
     while mcu < mcu_limit:
         my, mx = divmod(mcu, mcux)
@@ -529,7 +553,6 @@ def _progressive_scan(
     height: int,
     hmax: int,
     vmax: int,
-    eobrun_state: dict[int, int],
 ) -> None:
     """One progressive scan (T.81 G.2): DC first/refine (interleaved or
     not), AC first/refine (always single-component).  Coefficients are
@@ -583,6 +606,36 @@ def _progressive_scan(
                     eobrun = _ac_refine(br, row, c.ac, ss, se, al, eobrun)
             unit += 1
     if unit < units_total:
+        raise ValueError("truncated JPEG entropy data")
+
+
+def _decode_baseline_single(
+    segments: list[bytes],
+    c: _Component,
+    restart_interval: int,
+    width: int,
+    height: int,
+) -> None:
+    """Sequential scan of a single-component frame: non-interleaved
+    raster block order (T.81 A.2.2), regardless of the frame's declared
+    sampling factors.  DC+AC per block; baseline AC is the al=0 case of
+    the progressive first-scan reader (EOB there is the r=0 run)."""
+    ubx, uby = -(-width // 8), -(-height // 8)
+    total = ubx * uby
+    unit = 0
+    for seg in segments:
+        if unit >= total:
+            break
+        br = _Bits(seg)
+        preds = {c.cid: 0}
+        limit = min(unit + restart_interval, total) if restart_interval else total
+        while unit < limit:
+            by, bx = divmod(unit, ubx)
+            row = c.blocks[by * c.bw + bx]
+            _dc_unit(br, row, c, preds, 0, 0)
+            _ac_first(br, row, c.ac, 1, 63, 0, 0)
+            unit += 1
+    if unit < total:
         raise ValueError("truncated JPEG entropy data")
 
 

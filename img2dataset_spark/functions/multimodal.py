@@ -7,10 +7,10 @@ mapInPandas batch shapes — with REAL pure-Python parsing where no media
 library is needed and clearly-marked stubs where one is:
 
   REAL   image_meta   — width/height/format from PNG/JPEG/GIF/WebP/BMP headers
-  REAL   image pixel features — full raster decode for PNG and JPEG
-                        (baseline + progressive) via the dependency-free
-                        codecs (functions/png.py, functions/jpeg.py);
-                        webp/gif/bmp pixels still need PIL
+  REAL   image pixel features — full raster decode for PNG, JPEG
+                        (baseline + progressive), GIF, and BMP via the
+                        dependency-free codecs (functions/png.py,
+                        jpeg.py, gif.py); only WebP pixels need PIL
   REAL   wav_meta     — sample rate / channels / bit depth / duration from
                         RIFF/WAVE headers (pure struct parsing)
   STUB   video frame-sample — needs pyav/ffmpeg; deterministic byte-slice

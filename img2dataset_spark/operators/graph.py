@@ -47,11 +47,13 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
         # setCheckpointDir stores a qualified path (scheme + per-context
-        # UUID subdir), so compare by containment to avoid re-setting
-        # (and re-mkdir-ing a fresh UUID dir) every round
-        current = sc.getCheckpointDir()
-        if current is None or checkpoint_dir.rstrip("/") not in current:
+        # UUID subdir), so the requested dir can't be compared against
+        # getCheckpointDir() directly; remember what WE set to avoid
+        # both re-mkdir-ing a fresh UUID dir every round and silently
+        # keeping a previously-set different directory
+        if getattr(sc, "_graft_checkpoint_dir", None) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
+            sc._graft_checkpoint_dir = checkpoint_dir
         return df.checkpoint(eager=True)
     return df.localCheckpoint()
 

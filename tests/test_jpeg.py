@@ -198,6 +198,46 @@ class TestCrossCodec:
         assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
 
 
+class TestSpecEdgeCases:
+    def test_gray_with_declared_sampling_factors(self):
+        """T.81 A.2.2: a single-component scan is raster-ordered
+        regardless of the frame's sampling factors.  Patch a gray
+        stream's SOF sampling byte from 0x11 to 0x22 — the entropy data
+        is unchanged, so a correct decoder yields identical pixels."""
+        g = _synthetic(40, 56)[:, :, 0]
+        enc = bytearray(encode_jpeg(g, 90))
+        i = bytes(enc).find(b"\xff\xc0")
+        assert enc[i + 11] == 0x11  # component 1 sampling byte
+        plain = decode_jpeg(bytes(enc))
+        enc[i + 11] = 0x22
+        patched = decode_jpeg(bytes(enc))
+        assert np.array_equal(patched, plain)
+
+    def test_fill_bytes_before_markers(self):
+        """0xFF fill bytes before a marker (T.81 B.1.1.2) are legal:
+        inject them before EOI and before the SOS marker."""
+        img = _synthetic(24, 24)
+        enc = encode_jpeg(img, 90)
+        plain = decode_jpeg(enc)
+        assert enc.endswith(b"\xff\xd9")
+        padded = enc[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+        assert np.array_equal(decode_jpeg(padded), plain)
+        i = padded.find(b"\xff\xda")
+        padded2 = padded[:i] + b"\xff\xff" + padded[i:]
+        assert np.array_equal(decode_jpeg(padded2), plain)
+
+    def test_cmyk_rejected_not_misdecoded(self):
+        """4-component (Adobe CMYK) frames must raise, never silently
+        decode the C/M/Y planes as YCbCr."""
+        img = _synthetic(16, 16)
+        enc = bytearray(encode_jpeg(img, 90))
+        i = bytes(enc).find(b"\xff\xc0")
+        assert enc[i + 9] == 3  # component count byte
+        enc[i + 9] = 4
+        with pytest.raises(ValueError, match="component count 4"):
+            decode_jpeg(bytes(enc))
+
+
 class TestErrors:
     def test_not_a_jpeg(self):
         with pytest.raises(ValueError, match="not a JPEG"):
@@ -208,3 +248,11 @@ class TestErrors:
         enc = encode_jpeg(img, 80)
         with pytest.raises(ValueError):
             decode_jpeg(enc[: len(enc) // 2])
+
+    @pytest.mark.parametrize("cut", [3, 6, 11, 21, 151])
+    def test_any_truncation_is_valueerror(self, cut):
+        """Truncation at ANY marker-segment boundary must surface as
+        ValueError, not struct.error/IndexError/KeyError."""
+        enc = encode_jpeg(_synthetic(16, 16), 80)
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:cut])

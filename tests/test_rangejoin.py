@@ -54,3 +54,32 @@ def test_equi_join_plan(spark):
     )
     assert "NestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_event_time_accepts_every_parquet_encoding(spark):
+    """ensure_event_time must normalize timestamp / timestamp_ntz /
+    bigint-nanos / DATE — the driver has re-encoded the testdata's time
+    columns between rounds, and a DATE drop must not take down every
+    query touching the table."""
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.functions.eventtime import ensure_event_time
+
+    base = spark.createDataFrame([("2024-03-05 06:07:08",)], "s string")
+    cases = {
+        "timestamp": F.to_timestamp("s"),
+        "ntz": F.to_timestamp("s").cast("timestamp_ntz"),
+        "nanos": (F.unix_micros(F.to_timestamp("s")) * 1000).cast("long"),
+        "date": F.to_date("s"),
+    }
+    for name, expr in cases.items():
+        df = ensure_event_time(base.select(expr.alias("ts")), "ts")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp", name
+        got = df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).first()[0]
+        expected = "2024-03-05 00:00:00" if name == "date" else "2024-03-05 06:07:08"
+        assert got == expected, name
+    # unknown encodings still fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="expected"):
+        ensure_event_time(base.select(F.col("s").alias("ts")), "ts")
