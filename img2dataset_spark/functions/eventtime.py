@@ -51,8 +51,19 @@ def ensure_event_time(df: DataFrame, *cols: str) -> DataFrame:
             # under the pinned session timezone)
             df = df.withColumn(c, F.col(c).cast("timestamp"))
         elif isinstance(dt, LongType):
-            # legacy nanosAsLong read of TIMESTAMP(NANOS)
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # legacy nanosAsLong read of TIMESTAMP(NANOS).  Floor
+            # division, kept in bigint: `div` truncates toward zero, so
+            # pre-1970 nanos would otherwise land up to 1µs late (and a
+            # double-based floor(x/1000) loses precision past 2^53).
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(
+                    F.expr(
+                        f"(`{c}` div 1000) + "
+                        f"(CASE WHEN `{c}` % 1000 < 0 THEN -1 ELSE 0 END)"
+                    )
+                ),
+            )
         else:
             raise TypeError(
                 f"column {c!r} has type {dt.simpleString()}; expected "

@@ -167,7 +167,13 @@ def _decode_gif(data: bytes) -> np.ndarray:
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit bottom-up BMP -> uint8 (H, W, 3|4) array
-    (RGB/RGBA).  Compressed or paletted BMPs raise ValueError."""
+    (RGB/RGBA).  Compressed or paletted BMPs raise ValueError.
+
+    The 4th channel of a 32-bit BI_RGB BMP is taken at face value as
+    alpha — mirroring cv2 IMREAD_UNCHANGED (the reference's decoder) —
+    even though it is frequently zeroed padding, in which case the
+    downstream white matte yields a solid-white image, exactly as the
+    reference would."""
     try:
         return _decode_bmp(data)
     except (IndexError, ValueError) as e:

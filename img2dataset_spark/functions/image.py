@@ -344,6 +344,45 @@ def _png_has_alpha(data: bytes) -> bool:
     return False
 
 
+def _gif_has_transparency(data: bytes) -> bool:
+    """Cheap header probe: first Graphic Control Extension's transparency
+    flag (GIF89a, block 0x21 0xF9, packed-byte bit 0).  Later frames'
+    GCEs are irrelevant here: the decoder takes the first frame only."""
+    if len(data) < 14 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return False
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    while pos + 1 < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension block
+            if pos + 3 >= len(data):
+                return False
+            label = data[pos + 1]
+            p = pos + 2
+            if label == 0xF9 and data[p] >= 4 and p + 1 < len(data):
+                return bool(data[p + 1] & 0x01)
+            while p < len(data) and data[p] != 0:  # skip sub-blocks
+                p += 1 + data[p]
+            pos = p + 1
+        else:
+            # image descriptor (0x2C) with no preceding GCE, trailer
+            # (0x3B), or junk — no transparency before first frame
+            return False
+    return False
+
+
+def _bmp_has_alpha(data: bytes) -> bool:
+    """Cheap header probe: 32 bits-per-pixel BMP.  The 4th byte is taken
+    at face value as alpha by the decoder (mirroring cv2
+    IMREAD_UNCHANGED), so a 32-bit BMP is treated as carrying alpha even
+    when it is BI_RGB padding."""
+    if len(data) < 30 or data[:2] != b"BM":
+        return False
+    return int.from_bytes(data[28:30], "little") == 32
+
+
 def _white_matte(arr):
     """Reference parity (resizer.py:154-159): a decoded image with an
     alpha channel is matted onto a WHITE background right after decode,
@@ -536,16 +575,20 @@ def make_transform_fn(
             and n_boxes == 0
             and src_fmt == what_ext
             and not (src_fmt == "png" and _png_has_alpha(data))
+            and not (src_fmt == "gif" and _gif_has_transparency(data))
+            and not (src_fmt == "bmp" and _bmp_has_alpha(data))
         ):
             # Same-format re-encode with no imaging library: the
             # reference would decode+re-encode (new bytes, same pixels);
             # passing the original bytes through is the documented
             # no-pixel-lib deviation — container and pixels are already
             # exactly what was asked for (and for JPEG it also avoids a
-            # pointless generation loss).  Alpha PNGs are excluded: the
-            # reference mattes them onto white and re-encodes
-            # unconditionally (resizer.py:155-159), so they take the
-            # pixel path below.
+            # pointless generation loss).  Alpha-carrying inputs (alpha
+            # PNGs, transparent GIFs, 32-bit BMPs) are excluded so alpha
+            # semantics stay consistent: the reference mattes alpha onto
+            # white and re-encodes unconditionally (resizer.py:155-159),
+            # so they take the pixel path below (or fail honestly when
+            # no encoder exists for the target container).
             return (data, nw, nh, w, h, None)
         # png/jpeg/gif/bmp pixel path is REAL without any imaging
         # library: pure-Python codecs (functions/png.py, jpeg.py,

@@ -422,9 +422,17 @@ def _decode_segment(
                         acc = (acc << 8) | seg[spos]
                         spos += 1
                         nbits += 8
-                    peek = (acc << (16 - nbits)) & 0xFFFF if nbits < 16 else (
-                        acc >> (nbits - 16)
-                    ) & 0xFFFF
+                    # Peek padding uses 1-bits (T.81 F.1.2.3 fill
+                    # convention): on a truncated segment, 1-fill steers
+                    # a partial code toward a longer LUT entry so the
+                    # length>nbits guard fires instead of silently
+                    # decoding a shorter code.
+                    peek = (
+                        ((acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1))
+                        & 0xFFFF
+                        if nbits < 16
+                        else (acc >> (nbits - 16)) & 0xFFFF
+                    )
                     length = int(dc_len[peek])
                     if length == 0 or length > nbits:
                         raise ValueError("bad JPEG Huffman code")
@@ -450,9 +458,12 @@ def _decode_segment(
                             acc = (acc << 8) | seg[spos]
                             spos += 1
                             nbits += 8
-                        peek = (acc << (16 - nbits)) & 0xFFFF if nbits < 16 else (
-                            acc >> (nbits - 16)
-                        ) & 0xFFFF
+                        peek = (
+                            ((acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1))
+                            & 0xFFFF
+                            if nbits < 16
+                            else (acc >> (nbits - 16)) & 0xFFFF
+                        )
                         length = int(ac_len[peek])
                         if length == 0 or length > nbits:
                             raise ValueError("bad JPEG Huffman code")
@@ -508,8 +519,10 @@ class _Bits:
     def huff(self, lut: tuple[np.ndarray, np.ndarray]) -> int:
         self._fill(16)
         nbits = self.nbits
+        # 1-bit fill past end-of-segment (T.81 F.1.2.3) — see the
+        # baseline decoder's peek for rationale
         peek = (
-            (self.acc << (16 - nbits)) & 0xFFFF
+            ((self.acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)) & 0xFFFF
             if nbits < 16
             else (self.acc >> (nbits - 16)) & 0xFFFF
         )

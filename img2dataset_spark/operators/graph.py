@@ -107,6 +107,34 @@ def connected_components(
     )
 
 
+def _edge_sets_equal(e_old: DataFrame, e_new: DataFrame) -> bool:
+    """Convergence probe folded into ONE aggregation job: both inputs
+    are distinct edge sets, so they are equal iff the signed count delta
+    AND the signed xxhash64 checksum are both zero.  The checksum is a
+    safe FAST PATH only — when it reports 'equal' (which happens exactly
+    once, at the fixpoint) the claim is confirmed with the exact
+    exceptAll pass, so a hash-collision cancellation can never terminate
+    the loop early with a wrong answer.  Versus the previous
+    two-exceptAll probe this removes one shuffle-heavy job from every
+    non-converged round.  Decimal(38,0) accumulation keeps the sum exact
+    under ANSI mode (bigint sum would overflow-throw at scale)."""
+    tagged = e_old.select("u", "v", F.lit(1).alias("s")).unionAll(
+        e_new.select("u", "v", F.lit(-1).alias("s"))
+    )
+    row = tagged.agg(
+        F.sum("s").alias("dn"),
+        F.sum(
+            F.col("s") * F.xxhash64("u", "v").cast("decimal(38,0)")
+        ).alias("dh"),
+    ).collect()[0]
+    if (row["dn"] or 0) != 0 or (row["dh"] or 0) != 0:
+        return False
+    return (
+        e_new.exceptAll(e_old).limit(1).count() == 0
+        and e_old.exceptAll(e_new).limit(1).count() == 0
+    )
+
+
 def connected_components_two_phase(
     edges: DataFrame,
     src: str = "id_a",
@@ -133,10 +161,11 @@ def connected_components_two_phase(
 
     The fixpoint of the alternation is a star forest rooted at each
     component's minimum id, from which labels are read off directly.
-    Convergence is detected by edge-set stability (two exceptAll
-    probes, each short-circuited by limit(1)).  Lineage is truncated
-    per round with localCheckpoint, same rationale as the label-
-    propagation variant.
+    Convergence is detected by edge-set stability, probed with a single
+    aggregation job per round (signed count + xxhash64 checksum) and
+    confirmed exactly at the fixpoint — see :func:`_edge_sets_equal`.
+    Lineage is truncated per round with localCheckpoint, same rationale
+    as the label-propagation variant.
     """
     e = _truncate(
         edges.select(
@@ -174,10 +203,7 @@ def connected_components_two_phase(
             .union(smin.select("u", F.col("m").alias("v")))
         )
         e_new = _truncate(small.distinct(), checkpoint_dir)
-        stable = (
-            e_new.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(e_new).limit(1).count() == 0
-        )
+        stable = _edge_sets_equal(e, e_new)
         e = e_new
         if stable:
             # fixpoint == star forest rooted at component minima

@@ -1160,36 +1160,46 @@ QUERIES.update(
 
 # ---------------------------------------------------------------------------
 # Driver-facing registry shaping.  The correctness driver caps its oracle
-# run at 50 entries; the registry above has 60.  Near-duplicate variants
-# (a strict subset or re-parameterization of another entry's plan) move to
-# EXTRA_QUERIES — still oracle-verified on every pytest run
-# (tests/test_oracle.py parametrizes over ALL_QUERIES) but invisible to
-# the driver, so all 50 driver-facing entries get a correctness row.
-# Never-before-driver-verified flagships are ordered FIRST so even a
-# shrunken cap reaches them.
+# run at 50 entries; the registry above has 60.  Round-to-round ROTATION:
+# entries that already earned a green driver row in a prior round
+# (CORRECTNESS_r03) move to EXTRA_QUERIES — still oracle-verified on every
+# pytest run (tests/test_oracle.py parametrizes over ALL_QUERIES) — making
+# room for the 10 entries that have never had driver evidence.  Those
+# never-before-driver-verified entries are ordered FIRST so even a
+# shrunken cap reaches them.  After this round every one of the 60
+# registry queries has a driver-oracle row across rounds.
 # ---------------------------------------------------------------------------
 
 _EXTRA_NAMES = (
-    "tpch_q5",               # strict subset of tpch_q5_full (adds supplier leg)
-    "tpch_q3",               # join+topk shape covered by o2_topk / tpch_q5_full
-    "dedup_simhash",         # probe=0 case of dedup_simhash_multiprobe
-    "dedup_components",      # oracle-identical to dedup_components_2phase
-    "t12_keys_hash_mode",    # alternate key mode of t12_keys
-    "embedding_dup_pairs",   # blocked variant; _lsh is the scale path
-    "ann_ivf_topk",          # same search kernel as ann_ivf_fit_topk
-    "sample_stratified",     # same hash-bucket machinery as resample_mixture
-    "text_repetition",       # formulas re-verified inside quality_flags
-    "text_fingerprint",      # fingerprint() is the groupBy key of dedup_exact
+    # r3-green stable entries rotated out this round to make the window;
+    # driver evidence: CORRECTNESS_r03.json (all hash_match=true).
+    "tpch_q1",
+    "tpch_q6",
+    "o1_sort_events",
+    "o2_topk",
+    "j1_anti_join",
+    "j2_semi_join",
+    "j3_union",
+    "w1_row_number",
+    "w2_running_sum",
+    "a6_distinct_set",
 )
 _FLAGSHIP_FIRST = (
+    # never-before-driver-verified (rotated IN this round) — first in line
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_simhash",
+    "dedup_components",
+    "t12_keys_hash_mode",
+    "embedding_dup_pairs",
+    "ann_ivf_topk",
+    "sample_stratified",
+    "text_repetition",
+    "text_fingerprint",
+    # prior flagships keep early slots
     "pipeline_e2e",
-    "pipeline_verify_hash",
-    "pipeline_route_stats",
     "curation_e2e",
     "dedup_survivors",
-    "ann_cosine_topk",
-    "ann_ivf_fit_topk",
-    "embedding_dup_pairs_lsh",
 )
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1200,4 +1210,10 @@ ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
     **EXTRA_QUERIES,
 }
-assert len(QUERIES) == 50, len(QUERIES)
+# Driver cap is 50 entries; exceeding it silently drops the tail, so guard
+# with <= and point at the rotation list rather than hard-pinning ==50
+# (which made any registry add/remove an import-time failure).
+assert len(QUERIES) <= 50, (
+    f"QUERIES has {len(QUERIES)} entries but the correctness driver caps at "
+    "50 — rebalance _EXTRA_NAMES above."
+)

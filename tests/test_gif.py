@@ -199,3 +199,51 @@ class TestTransformIntegration:
         assert out[1:5] == (8, 8, 6, 12)
         dec = decode_png(out[0])
         assert dec.shape == (8, 8, 3)
+
+class TestAlphaProbes:
+    """Passthrough-exclusion probes: alpha-carrying gif/bmp inputs must
+    not ride the same-format passthrough (inconsistent alpha semantics
+    vs the unconditional white matte the reference applies)."""
+
+    def test_gif_transparency_probe(self):
+        from img2dataset_spark.functions.image import _gif_has_transparency
+
+        grid = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+        assert _gif_has_transparency(make_gif(grid, PALETTE, transparent=1))
+        assert not _gif_has_transparency(make_gif(grid, PALETTE))
+        assert not _gif_has_transparency(b"not a gif at all....")
+
+    def test_bmp_alpha_probe(self):
+        from img2dataset_spark.functions.image import _bmp_has_alpha
+
+        img3 = np.zeros((2, 2, 3), np.uint8)
+        img4 = np.zeros((2, 2, 4), np.uint8)
+        assert _bmp_has_alpha(make_bmp(img4))
+        assert not _bmp_has_alpha(make_bmp(img3))
+        assert not _bmp_has_alpha(b"BM")
+
+    def test_transparent_gif_not_passed_through(self):
+        """gif->gif, no resize: an opaque GIF passes original bytes
+        through; a transparent one must NOT (it either re-encodes via a
+        pixel lib or fails honestly)."""
+        from img2dataset_spark.functions.image import make_transform_fn
+
+        grid = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+        fn = make_transform_fn(resize_mode="no", encode_format="gif")
+        opaque = make_gif(grid, PALETTE)
+        out = fn(opaque)
+        assert out[0] == opaque and out[5] is None
+        transparent = make_gif(grid, PALETTE, transparent=1)
+        out2 = fn(transparent)
+        assert out2[0] != transparent
+
+    def test_32bit_bmp_not_passed_through(self):
+        from img2dataset_spark.functions.image import make_transform_fn
+
+        fn = make_transform_fn(resize_mode="no", encode_format="bmp")
+        bmp3 = make_bmp(np.zeros((2, 2, 3), np.uint8))
+        out = fn(bmp3)
+        assert out[0] == bmp3 and out[5] is None
+        bmp4 = make_bmp(np.zeros((2, 2, 4), np.uint8))
+        out2 = fn(bmp4)
+        assert out2[0] != bmp4

@@ -256,3 +256,23 @@ class TestErrors:
         enc = encode_jpeg(_synthetic(16, 16), 80)
         with pytest.raises(ValueError):
             decode_jpeg(enc[:cut])
+    def test_entropy_truncation_mostly_raises_with_one_fill(self):
+        """Entropy-segment truncation: the Huffman peek pads with 1-bits
+        (T.81 F.1.2.3 fill convention), which steers partial codes into
+        the length>nbits guard instead of silently decoding a shorter
+        zero-prefixed code.  Not every cut is detectable at the bit level
+        (the unit-count check catches the rest), but no cut may crash
+        with a non-ValueError."""
+        enc = bytearray(encode_jpeg(_synthetic(32, 32), 80))
+        # find SOS, then cut inside the entropy stream before EOI
+        sos = enc.find(b"\xff\xda")
+        assert sos > 0
+        entropy_start = sos + 2 + int.from_bytes(enc[sos + 2 : sos + 4], "big")
+        raised = 0
+        cuts = range(entropy_start + 4, len(enc) - 2, 7)
+        for cut in cuts:
+            try:
+                decode_jpeg(bytes(enc[:cut]) + b"\xff\xd9")
+            except ValueError:
+                raised += 1
+        assert raised >= len(list(cuts)) * 3 // 4

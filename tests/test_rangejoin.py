@@ -83,3 +83,23 @@ def test_event_time_accepts_every_parquet_encoding(spark):
 
     with _pytest.raises(TypeError, match="expected"):
         ensure_event_time(base.select(F.col("s").alias("ts")), "ts")
+
+
+def test_event_time_nanos_floor_for_pre_epoch(spark):
+    """bigint-nanos -> micros must use FLOOR semantics: `div` truncates
+    toward zero, which would land pre-1970 instants up to 1µs late."""
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.functions.eventtime import ensure_event_time
+
+    ns_values = [-1, -1001, 999, 1001, 0]
+    df = spark.createDataFrame([(v,) for v in ns_values], "ns bigint")
+    micros = [
+        r[0]
+        for r in ensure_event_time(df, "ns")
+        .select(F.unix_micros("ns"))
+        .collect()
+    ]
+    assert dict(zip(ns_values, micros)) == {
+        -1: -1, -1001: -2, 999: 0, 1001: 1, 0: 0
+    }
