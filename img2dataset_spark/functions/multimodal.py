@@ -13,8 +13,11 @@ library is needed and clearly-marked stubs where one is:
                         jpeg.py, gif.py); only WebP pixels need PIL
   REAL   wav_meta     — sample rate / channels / bit depth / duration from
                         RIFF/WAVE headers (pure struct parsing)
-  STUB   video frame-sample — needs pyav/ffmpeg; deterministic byte-slice
-                        fake keeps the plumbing testable hermetically
+  REAL   video frame-sample — Y4M (uncompressed) and MJPEG-in-AVI
+                        (functions/avi.py + the from-spec JPEG decoder);
+                        other codecs need pyav/ffmpeg (STUB: honest
+                        NotImplementedError; deterministic byte-slice
+                        fake keeps the plumbing testable hermetically)
 
 Scale notes: media rows are large (MBs); the UDFs are iterator-style so
 one Arrow batch is in memory per task at a time, and callers should size
@@ -248,10 +251,14 @@ def make_frame_sample_udf(num_frames: int = 4, mock: bool = False):
     """binary video -> array<binary> of `num_frames` sampled frames.
 
     REAL for Y4M (uncompressed YUV4MPEG2 — parsed natively, returns raw
-    planar frames).  Compressed containers (mp4/webm/...) need
-    pyav/ffmpeg, absent here: clearly-marked stub raises.  mock=True
-    returns deterministic evenly-spaced byte slices so the plumbing
-    (schema, batch shape, downstream explode) stays testable.
+    planar frames) and for MJPEG-in-AVI (RIFF walk + per-frame baseline
+    JPEG, standard Huffman tables spliced when omitted — see
+    functions/avi.py; frames come back as standalone JPEG byte strings
+    decodable by functions/jpeg.py).  Other compressed codecs
+    (mp4/webm/h264-in-avi/...) need pyav/ffmpeg, absent here:
+    clearly-marked stub raises.  mock=True returns deterministic
+    evenly-spaced byte slices so the plumbing (schema, batch shape,
+    downstream explode) stays testable.
     """
 
     def sample_one(data: bytes | None):
@@ -259,10 +266,15 @@ def make_frame_sample_udf(num_frames: int = 4, mock: bool = False):
             return None
         if data[:9] == b"YUV4MPEG2":
             return sample_y4m_frames(data, num_frames)
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from img2dataset_spark.functions.avi import sample_avi_frames
+
+            return sample_avi_frames(data, num_frames)
         if not mock:
-            # clearly-marked stub — no compressed-video decoder available
+            # clearly-marked stub — narrowed to non-MJPEG compressed codecs
             raise NotImplementedError(
-                "compressed video frame sampling requires an av/ffmpeg library"
+                "compressed video frame sampling (beyond MJPEG/AVI and Y4M) "
+                "requires an av/ffmpeg library"
             )
         n = len(data)
         step = max(1, n // num_frames)
