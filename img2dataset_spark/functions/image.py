@@ -15,14 +15,16 @@ What is REAL here vs stubbed (this container has no PIL/OpenCV):
     PNG / JPEG / GIF / WebP / BMP.
   - Resize *geometry* (output dims per mode, the only_if_bigger gate,
     and the P5-P7 filters) is real, pure arithmetic.
-  - PNG and JPEG pixels are real with no imaging library: pure-Python
-    codecs (functions/png.py, functions/jpeg.py) + numpy resampling
-    cover decode, resize, blur, re-encode, and png<->jpg conversion.
-    If PIL is importable it is preferred (faster, more formats).
-  - webp/gif/bmp pixel transforms without PIL raise a clearly-marked
-    error — except in `mock` mode, where payloads are deterministic
-    md5-derived byte strings whose formulas are also expressible in
-    ANSI SQL (DuckDB oracle parity).
+  - PNG, JPEG (baseline + progressive), GIF, BMP, and lossless-WebP
+    pixels are real with no imaging library: pure-Python codecs
+    (functions/png.py, jpeg.py, gif.py, vp8l.py) + numpy resampling
+    cover decode, resize, blur, re-encode, and conversion into
+    png/jpg/webp-lossless.  If PIL is importable it is preferred
+    (faster, plus lossy-webp encode at the configured quality).
+  - Lossy (VP8) webp decode and gif/bmp encode targets without PIL
+    raise a clearly-marked error — except in `mock` mode, where
+    payloads are deterministic md5-derived byte strings whose formulas
+    are also expressible in ANSI SQL (DuckDB oracle parity).
 
 Scale notes: the decode->filter->resize->encode chain is deliberately
 FUSED into one Arrow-batched UDF — Catalyst cannot reorder inside opaque
@@ -373,6 +375,28 @@ def _gif_has_transparency(data: bytes) -> bool:
     return False
 
 
+def _webp_has_alpha(data: bytes) -> bool:
+    """Cheap header probe: VP8X alpha flag (bit 4), an ALPH chunk, or
+    the VP8L alpha-hint bit (bit 28 of the stream header)."""
+    if len(data) < 21 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return False
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos : pos + 4]
+        (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+        p = pos + 8
+        if cc == b"VP8X" and size >= 1:
+            if data[p] & 0x10:
+                return True
+        elif cc == b"ALPH":
+            return True
+        elif cc == b"VP8L" and size >= 5 and data[p] == 0x2F:
+            # header: sig byte, then 14+14 bits dims, then alpha bit
+            return bool(data[p + 4] & 0x10)
+        pos = p + size + (size & 1)
+    return False
+
+
 def _bmp_has_alpha(data: bytes) -> bool:
     """Cheap header probe: 32 bits-per-pixel BMP.  The 4th byte is taken
     at face value as alpha by the decoder (mirroring cv2
@@ -402,9 +426,14 @@ def _white_matte(arr):
 
 def _codec_decode(data: bytes):
     """Format-dispatched pure-Python decode (PNG, JPEG incl.
-    progressive, GIF first-frame, uncompressed BMP).  WebP is the one
-    reference-accepted container left to an imaging library (VP8)."""
+    progressive, GIF first-frame, uncompressed BMP, lossless WebP/VP8L).
+    Lossy WebP (VP8 — a video intra codec) is the only
+    reference-accepted encoding still left to an imaging library."""
     fmt = detect_format(data)
+    if fmt == "webp":
+        from img2dataset_spark.functions.vp8l import decode_webp
+
+        return decode_webp(data)
     if fmt == "png":
         from img2dataset_spark.functions.png import decode_png
 
@@ -442,8 +471,17 @@ def _codec_encode(img, encode_format: str, quality: int = 95) -> bytes:
         # alpha must not reach the JPEG encoder; _numpy_transform mattes
         # at decode, this covers direct callers
         return encode_jpeg(_white_matte(np.asarray(img)), quality)
+    if encode_format == "webp":
+        from img2dataset_spark.functions.vp8l import encode_webp_lossless
+
+        # Documented deviation: the reference writes quality-`quality`
+        # LOSSY webp via cv2 (resizer.py:143-148); without an imaging
+        # library this writes LOSSLESS webp (VP8L) — every compliant
+        # webp reader accepts it, at larger file size.
+        return encode_webp_lossless(np.asarray(img))
     raise NotImplementedError(
-        f"no dependency-free encoder for format {encode_format!r} (png/jpg only)"
+        f"no dependency-free encoder for format {encode_format!r} "
+        "(png/jpg/webp)"
     )
 
 
@@ -577,6 +615,7 @@ def make_transform_fn(
             and not (src_fmt == "png" and _png_has_alpha(data))
             and not (src_fmt == "gif" and _gif_has_transparency(data))
             and not (src_fmt == "bmp" and _bmp_has_alpha(data))
+            and not (src_fmt == "webp" and _webp_has_alpha(data))
         ):
             # Same-format re-encode with no imaging library: the
             # reference would decode+re-encode (new bytes, same pixels);
@@ -590,12 +629,18 @@ def make_transform_fn(
             # so they take the pixel path below (or fail honestly when
             # no encoder exists for the target container).
             return (data, nw, nh, w, h, None)
-        # png/jpeg/gif/bmp pixel path is REAL without any imaging
-        # library: pure-Python codecs (functions/png.py, jpeg.py,
-        # gif.py) + numpy resampling + the golden-verified numpy
-        # Gaussian blur.  Covers decode, resize, blur, re-encode, and
-        # cross-format conversion into png/jpg.
-        if src_fmt in ("png", "jpeg", "gif", "bmp") and what_ext in ("png", "jpeg"):
+        # png/jpeg/gif/bmp/webp(VP8L) pixel path is REAL without any
+        # imaging library: pure-Python codecs (functions/png.py,
+        # jpeg.py, gif.py, vp8l.py) + numpy resampling + the
+        # golden-verified numpy Gaussian blur.  Covers decode, resize,
+        # blur, re-encode, and cross-format conversion into
+        # png/jpg/webp-lossless.  Lossy (VP8) webp inputs surface an
+        # honest error row from the decode dispatch inside.
+        if src_fmt in ("png", "jpeg", "gif", "bmp", "webp") and what_ext in (
+            "png",
+            "jpeg",
+            "webp",
+        ):
             try:
                 return _numpy_transform(
                     data, resize_mode, image_size, resize_only_if_bigger,
@@ -607,14 +652,14 @@ def make_transform_fn(
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
         if (nw, nh) == (w, h) and n_boxes == 0:
-            # Format conversion involving webp (or webp/gif encode
-            # targets) genuinely requires an imaging library.
+            # gif/bmp encode targets genuinely require an imaging library
             return null + ("re-encode not available: no imaging library installed",)
         if (nw, nh) == (w, h):
             # blur requested but no pixel decoder for this format
             return null + ("blur not available: no imaging library installed",)
-        # STUB: pixel work on webp (and non-png/jpg encode targets)
-        # requires an imaging library (PIL/OpenCV), absent here.
+        # STUB: pixel work on gif/bmp ENCODE targets requires an imaging
+        # library (PIL/OpenCV), absent here.  (Decode side is fully
+        # covered above for png/jpeg/gif/bmp/webp-lossless.)
         return null + ("resize not available: no imaging library installed",)
 
     return transform_one

@@ -8,9 +8,10 @@ library is needed and clearly-marked stubs where one is:
 
   REAL   image_meta   — width/height/format from PNG/JPEG/GIF/WebP/BMP headers
   REAL   image pixel features — full raster decode for PNG, JPEG
-                        (baseline + progressive), GIF, and BMP via the
-                        dependency-free codecs (functions/png.py,
-                        jpeg.py, gif.py); only WebP pixels need PIL
+                        (baseline + progressive), GIF, BMP, and lossless
+                        WebP via the dependency-free codecs
+                        (functions/png.py, jpeg.py, gif.py, vp8l.py);
+                        only lossy-WebP (VP8) pixels need PIL
   REAL   wav_meta     — sample rate / channels / bit depth / duration from
                         RIFF/WAVE headers (pure struct parsing)
   REAL   video frame-sample — Y4M (uncompressed) and MJPEG-in-AVI

@@ -103,12 +103,15 @@ class TestSparkPlumbing:
         )
         from img2dataset_spark.functions.png import encode_png
 
+        from img2dataset_spark.functions.vp8l import encode_webp_lossless
+
         flat = np.full((10, 20, 3), 77, np.uint8)
         rows = [
             (0, encode_png(flat)),
             (1, encode_jpeg(flat, 95)),
             (2, b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16),
             (3, None),
+            (4, encode_webp_lossless(flat)),
         ]
         df = spark.createDataFrame(rows, "id long, img binary")
         feats = make_image_features_udf()
@@ -122,8 +125,12 @@ class TestSparkPlumbing:
         assert out[0]["luma_entropy"] == pytest.approx(0.0)
         assert out[1]["error"] is None
         assert out[1]["mean"] == pytest.approx(77.0, abs=2.0)
-        assert "png/jpeg" in out[2]["error"]
+        # lossy webp: honest gate; lossless webp: REAL pixels
+        assert "lossy WebP" in out[2]["error"]
         assert out[3]["error"] == "no data"
+        assert out[4]["error"] is None
+        assert (out[4]["width"], out[4]["height"]) == (20, 10)
+        assert out[4]["mean"] == pytest.approx(77.0)
 
 
 class TestWindowedAggregation:
