@@ -6,20 +6,36 @@ tags with the `exifread` library and serializes to a JSON string.
 This container has no EXIF library; the parser below is a real TIFF/EXIF
 walker over the public EXIF 2.3 spec constants: IFD0, the EXIF sub-IFD
 (pointer tag 0x8769) and the GPS IFD (0x8825), covering ASCII, BYTE,
-SHORT, LONG, RATIONAL and SRATIONAL value types.  Tag names use
-exifread's "<group> <TagName>" convention ("Image Make",
-"EXIF ExposureTime", "GPS GPSLatitude").  Values serialize as exifread
-prints them where that is mechanical (ints, "num/den" rationals,
-"[a, b, c]" lists).  Descriptive enum renderings (Orientation ->
-"Horizontal (normal)", ResolutionUnit, ExposureProgram, MeteringMode,
-ColorSpace, ExposureMode, WhiteBalance, GPSAltitudeRef) follow the
-EXIF 2.3 value descriptions as exifread prints them; enum tags outside
-that set emit the numeric value — the (small) documented deviation.
+SHORT, LONG, RATIONAL, SRATIONAL and UNDEFINED value types.  Tag names
+use exifread's "<group> <TagName>" convention ("Image Make",
+"EXIF ExposureTime", "GPS GPSLatitude") and values serialize exactly as
+exifread prints them:
+
+- rationals are reduced fractions (exifread's ``Ratio`` subclasses
+  ``Fraction``): 25400/1000 prints "127/5", 72/1 prints "72";
+- multi-value tags print like a python list ("[127/5, 72]");
+- the sub-IFD pointer tags themselves appear as numeric entries
+  ("Image ExifOffset", "Image GPSInfo"), as exifread emits them;
+- UNDEFINED version tags (ExifVersion, FlashPixVersion) print their
+  ASCII payload ("0210"); ComponentsConfiguration maps bytes through
+  {1: Y, 2: Cb, 3: Cr, 4: Red, 5: Green, 6: Blue} ("YCbCr");
+  FileSource / SceneType map through their enum tables;
+- UserComment (0x9286) and MakerNote (0x927C) are skipped, matching
+  ``exifread.process_file(details=False)`` — the exact call the
+  reference makes (downloader.py:330);
+- enum SHORT/BYTE tags render exifread's printable strings
+  (Orientation -> "Horizontal (normal)", Flash, LightSource,
+  MeteringMode, SceneCaptureType, ...); enum tags outside the table
+  below emit the numeric value — the (small) documented deviation.
+
+Parity is pinned by golden tests over the reference repo's committed
+photos (tests/test_exif_golden.py).
 """
 
 from __future__ import annotations
 
 import json
+import math as _math
 import struct as _struct
 from typing import Iterator
 
@@ -38,6 +54,7 @@ _IFD0_TAGS = {
     0x0131: "Image Software",
     0x0132: "Image DateTime",
     0x013B: "Image Artist",
+    0x0213: "Image YCbCrPositioning",
     0x8298: "Image Copyright",
 }
 _EXIF_TAGS = {
@@ -45,27 +62,52 @@ _EXIF_TAGS = {
     0x829D: "EXIF FNumber",
     0x8822: "EXIF ExposureProgram",
     0x8827: "EXIF ISOSpeedRatings",
+    0x9000: "EXIF ExifVersion",
     0x9003: "EXIF DateTimeOriginal",
     0x9004: "EXIF DateTimeDigitized",
+    0x9101: "EXIF ComponentsConfiguration",
     0x9201: "EXIF ShutterSpeedValue",
     0x9202: "EXIF ApertureValue",
     0x9204: "EXIF ExposureBiasValue",
+    0x9205: "EXIF MaxApertureValue",
+    0x9206: "EXIF SubjectDistance",
     0x9207: "EXIF MeteringMode",
+    0x9208: "EXIF LightSource",
+    0x9209: "EXIF Flash",
     0x920A: "EXIF FocalLength",
+    0x9290: "EXIF SubSecTime",
+    0x9291: "EXIF SubSecTimeOriginal",
+    0x9292: "EXIF SubSecTimeDigitized",
+    0xA000: "EXIF FlashPixVersion",
     0xA001: "EXIF ColorSpace",
     0xA002: "EXIF ExifImageWidth",
     0xA003: "EXIF ExifImageLength",
+    0xA217: "EXIF SensingMethod",
+    0xA300: "EXIF FileSource",
+    0xA301: "EXIF SceneType",
+    0xA401: "EXIF CustomRendered",
     0xA402: "EXIF ExposureMode",
     0xA403: "EXIF WhiteBalance",
+    0xA404: "EXIF DigitalZoomRatio",
     0xA405: "EXIF FocalLengthIn35mmFilm",
+    0xA406: "EXIF SceneCaptureType",
+    0xA407: "EXIF GainControl",
+    0xA408: "EXIF Contrast",
+    0xA409: "EXIF Saturation",
+    0xA40A: "EXIF Sharpness",
+    0xA40C: "EXIF SubjectDistanceRange",
 }
 _GPS_TAGS = {
+    0x0000: "GPS GPSVersionID",
     0x0001: "GPS GPSLatitudeRef",
     0x0002: "GPS GPSLatitude",
     0x0003: "GPS GPSLongitudeRef",
     0x0004: "GPS GPSLongitude",
     0x0005: "GPS GPSAltitudeRef",
     0x0006: "GPS GPSAltitude",
+    0x0007: "GPS GPSTimeStamp",
+    0x0012: "GPS GPSMapDatum",
+    0x001D: "GPS GPSDate",
 }
 _EXIF_IFD_POINTER = 0x8769
 _GPS_IFD_POINTER = 0x8825
@@ -110,7 +152,92 @@ _DESCRIPTIONS: dict[int, dict[int, str]] = {
     0xA001: {1: "sRGB", 2: "Adobe RGB", 65535: "Uncalibrated"},
     0xA402: {0: "Auto Exposure", 1: "Manual Exposure", 2: "Auto Bracket"},
     0xA403: {0: "Auto", 1: "Manual"},
-    0x0005: {0: "Sea level", 1: "Below sea level"},  # GPSAltitudeRef
+    0x0213: {1: "Centered", 2: "Co-sited"},  # YCbCrPositioning
+    0x9208: {  # LightSource
+        0: "Unknown",
+        1: "Daylight",
+        2: "Fluorescent",
+        3: "Tungsten (incandescent light)",
+        4: "Flash",
+        9: "Fine weather",
+        10: "Cloudy weather",
+        11: "Shade",
+        12: "Daylight fluorescent (D 5700 - 7100K)",
+        13: "Day white fluorescent (N 4600 - 5400K)",
+        14: "Cool white fluorescent (W 3900 - 4500K)",
+        15: "White fluorescent (WW 3200 - 3700K)",
+        17: "Standard light A",
+        18: "Standard light B",
+        19: "Standard light C",
+        20: "D55",
+        21: "D65",
+        22: "D75",
+        23: "D50",
+        24: "ISO studio tungsten",
+        255: "other light source",
+    },
+    0x9209: {  # Flash (bitfield with enumerated printable strings)
+        0: "Flash did not fire",
+        1: "Flash fired",
+        5: "Strobe return light not detected",
+        7: "Strobe return light detected",
+        9: "Flash fired, compulsory flash mode",
+        13: "Flash fired, compulsory flash mode, return light not detected",
+        15: "Flash fired, compulsory flash mode, return light detected",
+        16: "Flash did not fire, compulsory flash mode",
+        24: "Flash did not fire, auto mode",
+        25: "Flash fired, auto mode",
+        29: "Flash fired, auto mode, return light not detected",
+        31: "Flash fired, auto mode, return light detected",
+        32: "No flash function",
+        65: "Flash fired, red-eye reduction mode",
+        69: "Flash fired, red-eye reduction mode, return light not detected",
+        71: "Flash fired, red-eye reduction mode, return light detected",
+        73: "Flash fired, compulsory flash mode, red-eye reduction mode",
+        77: (
+            "Flash fired, compulsory flash mode, red-eye reduction mode, "
+            "return light not detected"
+        ),
+        79: (
+            "Flash fired, compulsory flash mode, red-eye reduction mode, "
+            "return light detected"
+        ),
+        89: "Flash fired, auto mode, red-eye reduction mode",
+        93: "Flash fired, auto mode, return light not detected, red-eye reduction mode",
+        95: "Flash fired, auto mode, return light detected, red-eye reduction mode",
+    },
+    0xA217: {  # SensingMethod
+        1: "Not defined",
+        2: "One-chip color area",
+        3: "Two-chip color area",
+        4: "Three-chip color area",
+        5: "Color sequential area",
+        7: "Trilinear",
+        8: "Color sequential linear",
+    },
+    0xA401: {0: "Normal", 1: "Custom"},  # CustomRendered
+    0xA406: {0: "Standard", 1: "Landscape", 2: "Portrait", 3: "Night"},
+    0xA407: {  # GainControl
+        0: "None",
+        1: "Low gain up",
+        2: "High gain up",
+        3: "Low gain down",
+        4: "High gain down",
+    },
+    0xA408: {0: "Normal", 1: "Soft", 2: "Hard"},  # Contrast
+    0xA409: {0: "Normal", 1: "Soft", 2: "Hard"},  # Saturation
+    0xA40A: {0: "Normal", 1: "Soft", 2: "Hard"},  # Sharpness
+    0xA40C: {1: "Macro", 2: "Close view", 3: "Distant view"},
+}
+
+# UNDEFINED (type 7) tags whose payload is ASCII text (version tags).
+_UNDEFINED_ASCII = {0x9000, 0xA000}
+# UNDEFINED tags mapped byte-by-byte (ComponentsConfiguration) or as a
+# single-byte enum (FileSource, SceneType).
+_COMPONENTS = {0: "", 1: "Y", 2: "Cb", 3: "Cr", 4: "Red", 5: "Green", 6: "Blue"}
+_UNDEFINED_ENUM = {
+    0xA300: {1: "Film Scanner", 2: "Reflection Print Scanner", 3: "Digital Camera"},
+    0xA301: {1: "Directly Photographed"},
 }
 
 # TIFF value types: type id -> (struct code, byte size).  ASCII (2) and
@@ -146,6 +273,17 @@ def _read_values(tiff: bytes, endian: str, entry_off: int):
         off = _value_offset(tiff, endian, entry_off, size)
         raw = tiff[off : off + n_vals]
         return tag, raw.rstrip(b"\x00").decode("ascii", "replace")
+    if typ == 7:  # UNDEFINED: raw bytes, rendered per-tag like exifread
+        off = _value_offset(tiff, endian, entry_off, n_vals)
+        raw = tiff[off : off + n_vals]
+        if tag in _UNDEFINED_ASCII:
+            return tag, raw.decode("ascii", "replace")
+        if tag == 0x9101:  # ComponentsConfiguration
+            return tag, "".join(_COMPONENTS.get(b, str(b)) for b in raw)
+        if tag in _UNDEFINED_ENUM and n_vals == 1:
+            desc = _UNDEFINED_ENUM[tag].get(raw[0])
+            return tag, desc if desc is not None else str(raw[0])
+        return tag, None
     if typ in _SCALAR_TYPES:
         code, unit = _SCALAR_TYPES[typ]
         size = unit * n_vals
@@ -164,8 +302,7 @@ def _read_values(tiff: bytes, endian: str, entry_off: int):
         vals = []
         for k in range(n_vals):
             num, den = parts[2 * k], parts[2 * k + 1]
-            # exifread prints N/1 as plain N
-            vals.append(str(num) if den == 1 else f"{num}/{den}")
+            vals.append(_fmt_ratio(num, den))
         return tag, _fmt_list(vals)
     return tag, None
 
@@ -179,6 +316,21 @@ def _value_offset(tiff: bytes, endian: str, entry_off: int, size: int) -> int:
 
 def _fmt_list(vals: list[str]) -> str:
     return vals[0] if len(vals) == 1 else "[" + ", ".join(vals) + "]"
+
+
+def _fmt_ratio(num: int, den: int) -> str:
+    """Render a (S)RATIONAL exactly as exifread's Ratio (a Fraction
+    subclass) prints it: reduced, sign on the numerator, plain integer
+    when the reduced denominator is 1.  A zero denominator (invalid per
+    TIFF 6.0) falls back to the raw "num/0" text."""
+    if den == 0:
+        return f"{num}/0"
+    if den < 0:
+        num, den = -num, -den
+    g = _math.gcd(num, den)
+    num //= g
+    den //= g
+    return str(num) if den == 1 else f"{num}/{den}"
 
 
 def _parse_ifd(
@@ -196,6 +348,9 @@ def _parse_ifd(
         tag, typ, n_vals, val = _struct.unpack(endian + "HHII", tiff[e : e + 12])
         if tag in (_EXIF_IFD_POINTER, _GPS_IFD_POINTER) and typ == 4:
             pointers[tag] = val
+            # exifread emits the pointer entries themselves
+            name = "Image ExifOffset" if tag == _EXIF_IFD_POINTER else "Image GPSInfo"
+            out[name] = str(val)
             continue
         if tag not in names:
             continue
@@ -219,7 +374,10 @@ def _parse_tiff(tiff: bytes) -> str:
         _parse_ifd(tiff, endian, pointers[_EXIF_IFD_POINTER], _EXIF_TAGS, out)
     if _GPS_IFD_POINTER in pointers:
         _parse_ifd(tiff, endian, pointers[_GPS_IFD_POINTER], _GPS_TAGS, out)
-    return json.dumps(out, sort_keys=True)
+    # insertion order (Image tags, then EXIF, then GPS — each in file
+    # order) matches json.dumps over exifread's dict, so the serialized
+    # string byte-matches the reference's meta["exif"] value
+    return json.dumps(out)
 
 
 def make_exif_udf():
