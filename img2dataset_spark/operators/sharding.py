@@ -19,9 +19,10 @@ silently invalidate):
      bucket of a row is a pure function of its value, identical on any
      recomputation (unlike `repartitionByRange`, whose boundaries are
      re-sampled inside the job).
-  2. Assign `_bucket` via an unrolled JVM-side binary search over the
-     literal boundary array (log2(B) `element_at` conditionals — stays
-     inside whole-stage codegen; O(log B) per row even at 100k buckets).
+  2. Assign `_bucket` via a balanced JVM-side decision tree of
+     scalar-literal comparisons (O(B) expression nodes, O(log B)
+     comparisons per row, inside whole-stage codegen — plannable even
+     at thousands of buckets).
   3. Count rows per bucket (column-pruned scan + map-side-combinable
      tiny agg) and inline the prefix-sum offsets as a literal map.
   4. `repartition(B, _bucket)` — the ONE full-data shuffle — then
@@ -110,24 +111,33 @@ def _range_boundaries(
 
 
 def _bucket_expr(order_col: str, boundaries: list[Any]) -> F.Column:
-    """bucket(v) = |{b in boundaries : b <= v}| via an unrolled binary
-    search over the literal (sorted) boundary array.  NULL order values
-    compare false against every boundary and land in bucket 0, matching
-    Spark's NULLS FIRST ascending sort order."""
-    nb = len(boundaries)
-    if nb == 0:
+    """bucket(v) = |{b in boundaries : b <= v}| as a balanced binary
+    decision tree of scalar-literal comparisons: B leaf buckets, B-1
+    `when` nodes, one scalar literal each — an O(B) expression tree
+    whose per-row evaluation walks one root-to-leaf path (O(log B)
+    comparisons, `when` short-circuits inside codegen).  An iterative
+    unrolled search is tempting but wrong here: each refinement step
+    would embed the previous index expression several times, growing
+    the tree ~4^log2(B) and the plan text quadratically with the inline
+    boundary array — fatal to the planner in the thousands of buckets.
+    NULL order values compare NULL -> otherwise-branch at every node
+    and land in bucket 0, matching Spark's NULLS FIRST ascending sort
+    order."""
+    if not boundaries:
         return F.lit(0)
-    arr = F.array(*[F.lit(b) for b in boundaries])  # 1-indexed element_at
     v = F.col(order_col)
-    idx: F.Column = F.lit(0)
-    step = 1 << max(0, (nb - 1).bit_length())
-    while step >= 1:
-        cand = idx + F.lit(step)
-        idx = F.when(
-            (cand <= F.lit(nb)) & (F.element_at(arr, cand) <= v), cand
-        ).otherwise(idx)
-        step //= 2
-    return idx
+
+    def build(lo: int, hi: int) -> F.Column:
+        # the answer is some bucket in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        # boundaries[mid-1] <= v  <=>  bucket >= mid
+        return F.when(F.lit(boundaries[mid - 1]) <= v, build(mid, hi)).otherwise(
+            build(lo, mid - 1)
+        )
+
+    return build(0, len(boundaries))
 
 
 def with_global_index(

@@ -206,3 +206,18 @@ def test_strict_gate_raises_on_duplicate_index(spark):
     )
     with pytest.raises(RuntimeError, match="global index is not unique"):
         _assert_unique_index(corrupted, "_row_idx")
+
+
+def test_global_index_many_buckets_plans_linearly(spark):
+    """The bucket expression must stay O(B) nodes: a balanced decision
+    tree of scalar comparisons, not an iterative unrolled search whose
+    tree grows ~4^log2(B) and whose plan text repeats the boundary
+    array per node (that construction stalled the planner in the
+    hundreds of buckets).  B=500 here: plans fast, and the index is
+    exactly the rank."""
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    out = with_global_index(df, "k", num_partitions=500)
+    mism = out.selectExpr(
+        "sum(case when _row_idx != k then 1 else 0 end) as bad"
+    ).first()["bad"]
+    assert mism == 0
