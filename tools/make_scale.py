@@ -136,10 +136,26 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     for name in TABLES:
         out = scale_table(name, args.factor, strides)
-        pq.write_table(
-            out, f"{args.out}/{name}.parquet", row_group_size=256 * 1024
-        )
-        print(f"{name}: {out.num_rows} rows -> {args.out}/{name}.parquet")
+        if name in ("region", "nation"):
+            pq.write_table(out, f"{args.out}/{name}.parquet")
+            print(f"{name}: {out.num_rows} rows -> 1 file")
+            continue
+        # At real scale a table is thousands of files; a single small
+        # file is ONE byte-range split (spark.sql.files.maxPartitionBytes
+        # is 128 MB), which would serialize every map stage onto one
+        # core regardless of row-group count.  Mirror a distributed
+        # writer's layout: a `name.parquet/` directory of part files,
+        # one per available core (Spark and DuckDB both read the
+        # directory transparently).
+        nparts = min(32, max(1, out.num_rows // 4096))
+        d = f"{args.out}/{name}.parquet"
+        os.makedirs(d, exist_ok=True)
+        step = -(-out.num_rows // nparts)
+        for i in range(nparts):
+            chunk = out.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, f"{d}/part-{i:05d}.parquet")
+        print(f"{name}: {out.num_rows} rows -> {nparts} part files")
 
 
 if __name__ == "__main__":
