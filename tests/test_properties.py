@@ -223,3 +223,30 @@ class TestRollingHash:
             for ch in norm[:-1]:
                 h_prefix = (h_prefix * ROLLING_BASE + ord(ch)) % ROLLING_MOD
             assert h == (h_prefix * ROLLING_BASE + ord(norm[-1])) % ROLLING_MOD
+
+
+class TestExifRatioRendering:
+    """_fmt_ratio must agree with exifread's Ratio (a Fraction subclass
+    whose str() is the reduced fraction, or the plain numerator when the
+    reduced denominator is 1)."""
+
+    @given(
+        num=st.integers(min_value=-(2**31), max_value=2**32 - 1),
+        den=st.integers(min_value=1, max_value=2**32 - 1),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_matches_fraction_str(self, num, den):
+        from fractions import Fraction
+
+        from img2dataset_spark.functions.exif import _fmt_ratio
+
+        f = Fraction(num, den)
+        want = str(f.numerator) if f.denominator == 1 else f"{f.numerator}/{f.denominator}"
+        assert _fmt_ratio(num, den) == want
+
+    @given(num=st.integers(min_value=-(2**31), max_value=2**32 - 1))
+    @settings(max_examples=50, deadline=None)
+    def test_zero_denominator_is_verbatim(self, num):
+        from img2dataset_spark.functions.exif import _fmt_ratio
+
+        assert _fmt_ratio(num, 0) == f"{num}/0"
