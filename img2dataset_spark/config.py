@@ -9,8 +9,12 @@ Reference knobs deliberately absent, with their Spark replacement:
   processes_count / thread_count topology  -> executor/core counts are
       cluster config, not query config (thread_count survives as the
       per-task fetch concurrency knob);
-  distributor / subjob_size                -> the Spark scheduler IS
-      the distributor (SURVEY §2.4: subjob batching unnecessary);
+  distributor                              -> the Spark scheduler IS
+      the distributor (SURVEY §2.4);  subjob_size survives as the R2
+      wave knob: shards are processed in bounded batches, each its own
+      Spark job with its own incremental commit + retry scope
+      (distributor.py:50-58) — at 100 TB this bounds the in-flight
+      fetch/decode state and makes progress restartable per wave;
   enable_wandb / wandb_project             -> no external telemetry
       service; the stats sidecars + streaming/progress.py aggregation
       are the engine-native equivalent.
@@ -110,6 +114,9 @@ class PipelineConfig:
     max_aspect_ratio: float = float("inf")
     incremental_mode: str = "incremental"
     max_shard_retry: int = 1
+    # R2: shards per subjob wave (distributor.py:45-58; reference default
+    # 1000).  None = one job over all shards (Spark schedules everything).
+    subjob_size: int | None = None
     disable_all_reencoding: bool = False
     # [spark] engine knobs
     shuffle_partitions: int | None = None
@@ -149,6 +156,8 @@ class PipelineConfig:
             raise ValueError("timeout must be > 0")
         if self.number_sample_per_shard <= 0:
             raise ValueError("number_sample_per_shard must be > 0")
+        if self.subjob_size is not None and self.subjob_size <= 0:
+            raise ValueError("subjob_size must be > 0")
 
     @property
     def hash_columns(self) -> list[str]:

@@ -286,15 +286,44 @@ def download(
     # re-run only the shards whose stats sidecar never landed.
     from img2dataset_spark.plans.incremental import existing_shard_ids
 
-    attempts = 0
+    def _run_with_retry(frame) -> list:
+        attempts = 0
+        remaining_df = _minus_done(frame, done_shards)
+        while True:
+            try:
+                return list(write_output(remaining_df, config))
+            except Exception:
+                attempts += 1
+                if attempts > config.max_shard_retry:
+                    raise
+                remaining_df = _minus_done(
+                    frame, existing_shard_ids(config.output_folder)
+                )
+
+    if config.subjob_size is None:
+        return _run_with_retry(df)
+
+    # R2: subjob batching (distributor.py:45-58).  The reference submits
+    # the shard list in batches of subjob_size, one Spark job per batch,
+    # to bound in-flight work.  Spark-first restatement: process the
+    # shard-id space in contiguous WAVES of subjob_size shards, each wave
+    # its own action with its own incremental commit + retry scope.  The
+    # wave filter sits right after the (cheap) shard-index computation and
+    # BEFORE the fetch/transform UDFs, so per-wave cost is one input scan
+    # plus the expensive work for only that wave's rows — at 100 TB this
+    # bounds executor/fetch/shuffle state per job and makes a killed run
+    # resumable at wave granularity (done-shard skip composes per wave).
+    # The shard-id span comes from a fetch-free projection of the same
+    # plan (Catalyst prunes the UDF columns out of the min/max scan).
+    span = df.select(
+        F.min("shard_id").alias("lo"), F.max("shard_id").alias("hi")
+    ).first()
+    if span["lo"] is None:
+        return []
     stats: list = []
-    remaining_df = _minus_done(df, done_shards)
-    while True:
-        try:
-            stats.extend(write_output(remaining_df, config))
-            return stats
-        except Exception:
-            attempts += 1
-            if attempts > config.max_shard_retry:
-                raise
-            remaining_df = _minus_done(df, existing_shard_ids(config.output_folder))
+    for lo in range(int(span["lo"]), int(span["hi"]) + 1, config.subjob_size):
+        wave = df.filter(
+            (F.col("shard_id") >= lo) & (F.col("shard_id") < lo + config.subjob_size)
+        )
+        stats.extend(_run_with_retry(wave))
+    return stats

@@ -227,6 +227,88 @@ class TestIncremental:
         assert sorted(os.listdir(out)) == ["00000_stats.json", "00001_stats.json"]
 
 
+class TestSubjobBatching:
+    """R2: subjob batching (reference distributor.py:45-58) as bounded
+    shard waves, each its own job with its own commit + retry scope."""
+
+    def _cfg(self, tmp_path, urls, out="out", **kw):
+        defaults = dict(
+            url_list=_input_parquet(tmp_path, urls),
+            input_format="parquet",
+            output_folder=str(tmp_path / out),
+            output_format="parquet",
+            number_sample_per_shard=5,
+            fetch_mode="mock",
+        )
+        defaults.update(kw)
+        return PipelineConfig(**defaults)
+
+    def test_waves_match_single_job(self, spark, tmp_path, monkeypatch):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(32)]
+        # count the independent jobs (write_output calls): 7 shards in
+        # waves of 3 -> ceil(7/3) = 3 waves
+        import img2dataset_spark.plans.pipeline as pl
+        from img2dataset_spark.sinks.shard_writer import write_output as real_write
+
+        calls = []
+        monkeypatch.setattr(
+            "img2dataset_spark.sinks.shard_writer.write_output",
+            lambda df, cfg: calls.append(1) or real_write(df, cfg),
+        )
+        cfg = self._cfg(tmp_path, urls, out="waves", subjob_size=3)
+        stats_w = pl.download(cfg, spark=spark)
+        assert len(calls) == 3
+        cfg_s = self._cfg(tmp_path, urls, out="single")
+        stats_s = pl.download(cfg_s, spark=spark)
+        assert sorted(r["shard_id"] for r in stats_w) == sorted(
+            r["shard_id"] for r in stats_s
+        ) == list(range(7))
+
+        def read_all(folder):
+            frames = [
+                pd.read_parquet(os.path.join(folder, f))
+                for f in sorted(os.listdir(folder))
+                if f.endswith(".parquet")
+            ]
+            return (
+                pd.concat(frames).sort_values("url").reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(
+            read_all(cfg.output_folder), read_all(cfg_s.output_folder)
+        )
+
+    def test_waves_compose_with_incremental_resume(self, spark, tmp_path):
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(20)]
+        cfg = self._cfg(tmp_path, urls, output_format="dummy", subjob_size=2)
+        assert len(download(cfg, spark=spark)) == 4
+        # rerun: every wave sees its shards already done
+        assert len(download(cfg, spark=spark)) == 0
+        # partial resume: drop one mid-range shard's sidecar; only that
+        # shard reruns (the wave filter + done-skip compose)
+        os.remove(os.path.join(cfg.output_folder, "00002_stats.json"))
+        stats = download(cfg, spark=spark)
+        assert [r["shard_id"] for r in stats] == [2]
+
+    def test_span_scan_does_not_fetch(self, spark, tmp_path):
+        # The wave-span min/max runs on a fetch-free projection: Catalyst
+        # must prune the Python UDF columns out of that first job.
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(8)]
+        cfg = self._cfg(tmp_path, urls, subjob_size=100)
+        df = build_pipeline(spark, cfg)
+        plan = (
+            df.select(F.min("shard_id"), F.max("shard_id"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan  # no Arrow/Batch UDF stage
+
+    def test_subjob_size_validation(self, tmp_path):
+        with pytest.raises(ValueError, match="subjob_size"):
+            PipelineConfig(url_list="u.txt", subjob_size=0)
+
+
 class TestCli:
     def test_parse_args_types(self):
         from img2dataset_spark.__main__ import parse_args
