@@ -37,6 +37,7 @@ HEADLINE = [
     "redact_pii",
     "resample_mixture",
     "text_fingerprint",
+    "pack_sequences",
     "text_vocab",
     "text_lm_score",
     "quality_flags",

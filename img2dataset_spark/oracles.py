@@ -795,6 +795,31 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# Sequence packing: inclusive cumsum over doc_id order gives each doc's
+# token interval [e - tok, e); the blocks it touches and the slice
+# geometry are pure integer interval arithmetic.  Same BPE pre-tokenizer
+# regex as text_fingerprint.
+ORACLES["pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text),
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'))::BIGINT AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok,
+         (sum(tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS e
+  FROM t WHERE tok > 0
+)
+SELECT b AS block_id, doc_id,
+       greatest(e - tok, b * 512) - (e - tok) AS doc_offset,
+       greatest(e - tok, b * 512) - b * 512 AS block_offset,
+       least(e, (b + 1) * 512) - greatest(e - tok, b * 512) AS slice_len
+FROM c, LATERAL unnest(
+  generate_series(((e - tok) // 512)::BIGINT, ((e - 1) // 512)::BIGINT)
+) AS u(b)
+"""
+
 # Range join: the oracle states the inequality join directly (DuckDB's
 # IEJoin machinery executes it); Spark uses the bucketed equi-join plan
 # in operators/rangejoin.py.

@@ -497,6 +497,20 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: the corpus's token
+    stream (BPE-ish counts, deterministic doc_id order) sliced into
+    fixed 512-token blocks, one row per (block, document) overlap with
+    exact slice geometry.  Fully declarative — scalable two-phase
+    prefix sum (literal range boundaries + per-bucket window cumsum,
+    no single-partition window) + an interval-intersection explode;
+    see operators/packing.py."""
+    from img2dataset_spark.operators.packing import packed_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return packed_spans(d, block_size=512)
+
+
 def q_text_vocab(spark, sf_dir):
     """Corpus vocabulary with IDF — the token-frequency build every
     LLM-data pipeline runs (vocab pruning, IDF weighting, stopword
@@ -1136,6 +1150,7 @@ QUERIES.update(
         "redact_pii": q_redact_pii,
         "quality_flags": q_quality_flags,
         "text_length_quantiles": q_text_length_quantiles,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1183,9 +1198,13 @@ _EXTRA_NAMES = (
     "w1_row_number",
     "w2_running_sum",
     "a6_distinct_set",
+    # rotated out mid-round-4 to make room for pack_sequences (r3-green,
+    # near-duplicate of the in-window tpch_q5)
+    "tpch_q5_full",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN this round) — first in line
+    "pack_sequences",
     "tpch_q3",
     "tpch_q5",
     "dedup_simhash",
