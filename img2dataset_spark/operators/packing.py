@@ -136,3 +136,62 @@ def packed_spans(
         (seg_start - blk0).cast("long").alias("block_offset"),
         (seg_end - seg_start).cast("long").alias("slice_len"),
     )
+
+
+def materialize_blocks(
+    df: DataFrame,
+    block_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Gather each packed block's actual token content.
+
+    Composes `packed_spans` with the gather step: re-tokenize each doc
+    (same BPE pre-tokenizer the span geometry counted with), slice out
+    each (block, doc) contribution with `F.slice`, and assemble blocks
+    with an order-deterministic aggregation — `collect_list` of
+    (block_offset, slice) structs sorted by offset, then flattened.
+    Blocks are independent, so the gather is one shuffle on doc_id (the
+    span↔token join) plus one on block_id (the assembly groupBy); no
+    global coordination.
+
+    Returns: block_id, n_docs, n_tokens, tokens (array<string>, exactly
+    block_size entries except the final partial block)."""
+    from img2dataset_spark.functions.text import BPE_TOKEN_RE
+
+    toks_expr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), F.lit(0)
+    )
+    spans = packed_spans(
+        df,
+        block_size,
+        id_col=id_col,
+        text_col=text_col,
+        num_partitions=num_partitions,
+    )
+    docs = df.select(F.col(id_col), toks_expr.alias("_toks"))
+    joined = spans.join(docs, id_col)
+    sliced = joined.select(
+        "block_id",
+        "block_offset",
+        "slice_len",
+        F.slice(
+            F.col("_toks"),
+            (F.col("doc_offset") + 1).cast("int"),
+            F.col("slice_len").cast("int"),
+        ).alias("_slice"),
+    )
+    assembled = sliced.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("slice_len").cast("long").alias("n_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_offset", "_slice"))
+                ),
+                lambda s: s["_slice"],
+            )
+        ).alias("tokens"),
+    )
+    return assembled.select("block_id", "n_docs", "n_tokens", "tokens")

@@ -820,6 +820,38 @@ FROM c, LATERAL unnest(
 ) AS u(b)
 """
 
+# Materialized packing: the digest (md5 over each block's concatenated
+# token slices, assembled in block_offset order) proves both engines
+# agree on every token BOUNDARY, not just the counts the span geometry
+# uses.
+ORACLES["pack_blocks"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text),
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS tok,
+         (sum(len(toks)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS e
+  FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT b AS block_id, doc_id, toks,
+         greatest(e - tok, b * 512) - (e - tok) AS doc_offset,
+         greatest(e - tok, b * 512) - b * 512 AS block_offset,
+         least(e, (b + 1) * 512) - greatest(e - tok, b * 512) AS slice_len
+  FROM c, LATERAL unnest(
+    generate_series(((e - tok) // 512)::BIGINT, ((e - 1) // 512)::BIGINT)
+  ) AS u(b)
+)
+SELECT block_id, count(*) AS n_docs, sum(slice_len)::BIGINT AS n_tokens,
+       md5(string_agg(
+         array_to_string(
+           list_slice(toks, doc_offset + 1, doc_offset + slice_len), ''),
+         '' ORDER BY block_offset)) AS digest
+FROM s GROUP BY block_id
+"""
+
 # Range join: the oracle states the inequality join directly (DuckDB's
 # IEJoin machinery executes it); Spark uses the bucketed equi-join plan
 # in operators/rangejoin.py.

@@ -511,6 +511,26 @@ def q_pack_sequences(spark, sf_dir):
     return packed_spans(d, block_size=512)
 
 
+def q_pack_blocks(spark, sf_dir):
+    """Materialized packing: each 512-token block's actual content,
+    gathered with F.slice over the re-tokenized docs and an
+    order-deterministic collect_list(struct)->array_sort->flatten
+    assembly.  The digest column proves END-TO-END content equality
+    with the SQL oracle (md5 over the concatenated tokens), not just
+    span geometry — i.e. both engines agree on every token boundary."""
+    from img2dataset_spark.operators.packing import materialize_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        materialize_blocks(d, block_size=512)
+        .withColumn(
+            "digest",
+            F.md5(F.concat_ws("", F.col("tokens")).cast("binary")),
+        )
+        .drop("tokens")
+    )
+
+
 def q_text_vocab(spark, sf_dir):
     """Corpus vocabulary with IDF — the token-frequency build every
     LLM-data pipeline runs (vocab pruning, IDF weighting, stopword
@@ -1151,6 +1171,7 @@ QUERIES.update(
         "quality_flags": q_quality_flags,
         "text_length_quantiles": q_text_length_quantiles,
         "pack_sequences": q_pack_sequences,
+        "pack_blocks": q_pack_blocks,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1198,13 +1219,15 @@ _EXTRA_NAMES = (
     "w1_row_number",
     "w2_running_sum",
     "a6_distinct_set",
-    # rotated out mid-round-4 to make room for pack_sequences (r3-green,
-    # near-duplicate of the in-window tpch_q5)
+    # rotated out mid-round-4 to make room for pack_sequences/pack_blocks
+    # (both r3-green, each the near-duplicate of an in-window twin)
     "tpch_q5_full",
+    "dedup_components_2phase",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN this round) — first in line
     "pack_sequences",
+    "pack_blocks",
     "tpch_q3",
     "tpch_q5",
     "dedup_simhash",

@@ -11,7 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from img2dataset_spark.functions.text import bpe_token_count
-from img2dataset_spark.operators.packing import packed_spans, with_global_cumsum
+from img2dataset_spark.operators.packing import (
+    materialize_blocks,
+    packed_spans,
+    with_global_cumsum,
+)
 
 SF = "/root/testdata/sf0.001"
 BS = 64
@@ -105,6 +109,51 @@ class TestPackedSpans:
             }
         )
         pd.testing.assert_frame_equal(out, expect.astype(out.dtypes.to_dict()))
+
+
+class TestMaterializeBlocks:
+    def test_blocks_reassemble_the_token_stream(self, spark, docs):
+        """Concatenating blocks in block_id order reproduces the global
+        token stream — the defining property of concat-and-chunk."""
+        from img2dataset_spark.functions.text import BPE_TOKEN_RE
+
+        blocks = (
+            materialize_blocks(docs, block_size=BS)
+            .toPandas()
+            .sort_values("block_id")
+        )
+        got = [t for row in blocks.tokens for t in row]
+        toks = (
+            docs.select(
+                "doc_id",
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0)
+                ).alias("toks"),
+            )
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        expect = [t for row in toks.toks for t in row]
+        assert got == expect
+        assert (blocks.n_tokens.iloc[:-1] == BS).all()
+        assert (blocks.tokens.map(len) == blocks.n_tokens).all()
+
+    def test_multi_doc_block_ordering(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e"), (3, "f g h i")],
+            "doc_id long, text string",
+        )
+        out = (
+            materialize_blocks(df, block_size=4)
+            .toPandas()
+            .sort_values("block_id")
+            .reset_index(drop=True)
+        )
+        # stream: a b c | d e | f g h i  (tokens keep their leading space)
+        assert list(out.tokens[0]) == ["a", " b", " c", "d"]
+        assert list(out.tokens[1]) == [" e", "f", " g", " h"]
+        assert list(out.tokens[2]) == [" i"]
+        assert list(out.n_docs) == [2, 2, 1]
 
 
 class TestGlobalCumsum:
