@@ -38,6 +38,7 @@ HEADLINE = [
     "resample_mixture",
     "text_fingerprint",
     "pack_sequences",
+    "pack_blocks",
     "text_vocab",
     "text_lm_score",
     "quality_flags",

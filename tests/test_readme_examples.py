@@ -140,3 +140,19 @@ def test_readme_curation_chain_runs(spark):
     out = resample_mixture(docs, fracs, group_col="source")
     n1 = out.count()
     assert 0 < n1 <= n0
+
+
+def test_readme_packing_example_runs(spark):
+    from img2dataset_spark.operators.packing import (
+        materialize_blocks,
+        packed_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spans = packed_spans(docs, block_size=2048)
+    blocks = materialize_blocks(docs, block_size=2048)
+    assert spans.columns == [
+        "block_id", "doc_id", "doc_offset", "block_offset", "slice_len",
+    ]
+    first = blocks.orderBy("block_id").first()
+    assert len(first["tokens"]) == 2048
