@@ -156,6 +156,34 @@ class TestMaterializeBlocks:
         assert list(out.n_docs) == [2, 2, 1]
 
 
+class TestRandomizedModel:
+    def test_spans_match_pure_python_model(self, spark):
+        """200 docs with seeded-random token counts vs a 10-line
+        reference packer — catches interval-arithmetic regressions the
+        fixed corpus can't."""
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(1, 40)) for i in range(200)]
+        # model: walk the stream, slice greedily at block boundaries
+        bs, pos, expect = 16, 0, []
+        for doc_id, tok in rows:
+            off = 0
+            while off < tok:
+                take = min(tok - off, bs - (pos % bs))
+                expect.append((pos // bs, doc_id, off, pos % bs, take))
+                off += take
+                pos += take
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        got = [
+            tuple(r)
+            for r in packed_spans(df, block_size=bs, token_count=F.col("n"))
+            .orderBy("block_id", "block_offset")
+            .collect()
+        ]
+        assert got == expect
+
+
 class TestGlobalCumsum:
     def test_matches_naive_single_partition_window(self, spark):
         rows = [(i * 3 % 101, (i * 7) % 13 + 1) for i in range(101)]
