@@ -33,13 +33,22 @@ def resample_mixture(
     target_fracs: dict[str, float],
     group_col: str = "source",
     id_col: str = "doc_id",
+    weight=None,
 ) -> DataFrame:
     """Rows of ``df`` deterministically downsampled toward
     ``target_fracs`` (group value -> desired output fraction; fractions
     should sum to ~1).  Groups absent from the dict are dropped.  The
     group whose relative supply is scarcest keeps all rows; every other
     group is thinned to match.  Row keep-decisions hash ``id_col``, so
-    membership is stable across runs and layouts."""
+    membership is stable across runs and layouts.
+
+    ``weight`` (optional Column) switches the mixture currency from row
+    count to that weight's mass — pass a token count and the targets
+    become TOKEN fractions, the actual budget currency of LLM training
+    mixes.  The algebra is unchanged (per-group mass W_g replaces n_g;
+    independent hash-thinning keeps the target mass in expectation);
+    the plan gains only the weight expression inside the same
+    map-side-combined aggregation."""
     if not target_fracs:
         raise ValueError("target_fracs must name at least one group")
     bad = {g: f for g, f in target_fracs.items() if not f > 0}
@@ -49,9 +58,12 @@ def resample_mixture(
         *[x for g, f in sorted(target_fracs.items())
           for x in (F.lit(g), F.lit(float(f)))]
     )
+    mass = (
+        F.sum(weight).cast("double") if weight is not None else F.count("*")
+    )
     counts = (
         df.groupBy(group_col)
-        .agg(F.count("*").alias("_n"))
+        .agg(mass.alias("_n"))
         .withColumn("_frac", frac_map[F.col(group_col)])
         .where(F.col("_frac").isNotNull())
     )

@@ -1010,6 +1010,30 @@ WHERE ({_hv_of("md5(doc_id::VARCHAR)")}) % 1000000
       < FLOOR(rate * 1000000 + 0.5)
 """
 
+# Token-weighted variant: identical algebra with per-group TOKEN mass
+# (same BPE pre-tokenizer as text_fingerprint/pack_sequences) replacing
+# the row count.
+ORACLES["resample_mixture_tokens"] = f"""
+WITH fr(source, frac) AS (
+  VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)
+),
+counts AS (
+  SELECT d.source,
+         SUM(len(regexp_extract_all(lower(text),
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+')))::DOUBLE AS n,
+         ANY_VALUE(frac) AS frac
+  FROM documents d JOIN fr ON d.source = fr.source GROUP BY d.source
+),
+s AS (SELECT MIN(n / frac) AS scale FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0::DOUBLE, scale * frac / n) AS rate
+  FROM counts, s
+)
+SELECT doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
+WHERE ({_hv_of("md5(doc_id::VARCHAR)")}) % 1000000
+      < FLOOR(rate * 1000000 + 0.5)
+"""
+
 # PII redaction: the chained regexp_count/regexp_replace CTEs are built
 # from functions.redact.PII_PATTERNS itself, so the oracle can never
 # drift from the Spark patterns or the (semantic) redaction order.

@@ -678,6 +678,23 @@ def q_resample_mixture(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_resample_mixture_tokens(spark, sf_dir):
+    """Token-weighted mixture reweighting: the same 50/30/20 target but
+    in TOKEN mass (BPE-ish counts) — the actual budget currency of LLM
+    training mixes.  Identical plan shape to resample_mixture; only the
+    per-group aggregation carries the weight expression."""
+    from img2dataset_spark.functions.text import bpe_token_count
+    from img2dataset_spark.operators.mixture import resample_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    out = resample_mixture(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        group_col="source", id_col="doc_id",
+        weight=bpe_token_count(F.col("text")),
+    )
+    return out.select("doc_id", "source")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based sampling — reproducible train/eval
     splits without storing a split table: keep rows whose md5-derived
@@ -1166,6 +1183,7 @@ QUERIES.update(
         "text_lm_score": q_text_lm_score,
         "sample_stratified": q_sample_stratified,
         "resample_mixture": q_resample_mixture,
+        "resample_mixture_tokens": q_resample_mixture_tokens,
         "decontamination": q_decontamination,
         "redact_pii": q_redact_pii,
         "quality_flags": q_quality_flags,
@@ -1219,15 +1237,18 @@ _EXTRA_NAMES = (
     "w1_row_number",
     "w2_running_sum",
     "a6_distinct_set",
-    # rotated out mid-round-4 to make room for pack_sequences/pack_blocks
-    # (both r3-green, each the near-duplicate of an in-window twin)
+    # rotated out mid-round-4 to make room for pack_sequences/pack_blocks/
+    # resample_mixture_tokens (all r3-green, each the near-duplicate of an
+    # in-window twin)
     "tpch_q5_full",
     "dedup_components_2phase",
+    "dedup_simhash_multiprobe",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN this round) — first in line
     "pack_sequences",
     "pack_blocks",
+    "resample_mixture_tokens",
     "tpch_q3",
     "tpch_q5",
     "dedup_simhash",

@@ -31,6 +31,41 @@ def test_scarcest_group_kept_whole(spark, corpus):
     assert 30 <= got["b"] <= 70 and 30 <= got["c"] <= 70
 
 
+def test_token_weighted_mixture(spark):
+    """With weight=, the mixture currency is token mass: a group with
+    few huge docs balances against one with many small docs."""
+    # a: 10 docs x 100 tokens = 1000; b: 100 docs x 10 tokens = 1000
+    rows = [(i, "a", 100) for i in range(10)] + [
+        (100 + i, "b", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+    # equal targets + equal mass -> both groups keep EVERY row
+    out = resample_mixture(
+        df, {"a": 0.5, "b": 0.5}, weight=F.col("tok")
+    )
+    assert out.count() == 110
+    # 80/20 target: b's mass must thin to 1000*(0.2/0.8)=250 expected
+    out2 = resample_mixture(
+        df, {"a": 0.8, "b": 0.2}, weight=F.col("tok")
+    )
+    got = {
+        r["source"]: r["m"]
+        for r in out2.groupBy("source").agg(F.sum("tok").alias("m")).collect()
+    }
+    assert got["a"] == 1000  # scarcest in relative mass: kept whole
+    assert 100 <= got["b"] <= 400  # binomial around 250
+
+    # row-count mode on the same frame behaves differently (b dominates
+    # rows 10:1), proving weight= changes the currency
+    out3 = resample_mixture(df, {"a": 0.5, "b": 0.5})
+    counts = {
+        r["source"]: r["n"]
+        for r in out3.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] == 10
+    assert counts["b"] < 30
+
+
 def test_deterministic_membership(spark, corpus):
     ids1 = sorted(
         r["doc_id"]
