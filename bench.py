@@ -19,6 +19,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from img2dataset_spark.queries import ALL_QUERIES  # noqa: E402
 from img2dataset_spark.session import get_spark  # noqa: E402
 
+
+def _q_embedding_dup_pairs_lsh_auto(spark, sf_dir):
+    """Bench-only twin of embedding_dup_pairs_lsh with band bits sized
+    by recommended_band_bits(n) — the scale-correct configuration.  Not
+    in the oracle registry: the hyperplane count depends on the corpus
+    size at runtime, which a static SQL oracle cannot mirror (the fixed
+    32-plane variant stays oracle-verified; this one exists to MEASURE
+    the saturation fix SCALE.md documents)."""
+    from img2dataset_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+        recommended_band_bits,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bands = 4
+    bits = recommended_band_bits(e.count(), num_bands=bands)
+    return embedding_dup_pairs_lsh(
+        e, threshold=0.3, num_planes=bits * bands, num_bands=bands
+    )
+
+
+BENCH_ONLY = {"embedding_dup_pairs_lsh_auto": _q_embedding_dup_pairs_lsh_auto}
+RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
+
 HEADLINE = [
     "tpch_q1",
     "tpch_q6",
@@ -33,6 +57,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_fit_topk",
     "embedding_dup_pairs_lsh",
+    "embedding_dup_pairs_lsh_auto",
     "decontamination",
     "redact_pii",
     "resample_mixture",
@@ -75,7 +100,7 @@ def main() -> None:
         # drop leftover cache between queries so each is measured cold
         spark.catalog.clearCache()
         t0 = time.time()
-        ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        RESOLVE[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
     # Two timed runs per query, keep the min: a transiently contended box

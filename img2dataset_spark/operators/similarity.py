@@ -382,6 +382,41 @@ def make_hyperplane_bands_udf(num_planes: int, num_bands: int, dim: int):
     return bands
 
 
+def recommended_band_bits(
+    n_vectors: int,
+    num_bands: int = 4,
+    target_bucket_size: int = 200,
+    threshold: float = 0.98,
+) -> int:
+    """Size the sign-bit band width for a corpus of ``n_vectors``.
+
+    With r bits per band, random (near-orthogonal) vectors spread over
+    ~2^r buckets per band, so expected occupancy is n / 2^r.  A FIXED r
+    (the 8-bit default) saturates as n grows — bucket occupancy, and
+    with it the exact-verify candidate count, rises linearly; the sf1.0
+    scale rehearsal measured exactly this (SCALE.md: 4.7× wall at 10×
+    rows, the worst ratio in the suite).  The scale-correct setting
+    grows r with log2(n):
+
+        r = ceil(log2(n * num_bands / target_bucket_size))
+
+    which pins expected occupancy at target_bucket_size regardless of
+    corpus size, making candidate generation O(n · target) instead of
+    O(n²/2^r).  The recall cost is bounded: each extra bit multiplies a
+    band's hit probability by p_bit = 1 - acos(threshold)/π (0.936 at
+    0.98), so going 8 → 20 bits keeps per-band recall within
+    0.936^12 ≈ 0.45, recovered by raising num_bands (each band is an
+    independent chance; 8 bands at 20 bits ≈ the 4-band/8-bit recall
+    at three orders of magnitude more vectors).  Returns at least 8
+    bits; pass the result as num_planes = r * num_bands."""
+    import math
+
+    if n_vectors <= 0:
+        return 8
+    r = math.ceil(math.log2(max(2.0, n_vectors * num_bands / target_bucket_size)))
+    return max(8, r)
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.98,

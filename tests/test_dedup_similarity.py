@@ -169,6 +169,66 @@ class TestEmbeddingLsh:
         }
         assert lsh <= exact  # no false positives after exact verify
 
+    def test_recommended_band_bits_scaling(self):
+        """Bits grow with log2(n), pinning expected bucket occupancy —
+        the scale knob for the structural saturation SCALE.md measured."""
+        from img2dataset_spark.operators.similarity import (
+            recommended_band_bits,
+        )
+
+        assert recommended_band_bits(0) == 8
+        assert recommended_band_bits(10_000) == 8  # floor holds
+        # each 2x in n adds at most one bit
+        prev = recommended_band_bits(10_000)
+        for n in (10**5, 10**6, 10**7, 10**8, 10**9):
+            r = recommended_band_bits(n)
+            assert r >= prev
+            prev = r
+        # occupancy target is actually met: n * bands / 2^r <= target
+        for n in (10**6, 10**9, 10**12):
+            r = recommended_band_bits(n, num_bands=4, target_bucket_size=200)
+            assert n * 4 / 2**r <= 200
+            assert n * 4 / 2 ** (r - 1) > 200  # and not oversized
+
+    def test_wider_bands_cut_candidates_on_real_vectors(self, spark):
+        """Doubling band bits shrinks the candidate (pre-verify) pair
+        set on the test embeddings, and survivors stay a subset of the
+        exact pair set."""
+        from pyspark.sql import functions as F
+
+        from img2dataset_spark.operators.similarity import (
+            embedding_dup_pairs_lsh,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        narrow = embedding_dup_pairs_lsh(
+            df, threshold=0.5, num_planes=32, num_bands=4
+        )
+        wide = embedding_dup_pairs_lsh(
+            df, threshold=0.5, num_planes=64, num_bands=4
+        )
+        n, w = narrow.count(), wide.count()
+        # wide bands may lose some low-sim pairs, never invent them
+        assert w <= n
+
+    def test_bench_auto_variant_degrades_to_fixed_at_small_n(self, spark):
+        """bench.py's auto-sized twin: at test scale the recommended
+        bits hit the 8-bit floor, so it must produce EXACTLY the fixed
+        query's pairs (and at large n only the plane count changes)."""
+        from bench import _q_embedding_dup_pairs_lsh_auto
+        from img2dataset_spark.queries import ALL_QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        auto = {
+            (r["id_a"], r["id_b"])
+            for r in _q_embedding_dup_pairs_lsh_auto(spark, sf).collect()
+        }
+        fixed = {
+            (r["id_a"], r["id_b"])
+            for r in ALL_QUERIES["embedding_dup_pairs_lsh"](spark, sf).collect()
+        }
+        assert auto == fixed
+
     def test_hyperplane_coeffs_deterministic(self):
         from img2dataset_spark.operators.similarity import hyperplane_coeffs
 
