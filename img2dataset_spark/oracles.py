@@ -1010,6 +1010,32 @@ WHERE ({_hv_of("md5(doc_id::VARCHAR)")}) % 1000000
       < FLOOR(rate * 1000000 + 0.5)
 """
 
+# Bloom membership: rebuild the identical 1024-bit/7-hash filter
+# relationally (positions = fold32(md5(j || ':' || id)) % 1024, the
+# shared engine-portable md5 fold) and probe with a join — the Spark
+# side probes a broadcast bit array map-only; the results must agree
+# bit-for-bit because the filter is deterministic.
+ORACLES["bloom_probe"] = f"""
+WITH seeds AS (SELECT unnest(generate_series(0, 6)) AS j),
+hist AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+bits AS (
+  SELECT DISTINCT
+    ({_hv_of("md5(j::VARCHAR || ':' || doc_id::VARCHAR)")}) % 1024 AS pos
+  FROM hist CROSS JOIN seeds
+),
+probe AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+hits AS (
+  SELECT p.doc_id, COUNT(*) AS nhit
+  FROM probe p CROSS JOIN seeds s
+  JOIN bits b
+    ON ({_hv_of("md5(s.j::VARCHAR || ':' || p.doc_id::VARCHAR)")}) % 1024
+       = b.pos
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id, COALESCE(h.nhit, 0) = 7 AS maybe_seen
+FROM probe p LEFT JOIN hits h USING (doc_id)
+"""
+
 # Token-weighted variant: identical algebra with per-group TOKEN mass
 # (same BPE pre-tokenizer as text_fingerprint/pack_sequences) replacing
 # the row count.

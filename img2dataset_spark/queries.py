@@ -695,6 +695,23 @@ def q_resample_mixture_tokens(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Broadcast Bloom membership (operators/bloom.py): the seen-set
+    (doc_id % 5 == 0) compresses into a 1024-bit array via one
+    map-side-combinable bit_or aggregation; the probe side is MAP-ONLY
+    (no join, no shuffle — the scale story vs an anti-join when the
+    historical set is billions of ids).  Fixed (m=1024, k=7) so the SQL
+    oracle can rebuild the identical filter relationally; the md5 fold
+    is the same engine-portable hash the samplers share."""
+    from img2dataset_spark.operators.bloom import build_bloom, probe_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 5 == 0)
+    probe = d.filter(F.col("doc_id") % 5 != 0).select("doc_id")
+    bloom = build_bloom(hist, "doc_id", 1024, 7)
+    return probe_bloom(probe, "doc_id", bloom, 7)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based sampling — reproducible train/eval
     splits without storing a split table: keep rows whose md5-derived
@@ -1184,6 +1201,7 @@ QUERIES.update(
         "sample_stratified": q_sample_stratified,
         "resample_mixture": q_resample_mixture,
         "resample_mixture_tokens": q_resample_mixture_tokens,
+        "bloom_probe": q_bloom_probe,
         "decontamination": q_decontamination,
         "redact_pii": q_redact_pii,
         "quality_flags": q_quality_flags,
@@ -1243,12 +1261,14 @@ _EXTRA_NAMES = (
     "tpch_q5_full",
     "dedup_components_2phase",
     "dedup_simhash_multiprobe",
+    "events_window",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN this round) — first in line
     "pack_sequences",
     "pack_blocks",
     "resample_mixture_tokens",
+    "bloom_probe",
     "tpch_q3",
     "tpch_q5",
     "dedup_simhash",
