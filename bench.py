@@ -21,23 +21,17 @@ from img2dataset_spark.session import get_spark  # noqa: E402
 
 
 def _q_embedding_dup_pairs_lsh_auto(spark, sf_dir):
-    """Bench-only twin of embedding_dup_pairs_lsh with band bits sized
-    by recommended_band_bits(n) — the scale-correct configuration.  Not
-    in the oracle registry: the hyperplane count depends on the corpus
-    size at runtime, which a static SQL oracle cannot mirror (the fixed
-    32-plane variant stays oracle-verified; this one exists to MEASURE
-    the saturation fix SCALE.md documents)."""
-    from img2dataset_spark.operators.similarity import (
-        embedding_dup_pairs_lsh,
-        recommended_band_bits,
-    )
+    """Bench twin of embedding_dup_pairs_lsh with DEFAULT parameters —
+    since round 5 the default IS the scale-correct configuration (bands
+    sized by recommended_band_bits/recommended_num_bands from a corpus
+    count).  Not in the oracle registry: the hyperplane count depends on
+    the corpus size at runtime, which a static SQL oracle cannot mirror
+    (the pinned 32-plane registry variant stays oracle-verified; this
+    entry MEASURES what default callers get)."""
+    from img2dataset_spark.operators.similarity import embedding_dup_pairs_lsh
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    bands = 4
-    bits = recommended_band_bits(e.count(), num_bands=bands)
-    return embedding_dup_pairs_lsh(
-        e, threshold=0.3, num_planes=bits * bands, num_bands=bands
-    )
+    return embedding_dup_pairs_lsh(e, threshold=0.3)
 
 
 BENCH_ONLY = {"embedding_dup_pairs_lsh_auto": _q_embedding_dup_pairs_lsh_auto}

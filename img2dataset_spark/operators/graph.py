@@ -58,17 +58,7 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.localCheckpoint()
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "id_a",
-    dst: str = "id_b",
-    max_iter: int = 25,
-    checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """(node, component) for every node appearing in ``edges``, where
-    ``component`` is the smallest node id reachable from the node
-    (including itself).  Raises if not converged after ``max_iter``
-    rounds (diameter-bound exceeded — see module docstring)."""
+def _symmetrize(edges: DataFrame, src: str, dst: str, checkpoint_dir):
     sym = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -81,29 +71,136 @@ def connected_components(
         .withColumn("label", F.col("node")),
         checkpoint_dir,
     )
-    for _ in range(max_iter):
+    return sym, labels
+
+
+def _label_prop(
+    sym: DataFrame,
+    labels: DataFrame,
+    max_rounds: int,
+    checkpoint_dir: str | None,
+) -> tuple[DataFrame, bool]:
+    """FRONTIER min-label propagation: a node can only learn a smaller
+    label from a neighbor whose label just changed, so each round joins
+    the edge set against the DELTA (labels changed last round), not the
+    full label frame.  Round 1's delta is everything (initial labels
+    must be offered once); after that the frontier shrinks fast — for
+    the dense shallow clusters near-dup dedup produces, rounds 2+ touch
+    a small fraction of edges, turning the rounds × full-edge-shuffle
+    product SCALE.md §2 measured into ~one full round plus small tails.
+    AQE broadcasts the (small) delta, so the edge scan stays in place
+    and the groupBy shuffle covers only frontier-adjacent rows.
+
+    Correctness: inductively, every label value a neighbor ever held is
+    offered to each of its neighbors in the round after adoption (round
+    1 for initial labels), so min over offers = min over the neighbor's
+    label history — the same fixpoint as joining full labels per round.
+
+    Returns (labels, converged)."""
+    delta = labels
+    for _ in range(max_rounds):
         neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(
+                delta.select(F.col("node").alias("_dn"), "label"),
+                sym.b == F.col("_dn"),
+            )
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
+        new_labels = _truncate(
+            labels.join(neighbor_min, "node", "left").select(
                 "node",
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_changed"),
-            )
+            ),
+            checkpoint_dir,
         )
-        new_labels = _truncate(new_labels, checkpoint_dir)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        delta = new_labels.filter(F.col("_changed")).drop("_changed")
         labels = new_labels.drop("_changed")
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("component"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "use the large-star/small-star variant for long-chain graphs"
+        if delta.limit(1).count() == 0:
+            return labels, True
+    return labels, False
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    ``component`` is the smallest node id reachable from the node
+    (including itself).  Raises if not converged after ``max_iter``
+    rounds (diameter-bound exceeded — see module docstring; prefer
+    :func:`connected_components_auto`, which hands long-diameter
+    graphs to the two-phase variant instead of failing)."""
+    sym, labels = _symmetrize(edges, src, dst, checkpoint_dir)
+    labels, converged = _label_prop(sym, labels, max_iter, checkpoint_dir)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "use connected_components_auto or the large-star/small-star "
+            "variant for long-chain graphs"
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    lp_rounds: int = 12,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Round-budgeted hybrid CC — the variant compositions should call.
+
+    Near-dup graphs are dense and shallow: frontier label propagation
+    converges in a handful of rounds and each round is one broadcast
+    join + one (frontier-sized) aggregation — cheaper per round than
+    the two-phase edge rewrites.  Adversarial long-chain graphs instead
+    need the diameter-independent two-phase algorithm.  Rather than
+    guessing from a density probe (edge counts don't reveal diameter),
+    spend a bounded ``lp_rounds`` budget on label propagation; if it
+    converges (the common case), done.  If not, CONTRACT the graph by
+    the partial labels — every label is a same-component representative,
+    so edges between label values preserve component structure while
+    collapsing everything the LP rounds already merged (≥ lp_rounds
+    diameter steps) — and finish with
+    :func:`connected_components_two_phase` on the much smaller quotient
+    graph, composing node → label → component.  The budgeted rounds are
+    never wasted work: their merges are exactly what shrinks the
+    handoff graph.
+
+    Output contract is identical to both underlying variants
+    (component = min reachable node id): the min node m of a component
+    always keeps label m, and the quotient graph of a connected
+    component is connected, so the two-phase pass maps every label of
+    the component to m."""
+    sym, labels = _symmetrize(edges, src, dst, checkpoint_dir)
+    labels, converged = _label_prop(sym, labels, lp_rounds, checkpoint_dir)
+    if converged:
+        return labels.select("node", F.col("label").alias("component"))
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    contracted = (
+        sym.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+    quotient = connected_components_two_phase(
+        contracted,
+        src="la",
+        dst="lb",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    ).withColumnRenamed("node", "label")
+    return labels.join(quotient, "label", "left").select(
+        "node", F.coalesce("component", "label").alias("component")
     )
 
 

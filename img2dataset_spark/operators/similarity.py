@@ -417,15 +417,44 @@ def recommended_band_bits(
     return max(8, r)
 
 
+def recommended_num_bands(
+    band_bits: int,
+    threshold: float = 0.98,
+    target_recall: float = 0.9,
+    min_bands: int = 4,
+) -> int:
+    """Band count that recovers the recall wider bands cost.
+
+    Each band is an independent chance to catch a pair: a θ-cosine pair
+    matches one r-bit band with p = p_bit^r (p_bit = 1 - acos(θ)/π), so
+    b bands give recall 1 - (1-p)^b; solving for the target gives
+    b = ln(1 - target) / ln(1 - p_bit^r).  Anchored at the 0.98
+    NEAR-duplicate design point (pass `threshold` to re-anchor) — NOT
+    at whatever runtime threshold the caller filters by: banded LSH is
+    a near-dup detector, and sizing bands to chase recall at a loose
+    range threshold (say 0.3) would explode the plane count for a
+    query class ann/ivf search serves better.  At the 8-bit floor this
+    returns the historical 4-band default (p = 0.936⁸ → b = 3.4 → 4),
+    so small-corpus behavior is unchanged; at 20 bits it returns 8."""
+    import math
+
+    p = (1.0 - math.acos(threshold) / math.pi) ** band_bits
+    if p >= 1.0:
+        return min_bands
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+    return max(min_bands, b)
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.98,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_planes: int = 32,
+    num_planes: int | None = None,
     num_bands: int = 4,
     max_bucket_size: int = 1000,
     dim: int = 64,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Label-free cosine near-duplicate pairs: random-hyperplane sign-bit
     signatures, banded into `num_bands` keys; candidates share a band
@@ -433,25 +462,59 @@ def embedding_dup_pairs_lsh(
     the same 100TB shape as dedup.minhash_lsh_pairs); exact cosine
     verification last.  No crossJoin anywhere in the plan.
 
-    Default 32 planes / 4 bands = 8 bits per band: a random pair
-    collides with p = 4/256 (keeps the verify stage small), while a
-    0.98-cosine pair still lands in >= one shared band with ~97%
-    probability (p_bit = 1 - acos(0.98)/pi = 0.936, 4*(0.936^8)).
-    Candidate recall below ~0.9 cosine falls off — by design; this is a
-    NEAR-duplicate detector, use ann/ivf search for range queries."""
-    from pyspark import StorageLevel
+    Band sizing is the scale axis: a FIXED band width saturates as the
+    corpus grows (candidate pairs ∝ n²/2^r — the sf3 rehearsal measured
+    28.2× wall at 30× rows for 8-bit bands, SCALE.md), so by DEFAULT
+    (``num_planes=None``) the band width is derived from the corpus
+    size via :func:`recommended_band_bits` — pinning expected bucket
+    occupancy at a constant regardless of n.  Pass ``n_vectors`` to
+    skip the sizing ``df.count()`` (e.g. a catalog row-count estimate);
+    pass an explicit ``num_planes`` for a fully static configuration
+    (the oracle registry does, so a static SQL twin can mirror the
+    hyperplane set).
 
+    At the 8-bit floor (n ≲ 100k at the default target occupancy) a
+    random pair collides with p = 4/256 while a 0.98-cosine pair lands
+    in ≥ one shared band with ~97% probability (p_bit = 1 - acos(0.98)/π
+    = 0.936, 4·0.936⁸); wider bands trade per-band recall (bounded by
+    p_bit per extra bit) for linear candidate generation — see the
+    recall math in :func:`recommended_band_bits`.  Candidate recall
+    below ~0.9 cosine falls off — by design; this is a NEAR-duplicate
+    detector, use ann/ivf search for range queries.
+
+    No persist/cache anywhere: the banding scan and the two verify-side
+    scans re-read a pruned 2-column projection (cheap, pushdown-pruned),
+    and the band self-join reuses one Exchange (identical subtrees →
+    ReusedExchange).  At 100 TB a MEMORY_AND_DISK persist of a
+    corpus-sized frame is itself the hazard — and session-lifetime
+    persists leak across repeated calls."""
+    from pyspark.sql import Window
+
+    if num_planes is None:
+        n = n_vectors if n_vectors is not None else df.count()
+        # r and b interact (more bands -> more rows per band -> +~1 bit),
+        # so iterate the pair to its (fast) fixpoint; the recall anchor
+        # is the 0.98 design point — see recommended_num_bands
+        bands = num_bands
+        for _ in range(3):
+            r = recommended_band_bits(n, bands)
+            bands = max(num_bands, recommended_num_bands(r))
+        num_bands = bands
+        num_planes = r * num_bands
     bands_udf = make_hyperplane_bands_udf(num_planes, num_bands, dim)
     vecs = df.select(id_col, vec_col)
-    vecs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = vecs.select(
         id_col, F.explode(bands_udf(F.col(vec_col))).alias("band")
     )
-    banded.persist(StorageLevel.MEMORY_AND_DISK)
-    bucket_sizes = banded.groupBy("band").count()
-    capped = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band"),
-        "band",
+    # bucket cap via a band-partitioned window count: one shuffle on
+    # band, no bucket_sizes side-join, and the self-join below reuses
+    # the same hash distribution
+    capped = (
+        banded.withColumn(
+            "_bc", F.count(F.lit(1)).over(Window.partitionBy("band"))
+        )
+        .filter(F.col("_bc") <= max_bucket_size)
+        .drop("_bc")
     )
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
@@ -462,12 +525,8 @@ def embedding_dup_pairs_lsh(
         )
         .distinct()
     )
-    va = vecs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
-    )
-    vb = vecs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
-    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     qcos = make_pair_qcosine_udf(dim)
     return (
         cand.join(va, "id_a")

@@ -848,7 +848,7 @@ def q_dedup_components(spark, sf_dir):
     (operators/graph.py) -> (doc_id, component).  The SQL twin computes
     the transitive closure with a recursive CTE."""
     from img2dataset_spark.operators.dedup import minhash_lsh_pairs
-    from img2dataset_spark.operators.graph import connected_components
+    from img2dataset_spark.operators.graph import connected_components_auto
 
     pairs = minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
@@ -857,7 +857,7 @@ def q_dedup_components(spark, sf_dir):
         num_bands=8,
         jaccard_threshold=0.3,
     )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components_auto(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -891,7 +891,7 @@ def q_dedup_survivors(spark, sf_dir):
     graph.dedup_representatives)."""
     from img2dataset_spark.operators.dedup import minhash_lsh_pairs
     from img2dataset_spark.operators.graph import (
-        connected_components,
+        connected_components_auto,
         dedup_representatives,
     )
 
@@ -899,7 +899,7 @@ def q_dedup_survivors(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         d, k=3, num_hashes=32, num_bands=8, jaccard_threshold=0.3
     )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components_auto(pairs, src="id_a", dst="id_b")
     return dedup_representatives(d, cc).select("doc_id", "source")
 
 
@@ -915,7 +915,7 @@ def q_curation_e2e(spark, sf_dir):
     from img2dataset_spark.operators.decontaminate import contamination_scores
     from img2dataset_spark.operators.dedup import minhash_lsh_pairs
     from img2dataset_spark.operators.graph import (
-        connected_components,
+        connected_components_auto,
         dedup_representatives,
     )
     from img2dataset_spark.operators.mixture import resample_mixture
@@ -925,7 +925,7 @@ def q_curation_e2e(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         d, k=3, num_hashes=32, num_bands=8, jaccard_threshold=0.3
     )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components_auto(pairs, src="id_a", dst="id_b")
     surv = dedup_representatives(d, cc)
 
     passed = quality_flags(d).filter("passed").select("doc_id")
@@ -998,11 +998,19 @@ def q_embedding_dup_pairs(spark, sf_dir):
 def q_embedding_dup_pairs_lsh(spark, sf_dir):
     """Label-free near-dup pairs: random-hyperplane sign-bit LSH banding
     (exact integer dot against md5-seeded hyperplanes, shared with the
-    SQL oracle), bucket join, exact cosine verify."""
+    SQL oracle), bucket join, exact cosine verify.
+
+    num_planes is pinned EXPLICITLY here because a static SQL oracle
+    cannot mirror a runtime-sized hyperplane count; the operator's
+    DEFAULT (num_planes=None) sizes bands from the corpus via
+    recommended_band_bits — the scale-safe configuration bench.py
+    measures as embedding_dup_pairs_lsh_auto (at sf<=0.01 the auto
+    sizing resolves to these same 32 planes / 4 bands — test-pinned in
+    tests/test_dedup_similarity.py)."""
     from img2dataset_spark.operators.similarity import embedding_dup_pairs_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs_lsh(e, threshold=0.3)
+    return embedding_dup_pairs_lsh(e, threshold=0.3, num_planes=32, num_bands=4)
 
 
 # ---------------------------------------------------------------------------

@@ -229,6 +229,62 @@ class TestEmbeddingLsh:
         }
         assert auto == fixed
 
+    def test_default_params_equal_pinned_at_small_n(self, spark):
+        """Round-5 contract: calling with DEFAULTS (auto band sizing)
+        at small n must produce exactly the pinned 32-plane/4-band
+        registry output — the auto sizing floors at 8 bits/4 bands."""
+        from img2dataset_spark.operators.similarity import (
+            embedding_dup_pairs_lsh,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        auto = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in embedding_dup_pairs_lsh(df, threshold=0.3).collect()
+        }
+        pinned = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in embedding_dup_pairs_lsh(
+                df, threshold=0.3, num_planes=32, num_bands=4
+            ).collect()
+        }
+        assert auto == pinned
+
+    def test_recommended_num_bands(self):
+        """Band count recovers recall as bands widen: 4 at the 8-bit
+        floor (historical default preserved), growing monotonically,
+        with the 0.98-anchored recall target actually met."""
+        import math
+
+        from img2dataset_spark.operators.similarity import (
+            recommended_num_bands,
+        )
+
+        assert recommended_num_bands(8) == 4
+        prev = 4
+        for r in (12, 16, 20, 24, 28):
+            b = recommended_num_bands(r)
+            assert b >= prev
+            # the target recall is met: 1-(1-p^r)^b >= 0.9
+            p = (1 - math.acos(0.98) / math.pi) ** r
+            assert 1 - (1 - p) ** b >= 0.9
+            prev = b
+        assert recommended_num_bands(20) == 8  # pinned from the docstring
+
+    def test_no_persisted_frames_leak(self, spark):
+        """Repeated embedding_dup_pairs_lsh calls in one session must
+        leave storage memory flat — the round-4 persist leak is gone."""
+        from img2dataset_spark.operators.similarity import (
+            embedding_dup_pairs_lsh,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        for _ in range(2):
+            embedding_dup_pairs_lsh(df, threshold=0.5).count()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert len(infos) == before, [str(i) for i in infos]
+
     def test_hyperplane_coeffs_deterministic(self):
         from img2dataset_spark.operators.similarity import hyperplane_coeffs
 

@@ -102,3 +102,53 @@ def test_dedup_representatives(spark):
     )
     # cluster {1,2,3} keeps only 1; singletons 0,4,5 all survive
     assert kept == [0, 1, 4, 5]
+
+
+# -- round-5: frontier LP + the budgeted hybrid dispatch --------------------
+
+
+def test_auto_converged_within_budget_matches_lp(spark):
+    from img2dataset_spark.operators.graph import connected_components_auto
+
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
+    assert _comp(connected_components_auto(edges)) == _comp(
+        connected_components(edges)
+    )
+
+
+def test_auto_dispatch_boundary_hands_off_to_two_phase(spark):
+    """A chain longer than the LP budget must still produce the exact
+    min-id components via the contract-and-two-phase handoff."""
+    from img2dataset_spark.operators.graph import connected_components_auto
+
+    n = 40  # diameter 40 >> lp_rounds=3
+    edges = _edges(spark, [(i, i + 1) for i in range(n)])
+    cc = _comp(connected_components_auto(edges, lp_rounds=3))
+    assert cc == {i: 0 for i in range(n + 1)}
+
+
+def test_auto_handoff_multiple_components_and_singleton_labels(spark):
+    """Handoff composition: components that already converged inside the
+    budget coexist with ones the quotient pass finishes."""
+    from img2dataset_spark.operators.graph import connected_components_auto
+
+    chain = [(i, i + 1) for i in range(100, 130)]  # needs the handoff
+    dense = [(1, 2), (1, 3), (2, 3)]  # converges in round 1
+    cc = _comp(connected_components_auto(_edges(spark, chain + dense), lp_rounds=2))
+    expect = {i: 100 for i in range(100, 131)} | {1: 1, 2: 1, 3: 1}
+    assert cc == expect
+
+
+def test_frontier_lp_equals_full_lp_on_random_graph(spark):
+    """The frontier optimization must not change the fixpoint: compare
+    against two-phase (independent algorithm) on a pseudo-random graph."""
+    import hashlib
+
+    pairs = []
+    for i in range(300):
+        h = int(hashlib.md5(f"g:{i}".encode()).hexdigest()[:8], 16)
+        pairs.append((h % 97, (h // 97) % 97))
+    edges = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    assert _comp(connected_components(edges)) == _comp(
+        connected_components_two_phase(edges)
+    )
