@@ -20,27 +20,45 @@ Spark-first shape:
     assembles the (num_bits/64)-row result into a numpy array.  No RDD
     API, no per-partition imperative code.
 
-  probe: the bit array rides to executors in the UDF closure (Spark
-    broadcasts task binaries once per executor) and an Arrow-batched
-    pandas UDF tests k bits per row — zero shuffles, zero joins.
+  probe: the k hash positions are computed Spark-side with the SAME
+    column expression as the build (so build and probe can never
+    disagree on formatting/precision — ids hash through Spark's
+    cast-to-string on both sides), and the bit array ships via an
+    explicit SparkContext.broadcast (one torrent-distributed copy per
+    executor host, fetched once — NOT serialized into every task
+    binary).  An Arrow-batched pandas UDF then does a single
+    vectorized gather + shift per batch: zero shuffles, zero joins,
+    no per-row Python hashing.
+
+Memory note: the JVM holds one broadcast copy per executor; each
+PYTHON worker process that runs the probe UDF materializes its own
+copy of the value on first access (numpy views over the broadcast
+bytes avoid a second copy within a worker, but a 16-worker executor
+still holds up to 16 copies).  Budget executor memory accordingly for
+multi-GB filters, cap `spark.executor.cores` for the probe stage, or
+enable `spark.python.worker.reuse` (default) so copies amortize
+across tasks.
 
 Determinism: position j of id = fold32(md5("j:" + str(id))) % num_bits,
 reproducible in DuckDB SQL verbatim — the oracle rebuilds the same
 filter relationally and must agree bit-for-bit (queries.py
-``bloom_probe``).
+``bloom_probe``).  Filters wider than 2^31 bits (256 MB) switch to a
+60-bit md5 prefix for positions (the 32-bit fold cannot address them);
+the registry oracle pins the narrow path.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from img2dataset_spark.functions.text import hex_to_int32
+
+_NARROW_LIMIT = 1 << 31  # max num_bits addressable by the 32-bit fold
 
 
 def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -54,13 +72,25 @@ def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _position(col, seed: int, num_bits: int):
+def _position(col: Column, seed: int, num_bits: int) -> Column:
     """Engine-portable hash position: fold32(md5("seed:id")) % num_bits.
-    The SQL twin is _hv_of(md5(seed || ':' || id)) % num_bits."""
-    h = F.md5(
-        F.concat_ws(":", F.lit(seed), col.cast("string")).cast("binary")
+    The SQL twin is _hv_of(md5(seed || ':' || id)) % num_bits.  Filters
+    wider than 2^31 bits use the first 15 md5 hex digits (60 bits)
+    instead — the 32-bit fold cannot address them."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), col.cast("string")).cast("binary"))
+    if num_bits <= _NARROW_LIMIT:
+        return F.pmod(hex_to_int32(h), F.lit(num_bits))
+    wide = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return F.pmod(wide, F.lit(num_bits))
+
+
+def _positions_array(col: Column, num_hashes: int, num_bits: int) -> Column:
+    """array<long> of the k probe positions, NULL for a NULL id — built
+    from the same per-seed expression as the build side."""
+    arr = F.array(
+        *[_position(col, j, num_bits).cast("long") for j in range(num_hashes)]
     )
-    return F.pmod(hex_to_int32(h), F.lit(num_bits))
+    return F.when(col.isNotNull(), arr)
 
 
 def build_bloom(
@@ -107,36 +137,39 @@ def probe_bloom(
     flag_col: str = "maybe_seen",
 ) -> DataFrame:
     """Add ``flag_col``: True when every hash position of the id is set
-    (id possibly in the historical set), False when definitely unseen.
-    Map-only: the bit array travels in the UDF closure; the Python-side
-    md5 fold is byte-identical to the build expression (int(hex[:8],16)
-    == the per-digit fold)."""
+    (id possibly in the historical set), False when definitely unseen,
+    NULL for a NULL id.
+
+    Map-only, with the work split where each engine is strongest: the
+    k md5 positions are Spark-side codegen (the byte-identical
+    expression the build used — no Python re-implementation to drift),
+    the bit array rides an explicit ``SparkContext.broadcast``, and the
+    pandas UDF is one vectorized ``gather >> shift & 1`` over the
+    (n × k) position matrix per Arrow batch."""
     arr = np.frombuffer(bloom, dtype=np.uint64)
     num_bits = len(arr) * 64
+    bloom_bc = df.sparkSession.sparkContext.broadcast(bloom)
+    k = num_hashes
 
     @F.pandas_udf("boolean")
-    def probe(ids: pd.Series) -> pd.Series:
-        out = []
-        for v in ids:
-            if pd.isna(v):  # nulls arrive as None OR NaN depending on dtype
-                out.append(None)
-                continue
-            # int64-with-null columns arrive as float64; normalize so the
-            # string fed to md5 matches Spark's cast(long as string)
-            s = str(int(v)) if isinstance(v, float) else str(v)
-            hit = True
-            for j in range(num_hashes):
-                pos = (
-                    int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8], 16)
-                    % num_bits
-                )
-                if not (int(arr[pos // 64]) >> (pos % 64)) & 1:
-                    hit = False
-                    break
-            out.append(hit)
+    def probe(pos_lists: pd.Series) -> pd.Series:
+        # zero-copy view over the broadcast bytes (one copy per worker)
+        words = np.frombuffer(bloom_bc.value, dtype=np.uint64)
+        valid = pos_lists.notna().to_numpy()
+        out = np.empty(len(pos_lists), dtype=object)
+        if valid.any():
+            P = np.stack(
+                [np.asarray(p, dtype=np.int64) for p in pos_lists[valid]]
+            ).reshape(-1, k)
+            hit = (
+                (words[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+            ).all(axis=1)
+            out[np.flatnonzero(valid)] = [bool(h) for h in hit]
         return pd.Series(out, dtype="object")
 
-    return df.withColumn(flag_col, probe(F.col(id_col)))
+    return df.withColumn(
+        flag_col, probe(_positions_array(F.col(id_col), num_hashes, num_bits))
+    )
 
 
 def bloom_exclude(
@@ -150,10 +183,13 @@ def bloom_exclude(
     the shuffle-free alternative to a left-anti join when the
     historical set is huge but its Bloom array fits in executor memory.
     False positives (≈ fpp) drop a few genuinely-new rows; no seen row
-    ever passes."""
+    ever passes.  NULL ids are KEPT, matching left-anti semantics (a
+    NULL never equi-matches the historical side)."""
     if n_items is None:
         n_items = historical.count()
     num_bits, num_hashes = bloom_params(n_items, fpp)
     bloom = build_bloom(historical, id_col, num_bits, num_hashes)
     probed = probe_bloom(df, id_col, bloom, num_hashes)
-    return probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    return probed.where(
+        F.col("maybe_seen").isNull() | ~F.col("maybe_seen")
+    ).drop("maybe_seen")

@@ -40,7 +40,18 @@ from img2dataset_spark.functions.text_fast import (
 def _persisted(df: DataFrame) -> DataFrame:
     """Mark a frame reused by multiple plan subtrees (self-join sides,
     bucket stats + join) as cached: without this, Spark re-executes the
-    full upstream (tokenize -> shingle -> md5) once per reference."""
+    full upstream (tokenize -> shingle -> md5 — the expensive Arrow UDF
+    stage) once per reference.
+
+    Lifetime note: the cache entry lives until the session ends or
+    ``spark.catalog.clearCache()``.  Spark's CacheManager deduplicates
+    by logical plan, so REPEATED calls over the same input reuse one
+    entry (the "already cached" warning) rather than accumulating;
+    distinct inputs each hold one entry — callers looping over many
+    corpora should clearCache() between them.  This trade is deliberate
+    here (unlike similarity.embedding_dup_pairs_lsh, whose verify-side
+    reuse is a plain parquet re-scan and persists nothing): dropping
+    the persist would re-run the shingle UDF per subtree."""
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 

@@ -99,3 +99,69 @@ def test_null_ids_probe_null(spark):
 def test_num_bits_validation(spark, docs):
     with pytest.raises(ValueError, match="multiple of 64"):
         build_bloom(docs, "doc_id", 100, 3)
+
+
+def test_exclude_keeps_null_ids_like_anti_join(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    hist = spark.createDataFrame([(1,)], "doc_id long")
+    got = sorted(
+        [r["doc_id"] for r in bloom_exclude(df, hist, "doc_id").collect()],
+        key=lambda x: (x is None, x),
+    )
+    want = sorted(
+        [r["doc_id"] for r in df.join(hist, "doc_id", "left_anti").collect()],
+        key=lambda x: (x is None, x),
+    )
+    assert got == want == [2, None]
+
+
+def test_large_filter_broadcast_probe(spark, docs):
+    """A 64 MB bit array (2^29 bits) must ship via an explicit broadcast
+    and probe correctly — the closure path would serialize it into every
+    task binary."""
+    hist = docs.filter(F.col("doc_id") % 7 == 0)
+    bloom = build_bloom(hist, "doc_id", 1 << 29, 5)
+    assert len(bloom) == (1 << 29) // 8
+    probed = probe_bloom(docs.select("doc_id"), "doc_id", bloom, 5)
+    # no member missed, and with 2^29 bits for ~150 ids, ~zero fp
+    joined = probed.join(hist.select("doc_id", F.lit(True).alias("is_hist")),
+                         "doc_id", "left")
+    bad = joined.filter(
+        (F.col("is_hist").isNotNull() & ~F.col("maybe_seen"))
+    ).count()
+    assert bad == 0
+    fp = joined.filter(
+        F.col("is_hist").isNull() & F.col("maybe_seen")
+    ).count()
+    assert fp == 0
+    # and the plan stays map-only
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_wide_positions_beyond_32bit_fold(spark):
+    """Filters wider than 2^31 bits switch to 60-bit md5 positions; the
+    no-false-negative guarantee must hold through the wide path."""
+    ids = [1, 2, 3, 5_000_000_000_123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    num_bits = (1 << 31) + 64  # just over the narrow limit
+    bloom = build_bloom(df, "doc_id", num_bits, 3)
+    assert (
+        probe_bloom(df, "doc_id", bloom, 3).filter(~F.col("maybe_seen")).count()
+        == 0
+    )
+
+
+def test_probe_positions_are_spark_side(spark, docs):
+    """No Python md5 in the probe: exactly one ArrowEvalPython stage
+    (the bit test), with positions computed by codegen expressions."""
+    hist = docs.filter(F.col("doc_id") % 5 == 0)
+    bloom = build_bloom(hist, "doc_id", 1024, 7)
+    plan = (
+        probe_bloom(docs.select("doc_id"), "doc_id", bloom, 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "md5" in plan  # the position expressions stayed JVM-side
