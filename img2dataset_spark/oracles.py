@@ -1039,6 +1039,20 @@ FROM probe p LEFT JOIN hits h USING (doc_id)
 # Token-weighted variant: identical algebra with per-group TOKEN mass
 # (same BPE pre-tokenizer as text_fingerprint/pack_sequences) replacing
 # the row count.
+# Compaction roundtrip: the oracle sees only the RELATION (content
+# aggregates over `documents` + the files_ok literal); the Spark side
+# computes the same aggregates from the compacted read-back, so any
+# row lost/duplicated/altered by the rewrite, or a file count missing
+# the bin-packing target, breaks the match.
+ORACLES["compact_roundtrip"] = f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM({_hv_of("md5(text)")}) AS BIGINT) AS text_checksum,
+       TRUE AS files_ok
+FROM documents
+"""
+
 ORACLES["resample_mixture_tokens"] = f"""
 WITH fr(source, frac) AS (
   VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)

@@ -712,6 +712,46 @@ def q_bloom_probe(spark, sf_dir):
     return probe_bloom(probe, "doc_id", bloom, 7)
 
 
+def q_compact_roundtrip(spark, sf_dir):
+    """Driver-oracle exposure for operators/compact.py (small-file
+    compaction).  File layout is invisible to a row-hash oracle, so the
+    layout invariant is folded INTO the relation: fragment `documents`
+    into 64 small parquet files in a scratch dir, bin-pack-compact them
+    to ~1 MB targets, read the compacted dataset back, and return one
+    row of content aggregates (count / distinct ids / id sum / md5-fold
+    text checksum — any lost, duplicated, or altered row changes them)
+    plus files_ok, computed Spark-side as "output file count equals the
+    planned ceil(bytes/target) and collapsed from 64".  The oracle
+    computes the same aggregates straight off `documents` and expects
+    files_ok = TRUE.  The scratch dir is left for the OS tmp reaper
+    (the returned frame lazily reads the compacted files)."""
+    import tempfile
+
+    from img2dataset_spark.functions.text import hex_to_int32
+    from img2dataset_spark.operators.compact import (
+        compact_parquet,
+        dataset_bytes,
+        plan_target_files,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tmp = tempfile.mkdtemp(prefix="graft_compact_")
+    frag, out = f"{tmp}/frag", f"{tmp}/out"
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    planned = plan_target_files(dataset_bytes(frag), target_file_mb=1)
+    n_files = compact_parquet(spark, frag, out, target_file_mb=1)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(hex_to_int32(F.md5(F.col("text").cast("binary")))).alias(
+            "text_checksum"
+        ),
+        F.lit(bool(1 <= n_files <= 64 and n_files == planned)).alias("files_ok"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based sampling — reproducible train/eval
     splits without storing a split table: keep rows whose md5-derived
@@ -1210,6 +1250,7 @@ QUERIES.update(
         "resample_mixture": q_resample_mixture,
         "resample_mixture_tokens": q_resample_mixture_tokens,
         "bloom_probe": q_bloom_probe,
+        "compact_roundtrip": q_compact_roundtrip,
         "decontamination": q_decontamination,
         "redact_pii": q_redact_pii,
         "quality_flags": q_quality_flags,
@@ -1267,12 +1308,17 @@ _EXTRA_NAMES = (
     # resample_mixture_tokens (all r3-green, each the near-duplicate of an
     # in-window twin)
     "tpch_q5_full",
+    # rotated out round 5 (r4-green; its fitted twin ann_ivf_fit_topk
+    # stays in-window) to make room for compact_roundtrip
+    "ann_ivf_topk",
     "dedup_components_2phase",
     "dedup_simhash_multiprobe",
     "events_window",
 )
 _FLAGSHIP_FIRST = (
-    # never-before-driver-verified (rotated IN this round) — first in line
+    # never-before-driver-verified (rotated IN round 5) — first in line
+    "compact_roundtrip",
+    # rotated in round 4, all r4-green
     "pack_sequences",
     "pack_blocks",
     "resample_mixture_tokens",
@@ -1283,7 +1329,6 @@ _FLAGSHIP_FIRST = (
     "dedup_components",
     "t12_keys_hash_mode",
     "embedding_dup_pairs",
-    "ann_ivf_topk",
     "sample_stratified",
     "text_repetition",
     "text_fingerprint",
