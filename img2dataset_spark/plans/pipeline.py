@@ -313,17 +313,45 @@ def download(
     # plus the expensive work for only that wave's rows — at 100 TB this
     # bounds executor/fetch/shuffle state per job and makes a killed run
     # resumable at wave granularity (done-shard skip composes per wave).
-    # The shard-id span comes from a fetch-free projection of the same
-    # plan (Catalyst prunes the UDF columns out of the min/max scan).
-    span = df.select(
-        F.min("shard_id").alias("lo"), F.max("shard_id").alias("hi")
-    ).first()
-    if span["lo"] is None:
-        return []
+    # Wave discovery collects the DISTINCT shard-id buckets (shard_id div
+    # subjob_size) from a fetch-free projection of the same plan
+    # (Catalyst prunes the UDF columns out of that scan; the collect is
+    # bucket-count-sized).  Iterating buckets instead of the [min, max]
+    # span means a SPARSE shard-id space (caller-supplied input_df, a
+    # future numbering scheme) costs one wave per NON-EMPTY bucket —
+    # no empty waves each paying a full input scan.  Each wave also
+    # emits a '_wavestats.json' rollup sidecar (shard count, rows,
+    # failures, wall) so a long run is monitorable mid-flight — see
+    # sinks.shard_writer.write_wave_sidecar and
+    # streaming.progress.wave_stats_stream.
+    import time as _time
+
+    from img2dataset_spark.sinks.shard_writer import write_wave_sidecar
+
+    bucket_rows = (
+        df.select(
+            F.floor(F.col("shard_id") / config.subjob_size).cast("long").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(int(r["b"]) for r in bucket_rows if r["b"] is not None)
     stats: list = []
-    for lo in range(int(span["lo"]), int(span["hi"]) + 1, config.subjob_size):
+    for b in buckets:
+        lo = b * config.subjob_size
+        t0 = _time.time()
         wave = df.filter(
             (F.col("shard_id") >= lo) & (F.col("shard_id") < lo + config.subjob_size)
         )
-        stats.extend(_run_with_retry(wave))
+        wave_stats = _run_with_retry(wave)
+        stats.extend(wave_stats)
+        write_wave_sidecar(
+            config.output_folder,
+            wave_id=b,
+            lo_shard=lo,
+            hi_shard=lo + config.subjob_size - 1,
+            shard_stats=wave_stats,
+            start_time=t0,
+            end_time=_time.time(),
+        )
     return stats

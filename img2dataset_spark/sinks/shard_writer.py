@@ -221,3 +221,47 @@ def write_output(df, config: PipelineConfig):
     writer = make_shard_writer(config)
     stats_df = df.groupby("shard_id").applyInPandas(writer, schema=STATS_SCHEMA)
     return stats_df.collect()
+
+
+def write_wave_sidecar(
+    output_folder: str,
+    wave_id: int,
+    lo_shard: int,
+    hi_shard: int,
+    shard_stats: list,
+    start_time: float,
+    end_time: float,
+) -> dict:
+    """R2 observability: one JSON sidecar per executed subjob wave, so a
+    100-wave 100 TB run is monitorable mid-flight at WAVE granularity
+    (the reference's logger stream shows batch progress the same way —
+    logger.py:220-271 prints per-batch rollups).  The filename suffix
+    '_wavestats.json' deliberately does NOT match the per-shard
+    '*_stats.json' glob: the shard-level progress stream and the
+    done-shard discovery (plans/incremental.py) must never double-count
+    a wave rollup as a shard.  wave_id is the shard-space bucket
+    (shard_id div subjob_size), stable across kill/resume — a re-run
+    wave overwrites its own sidecar."""
+    from img2dataset_spark.io import fs
+
+    agg = {
+        "wave_id": int(wave_id),
+        "lo_shard": int(lo_shard),
+        "hi_shard": int(hi_shard),
+        "shards": len(shard_stats),
+        "count": int(sum(r["count"] for r in shard_stats)),
+        "successes": int(sum(r["successes"] for r in shard_stats)),
+        "failed_to_download": int(
+            sum(r["failed_to_download"] for r in shard_stats)
+        ),
+        "failed_to_resize": int(sum(r["failed_to_resize"] for r in shard_stats)),
+        "duration": end_time - start_time,
+        "start_time": start_time,
+        "end_time": end_time,
+    }
+    if not fs.isdir(output_folder):
+        fs.makedirs(output_folder)
+    path = fs.join(output_folder, f"wave_{wave_id:05d}_wavestats.json")
+    with fs.open_write(path, text=True) as fh:
+        json.dump(agg, fh)
+    return agg

@@ -55,6 +55,53 @@ def stats_stream(spark: SparkSession, output_folder: str) -> DataFrame:
     )
 
 
+# Schema of wave_{id}_wavestats.json (sinks/shard_writer.py
+# write_wave_sidecar) — the R2 subjob-wave rollups.  The suffix differs
+# from '*_stats.json' so neither stream ever reads the other's files.
+WAVE_STATS_JSON_SCHEMA = StructType(
+    [
+        StructField("wave_id", LongType()),
+        StructField("lo_shard", LongType()),
+        StructField("hi_shard", LongType()),
+        StructField("shards", LongType()),
+        StructField("count", LongType()),
+        StructField("successes", LongType()),
+        StructField("failed_to_download", LongType()),
+        StructField("failed_to_resize", LongType()),
+        StructField("duration", DoubleType()),
+        StructField("start_time", DoubleType()),
+        StructField("end_time", DoubleType()),
+    ]
+)
+
+
+def wave_stats_stream(spark: SparkSession, output_folder: str) -> DataFrame:
+    """File-source stream over the per-wave rollup sidecars (R2)."""
+    return (
+        spark.readStream.schema(WAVE_STATS_JSON_SCHEMA)
+        .option("pathGlobFilter", "*_wavestats.json")
+        .option("maxFilesPerTrigger", 1000)
+        .json(output_folder)
+    )
+
+
+def aggregate_wave_progress(waves: DataFrame) -> DataFrame:
+    """Run-level rollup of the wave sidecars — the mid-flight view of a
+    batched 100 TB run (waves done, rows through, failure mass, wall).
+    Works on both a static frame and the stream from
+    `wave_stats_stream`."""
+    return waves.agg(
+        F.count(F.lit(1)).alias("waves_done"),
+        F.sum("shards").alias("shards_done"),
+        F.sum("count").alias("total"),
+        F.sum("successes").alias("successes"),
+        F.sum("failed_to_download").alias("failed_to_download"),
+        F.sum("failed_to_resize").alias("failed_to_resize"),
+        (F.sum("successes") / F.sum("count")).alias("success_rate"),
+        (F.max("end_time") - F.min("start_time")).alias("wall_seconds"),
+    )
+
+
 def aggregate_progress(stats: DataFrame) -> DataFrame:
     """Running totals + rates (logger.py:83-141,220-271) — works on both
     a static stats DataFrame and the stream from `stats_stream`."""

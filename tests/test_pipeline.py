@@ -291,18 +291,97 @@ class TestSubjobBatching:
         assert [r["shard_id"] for r in stats] == [2]
 
     def test_span_scan_does_not_fetch(self, spark, tmp_path):
-        # The wave-span min/max runs on a fetch-free projection: Catalyst
-        # must prune the Python UDF columns out of that first job.
+        # Wave discovery (distinct shard-id buckets) runs on a fetch-free
+        # projection: Catalyst must prune the Python UDF columns out of
+        # that first job.
         urls = [f"http://fixture.local/img/{i}.jpg" for i in range(8)]
         cfg = self._cfg(tmp_path, urls, subjob_size=100)
         df = build_pipeline(spark, cfg)
         plan = (
-            df.select(F.min("shard_id"), F.max("shard_id"))
+            df.select(F.floor(F.col("shard_id") / 100).alias("b"))
+            .distinct()
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
         assert "EvalPython" not in plan  # no Arrow/Batch UDF stage
+
+    def test_wave_sidecars_and_streaming_rollup(self, spark, tmp_path):
+        """R2 observability: one '_wavestats.json' per executed wave,
+        never double-counted as a shard sidecar, and aggregable by the
+        streaming progress query."""
+        import json
+
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(32)]
+        cfg = self._cfg(tmp_path, urls, out="wstats", subjob_size=3)
+        stats = download(cfg, spark=spark)  # 7 shards -> 3 waves
+        wave_files = sorted(
+            f for f in os.listdir(cfg.output_folder)
+            if f.endswith("_wavestats.json")
+        )
+        assert wave_files == [
+            "wave_00000_wavestats.json",
+            "wave_00001_wavestats.json",
+            "wave_00002_wavestats.json",
+        ]
+        rollups = [
+            json.load(open(os.path.join(cfg.output_folder, f)))
+            for f in wave_files
+        ]
+        assert [r["shards"] for r in rollups] == [3, 3, 1]
+        assert sum(r["count"] for r in rollups) == len(urls)
+        assert sum(r["successes"] for r in rollups) == sum(
+            r["successes"] for r in stats
+        )
+        # shard-side discovery must not see wave rollups as shards
+        from img2dataset_spark.plans.incremental import existing_shard_ids
+
+        assert existing_shard_ids(cfg.output_folder) == set(range(7))
+        # the streaming rollup drains the sidecars to one run-level row
+        from img2dataset_spark.streaming.progress import (
+            aggregate_wave_progress,
+            wave_stats_stream,
+        )
+
+        q = (
+            aggregate_wave_progress(wave_stats_stream(spark, cfg.output_folder))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("wave_progress_test")
+            .option("checkpointLocation", str(tmp_path / "wave_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        row = spark.table("wave_progress_test").collect()[0]
+        assert row["waves_done"] == 3
+        assert row["shards_done"] == 7
+        assert row["total"] == len(urls)
+
+    def test_sparse_shard_ids_skip_empty_waves(self, spark, tmp_path, monkeypatch):
+        """A sparse shard-id space (e.g. a caller-remapped plan) must
+        cost one wave per NON-EMPTY bucket — not one per id-range gap
+        (ids 5000 buckets apart would otherwise pay ~5000 empty waves,
+        each a full input scan)."""
+        import img2dataset_spark.plans.pipeline as pl
+        from img2dataset_spark.sinks.shard_writer import write_output as real_write
+
+        urls = [f"http://fixture.local/img/{i}.jpg" for i in range(10)]
+        cfg = self._cfg(tmp_path, urls, out="sparse", subjob_size=2)
+        base = build_pipeline(spark, cfg)
+        # 10 urls / 5 per shard = shards {0,1}; remap to {0, 10000}
+        sparse = base.withColumn(
+            "shard_id", F.col("shard_id") * 10000
+        )
+        calls = []
+        monkeypatch.setattr(
+            "img2dataset_spark.sinks.shard_writer.write_output",
+            lambda df, c: calls.append(1) or real_write(df, c),
+        )
+        monkeypatch.setattr(pl, "build_pipeline", lambda *a, **k: sparse)
+        stats = pl.download(cfg, spark=spark)
+        assert sorted(r["shard_id"] for r in stats) == [0, 10000]
+        assert len(calls) == 2  # one wave per populated bucket, no gaps
 
     def test_subjob_size_validation(self, tmp_path):
         with pytest.raises(ValueError, match="subjob_size"):
