@@ -39,7 +39,10 @@ from pyspark.sql.functions import pandas_udf
 
 from img2dataset_spark.functions.image import parse_dimensions
 
-IMAGE_META_SCHEMA = "width int, height int, format string, n_bytes long, error string"
+IMAGE_META_SCHEMA = (
+    "width int, height int, format string, codec string, has_alpha boolean, "
+    "n_bytes long, error string"
+)
 
 WAV_META_SCHEMA = (
     "sample_rate int, channels int, bits_per_sample int, "
@@ -65,24 +68,83 @@ def detect_image_format(data: bytes | None) -> str | None:
     return None
 
 
+def parse_webp_info(data: bytes):
+    """Header-level WebP triage from the RIFF chunk walk (container
+    layout: RFC 9649 §2; 'VP8 ' frame-header layout: RFC 6386 §9.1 —
+    ~20 public bytes: 3-byte frame tag, 9D 01 2A start code, 14-bit
+    width/height).  Returns (codec, width, height, has_alpha) with
+    codec ∈ {"vp8", "vp8l"} or None when no image chunk is found.
+
+    This is the ROUTING primitive for lossy webp: raster decode of VP8
+    stays PIL-gated (the normative RFC 6386 probability tables aren't
+    reproducible offline — see functions/image.py), but pipelines can
+    still count, filter, size-bucket, and route lossy frames from pure
+    header bytes — format/codec/dimensions/alpha without any decode."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None, None, None, None
+    codec = w = h = None
+    has_alpha = False
+    pos, n = 12, len(data)
+    while pos + 8 <= n:
+        cc = data[pos : pos + 4]
+        size = _struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        if cc == b"VP8X" and size >= 10:
+            has_alpha = has_alpha or bool(data[body] & 0x10)
+            if w is None:
+                w = int.from_bytes(data[body + 4 : body + 7], "little") + 1
+                h = int.from_bytes(data[body + 7 : body + 10], "little") + 1
+        elif cc == b"VP8 " and size >= 10:
+            codec = codec or "vp8"
+            # keyframe start code, then 14-bit dims (RFC 6386 §9.1)
+            if data[body + 3 : body + 6] == b"\x9d\x01\x2a":
+                fw = _struct.unpack("<H", data[body + 6 : body + 8])[0] & 0x3FFF
+                fh = _struct.unpack("<H", data[body + 8 : body + 10])[0] & 0x3FFF
+                w, h = (w or fw), (h or fh)
+        elif cc == b"VP8L" and size >= 5 and data[body] == 0x2F:
+            codec = codec or "vp8l"
+            bits = _struct.unpack("<I", data[body + 1 : body + 5])[0]
+            if w is None:
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+            has_alpha = has_alpha or bool((bits >> 28) & 1)
+        elif cc == b"ALPH":
+            has_alpha = True
+        pos = body + size + (size & 1)  # chunks are 2-byte aligned
+    return codec, w, h, has_alpha
+
+
 def make_image_meta_udf():
-    """binary -> struct(width, height, format, n_bytes, error).  REAL:
-    header parsing only, no pixel decode."""
+    """binary -> struct(width, height, format, codec, has_alpha,
+    n_bytes, error).  REAL: header parsing only, no pixel decode.
+    `codec` distinguishes lossy (vp8) from lossless (vp8l) webp so
+    pipelines can route lossy frames around the PIL-gated raster path;
+    for other formats it is NULL."""
 
     def meta_one(data: bytes | None):
         if data is None:
-            return (None, None, None, None, "no data")
+            return (None, None, None, None, None, None, "no data")
         fmt = detect_image_format(data)
         if fmt is None:
-            return (None, None, None, len(data), "unknown format")
+            return (None, None, None, None, None, len(data), "unknown format")
+        if fmt == "webp":
+            codec, w, h, has_alpha = parse_webp_info(data)
+            if w is None:
+                return (None, None, fmt, codec, has_alpha, len(data),
+                        "header parse failed")
+            return (w, h, fmt, codec, has_alpha, len(data), None)
         dims = parse_dimensions(data)
         if dims is None:
-            return (None, None, fmt, len(data), "header parse failed")
-        return (dims[0], dims[1], fmt, len(data), None)
+            return (None, None, fmt, None, None, len(data),
+                    "header parse failed")
+        return (dims[0], dims[1], fmt, None, None, len(data), None)
 
     @pandas_udf(IMAGE_META_SCHEMA)
     def image_meta(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        cols = ["width", "height", "format", "n_bytes", "error"]
+        cols = [
+            "width", "height", "format", "codec", "has_alpha",
+            "n_bytes", "error",
+        ]
         for series in batches:
             yield pd.DataFrame([meta_one(d) for d in series], columns=cols)
 

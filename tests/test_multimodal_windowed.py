@@ -247,3 +247,76 @@ class TestAudioFeatures:
         out = {r["id"]: r["f"] for r in df.select("id", feats(F.col("audio")).alias("f")).collect()}
         assert out[0]["error"] is None and abs(out[0]["duration_s"] - 0.1) < 1e-9
         assert out[1]["error"] is not None
+
+
+class TestWebpRouting:
+    """Round-5: header-level lossy/lossless triage for webp — the
+    routing primitive for the (permanent) PIL gate on VP8 raster."""
+
+    @staticmethod
+    def _vp8_lossy(w=640, h=360):
+        import struct
+
+        # RFC 6386 §9.1 keyframe header: 3-byte frame tag (keyframe,
+        # version 0, show_frame), 9D 01 2A start code, 14-bit dims
+        frame = bytes([0x50, 0x00, 0x00]) + b"\x9d\x01\x2a" + struct.pack(
+            "<HH", w, h
+        ) + b"\x00" * 10
+        chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    @staticmethod
+    def _vp8x_wrapped(w=640, h=360, alpha=True):
+        import struct
+
+        inner = TestWebpRouting._vp8_lossy(w, h)
+        vp8_chunk = inner[12:]
+        body = bytes([0x10 if alpha else 0x00]) + b"\x00\x00\x00" + (
+            (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+        vp8x = b"VP8X" + struct.pack("<I", len(body)) + body
+        riff = b"WEBP" + vp8x + vp8_chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def test_parse_webp_info_lossy(self):
+        from img2dataset_spark.functions.multimodal import parse_webp_info
+
+        codec, w, h, alpha = parse_webp_info(self._vp8_lossy(1280, 720))
+        assert (codec, w, h, alpha) == ("vp8", 1280, 720, False)
+
+    def test_parse_webp_info_vp8x_alpha(self):
+        from img2dataset_spark.functions.multimodal import parse_webp_info
+
+        codec, w, h, alpha = parse_webp_info(self._vp8x_wrapped(64, 48, True))
+        assert (codec, w, h, alpha) == ("vp8", 64, 48, True)
+
+    def test_parse_webp_info_lossless(self):
+        from img2dataset_spark.functions.multimodal import parse_webp_info
+        from img2dataset_spark.functions.vp8l import encode_webp_lossless
+        import numpy as np
+
+        img = np.zeros((5, 7, 3), dtype=np.uint8)
+        codec, w, h, alpha = parse_webp_info(encode_webp_lossless(img))
+        assert codec == "vp8l" and (w, h) == (7, 5)
+
+    def test_image_meta_routes_lossy_webp(self, spark):
+        """A pipeline can count/filter/route lossy webp from pure
+        header bytes even though its raster decode stays gated."""
+        from img2dataset_spark.functions.vp8l import encode_webp_lossless
+        import numpy as np
+
+        rows = [
+            (0, self._vp8_lossy(320, 200)),
+            (1, encode_webp_lossless(np.zeros((4, 6, 3), dtype=np.uint8))),
+            (2, png_bytes(10, 10)),
+        ]
+        df = spark.createDataFrame(rows, "id long, jpg binary")
+        out = {
+            r["id"]: r["image_meta"] for r in extract_image_features(df).collect()
+        }
+        assert out[0]["format"] == "webp" and out[0]["codec"] == "vp8"
+        assert (out[0]["width"], out[0]["height"]) == (320, 200)
+        assert out[0]["error"] is None
+        assert out[1]["codec"] == "vp8l" and out[1]["error"] is None
+        assert out[2]["codec"] is None and out[2]["format"] == "png"
