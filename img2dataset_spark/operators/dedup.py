@@ -122,7 +122,14 @@ def minhash_lsh_pairs(
             id_col, F.explode(minhash_bands(F.col("shingle_set"))).alias("band")
         )
     )
-    # cap degenerate buckets (giant near-dup clusters) to bound the self-join
+    # cap degenerate buckets (giant near-dup clusters) to bound the
+    # self-join.  NOTE (measured, round 5): replacing this persist +
+    # bucket-stats side-join with the band-partitioned window cap that
+    # similarity.embedding_dup_pairs_lsh uses is a 2.8x REGRESSION here
+    # (sf3: 19.4s -> 54.6s) — without the persist the EXPENSIVE minhash
+    # UDF subtree re-executes per self-join side, which dwarfs the join
+    # it saves.  The two operators differ in per-row banding cost, so
+    # they get different cap plans on purpose.
     bucket_sizes = banded.groupBy("band").count()
     banded = banded.join(
         bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band"),
