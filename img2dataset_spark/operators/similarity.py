@@ -482,12 +482,15 @@ def embedding_dup_pairs_lsh(
     below ~0.9 cosine falls off — by design; this is a NEAR-duplicate
     detector, use ann/ivf search for range queries.
 
-    No persist/cache anywhere: the banding scan and the two verify-side
-    scans re-read a pruned 2-column projection (cheap, pushdown-pruned),
-    and the band self-join reuses one Exchange (identical subtrees →
-    ReusedExchange).  At 100 TB a MEMORY_AND_DISK persist of a
-    corpus-sized frame is itself the hazard — and session-lifetime
-    persists leak across repeated calls."""
+    No persist/cache anywhere: the banding subtree (scan → int-matmul
+    UDF → window cap) executes once per self-join side and the two
+    verify-side scans re-read a pruned 2-column projection — measured
+    across sf0.1/sf3/sf10, recomputing the cheap matmul costs less
+    than the MEMORY_AND_DISK persists it replaces (which also leaked
+    across calls; at 100 TB persisting corpus-sized frames is itself
+    the hazard).  Contrast operators/dedup.py minhash_lsh_pairs, whose
+    per-row banding cost is high enough that the persist wins there —
+    both trade-offs are measured and documented in SCALE.md."""
     from pyspark.sql import Window
 
     if num_planes is None:
