@@ -48,6 +48,7 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_substring_spans",
     "ann_cosine_topk",
     "ann_ivf_fit_topk",
     "embedding_dup_pairs_lsh",

@@ -1039,6 +1039,47 @@ FROM probe p LEFT JOIN hits h USING (doc_id)
 # Token-weighted variant: identical algebra with per-group TOKEN mass
 # (same BPE pre-tokenizer as text_fingerprint/pack_sequences) replacing
 # the row count.
+# ExactSubstr dedup spans (operators/substring.py): duplicated k-gram
+# marking + per-doc gaps-and-islands merge, restated relationally.  Same
+# BPE pre-tokenizer regex as pack_sequences; gram key = tokens joined by
+# chr(31) (Spark: concat_ws with the unit separator).  lag() is NULL on
+# the first mark per doc -> CASE falls to ELSE 1, opening an island,
+# same as the Spark when/otherwise.
+ORACLES["dedup_substring_spans"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text),
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+') AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+  FROM t WHERE len(toks) >= 5
+), grams AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos,
+         array_to_string(toks[i : i + 4], chr(31)) AS gram
+  FROM idx
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+), m AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+), fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+              THEN 0 ELSE 1 END AS new_i
+  FROM m
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT doc_id,
+       MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) + 5)::BIGINT AS span_end,
+       (MAX(pos) + 5 - MIN(pos))::BIGINT AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
 # Compaction roundtrip: the oracle sees only the RELATION (content
 # aggregates over `documents` + the files_ok literal); the Spark side
 # computes the same aggregates from the compacted read-back, so any

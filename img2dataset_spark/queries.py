@@ -712,6 +712,18 @@ def q_bloom_probe(spark, sf_dir):
     return probe_bloom(probe, "doc_id", bloom, 7)
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup (operators/substring.py, Lee et al. 2022): the
+    maximal token spans whose every 5-gram occurs >= 2 times in the
+    corpus — the span-level complement to the document-level minhash/
+    simhash dedup family.  The SQL twin replays the k-gram marking and
+    the gaps-and-islands merge relationally."""
+    from img2dataset_spark.operators.substring import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, k=5, min_count=2)
+
+
 def q_compact_roundtrip(spark, sf_dir):
     """Driver-oracle exposure for operators/compact.py (small-file
     compaction).  File layout is invisible to a row-hash oracle, so the
@@ -1260,6 +1272,7 @@ QUERIES.update(
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
         "dedup_components": q_dedup_components,
@@ -1311,6 +1324,9 @@ _EXTRA_NAMES = (
     # rotated out round 5 (r4-green; its fitted twin ann_ivf_fit_topk
     # stays in-window) to make room for compact_roundtrip
     "ann_ivf_topk",
+    # rotated out round 5 (r4-green; its twin t12_keys stays in-window)
+    # to make room for dedup_substring_spans
+    "t12_keys_hash_mode",
     "dedup_components_2phase",
     "dedup_simhash_multiprobe",
     "events_window",
@@ -1318,6 +1334,7 @@ _EXTRA_NAMES = (
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN round 5) — first in line
     "compact_roundtrip",
+    "dedup_substring_spans",
     # rotated in round 4, all r4-green
     "pack_sequences",
     "pack_blocks",
@@ -1327,7 +1344,6 @@ _FLAGSHIP_FIRST = (
     "tpch_q5",
     "dedup_simhash",
     "dedup_components",
-    "t12_keys_hash_mode",
     "embedding_dup_pairs",
     "sample_stratified",
     "text_repetition",
