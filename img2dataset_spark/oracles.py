@@ -1039,6 +1039,20 @@ FROM probe p LEFT JOIN hits h USING (doc_id)
 # Token-weighted variant: identical algebra with per-group TOKEN mass
 # (same BPE pre-tokenizer as text_fingerprint/pack_sequences) replacing
 # the row count.
+# URL dedup (functions/url.py): EXPECTED-OUTPUT oracle — the query
+# builds three known spellings per base id, so the oracle states the
+# analytically-correct canonical result instead of replaying the
+# canonicalizer (a wrong lowercase/port/param/fragment rule on the
+# Spark side breaks the hash).
+ORACLES["url_dedup"] = """
+WITH x AS (SELECT doc_id, doc_id % 100 AS base FROM documents)
+SELECT MIN(doc_id)::BIGINT AS doc_id,
+       'http://synth.local/img/' || base::VARCHAR || '.jpg?a=1&b=2'
+         AS canonical_url,
+       COUNT(*)::BIGINT AS dup_count
+FROM x GROUP BY base
+"""
+
 # ExactSubstr dedup spans (operators/substring.py): duplicated k-gram
 # marking + per-doc gaps-and-islands merge, restated relationally.  Same
 # BPE pre-tokenizer regex as pack_sequences; gram key = tokens joined by

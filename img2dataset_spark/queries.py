@@ -724,6 +724,42 @@ def q_dedup_substring_spans(spark, sf_dir):
     return duplicated_spans(d, k=5, min_count=2)
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-URL dedup (functions/url.py):
+    three deterministic spellings of the same image URL per base id —
+    case-shifted host + default port + tracking param + fragment /
+    clean / reordered-params + gclid — must collapse to ONE canonical
+    row each.  The oracle is EXPECTED-OUTPUT style: it computes the
+    analytically-known canonical form per base id, so any
+    canonicalization rule the Spark side gets wrong hash-mismatches."""
+    from img2dataset_spark.functions.url import dedup_by_url
+
+    d = _t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") % 100).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://Synth.LOCAL:80/img/"),
+                base,
+                F.lit(".jpg?utm_source=mail&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://synth.local/img/"), base, F.lit(".jpg?a=1&b=2")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://synth.local/img/"),
+                base,
+                F.lit(".jpg?b=2&a=1&gclid=xyz"),
+            )
+        )
+    )
+    return dedup_by_url(d.select("doc_id", url.alias("url")), "url", "doc_id")
+
+
 def q_compact_roundtrip(spark, sf_dir):
     """Driver-oracle exposure for operators/compact.py (small-file
     compaction).  File layout is invisible to a row-hash oracle, so the
@@ -1273,6 +1309,7 @@ QUERIES.update(
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "url_dedup": q_url_dedup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
         "dedup_components": q_dedup_components,
@@ -1327,6 +1364,9 @@ _EXTRA_NAMES = (
     # rotated out round 5 (r4-green; its twin t12_keys stays in-window)
     # to make room for dedup_substring_spans
     "t12_keys_hash_mode",
+    # rotated out round 5 (r4-green; its row-currency twin
+    # resample_mixture stays in-window) to make room for url_dedup
+    "resample_mixture_tokens",
     "dedup_components_2phase",
     "dedup_simhash_multiprobe",
     "events_window",
@@ -1335,10 +1375,10 @@ _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN round 5) — first in line
     "compact_roundtrip",
     "dedup_substring_spans",
+    "url_dedup",
     # rotated in round 4, all r4-green
     "pack_sequences",
     "pack_blocks",
-    "resample_mixture_tokens",
     "bloom_probe",
     "tpch_q3",
     "tpch_q5",
