@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_substring_spans",
+    "url_dedup",
     "ann_cosine_topk",
     "ann_ivf_fit_topk",
     "embedding_dup_pairs_lsh",
