@@ -122,6 +122,11 @@ class PipelineConfig:
     shuffle_partitions: int | None = None
     fetch_mode: str = "http"  # "http" | "mock" (deterministic, hermetic)
     ordered_sharding: bool = True  # exact contiguous shard ids (global sort)
+    # [spark] pre-fetch canonical-URL dedup (functions/url.py): drop rows
+    # whose canonicalized URL duplicates an earlier row BEFORE sharding —
+    # every duplicate caught here is an HTTP fetch + decode + store never
+    # paid.  Off by default: the reference fetches every input row.
+    dedup_urls: bool = False
 
     def __post_init__(self) -> None:
         self.validate()

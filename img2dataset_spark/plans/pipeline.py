@@ -79,6 +79,27 @@ def build_pipeline(
 
     input_cols = list(df.columns)
 
+    # [spark] pre-fetch canonical-URL dedup: one row survives per
+    # canonical URL (functions/url.py rule set).  Runs BEFORE sharding
+    # so shard geometry is computed over the deduplicated set.  One
+    # shuffle on the canonical key; the survivor is deterministic —
+    # smallest raw url, ties (byte-identical urls with different
+    # payloads in other columns) broken by a hash of the whole row —
+    # so reruns and partition recomputation pick the same rows.
+    if config.dedup_urls:
+        from pyspark.sql import Window as _W
+
+        from img2dataset_spark.functions.url import canonical_url
+
+        tie = F.xxhash64(*[F.col(c).cast("string") for c in input_cols])
+        w = _W.partitionBy("_canon_url").orderBy(F.col("url"), tie)
+        df = (
+            df.withColumn("_canon_url", canonical_url(F.col("url")))
+            .withColumn("_url_rn", F.row_number().over(w))
+            .filter(F.col("_url_rn") == 1)
+            .drop("_canon_url", "_url_rn")
+        )
+
     # R1 sharding + T12 keys.  Ordered mode = exact reference semantics
     # (contiguous shards in url order); unordered = shuffle-free.
     order_col = "url" if config.ordered_sharding else None

@@ -465,3 +465,66 @@ class TestUnorderedExtend:
         made = sorted(p.name for p in (tmp_path / "out").iterdir()
                       if p.name.endswith(".tar"))
         assert len(made) == len(s1) + len(s2)  # nothing overwritten
+
+
+class TestUrlDedup:
+    """[spark] pre-fetch canonical-URL dedup (config.dedup_urls)."""
+
+    def test_duplicate_spellings_fetch_once(self, spark, tmp_path):
+        rows = pd.DataFrame(
+            {
+                "url": [
+                    "HTTP://Fixture.LOCAL:80/img/1.jpg?utm_source=m#f",
+                    "http://fixture.local/img/1.jpg",
+                    "http://fixture.local/img/2.jpg?b=2&a=1",
+                    "http://fixture.local/img/2.jpg?a=1&b=2&gclid=x",
+                    "http://fixture.local/img/3.jpg",
+                ],
+                "caption": [f"c{i}" for i in range(5)],
+            }
+        )
+        inp = str(tmp_path / "u.parquet")
+        rows.to_parquet(inp)
+        cfg = PipelineConfig(
+            url_list=inp,
+            input_format="parquet",
+            caption_col="caption",
+            output_folder=str(tmp_path / "out"),
+            output_format="parquet",
+            number_sample_per_shard=10,
+            fetch_mode="mock",
+            dedup_urls=True,
+        )
+        stats = download(cfg, spark=spark)
+        assert sum(r["count"] for r in stats) == 3  # 5 rows -> 3 canonicals
+        meta = pd.read_parquet(os.path.join(cfg.output_folder, "00000.parquet"))
+        # survivor = smallest raw url per canonical group
+        assert sorted(meta["url"]) == [
+            "HTTP://Fixture.LOCAL:80/img/1.jpg?utm_source=m#f",
+            "http://fixture.local/img/2.jpg?a=1&b=2&gclid=x",
+            "http://fixture.local/img/3.jpg",
+        ]
+
+    def test_off_by_default(self, spark, tmp_path):
+        rows = pd.DataFrame(
+            {
+                "url": [
+                    "http://fixture.local/img/1.jpg",
+                    "http://fixture.local/img/1.jpg#frag",
+                ],
+                "caption": ["a", "b"],
+            }
+        )
+        inp = str(tmp_path / "u2.parquet")
+        rows.to_parquet(inp)
+        cfg = PipelineConfig(
+            url_list=inp,
+            input_format="parquet",
+            caption_col="caption",
+            output_folder=str(tmp_path / "out2"),
+            output_format="dummy",
+            number_sample_per_shard=10,
+            fetch_mode="mock",
+        )
+        stats = download(cfg, spark=spark)
+        assert sum(r["count"] for r in stats) == 2  # reference behavior
