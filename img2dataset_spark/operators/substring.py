@@ -119,6 +119,56 @@ def duplicated_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the paper's intervention: REMOVE each doc's duplicated
+    spans from its token sequence.  Returns (doc_id, text, n_tokens,
+    n_cut) where `text` is rebuilt from the kept tokens — the BPE-ish
+    tokens carry their leading spaces, so concatenation reconstructs
+    the kept regions' content.  The rebuild is LOWERCASED: span
+    positions index the match-time (lowercased) token sequence, and
+    raw-case tokenization does NOT share its boundaries (the
+    contraction alternatives `'s|'t|...` are lowercase-only, so
+    "It'S" splits differently raw vs lowered) — for LLM training
+    corpora the downstream tokenizer usually lowercases or is
+    case-robust; when exact case matters, use the span token offsets
+    to drive a char-offset cut downstream instead.
+
+    Pure expressions: spans aggregate to a per-doc struct array (spans
+    per doc are few — they merged maximal), the cut is one
+    higher-order `filter(tokens, (t, i) -> no span covers i)`, and
+    docs without spans keep everything via the left join.  Map-side
+    except the one spans-to-doc join."""
+    from img2dataset_spark.functions.text import BPE_TOKEN_RE
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), F.lit(0)
+    )
+    joined = df.withColumn("_toks", toks).join(per_doc, id_col, "left")
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            "_toks",
+            lambda t, i: ~F.exists(
+                "_spans",
+                lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.ltrim(F.array_join(kept, "")).alias(text_col),
+        F.size(kept).cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_cut"),
+    )
+
+
 def duplication_profile(
     spans: DataFrame,
     df: DataFrame,

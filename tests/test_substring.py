@@ -114,3 +114,43 @@ def test_k_validation(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k must be"):
         duplicated_spans(df, k=0)
+
+
+def test_cut_spans_removes_duplicated_regions(spark):
+    from img2dataset_spark.operators.substring import cut_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "keep A the quick brown fox jumps over the lazy dog Zed Zero"),
+            (1, "keep B the quick brown fox jumps over the lazy dog Yak One"),
+            (2, "totally unique document nothing shared here at all folks"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(df, k=5)
+    out = {r["doc_id"]: r for r in cut_spans(df, spans).collect()}
+    # the shared passage is gone from both docs; unique tails survive
+    assert "quick brown fox" not in out[0]["text"]
+    assert out[0]["text"].startswith("keep a")
+    assert out[0]["text"].endswith("zed zero")
+    assert out[1]["text"].endswith("yak one")
+    assert out[0]["n_cut"] > 0 and out[0]["n_cut"] == out[1]["n_cut"]
+    # span-free docs pass through whole (lowercased), zero cut
+    assert out[2]["n_cut"] == 0
+    assert out[2]["text"] == "totally unique document nothing shared here at all folks"
+    assert out[2]["n_tokens"] == 9
+    # conservation: kept + cut = total tokens
+    from img2dataset_spark.functions.text import token_count
+    totals = {r["doc_id"]: r["n"] for r in
+              df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    for d, r in out.items():
+        assert r["n_tokens"] + r["n_cut"] == totals[d]
+
+
+def test_cut_spans_pure_codegen_after_join(spark):
+    from img2dataset_spark.operators.substring import cut_spans
+
+    df = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    spans = spark.createDataFrame([], "doc_id long, span_start long, span_end long, span_tokens long")
+    plan = cut_spans(df, spans)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
