@@ -34,7 +34,24 @@ def _q_embedding_dup_pairs_lsh_auto(spark, sf_dir):
     return embedding_dup_pairs_lsh(e, threshold=0.3)
 
 
-BENCH_ONLY = {"embedding_dup_pairs_lsh_auto": _q_embedding_dup_pairs_lsh_auto}
+def _q_dedup_substring_spans_hashed(spark, sf_dir):
+    """Bench-only twin of dedup_substring_spans with 64-bit gram hashing
+    (the 100 TB shuffle-width knob).  Not in the registry: DuckDB has no
+    xxhash64, so a static oracle cannot mirror the hashed keys; the
+    string-gram registry query pins correctness, this entry MEASURES
+    the hashed configuration."""
+    import os as _os
+
+    from img2dataset_spark.operators.substring import duplicated_spans
+
+    d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return duplicated_spans(d, k=5, min_count=2, hash_grams=True)
+
+
+BENCH_ONLY = {
+    "embedding_dup_pairs_lsh_auto": _q_embedding_dup_pairs_lsh_auto,
+    "dedup_substring_spans_hashed": _q_dedup_substring_spans_hashed,
+}
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
 HEADLINE = [
@@ -49,6 +66,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_substring_spans",
+    "dedup_substring_spans_hashed",
     "url_dedup",
     "ann_cosine_topk",
     "ann_ivf_fit_topk",

@@ -61,10 +61,21 @@ def duplicated_spans(
     id_col: str = "doc_id",
     k: int = 5,
     min_count: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Maximal token spans whose every k-gram occurs ``>= min_count``
     times corpus-wide (including same-document repeats — a doc that
-    repeats its own boilerplate is flagged too, matching the paper)."""
+    repeats its own boilerplate is flagged too, matching the paper).
+
+    ``hash_grams=True`` replaces the gram STRING with its xxhash64 as
+    the aggregation/join key — the wide shuffle then carries 8-byte
+    longs instead of ~(5 + k·avg_token) byte strings, the scale knob
+    for 100 TB corpora.  The trade: a 64-bit collision falsely marks a
+    span as duplicated (never misses one); at 10^9 distinct grams the
+    expected collision count is ~0.03 — negligible against a near-dup
+    corpus, but it makes the output engine-specific, so the
+    oracle-checked registry query keeps string grams and the hashed
+    variant is benchmarked separately."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from img2dataset_spark.functions.text import BPE_TOKEN_RE
@@ -75,6 +86,12 @@ def duplicated_spans(
             F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), F.lit(0)
         ).alias("_toks"),
     )
+
+    def gram_of(i):
+        g = F.concat_ws(GRAM_SEP, F.slice("_toks", i + 1, k))
+        return F.xxhash64(g) if hash_grams else g
+
+    empty_type = "array<bigint>" if hash_grams else "array<string>"
     # sequence(0, size-k) would turn DESCENDING for docs shorter than k
     # (Spark fills backwards when stop < start) — guard to an empty list
     grams = toks.select(
@@ -82,11 +99,8 @@ def duplicated_spans(
         F.posexplode(
             F.when(
                 F.size("_toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - k),
-                    lambda i: F.concat_ws(GRAM_SEP, F.slice("_toks", i + 1, k)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+                F.transform(F.sequence(F.lit(0), F.size("_toks") - k), gram_of),
+            ).otherwise(F.array().cast(empty_type))
         ).alias("pos", "gram"),
     )
     dup = (

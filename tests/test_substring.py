@@ -154,3 +154,10 @@ def test_cut_spans_pure_codegen_after_join(spark):
     spans = spark.createDataFrame([], "doc_id long, span_start long, span_end long, span_tokens long")
     plan = cut_spans(df, spans)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hashed_grams_equal_string_grams_at_small_n(spark):
+    """hash_grams=True must produce identical spans when no 64-bit
+    collision occurs (always, at test scale)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _spans(df, k=5) == _spans(df, k=5, hash_grams=True)
