@@ -47,6 +47,32 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_url_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-seen rows of a streaming URL feed, deduped by CANONICAL
+    url (functions/url.py rule set — same expression as the batch
+    `dedup_by_url` and the pipeline's `dedup_urls` stage, so stream
+    and batch agree on what counts as the same resource) within the
+    watermark horizon.  The ingestion-time twin of the pre-fetch
+    bandwidth saver: a crawl frontier stream drops re-discovered
+    spellings before they ever reach the fetch pool, with state
+    bounded by the horizon exactly like streaming_exact_dedup."""
+    from img2dataset_spark.functions.url import canonical_url
+
+    return (
+        ensure_event_time(
+            stream.withColumn("canonical_url", canonical_url(F.col(url_col))),
+            ts_col,
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
 def static_band_index(
     corpus: DataFrame,
     text_col: str = "text",

@@ -75,3 +75,43 @@ def test_fingerprint_matches_batch_expression(spark):
         ).alias("fingerprint"),
     )
     assert a.collect() == b.collect()
+
+
+def test_streaming_url_dedup_matches_batch_canonicals(spark, tmp_path):
+    """streaming_url_dedup keeps one row per canonical URL and agrees
+    with the batch canonicalizer on the key set."""
+    import datetime as dt
+
+    from img2dataset_spark.functions.url import canonical_url
+    from img2dataset_spark.streaming.dedup import streaming_url_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, "HTTP://Img.Site:80/cat.jpg?utm_source=a#f"),
+        (2, t0 + dt.timedelta(seconds=5), "http://img.site/cat.jpg"),
+        (3, t0 + dt.timedelta(seconds=10), "http://img.site/dog.jpg?b=2&a=1"),
+        (4, t0 + dt.timedelta(seconds=15), "http://img.site/dog.jpg?a=1&b=2"),
+        (5, t0 + dt.timedelta(seconds=20), "http://other.site/bird.jpg"),
+    ]
+    src = os.path.join(str(tmp_path), "usrc")
+    batch = spark.createDataFrame(rows, "doc_id long, ts timestamp, url string")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_url_dedup(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_url_dedup")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "uckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("t_stream_url_dedup").collect()
+    want = {
+        r["c"]
+        for r in batch.select(canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert {r["canonical_url"] for r in got} == want
+    assert len(got) == len(want) == 3
