@@ -152,3 +152,18 @@ def test_frontier_lp_equals_full_lp_on_random_graph(spark):
     assert _comp(connected_components(edges)) == _comp(
         connected_components_two_phase(edges)
     )
+
+
+def test_auto_handoff_with_reliable_checkpoint(spark, tmp_path):
+    """The hybrid's two-phase handoff must thread checkpoint_dir through
+    (reliable checkpoints on a real cluster) and still produce exact
+    min-id components."""
+    from img2dataset_spark.operators.graph import connected_components_auto
+
+    edges = _edges(spark, [(i, i + 1) for i in range(25)])
+    cc = _comp(
+        connected_components_auto(
+            edges, lp_rounds=2, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+    )
+    assert cc == {i: 0 for i in range(26)}
