@@ -54,7 +54,8 @@ class TestJoinStrategies:
 
     def test_no_cartesian_anywhere_in_dedup_similarity(self, spark):
         for name in ("dedup_minhash_lsh", "dedup_simhash",
-                     "embedding_dup_pairs_lsh", "embedding_dup_pairs"):
+                     "embedding_dup_pairs_lsh", "embedding_dup_pairs",
+                     "dedup_substring_spans", "url_dedup"):
             plan = plan_of(name, spark)
             assert "CartesianProduct" not in plan, name
             assert "BroadcastNestedLoopJoin" not in plan, name
