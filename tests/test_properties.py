@@ -250,3 +250,106 @@ class TestExifRatioRendering:
         from img2dataset_spark.functions.exif import _fmt_ratio
 
         assert _fmt_ratio(num, 0) == f"{num}/0"
+
+
+class TestUrlCanonicalProperties:
+    """Structural properties of functions/url.py over a seeded grammar
+    sweep — ONE Spark job per property (per-example jobs would make
+    hypothesis impractically slow for Column expressions)."""
+
+    @staticmethod
+    def _urls(n=400):
+        import hashlib
+
+        schemes = ["http", "HTTP", "https", "HtTpS", ""]
+        hosts = ["Example.COM", "img.site", "WWW.Photos.NET", "a.b.c.d"]
+        ports = ["", ":80", ":443", ":8080"]
+        paths = ["", "/", "/a/b.jpg", "/X/Y/z.PNG", "/p%20q"]
+        queries = ["", "?b=2&a=1", "?utm_source=m", "?a=1&utm_x=2&b=2",
+                   "?gclid=z", "?ref=r&refine=3", "?a=&=x&&b=1"]
+        frags = ["", "#f", "#a=1"]
+        out = []
+        for i in range(n):
+            h = int(hashlib.md5(f"u:{i}".encode()).hexdigest()[:10], 16)
+            sch = schemes[h % len(schemes)]; h //= len(schemes)
+            host = hosts[h % len(hosts)]; h //= len(hosts)
+            port = ports[h % len(ports)]; h //= len(ports)
+            path = paths[h % len(paths)]; h //= len(paths)
+            q = queries[h % len(queries)]; h //= len(queries)
+            fr = frags[h % len(frags)]
+            pre = f"{sch}://" if sch else ""
+            out.append(f"{pre}{host}{port}{path}{q}{fr}")
+        return out
+
+    def test_idempotent_and_structural(self, spark):
+        from pyspark.sql import functions as F
+
+        from img2dataset_spark.functions.url import canonical_url
+
+        urls = self._urls()
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            "url",
+            canonical_url(F.col("url")).alias("c1"),
+            canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        ).collect()
+        for r in rows:
+            # the defining canonicalizer property: a fixed point
+            assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+            assert r["c1"] is not None
+            # no fragment ever survives (any input class)
+            assert "#" not in r["c1"]
+            if "://" not in r["url"]:
+                continue  # schemeless: pass-through minus fragment
+            # with a scheme: no tracking param survives, params sorted
+            assert "utm_" not in r["c1"] and "gclid" not in r["c1"]
+            if "?" in r["c1"]:
+                params = r["c1"].split("?", 1)[1].split("&")
+                assert params == sorted(params) and all(params)
+
+
+class TestSubstringSpanProperties:
+    def test_span_invariants_on_seeded_corpus(self, spark):
+        """Spans are in-range, ≥ k tokens, per-doc non-overlapping, and
+        MAXIMAL (consecutive spans separated by > k-1 positions — else
+        the islands merge would have joined them)."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from img2dataset_spark.functions.text import token_count
+        from img2dataset_spark.operators.substring import duplicated_spans
+
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+                 "theta", "iota", "kappa"]
+        docs = []
+        for i in range(120):
+            h = int(hashlib.md5(f"d:{i}".encode()).hexdigest(), 16)
+            n = 5 + h % 40
+            toks = []
+            for j in range(n):
+                toks.append(words[(h >> (j % 48)) % len(words)])
+            docs.append((i, " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        k = 5
+        spans = duplicated_spans(df, k=k).collect()
+        totals = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        per_doc: dict[int, list] = {}
+        for r in spans:
+            assert r["span_tokens"] == r["span_end"] - r["span_start"] >= k
+            assert 0 <= r["span_start"] < r["span_end"] <= totals[r["doc_id"]]
+            per_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        assert per_doc, "seeded corpus produced no duplicated spans"
+        for doc, ss in per_doc.items():
+            ss.sort()
+            for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+                assert s2 >= e1, (doc, ss)  # non-overlapping
+                # maximality: start-gram gap > k-1 (merge condition)
+                assert s2 - (e1 - k) > k - 1, (doc, ss)
