@@ -66,8 +66,30 @@ def _h32(shingle_list: list[str]) -> np.ndarray:
     )
 
 
+def _h32_one(shingle: str) -> int:
+    """32-bit md5 fold of one shingle — int(hexdigest[:8], 16), identical
+    to functions.text.hex_to_int32(md5(s)) and the SQL oracle's per-digit
+    fold."""
+    return int(hashlib.md5(shingle.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _h32_set(text: str | None, k: int) -> list[int]:
+    """Distinct 32-bit shingle hashes of a text (first-occurrence order;
+    no consumer is order-sensitive).  A 32-bit collision merges two
+    distinct shingles — the SQL oracle applies the SAME fold, so both
+    engines agree bit-for-bit even when a collision occurs."""
+    seen: dict[int, None] = {}
+    for s in _shingle_set(text, k):
+        seen[_h32_one(s)] = None
+    return list(seen)
+
+
 def make_shingle_set_udf(k: int = 3):
-    """text -> distinct word-k-gram shingles (array<string>)."""
+    """text -> distinct word-k-gram shingles (array<string>).  The
+    STRING form — kept for callers that need the shingles themselves;
+    the dedup family stores `make_shingle_h32_udf` sets instead (8
+    bytes/shingle vs ~(5 + k·avg_token) — the representation that keeps
+    the persisted frame in memory at corpus scale, SCALE.md §5.3)."""
 
     @pandas_udf("array<string>")
     def shingle_set(texts: pd.Series) -> pd.Series:
@@ -76,17 +98,36 @@ def make_shingle_set_udf(k: int = 3):
     return shingle_set
 
 
+def make_shingle_h32_udf(k: int = 3):
+    """text -> distinct 32-bit shingle hashes (array<long>) — the compact
+    dedup-family representation.  One md5 per shingle HERE (at set-build
+    time) instead of once per downstream consumer; minhash/simhash UDFs
+    then run pure numpy arithmetic over the ints.  Jaccard over h32 sets
+    equals Jaccard over string sets up to 32-bit collisions (~n²/2³³ per
+    doc — negligible), and the SQL oracle hashes with the same fold so
+    both engines move together even on a collision."""
+
+    @pandas_udf("array<long>")
+    def shingle_h32(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _h32_set(t, k))
+
+    return shingle_h32
+
+
 def make_minhash_bands_udf(num_hashes: int = 32, num_bands: int = 8):
-    """shingle_set -> LSH band keys (array<string>); [] for empty sets."""
+    """h32 shingle set (array<long>) -> LSH band keys (array<string>);
+    [] for empty sets.  Input is the PRE-HASHED set from
+    make_shingle_h32_udf — the md5-per-shingle work happens once at
+    set-build time, not per consumer."""
     rows = num_hashes // num_bands
     coeffs = minhash_coeffs(num_hashes)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
 
-    def bands_of(shingle_list) -> list[str]:
-        if shingle_list is None or len(shingle_list) == 0:
+    def bands_of(h32_list) -> list[str]:
+        if h32_list is None or len(h32_list) == 0:
             return []
-        h = _h32(list(shingle_list))[None, :]
+        h = np.asarray(h32_list, dtype=np.int64)[None, :]
         sig = ((A * h + B) % MINHASH_PRIME).min(axis=1)
         return [
             f"{b}:" + hashlib.md5(
@@ -145,13 +186,15 @@ def make_rolling_fingerprint_udf():
 
 
 def make_simhash_udf():
-    """shingle_set -> 32-bit simhash (long); null for empty sets."""
+    """h32 shingle set (array<long>) -> 32-bit simhash (long); null for
+    empty sets.  Same pre-hashed input contract as
+    make_minhash_bands_udf."""
     bit_idx = np.arange(32, dtype=np.int64)
 
-    def simhash_of(shingle_list):
-        if shingle_list is None or len(shingle_list) == 0:
+    def simhash_of(h32_list):
+        if h32_list is None or len(h32_list) == 0:
             return None
-        h = _h32(list(shingle_list))
+        h = np.asarray(h32_list, dtype=np.int64)
         votes = (((h[:, None] >> bit_idx[None, :]) & 1) * 2 - 1).sum(axis=0)
         return int(((votes > 0).astype(np.int64) << bit_idx).sum())
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from img2dataset_spark.functions.text_fast import _shingle_set
+from img2dataset_spark.functions.text_fast import _h32_set
 
 
 def benchmark_shingle_set(
@@ -38,16 +38,21 @@ def benchmark_shingle_set(
     k: int = 3,
     text_col: str = "text",
     max_shingles: int = 5_000_000,
-) -> frozenset[str]:
-    """Distinct k-token shingles of the benchmark, collected to the
-    driver.  Benchmarks are small by construction; the cap turns a
+) -> frozenset[int]:
+    """Distinct 32-bit k-shingle hashes of the benchmark, collected to
+    the driver.  Hashes, not strings: the broadcast set is what every
+    executor holds resident, and 8-byte ints keep a multi-million-
+    shingle benchmark ~5-8x smaller than the strings (the same h32 fold
+    the dedup family stores — text_fast._h32_set — so contamination,
+    near-dup clusters, and corpus fingerprints still agree on what a
+    shingle is).  Benchmarks are small by construction; the cap turns a
     mistakenly-huge "benchmark" into a loud error instead of a driver
     OOM."""
-    from img2dataset_spark.functions.text_fast import make_shingle_set_udf
+    from img2dataset_spark.functions.text_fast import make_shingle_h32_udf
 
     rows = (
         benchmark.select(
-            F.explode(make_shingle_set_udf(k)(F.col(text_col))).alias("s")
+            F.explode(make_shingle_h32_udf(k)(F.col(text_col))).alias("s")
         )
         .distinct()
         .limit(max_shingles + 1)
@@ -62,11 +67,14 @@ def benchmark_shingle_set(
     return frozenset(r["s"] for r in rows)
 
 
-def make_contamination_udf(spark, bench_set: frozenset[str], k: int = 3):
-    """Fused tokenize→shingle→overlap-fraction scorer.  Returns
+def make_contamination_udf(spark, bench_set: frozenset[int], k: int = 3):
+    """Fused tokenize→shingle→hash→overlap-fraction scorer.  Returns
     floor(hits/n_shingles * 1e6 + 0.5) / 1e6 (the repo-wide 6-decimal
     rounding convention shared with the DuckDB oracles), or null for
-    texts with no k-shingle."""
+    texts with no k-shingle.  Membership and the denominator are both
+    over the DISTINCT h32 set (a 32-bit collision inside a doc merges
+    two shingles — mirrored exactly by the oracle's list_distinct over
+    the same fold)."""
     bc = spark.sparkContext.broadcast(bench_set)
 
     @pandas_udf("double")
@@ -74,7 +82,7 @@ def make_contamination_udf(spark, bench_set: frozenset[str], k: int = 3):
         s = bc.value
 
         def score(t):
-            ss = _shingle_set(t, k)
+            ss = _h32_set(t, k)
             if not ss:
                 return None
             hits = sum(1 for x in ss if x in s)

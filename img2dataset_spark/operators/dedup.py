@@ -32,9 +32,13 @@ from pyspark import StorageLevel
 from img2dataset_spark.functions.text import fingerprint
 from img2dataset_spark.functions.text_fast import (
     make_minhash_bands_udf,
-    make_shingle_set_udf,
+    make_shingle_h32_udf,
     make_simhash_udf,
 )
+
+# Stack of active dedup_cache_scope() collectors; _persisted registers
+# into the innermost one so the scope can unpersist on exit.
+_SCOPE_STACK: list[list[DataFrame]] = []
 
 
 def _persisted(df: DataFrame) -> DataFrame:
@@ -43,16 +47,45 @@ def _persisted(df: DataFrame) -> DataFrame:
     full upstream (tokenize -> shingle -> md5 — the expensive Arrow UDF
     stage) once per reference.
 
-    Lifetime note: the cache entry lives until the session ends or
-    ``spark.catalog.clearCache()``.  Spark's CacheManager deduplicates
-    by logical plan, so REPEATED calls over the same input reuse one
-    entry (the "already cached" warning) rather than accumulating;
-    distinct inputs each hold one entry — callers looping over many
-    corpora should clearCache() between them.  This trade is deliberate
-    here (unlike similarity.embedding_dup_pairs_lsh, whose verify-side
-    reuse is a plain parquet re-scan and persists nothing): dropping
-    the persist would re-run the shingle UDF per subtree."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    Lifetime note: by default the cache entry lives until the session
+    ends or ``spark.catalog.clearCache()``.  Spark's CacheManager
+    deduplicates by logical plan, so REPEATED calls over the same input
+    reuse one entry (the "already cached" warning) rather than
+    accumulating; distinct inputs each hold one entry — callers looping
+    over many corpora should wrap each corpus in
+    :func:`dedup_cache_scope`, which unpersists everything registered
+    inside it on exit.  The persist itself is deliberate (unlike
+    similarity.embedding_dup_pairs_lsh, whose verify-side reuse is a
+    plain parquet re-scan and persists nothing): dropping it would
+    re-run the shingle UDF per subtree (measured 2.8x WORSE, see
+    minhash_lsh_pairs)."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if _SCOPE_STACK:
+        _SCOPE_STACK[-1].append(out)
+    return out
+
+
+class dedup_cache_scope:
+    """Context manager bounding the lifetime of the dedup family's
+    deliberate persists.  Build the plan AND run its consuming action
+    inside the scope::
+
+        with dedup_cache_scope():
+            pairs = minhash_lsh_pairs(corpus)
+            pairs.write.parquet(out)   # action runs while caches live
+        # <- all frames persisted by dedup operators are unpersisted
+
+    Multi-corpus loops use one scope per corpus so cache entries never
+    accumulate across iterations.  Scopes nest; each unpersists only
+    the frames registered while it was innermost."""
+
+    def __enter__(self) -> "dedup_cache_scope":
+        _SCOPE_STACK.append([])
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for df in _SCOPE_STACK.pop():
+            df.unpersist()
 
 
 def _parallel(df: DataFrame) -> DataFrame:
@@ -87,13 +120,25 @@ def exact_dedup(
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, distinct shingle set) — shared prep for minhash/jaccard.
-    Arrow-vectorized UDF (see functions.text_fast header for why not a
-    Catalyst higher-order-function expression)."""
-    shingle_set = make_shingle_set_udf(k)
+    """(id, distinct 32-bit shingle-hash set) — shared prep for
+    minhash/jaccard/simhash.  Arrow-vectorized UDF (see
+    functions.text_fast header for why not a Catalyst
+    higher-order-function expression).
+
+    The set elements are the 32-bit md5 fold both engines already share
+    for the minhash signature (text_fast._h32_one == text.hex_to_int32
+    of md5), NOT the shingle strings: at corpus scale this frame is
+    persisted and self-joined, and 8-byte longs keep it ~5-8x smaller
+    than ~(5 + k·avg_token)-byte strings — the representation change
+    that moved the sf10 wall of the whole dedup->CC->curation family
+    (SCALE.md §5.3).  Exact Jaccard over h32 sets equals Jaccard over
+    string sets up to 32-bit collisions (~|set|²/2³³ per doc); the SQL
+    oracle applies the same fold, so both engines agree bit-for-bit
+    even when a collision occurs."""
+    shingle_h32 = make_shingle_h32_udf(k)
     return _parallel(df).select(
         F.col(id_col),
-        shingle_set(F.col(text_col)).alias("shingle_set"),
+        shingle_h32(F.col(text_col)).alias("shingle_set"),
     )
 
 
@@ -191,9 +236,10 @@ def ngram_jaccard_pairs(
 def _verified_jaccard(
     cand: DataFrame, docs: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Join shingle sets back and compute exact Jaccard, rounded 6 dp.
-    |A ∪ B| via |A| + |B| − |A ∩ B| (avoids engine-specific union
-    dedup semantics in the oracle).
+    """Join (h32) shingle sets back and compute exact Jaccard, rounded
+    6 dp.  |A ∪ B| via |A| + |B| − |A ∩ B| (avoids engine-specific
+    union dedup semantics in the oracle); array_intersect on longs is
+    also cheaper than on strings.
 
     Size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
     whose set sizes differ by more than the threshold ratio can never

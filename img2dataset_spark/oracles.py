@@ -348,8 +348,29 @@ SELECT MIN(doc_id) AS doc_id, md5({_NORm}) AS fingerprint, COUNT(*) AS dup_count
 FROM documents GROUP BY 2
 """
 
+_HEXDIGIT_S = (
+    "(CASE WHEN ascii(substr({h}, {i}, 1)) >= 97 "
+    "THEN ascii(substr({h}, {i}, 1)) - 87 ELSE ascii(substr({h}, {i}, 1)) - 48 END)"
+)
+
+
+def _hv_of(h: str) -> str:
+    """32-bit fold of the first 8 hex chars of md5-hex column {h} —
+    identical to functions.text.hex_to_int32."""
+    return " + ".join(
+        f"{_HEXDIGIT_S.format(h=h, i=i)}::BIGINT * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+
+
+# Shingle sets are stored as their 32-bit md5 fold (h32), NOT strings —
+# the same compact representation operators/dedup.doc_shingles persists
+# (SCALE.md §5.3: ~5-8x smaller frame).  distinct-then-hash equals
+# hash-then-distinct, and both engines apply the identical fold, so
+# Jaccard/minhash/simhash agree bit-for-bit even on a 32-bit collision.
 _DOCS_SS = f"""
-  SELECT doc_id, source, list_distinct({_SHINGLES}) AS ss
+  SELECT doc_id, source,
+         list_distinct(list_transform({_SHINGLES}, s -> {_hv_of('md5(s)')})) AS ss
   FROM (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents)
 """
 
@@ -366,28 +387,14 @@ SELECT id_a, id_b, jaccard FROM (
 WHERE jaccard >= 0.3
 """
 
-_HEXDIGIT_S = (
-    "(CASE WHEN ascii(substr({h}, {i}, 1)) >= 97 "
-    "THEN ascii(substr({h}, {i}, 1)) - 87 ELSE ascii(substr({h}, {i}, 1)) - 48 END)"
-)
-
-
-def _hv_of(h: str) -> str:
-    """32-bit fold of the first 8 hex chars of md5-hex column {h} —
-    identical to functions.text.hex_to_int32."""
-    return " + ".join(
-        f"{_HEXDIGIT_S.format(h=h, i=i)}::BIGINT * {16 ** (8 - i)}"
-        for i in range(1, 9)
-    )
-
-
 def _minhash_sig_sql() -> str:
-    """sig[s] = min((a_s*h + b_s) % P) — same coefficients as the Spark
-    expression (functions.text.minhash_coeffs)."""
+    """sig[s] = min((a_s*h + b_s) % P) over the h32 shingle set —
+    same coefficients as the Spark expression
+    (functions.text.minhash_coeffs); ss already holds the h32 values."""
     from img2dataset_spark.functions.text import MINHASH_PRIME, minhash_coeffs
 
     elems = ", ".join(
-        f"list_min(list_transform(h32, h -> ({a}::BIGINT * h + {b}) % {MINHASH_PRIME}))"
+        f"list_min(list_transform(ss, h -> ({a}::BIGINT * h + {b}) % {MINHASH_PRIME}))"
         for a, b in minhash_coeffs(32)
     )
     return f"[{elems}]"
@@ -396,12 +403,8 @@ def _minhash_sig_sql() -> str:
 ORACLES["dedup_minhash_lsh"] = f"""
 WITH docs AS ({_DOCS_SS}),
 d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
-hashed AS (
-  SELECT doc_id, ss,
-    list_transform(ss, x -> {_hv_of('md5(x)')}) AS h32
-  FROM d),
 sigs AS (
-  SELECT doc_id, ss, {_minhash_sig_sql()} AS sig FROM hashed),
+  SELECT doc_id, ss, {_minhash_sig_sql()} AS sig FROM d),
 banded AS (
   SELECT doc_id, unnest(
     list_transform(generate_series(0, 7), b ->
@@ -444,21 +447,12 @@ FROM reach GROUP BY a
 # produce byte-identical clusters, so it checks against the same SQL.
 ORACLES["dedup_components_2phase"] = ORACLES["dedup_components"]
 
-# -- simhash: hex fold + bit votes, expressed relationally ------------------
-
-_HEXDIGIT = (
-    "(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 "
-    "THEN ascii(substr(h, {i}, 1)) - 87 ELSE ascii(substr(h, {i}, 1)) - 48 END)"
-)
-_HV = " + ".join(
-    f"{_HEXDIGIT.format(i=i)}::BIGINT * {16 ** (8 - i)}" for i in range(1, 9)
-)
+# -- simhash: bit votes over the h32 shingle sets, expressed relationally ---
 
 ORACLES["dedup_simhash"] = f"""
 WITH docs AS ({_DOCS_SS}),
 d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
-sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
-hv AS (SELECT doc_id, {_HV} AS h32 FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+hv AS (SELECT doc_id, unnest(ss) AS h32 FROM d),
 votes AS (
   SELECT doc_id, b,
     SUM(((h32 // CAST(power(2, b) AS BIGINT)) % 2) * 2 - 1) AS vote
@@ -480,8 +474,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
 _SIMHASH_PREAMBLE = f"""
 WITH docs AS ({_DOCS_SS}),
 d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
-sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
-hv AS (SELECT doc_id, {_HV} AS h32 FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+hv AS (SELECT doc_id, unnest(ss) AS h32 FROM d),
 votes AS (
   SELECT doc_id, b,
     SUM(((h32 // CAST(power(2, b) AS BIGINT)) % 2) * 2 - 1) AS vote

@@ -83,21 +83,22 @@ def static_band_index(
 ) -> DataFrame:
     """(band, ref_id) MinHash-LSH index of an EXISTING batch corpus,
     for stream-static near-dup checks.  Same shingle/minhash/banding
-    formulas as the batch pair generator (operators.dedup), so a
-    stream-side collision means exactly "this band would have joined
-    in minhash_lsh_pairs".  Persist the result: Spark re-reads the
+    formulas as the batch pair generator (operators.dedup) — including
+    the compact h32 shingle-set representation — so a stream-side
+    collision means exactly "this band would have joined in
+    minhash_lsh_pairs".  Persist the result: Spark re-reads the
     static side every micro-batch, and a persisted tiny index turns
     that into a memory lookup."""
     from img2dataset_spark.functions.text_fast import (
         make_minhash_bands_udf,
-        make_shingle_set_udf,
+        make_shingle_h32_udf,
     )
 
-    shingle_set = make_shingle_set_udf(k)
+    shingle_h32 = make_shingle_h32_udf(k)
     bands = make_minhash_bands_udf(num_hashes, num_bands)
     docs = corpus.select(
         F.col(id_col).alias("ref_id"),
-        shingle_set(F.col(text_col)).alias("_ss"),
+        shingle_h32(F.col(text_col)).alias("_ss"),
     ).filter(F.size("_ss") > 0)
     return docs.select(
         "ref_id", F.explode(bands(F.col("_ss"))).alias("band")
@@ -131,15 +132,15 @@ def streaming_neardup_flags(
     the same lambda split documented in the module header)."""
     from img2dataset_spark.functions.text_fast import (
         make_minhash_bands_udf,
-        make_shingle_set_udf,
+        make_shingle_h32_udf,
     )
 
-    shingle_set = make_shingle_set_udf(k)
+    shingle_h32 = make_shingle_h32_udf(k)
     bands = make_minhash_bands_udf(num_hashes, num_bands)
     banded = (
         stream.select(
             F.col(id_col), F.col(ts_col),
-            shingle_set(F.col(text_col)).alias("_ss"),
+            shingle_h32(F.col(text_col)).alias("_ss"),
         )
         .withColumn(
             "band",

@@ -36,8 +36,11 @@ def bench(spark):
 
 
 def test_benchmark_shingle_set(spark, bench):
+    from img2dataset_spark.functions.text_fast import _h32_one
+
     ss = benchmark_shingle_set(bench, k=3)
-    assert "the quick brown" in ss and len(ss) == 7
+    # h32 representation: membership is by the shared 32-bit md5 fold
+    assert _h32_one("the quick brown") in ss and len(ss) == 7
 
 
 def test_benchmark_size_cap(spark, corpus):

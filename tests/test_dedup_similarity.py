@@ -80,6 +80,51 @@ def test_simhash_pairs(docs_df):
     assert (0, 2) in pairs and (0, 5) in pairs  # identical -> hamming 0
 
 
+def test_h32_shingle_sets_preserve_jaccard(docs_df):
+    """The compact h32 representation (doc_shingles stores 32-bit md5
+    folds, not strings) must yield the SAME exact-Jaccard values as
+    string sets on a collision-free corpus."""
+    import hashlib
+
+    from img2dataset_spark.operators.dedup import doc_shingles
+    from img2dataset_spark.functions.text_fast import _shingle_set
+
+    got = {r["doc_id"]: set(r["shingle_set"]) for r in doc_shingles(docs_df).collect()}
+    for doc_id, text, _src in DOCS:
+        strings = _shingle_set(text, 3)
+        want = {int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in strings}
+        assert got[doc_id] == want, doc_id
+        assert len(want) == len(set(strings))  # collision-free here
+    # pairwise Jaccard over h32 sets == over string sets (sets are
+    # bijective when collision-free, so intersections map 1:1)
+    out = minhash_lsh_pairs(docs_df, k=3, jaccard_threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(0, 2)] == 1.0 and pairs[(0, 5)] == 1.0
+
+
+def test_dedup_cache_scope_unpersists(docs_df, spark):
+    """minhash_lsh_pairs' deliberate persists are released when the
+    enclosing dedup_cache_scope exits — multi-corpus loops stay flat
+    (the minhash twin of test_no_persisted_frames_leak)."""
+    from img2dataset_spark.operators.dedup import dedup_cache_scope
+
+    sc = spark.sparkContext
+    # hermetic: earlier tests may have session-cached the SAME logical
+    # plan (CacheManager dedupes), which this scope would then release
+    spark.catalog.clearCache()
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    for _ in range(2):
+        with dedup_cache_scope():
+            minhash_lsh_pairs(docs_df, k=3, jaccard_threshold=0.5).count()
+        assert len(sc._jsc.sc().getRDDStorageInfo()) == before
+    # without a scope the session-lifetime default still applies
+    # (CacheManager dedupes repeated identical plans into one entry)
+    minhash_lsh_pairs(docs_df, k=3, jaccard_threshold=0.5).count()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after >= before
+    spark.catalog.clearCache()
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0], 0),
     (1, [0.9, 0.1, 0.0], 0),   # close to 0

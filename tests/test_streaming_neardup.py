@@ -73,9 +73,9 @@ def test_stream_static_neardup_flags(spark, tmp_path):
     # batch twin: same band join must yield the same hit counts
     from img2dataset_spark.functions.text_fast import (
         make_minhash_bands_udf,
-        make_shingle_set_udf,
+        make_shingle_h32_udf,
     )
-    ss = make_shingle_set_udf(3)
+    ss = make_shingle_h32_udf(3)
     bands = make_minhash_bands_udf(32, 8)
     b = (
         batch.select("doc_id", ss(F.col("text")).alias("_ss"))
