@@ -123,7 +123,12 @@ def mock_payload(url: str) -> bytes:
 
 def mock_fetch(url: str) -> tuple[bytes | None, str | None]:
     """Hermetic fetch: urls under /disallowed/ behave as robots-blocked,
-    urls under /missing/ as 404s; everything else succeeds."""
+    urls under /missing/ as 404s; everything else succeeds.  A NULL url
+    yields the same error string the real path produces (the reference
+    stats-reports every input row, so a null url must become a failed
+    status, not a crash)."""
+    if url is None:
+        return None, "unknown url type: 'None'"
     if "/disallowed/" in url:
         return None, DISALLOWED_ERROR
     if "/missing/" in url:

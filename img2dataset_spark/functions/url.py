@@ -57,7 +57,12 @@ def canonical_url(url: Column) -> Column:
     ).otherwise(auth)
     path = F.regexp_extract(url, _PATH_RE, 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    # fragment-stripped form, shared by query extraction (a '?' INSIDE
+    # the fragment is not a query — extracting from the raw url would
+    # invent one and falsely merge with the real '?x=1' resource) and
+    # by the no-scheme fallback below
+    bare = F.regexp_replace(url, "#.*$", "")
+    query = F.regexp_extract(bare, _QUERY_RE, 1)
     kept = F.array_join(
         F.array_sort(
             F.filter(
@@ -76,10 +81,20 @@ def canonical_url(url: Column) -> Column:
     )
     # no scheme -> leave the original (minus fragment) rather than
     # inventing "://" prefixes
-    bare = F.regexp_replace(url, "#.*$", "")
     return F.when(url.isNull(), F.lit(None).cast("string")).when(
         scheme == "", bare
     ).otherwise(canon)
+
+
+def null_exempt_key(cu: Column, id_col: Column) -> Column:
+    """Dedup key that exempts NULL-url rows: a NULL canonical url falls
+    back to a per-row unique key ('\\x00id:<id>' — NUL never appears in
+    a URL), so NULL-url rows are never merged with each other.  The
+    reference pipeline fetches (and stats-reports) every input row;
+    collapsing all NULL urls into one survivor would silently drop the
+    rest.  Shared by dedup_by_url, the pipeline's dedup_urls stage, and
+    streaming_url_dedup so all three agree."""
+    return F.coalesce(cu, F.concat(F.lit("\x00id:"), id_col.cast("string")))
 
 
 def dedup_by_url(
@@ -89,14 +104,26 @@ def dedup_by_url(
 ) -> DataFrame:
     """One representative (min id) per canonical URL — the same single
     hash-aggregate shape as exact_dedup, keyed on canonical_url.
-    Returns (id, canonical_url, dup_count); run BEFORE build_pipeline
-    so duplicate fetches never happen."""
+    NULL-url rows pass through one-per-row (see null_exempt_key) with
+    canonical_url NULL and dup_count 1.  Returns (id, canonical_url,
+    dup_count); run BEFORE build_pipeline so duplicate fetches never
+    happen."""
+    cu = canonical_url(F.col(url_col))
     return (
-        df.withColumn("_cu", canonical_url(F.col(url_col)))
-        .groupBy("_cu")
+        df.withColumn("_gk", null_exempt_key(cu, F.col(id_col)))
+        .groupBy("_gk")
+        # long-only aggregate buffers keep this a HashAggregate (a
+        # min(string) buffer would demote it to SortAggregate); the
+        # canonical url is recovered from the group key itself
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("dup_count"),
         )
-        .select(id_col, F.col("_cu").alias("canonical_url"), "dup_count")
+        .select(
+            id_col,
+            F.when(F.col("_gk").startswith("\x00id:"), F.lit(None).cast("string"))
+            .otherwise(F.col("_gk"))
+            .alias("canonical_url"),
+            "dup_count",
+        )
     )

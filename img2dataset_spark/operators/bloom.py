@@ -132,7 +132,7 @@ def build_bloom(
 def probe_bloom(
     df: DataFrame,
     id_col: str,
-    bloom: bytes,
+    bloom: "bytes | Broadcast",
     num_hashes: int,
     flag_col: str = "maybe_seen",
 ) -> DataFrame:
@@ -145,10 +145,30 @@ def probe_bloom(
     expression the build used — no Python re-implementation to drift),
     the bit array rides an explicit ``SparkContext.broadcast``, and the
     pandas UDF is one vectorized ``gather >> shift & 1`` over the
-    (n × k) position matrix per Arrow batch."""
-    arr = np.frombuffer(bloom, dtype=np.uint64)
+    (n × k) position matrix per Arrow batch.
+
+    ``bloom`` may be the raw bit-array bytes OR an existing
+    ``SparkContext.broadcast`` of them.  Passing bytes creates a NEW
+    broadcast per call whose lifetime the caller can't reach — fine
+    for one-shot probes, but repeated probes of one filter (incremental
+    waves reusing a multi-GB array) should broadcast ONCE and pass the
+    handle, then ``.unpersist()`` / ``.destroy()`` it after the last
+    consuming action::
+
+        bc = spark.sparkContext.broadcast(bloom_bytes)
+        for wave in waves:
+            probe_bloom(wave, "id", bc, k).write...
+        bc.destroy()
+    """
+    from pyspark import Broadcast
+
+    if isinstance(bloom, Broadcast):
+        bloom_bc, raw = bloom, bloom.value
+    else:
+        raw = bloom
+        bloom_bc = df.sparkSession.sparkContext.broadcast(bloom)
+    arr = np.frombuffer(raw, dtype=np.uint64)
     num_bits = len(arr) * 64
-    bloom_bc = df.sparkSession.sparkContext.broadcast(bloom)
     k = num_hashes
 
     @F.pandas_udf("boolean")

@@ -193,15 +193,22 @@ def duplication_profile(
     doc is corpus-duplicated text.  Join-once composition — (doc_id,
     n_spans, dup_tokens, total_tokens, dup_fraction); docs with no
     duplicated span appear with zeros (left join), so the output is a
-    full-corpus quality column."""
-    from img2dataset_spark.functions.text import token_count
+    full-corpus quality column.
+
+    total_tokens uses the SAME BPE-ish tokenizer the spans are indexed
+    against (functions.text.bpe_token_count == BPE_TOKEN_RE), so
+    numerator and denominator share units and dup_fraction is a true
+    0..1 coverage ratio — a whitespace-token denominator would inflate
+    it past 1.0 on punctuation-heavy docs."""
+    from img2dataset_spark.functions.text import bpe_token_count
 
     agg = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_tokens").alias("dup_tokens"),
     )
     base = df.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("total_tokens")
+        F.col(id_col),
+        bpe_token_count(F.col(text_col)).cast("long").alias("total_tokens"),
     )
     return base.join(agg, id_col, "left").select(
         id_col,

@@ -86,6 +86,12 @@ def build_pipeline(
     # smallest raw url, ties (byte-identical urls with different
     # payloads in other columns) broken by a hash of the whole row —
     # so reruns and partition recomputation pick the same rows.
+    # NULL-url rows are EXEMPT (kept as-is): the reference fetches and
+    # stats-reports every input row, and the window's null-equality
+    # would otherwise keep a single survivor from all of them.  They
+    # still share one window partition (row-numbered then all kept) —
+    # fine while NULL urls are rare noise; a NULL-heavy feed should be
+    # filtered explicitly upstream.
     if config.dedup_urls:
         from pyspark.sql import Window as _W
 
@@ -96,7 +102,7 @@ def build_pipeline(
         df = (
             df.withColumn("_canon_url", canonical_url(F.col("url")))
             .withColumn("_url_rn", F.row_number().over(w))
-            .filter(F.col("_url_rn") == 1)
+            .filter(F.col("url").isNull() | (F.col("_url_rn") == 1))
             .drop("_canon_url", "_url_rn")
         )
 

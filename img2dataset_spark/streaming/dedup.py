@@ -60,16 +60,24 @@ def streaming_url_dedup(
     watermark horizon.  The ingestion-time twin of the pre-fetch
     bandwidth saver: a crawl frontier stream drops re-discovered
     spellings before they ever reach the fetch pool, with state
-    bounded by the horizon exactly like streaming_exact_dedup."""
+    bounded by the horizon exactly like streaming_exact_dedup.
+
+    NULL-url rows are exempt from dedup (each gets a unique state key
+    via uuid() — dropDuplicates treats NULLs as equal, which would keep
+    one survivor from ALL null-url rows); they pass through with
+    canonical_url NULL, matching batch dedup_by_url."""
     from img2dataset_spark.functions.url import canonical_url
 
+    cu = canonical_url(F.col(url_col))
+    key = F.coalesce(cu, F.concat(F.lit("\x00row:"), F.expr("uuid()")))
     return (
         ensure_event_time(
-            stream.withColumn("canonical_url", canonical_url(F.col(url_col))),
+            stream.withColumn("canonical_url", cu).withColumn("_dedup_key", key),
             ts_col,
         )
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
     )
 
 

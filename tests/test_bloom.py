@@ -85,6 +85,28 @@ def test_probe_is_map_only(spark, docs):
     assert "Join" not in plan
 
 
+def test_probe_accepts_caller_broadcast(spark, docs):
+    """Repeated probes of one filter pass a caller-owned Broadcast so
+    its lifetime is controllable (no per-call broadcast accumulation);
+    results must equal the bytes path."""
+    hist = docs.filter(F.col("doc_id") % 5 == 0)
+    bloom = build_bloom(hist, "doc_id", 1024, 7)
+    bc = spark.sparkContext.broadcast(bloom)
+    try:
+        via_bytes = sorted(
+            (r["doc_id"], r["maybe_seen"])
+            for r in probe_bloom(docs.select("doc_id"), "doc_id", bloom, 7).collect()
+        )
+        for _ in range(2):  # reuse across probes — the advertised pattern
+            via_bc = sorted(
+                (r["doc_id"], r["maybe_seen"])
+                for r in probe_bloom(docs.select("doc_id"), "doc_id", bc, 7).collect()
+            )
+            assert via_bc == via_bytes
+    finally:
+        bc.unpersist()
+
+
 def test_null_ids_probe_null(spark):
     df = spark.createDataFrame([(1,), (None,)], "doc_id long")
     bloom = build_bloom(

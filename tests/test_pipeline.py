@@ -505,6 +505,38 @@ class TestUrlDedup:
             "http://fixture.local/img/3.jpg",
         ]
 
+    def test_null_urls_exempt(self, spark, tmp_path):
+        """NULL-url rows pass through dedup_urls un-merged (the window's
+        null-equality would otherwise keep ONE survivor from all of
+        them); the reference fetches and stats-reports every input
+        row."""
+        rows = pd.DataFrame(
+            {
+                "url": [
+                    None,
+                    None,
+                    "http://fixture.local/img/1.jpg",
+                    "http://fixture.local/img/1.jpg#frag",
+                ],
+                "caption": ["a", "b", "c", "d"],
+            }
+        )
+        inp = str(tmp_path / "unull.parquet")
+        rows.to_parquet(inp)
+        cfg = PipelineConfig(
+            url_list=inp,
+            input_format="parquet",
+            caption_col="caption",
+            output_folder=str(tmp_path / "outnull"),
+            output_format="dummy",
+            number_sample_per_shard=10,
+            fetch_mode="mock",
+            dedup_urls=True,
+        )
+        stats = download(cfg, spark=spark)
+        # 4 rows -> 3 processed: both NULLs kept, the spelling pair merged
+        assert sum(r["count"] for r in stats) == 3
+
     def test_off_by_default(self, spark, tmp_path):
         rows = pd.DataFrame(
             {

@@ -115,3 +115,39 @@ def test_streaming_url_dedup_matches_batch_canonicals(spark, tmp_path):
     }
     assert {r["canonical_url"] for r in got} == want
     assert len(got) == len(want) == 3
+
+
+def test_streaming_url_dedup_null_urls_exempt(spark, tmp_path):
+    """NULL-url rows are exempt from streaming dedup (each gets a
+    unique uuid state key): ALL of them pass through with canonical_url
+    NULL, matching batch dedup_by_url's null exemption."""
+    import datetime as dt
+
+    from img2dataset_spark.streaming.dedup import streaming_url_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, None),
+        (2, t0 + dt.timedelta(seconds=5), None),
+        (3, t0 + dt.timedelta(seconds=10), "http://img.site/cat.jpg"),
+        (4, t0 + dt.timedelta(seconds=15), "http://img.site/cat.jpg#frag"),
+    ]
+    src = os.path.join(str(tmp_path), "unullsrc")
+    batch = spark.createDataFrame(rows, "doc_id long, ts timestamp, url string")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_url_dedup(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_url_dedup_null")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "unullckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("t_stream_url_dedup_null").collect()
+    null_ids = sorted(r["doc_id"] for r in got if r["canonical_url"] is None)
+    assert null_ids == [1, 2]  # both NULL rows survive
+    assert len([r for r in got if r["canonical_url"] is not None]) == 1

@@ -96,6 +96,24 @@ def test_profile_rollup_covers_all_docs(spark):
     assert 0 < prof[0]["dup_fraction"] <= 1.0
 
 
+def test_profile_fraction_bounded_on_punctuation_heavy_text(spark):
+    """dup_fraction numerator (BPE-token span mass) and denominator must
+    share the SAME tokenizer: with a whitespace denominator a fully-
+    duplicated punctuation-heavy doc scored 1.8; it must be exactly 1.0
+    (every BPE token of the doc sits in a duplicated span)."""
+    body = "x! y! z! q! r! " * 2
+    df = spark.createDataFrame(
+        [(0, body.strip()), (1, body.strip())], "doc_id long, text string"
+    )
+    prof = {
+        r["doc_id"]: r
+        for r in duplication_profile(duplicated_spans(df, k=5), df).collect()
+    }
+    for r in prof.values():
+        assert r["dup_fraction"] == 1.0, r
+        assert r["dup_tokens"] == r["total_tokens"]
+
+
 def test_plan_shape(spark):
     """One wide shuffle (gram aggregation, map-side combinable), no
     cartesian anywhere, span merge windowed per doc."""

@@ -64,6 +64,39 @@ def test_dedup_by_url_collapses_spellings(spark):
     }
 
 
+def test_fragment_query_not_extracted(spark):
+    """A '?' inside the fragment is NOT a query: 'http://h/p#frag?x=1'
+    must canonicalize to 'http://h/p' (fragment stripped, no invented
+    query) and must NOT merge with the genuinely distinct resource
+    'http://h/p?x=1'."""
+    got = _canon(spark, ["http://h/p#frag?x=1", "http://h/p?x=1"])
+    assert got[0] == "http://h/p"
+    assert got[1] == "http://h/p?x=1"
+    assert got[0] != got[1]
+    # a real query followed by a '?'-bearing fragment keeps only the query
+    assert _canon(spark, ["http://h/p?a=1#frag?x=9"]) == ["http://h/p?a=1"]
+
+
+def test_null_urls_pass_through_dedup(spark):
+    """NULL urls carry no dedup evidence: each NULL-url row survives
+    (canonical_url NULL, dup_count 1) instead of all collapsing into
+    one group — the reference pipeline fetches every input row."""
+    rows = [
+        (0, None),
+        (1, None),
+        (2, "http://img.site/cat.jpg"),
+        (3, "http://img.site/cat.jpg#f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dedup_by_url(df).collect()
+    nulls = sorted(r["doc_id"] for r in out if r["canonical_url"] is None)
+    assert nulls == [0, 1]
+    assert all(
+        r["dup_count"] == 1 for r in out if r["canonical_url"] is None
+    )
+    assert {r["doc_id"]: r["dup_count"] for r in out if r["canonical_url"]} == {2: 2}
+
+
 def test_pure_codegen_no_python(spark):
     df = spark.createDataFrame([(0, "http://e.com/x")], "doc_id long, url string")
     plan = (
