@@ -35,11 +35,11 @@ def _q_embedding_dup_pairs_lsh_auto(spark, sf_dir):
 
 
 def _q_dedup_substring_spans_hashed(spark, sf_dir):
-    """Bench-only twin of dedup_substring_spans with 64-bit gram hashing
-    (the 100 TB shuffle-width knob).  Not in the registry: DuckDB has no
-    xxhash64, so a static oracle cannot mirror the hashed keys; the
-    string-gram registry query pins correctness, this entry MEASURES
-    the hashed configuration."""
+    """Bench twin of dedup_substring_spans with 64-bit gram hashing —
+    the ENGINE DEFAULT since round 6 (the 100 TB shuffle-width knob).
+    Not in the registry: DuckDB has no xxhash64, so a static oracle
+    cannot mirror the hashed keys; the string-gram registry query pins
+    correctness, this entry MEASURES what default callers get."""
     import os as _os
 
     from img2dataset_spark.operators.substring import duplicated_spans
@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_survivors",
     "dedup_components",
     "curation_e2e",
+    "curation_substr",
     "pipeline_e2e",
 ]
 

@@ -1087,6 +1087,68 @@ SELECT doc_id,
 FROM isl GROUP BY doc_id, island
 """
 
+# ExactSubstr curation chain: spans (the dedup_substring_spans closure)
+# -> token-level cut (positions NOT covered by any span, rebuilt in
+# order) -> per-doc dup_fraction (BPE denominator, 6dp floor-rounded)
+# -> exact dedup over the CUT text (same md5-of-normalized fingerprint
+# as dedup_exact).  Docs whose every token is cut (or with no tokens)
+# rebuild to '' via the LEFT JOIN + COALESCE, matching Spark's
+# array_join of an empty kept list.
+ORACLES["curation_substr"] = rf"""
+WITH spans AS ({ORACLES["dedup_substring_spans"]}),
+t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text),
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+  FROM t WHERE len(toks) > 0
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.toks[p.i] AS tok FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.i - 1 >= s.span_start AND p.i - 1 < s.span_end)
+),
+rb AS (
+  SELECT t.doc_id,
+         ltrim(COALESCE(k.txt, '')) AS text,
+         COALESCE(k.n, 0)::BIGINT AS n_tokens,
+         (len(t.toks) - COALESCE(k.n, 0))::BIGINT AS n_cut
+  FROM t LEFT JOIN (
+    SELECT doc_id, string_agg(tok, '' ORDER BY i) AS txt, COUNT(*) AS n
+    FROM kept GROUP BY doc_id) k USING (doc_id)
+),
+prof AS (
+  SELECT t.doc_id,
+         CASE WHEN len(t.toks) > 0
+              THEN {_R6.format(x="COALESCE(sp.dup_tokens, 0)::DOUBLE / len(t.toks)")}
+              ELSE 0.0 END AS dup_fraction
+  FROM t LEFT JOIN (
+    SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id) sp
+  USING (doc_id)
+),
+fp AS (
+  SELECT r.doc_id, r.n_tokens, r.n_cut, p.dup_fraction,
+         md5(regexp_replace(trim(lower(r.text)), '\s+', ' ', 'g')) AS f
+  FROM rb r JOIN prof p USING (doc_id)
+),
+g AS (
+  SELECT f, MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS dup_count
+  FROM fp GROUP BY f
+)
+SELECT fp.doc_id, fp.n_tokens, fp.n_cut, g.dup_count, fp.dup_fraction
+FROM g JOIN fp ON fp.doc_id = g.doc_id
+"""
+
+# The production-sizing LSH row shares the pinned twin's SQL verbatim:
+# in the 8-bit floor domain (n <= 12,800 at the default occupancy
+# target; oracle scales run n = 500) the runtime fixpoint resolves to
+# exactly 32 planes / 4 bands, i.e. the identical hyperplane literals.
+ORACLES["embedding_dup_pairs_lsh_sized"] = ORACLES["embedding_dup_pairs_lsh"]
+
 # Compaction roundtrip: the oracle sees only the RELATION (content
 # aggregates over `documents` + the files_ok literal); the Spark side
 # computes the same aggregates from the compacted read-back, so any

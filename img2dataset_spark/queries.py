@@ -717,11 +717,14 @@ def q_dedup_substring_spans(spark, sf_dir):
     maximal token spans whose every 5-gram occurs >= 2 times in the
     corpus — the span-level complement to the document-level minhash/
     simhash dedup family.  The SQL twin replays the k-gram marking and
-    the gaps-and-islands merge relationally."""
+    the gaps-and-islands merge relationally — hence hash_grams=False
+    here (string grams, SQL-replayable); the engine DEFAULT is the
+    hashed 8-byte shuffle key, benchmarked separately and
+    equality-pinned at small n (tests/test_substring.py)."""
     from img2dataset_spark.operators.substring import duplicated_spans
 
     d = _t(spark, sf_dir, "documents")
-    return duplicated_spans(d, k=5, min_count=2)
+    return duplicated_spans(d, k=5, min_count=2, hash_grams=False)
 
 
 def q_url_dedup(spark, sf_dir):
@@ -1035,6 +1038,61 @@ def q_curation_e2e(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_curation_substr(spark, sf_dir):
+    """The ExactSubstr curation recipe (README's span-level chain) as
+    ONE lazy plan: duplicated_spans -> duplication_profile (per-doc
+    quality column) -> cut_spans (the Lee et al. 2022 intervention) ->
+    exact dedup over the CUT text.  The post-cut dedup is where the
+    stages genuinely interact: cutting corpus-shared boilerplate can
+    leave byte-identical residues that only become duplicates AFTER the
+    cut.  Returns per-representative (doc_id, n_tokens, n_cut,
+    dup_count, dup_fraction).  String grams (hash_grams=False) so the
+    SQL twin replays gram marking relationally; dup_fraction is 6dp
+    floor-rounded on both sides.
+
+    Plan-shape notes: the spans subtree (the expensive gram shuffle)
+    executes ONCE — dup_fraction is derived from the cut itself
+    (cut_spans removes exactly the span-covered token positions, so
+    n_cut equals duplication_profile's dup_tokens and n_tokens + n_cut
+    is the BPE total; the SQL oracle independently recomputes the
+    fraction from the spans CTE, cross-checking the identity), and the
+    representative row rides a min(struct) aggregate (map-side
+    combinable) — no join back to the cut subtree either."""
+    from img2dataset_spark.functions.text import fingerprint
+    from img2dataset_spark.operators.substring import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, k=5, min_count=2, hash_grams=False)
+    total = F.col("n_tokens") + F.col("n_cut")
+    merged = cut_spans(d, spans).withColumn(
+        "dup_fraction",
+        F.when(
+            total > 0,
+            F.floor(F.col("n_cut") / total * 1e6 + F.lit(0.5)) / 1e6,
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        merged.withColumn("_fp", fingerprint(F.col("text")))
+        .groupBy("_fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "n_tokens", "n_cut", "dup_fraction")
+            ).alias("_rep"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(
+            F.col("_rep.doc_id").alias("doc_id"),
+            F.col("_rep.n_tokens").alias("n_tokens"),
+            F.col("_rep.n_cut").alias("n_cut"),
+            "dup_count",
+            F.col("_rep.dup_fraction").alias("dup_fraction"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: similarity search (M6)
 # ---------------------------------------------------------------------------
@@ -1099,6 +1157,24 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_dup_pairs_lsh(e, threshold=0.3, num_planes=32, num_bands=4)
+
+
+def q_embedding_dup_pairs_lsh_sized(spark, sf_dir):
+    """The PRODUCTION configuration of embedding_dup_pairs_lsh — the
+    num_planes=None default, where band width is derived from the
+    corpus via the recommended_band_bits/recommended_num_bands fixpoint
+    (the r4 scale fix).  At oracle scales (n = 500; floor domain is
+    n <= 12,800 at the default occupancy target) the sizing resolves to
+    exactly 32 planes / 4 bands, so the STATIC SQL twin can mirror the
+    hyperplane set while the Spark side still executes the runtime
+    sizing path — this is the row that gives the default configuration
+    driver-oracle evidence (the explicit-32-plane twin
+    embedding_dup_pairs_lsh rotated to EXTRA_QUERIES with its r5
+    evidence)."""
+    from img2dataset_spark.operators.similarity import embedding_dup_pairs_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(e, threshold=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -1316,12 +1392,14 @@ QUERIES.update(
         "dedup_components_2phase": q_dedup_components_2phase,
         "events_salted_join": q_events_salted_join,
         "curation_e2e": q_curation_e2e,
+        "curation_substr": q_curation_substr,
         "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+        "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
         "pipeline_e2e": q_pipeline_e2e,
         "pipeline_verify_hash": q_pipeline_verify_hash,
         "pipeline_route_stats": q_pipeline_route_stats,
@@ -1370,9 +1448,19 @@ _EXTRA_NAMES = (
     "dedup_components_2phase",
     "dedup_simhash_multiprobe",
     "events_window",
+    # rotated out round 6 (r5-green) to make room for the two new rows:
+    # the pinned-32-plane LSH twin (its production-sizing sibling
+    # embedding_dup_pairs_lsh_sized takes the window slot) and the
+    # quadratic-verify jaccard twin (its banded sibling dedup_minhash_lsh
+    # stays in-window)
+    "embedding_dup_pairs_lsh",
+    "dedup_ngram_jaccard",
 )
 _FLAGSHIP_FIRST = (
-    # never-before-driver-verified (rotated IN round 5) — first in line
+    # never-before-driver-verified (rotated IN round 6) — first in line
+    "curation_substr",
+    "embedding_dup_pairs_lsh_sized",
+    # rotated IN round 5, r5-green
     "compact_roundtrip",
     "dedup_substring_spans",
     "url_dedup",
