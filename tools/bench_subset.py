@@ -39,16 +39,25 @@ def main() -> None:
     )
     load_start = os.getloadavg()
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
+
+    def run_once(name: str) -> float:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        RESOLVE[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
     for name in names:
-        runs = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            RESOLVE[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(round(time.time() - t0, 3))
+        # same adaptive depth as bench.py: sample until the two fastest
+        # agree within 30% (cap 4) so one contended run can't masquerade
+        # as a scaling regression
+        runs = [run_once(name), run_once(name)]
+        while len(runs) < 4 and sorted(runs)[1] > 1.3 * sorted(runs)[0]:
+            runs.append(run_once(name))
         times[name] = min(runs)
+        spread[name] = round(sorted(runs)[1] / sorted(runs)[0], 3)
         print(f"  {name}: {times[name]}s (runs {runs})", file=sys.stderr, flush=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -61,7 +70,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "timing": "min_of_2_runs",
+                "timing": "adaptive_min_of_2_to_4_runs",
+                "spread": spread,
             }
         )
     )
