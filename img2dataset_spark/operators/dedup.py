@@ -192,6 +192,105 @@ def minhash_lsh_pairs(
     return _verified_jaccard(cand, docs, id_col, jaccard_threshold)
 
 
+def minhash_lsh_pairs_vs(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs: every NEW document vs an
+    EXISTING corpus — the batch twin of
+    streaming.dedup.streaming_neardup_flags, with the exact-Jaccard
+    verification the streaming flagger skips.  The incremental-crawl
+    screening shape: wave N+1 is deduped against the accumulated
+    corpus without re-pairing the corpus against itself.
+
+    Same shingle/minhash/band formulas as :func:`minhash_lsh_pairs`,
+    so a pair collides here exactly when the concatenated corpora's
+    self-join would have banded them together.  Ids are assumed
+    DISTINCT across the two frames (same-id rows would pair with
+    themselves).  Returns (id_a = new id, id_b = corpus id, jaccard
+    >= threshold), 6-dp floor-rounded.
+
+    Plan shape at 100 TB: both sides' shingle frames persist once
+    (each feeds its banding subtree AND the verify join — the measured
+    minhash trade-off, see minhash_lsh_pairs); hot bands are capped on
+    the CORPUS side only (a giant corpus bucket is a degenerate
+    boilerplate cluster; the cap bounds join fan-out at
+    max_bucket_size x new-side band rows, and capping the small wave
+    side would cost recall without bounding anything the corpus cap
+    has not); the band equi-join is a plain shuffle join AQE sizes —
+    a small wave against a huge index broadcasts the WAVE, never the
+    index.  Corpus-side banding cost is paid once per wave; amortize
+    across waves by persisting the banded corpus to parquet
+    (streaming.dedup.static_band_index has the write-once shape)."""
+    docs_new = _persisted(
+        doc_shingles(new, text_col, id_col, k).filter(F.size("shingle_set") > 0)
+    )
+    docs_ref = _persisted(
+        doc_shingles(corpus, text_col, id_col, k).filter(
+            F.size("shingle_set") > 0
+        )
+    )
+    minhash_bands = make_minhash_bands_udf(num_hashes, num_bands)
+    banded_new = docs_new.select(
+        id_col, F.explode(minhash_bands(F.col("shingle_set"))).alias("band")
+    )
+    banded_ref = _persisted(
+        docs_ref.select(
+            id_col, F.explode(minhash_bands(F.col("shingle_set"))).alias("band")
+        )
+    )
+    bucket_sizes = banded_ref.groupBy("band").count()
+    banded_ref = banded_ref.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band"),
+        "band",
+    )
+    a = banded_new.select(F.col(id_col).alias("id_a"), "band")
+    b = banded_ref.select(F.col(id_col).alias("id_b"), "band")
+    cand = a.join(b, "band").select("id_a", "id_b").distinct()
+    return _verified_jaccard(
+        cand, docs_new, id_col, jaccard_threshold, docs_b=docs_ref
+    )
+
+
+def dedup_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The survivors of :func:`minhash_lsh_pairs_vs`: NEW-wave rows
+    whose document near-duplicates nothing in the existing corpus.
+    One AQE-decided left-anti join off the verified pairs — the
+    cross-corpus twin of graph.dedup_representatives (no connected
+    components needed: the corpus side always wins, so a new doc
+    survives iff it has zero verified corpus matches)."""
+    pairs = minhash_lsh_pairs_vs(
+        new,
+        corpus,
+        text_col,
+        id_col,
+        k,
+        num_hashes,
+        num_bands,
+        jaccard_threshold,
+        max_bucket_size,
+    )
+    dropped = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    return new.join(dropped, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -234,19 +333,29 @@ def ngram_jaccard_pairs(
 
 
 def _verified_jaccard(
-    cand: DataFrame, docs: DataFrame, id_col: str, threshold: float
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    threshold: float,
+    docs_b: DataFrame | None = None,
 ) -> DataFrame:
     """Join (h32) shingle sets back and compute exact Jaccard, rounded
     6 dp.  |A ∪ B| via |A| + |B| − |A ∩ B| (avoids engine-specific
     union dedup semantics in the oracle); array_intersect on longs is
     also cheaper than on strings.
 
+    ``docs_b`` supplies the id_b side's shingle sets when the candidate
+    pairs span TWO corpora (minhash_lsh_pairs_vs); default is the
+    self-join case (both sides from ``docs``).
+
     Size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
     whose set sizes differ by more than the threshold ratio can never
     pass — they skip the O(|A|*|B|) intersection entirely.  Pure pruning
     (never removes a qualifying pair), so the oracle is unchanged."""
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sa"))
-    sb = docs.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sb"))
+    sb = (docs_b if docs_b is not None else docs).select(
+        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sb")
+    )
     na, nb = F.size("sa"), F.size("sb")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = na + nb - inter

@@ -423,6 +423,35 @@ SELECT id_a, id_b, jaccard FROM (
 WHERE jaccard >= 0.3
 """
 
+# Cross-corpus screening: wave (doc_id % 3 = 0) vs corpus (the rest),
+# both banded from the SAME signature CTE as the self-join oracle;
+# bucket cap applies to the corpus side only (mirroring the operator),
+# output ordered (wave id, corpus id).
+ORACLES["dedup_vs_corpus"] = f"""
+WITH docs AS ({_DOCS_SS}),
+d AS (SELECT doc_id, ss FROM docs WHERE len(ss) > 0),
+sigs AS (
+  SELECT doc_id, ss, {_minhash_sig_sql()} AS sig FROM d),
+banded AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(0, 7), b ->
+      b::VARCHAR || ':' || md5(array_to_string(sig[b*4+1:b*4+4], ',')))
+  ) AS band FROM sigs),
+bn AS (SELECT doc_id, band FROM banded WHERE doc_id % 3 = 0),
+br AS (SELECT doc_id, band FROM banded WHERE doc_id % 3 <> 0),
+ok_bands AS (SELECT band FROM br GROUP BY band HAVING COUNT(*) <= 1000),
+brc AS (SELECT doc_id, band FROM br WHERE band IN (SELECT band FROM ok_bands)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bn a JOIN brc b ON a.band = b.band)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b, {_JACCARD} AS jaccard
+  FROM cand c
+  JOIN d a ON a.doc_id = c.id_a
+  JOIN d b ON b.doc_id = c.id_b)
+WHERE jaccard >= 0.3
+"""
+
 # Connected components over the minhash-LSH pair edges: the recursive
 # CTE materializes full reachability (fine at oracle scale; Spark uses
 # iterative min-label propagation instead), then component = min

@@ -727,6 +727,26 @@ def q_dedup_substring_spans(spark, sf_dir):
     return duplicated_spans(d, k=5, min_count=2, hash_grams=False)
 
 
+def q_dedup_vs_corpus(spark, sf_dir):
+    """Cross-corpus near-dup screening (operators/dedup.py
+    minhash_lsh_pairs_vs): the doc_id % 3 == 0 slice plays the NEW
+    crawl wave, the rest the accumulated corpus — every wave document
+    is banded with the shared minhash formulas and equi-joined against
+    the corpus bands (cap on the corpus side), then exact-Jaccard
+    verified.  The incremental-ingest batch twin of the streaming
+    neardup flagger, with verification.  The SQL oracle replays both
+    sides from one shared signature CTE."""
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs_vs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_vs(
+        d.filter(F.col("doc_id") % 3 == 0),
+        d.filter(F.col("doc_id") % 3 != 0),
+        k=3,
+        jaccard_threshold=0.3,
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + canonical-URL dedup (functions/url.py):
     three deterministic spellings of the same image URL per base id —
@@ -1384,6 +1404,7 @@ QUERIES.update(
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_vs_corpus": q_dedup_vs_corpus,
         "dedup_substring_spans": q_dedup_substring_spans,
         "url_dedup": q_url_dedup,
         "dedup_simhash": q_dedup_simhash,
@@ -1455,11 +1476,15 @@ _EXTRA_NAMES = (
     # stays in-window)
     "embedding_dup_pairs_lsh",
     "dedup_ngram_jaccard",
+    # rotated out round 6 (r5-green) to make room for dedup_vs_corpus;
+    # its pruned sibling ann_ivf_fit_topk stays in-window
+    "ann_cosine_topk",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN round 6) — first in line
     "curation_substr",
     "embedding_dup_pairs_lsh_sized",
+    "dedup_vs_corpus",
     # rotated IN round 5, r5-green
     "compact_roundtrip",
     "dedup_substring_spans",

@@ -382,3 +382,74 @@ def test_ivf_assign_partitioned_write_prunes_files(spark, vecs_df, tmp_path):
     # and the pruned read returns exactly that cell's rows
     want = assigned.filter(F.col("cell") == probe).count()
     assert rd.count() == want > 0
+
+
+def test_minhash_lsh_pairs_vs_matches_self_join_cross_pairs(spark):
+    """Cross-corpus pairs must equal the concatenated corpora's
+    self-join restricted to cross pairs (same shingle/band formulas —
+    a collision in one is a collision in the other).  Bucket caps are
+    set high so neither variant's cap bites."""
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs_vs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    cross = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_vs(
+            new, corpus, k=3, jaccard_threshold=0.3, max_bucket_size=10**6
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, k=3, jaccard_threshold=0.3, max_bucket_size=10**6
+        ).collect()
+    }
+    want = {}
+    for (a, b), j in full.items():
+        if a % 3 == 0 and b % 3 != 0:
+            want[(a, b)] = j
+        elif b % 3 == 0 and a % 3 != 0:
+            want[(b, a)] = j  # cross output is (new, corpus) ordered
+    assert cross == want
+    assert cross  # non-degenerate: the sf0.001 corpus has cross dups
+
+
+def test_dedup_against_corpus_survivors(spark):
+    """Survivors = new-wave rows with zero verified corpus matches;
+    corpus rows are never dropped (they are the reference side)."""
+    from img2dataset_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_lsh_pairs_vs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    matched = {
+        r["id_a"]
+        for r in minhash_lsh_pairs_vs(new, corpus, jaccard_threshold=0.3)
+        .select("id_a")
+        .distinct()
+        .collect()
+    }
+    surv = {r["doc_id"] for r in dedup_against_corpus(
+        new, corpus, jaccard_threshold=0.3).select("doc_id").collect()}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert surv == new_ids - matched
+    assert matched  # the synthetic corpus has cross near-dups
+
+
+def test_minhash_lsh_pairs_vs_corpus_cap_bounds_fanout(spark):
+    """max_bucket_size caps CORPUS-side bands: with cap 0 every corpus
+    band is dropped, so no pairs survive regardless of content."""
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs_vs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    out = minhash_lsh_pairs_vs(
+        new, corpus, jaccard_threshold=0.0, max_bucket_size=0
+    )
+    assert out.count() == 0
