@@ -65,6 +65,7 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_vs_corpus",
     "dedup_substring_spans",
     "dedup_substring_spans_hashed",
     "url_dedup",
