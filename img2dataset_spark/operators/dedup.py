@@ -259,6 +259,79 @@ def minhash_lsh_pairs_vs(
     )
 
 
+def build_minhash_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """The wave-amortizable corpus side of :func:`minhash_lsh_pairs_vs`
+    as ONE writeable frame: (id, shingle_set, bands).  Write it to
+    parquet once when the accumulated corpus changes; every subsequent
+    crawl wave probes the stored index instead of re-shingling and
+    re-banding the whole corpus — at 100 TB the index build is the
+    expensive pass, and this makes it once-per-corpus-version instead
+    of once-per-wave.  Probe with :func:`minhash_lsh_pairs_vs_index`
+    using the SAME (k, num_hashes, num_bands); the shingle_set column
+    rides along because the probe's exact-Jaccard verification needs
+    it (the streaming twin static_band_index stores bands only — its
+    flagger never verifies)."""
+    docs = doc_shingles(corpus, text_col, id_col, k).filter(
+        F.size("shingle_set") > 0
+    )
+    minhash_bands = make_minhash_bands_udf(num_hashes, num_bands)
+    return docs.select(
+        id_col, "shingle_set", minhash_bands(F.col("shingle_set")).alias("bands")
+    )
+
+
+def minhash_lsh_pairs_vs_index(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_vs` against a PREBUILT index frame
+    (:func:`build_minhash_index`, typically read back from parquet).
+    Output is identical to the direct two-frame call when the index was
+    built with the same (k, num_hashes, num_bands) — test-pinned; the
+    k/num_hashes/num_bands arguments here apply to the NEW side's
+    shingling/banding and must match the build's.  Only the wave pays
+    a shingle/band pass; the corpus cost is the parquet scan."""
+    docs_new = _persisted(
+        doc_shingles(new, text_col, id_col, k).filter(F.size("shingle_set") > 0)
+    )
+    minhash_bands = make_minhash_bands_udf(num_hashes, num_bands)
+    banded_new = docs_new.select(
+        id_col, F.explode(minhash_bands(F.col("shingle_set"))).alias("band")
+    )
+    banded_ref = _persisted(
+        index.select(id_col, F.explode("bands").alias("band"))
+    )
+    bucket_sizes = banded_ref.groupBy("band").count()
+    banded_ref = banded_ref.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band"),
+        "band",
+    )
+    a = banded_new.select(F.col(id_col).alias("id_a"), "band")
+    b = banded_ref.select(F.col(id_col).alias("id_b"), "band")
+    cand = a.join(b, "band").select("id_a", "id_b").distinct()
+    return _verified_jaccard(
+        cand,
+        docs_new,
+        id_col,
+        jaccard_threshold,
+        docs_b=index.select(id_col, "shingle_set"),
+    )
+
+
 def dedup_against_corpus(
     new: DataFrame,
     corpus: DataFrame,

@@ -452,6 +452,10 @@ SELECT id_a, id_b, jaccard FROM (
 WHERE jaccard >= 0.3
 """
 
+# The stored-index probe is pair-for-pair identical to the direct
+# two-frame call (test-pinned), so it shares the oracle verbatim.
+ORACLES["dedup_vs_corpus_indexed"] = ORACLES["dedup_vs_corpus"]
+
 # Connected components over the minhash-LSH pair edges: the recursive
 # CTE materializes full reachability (fine at oracle scale; Spark uses
 # iterative min-label propagation instead), then component = min

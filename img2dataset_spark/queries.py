@@ -747,6 +747,33 @@ def q_dedup_vs_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_vs_corpus_indexed(spark, sf_dir):
+    """The parquet-index twin of dedup_vs_corpus: the corpus side is
+    built ONCE with build_minhash_index, written to scratch parquet,
+    read back, and probed with minhash_lsh_pairs_vs_index — the
+    wave-amortization path a 100 TB incremental ingest uses.  Same SQL
+    oracle as the direct twin, so a hash-match proves the stored-index
+    roundtrip preserves pair semantics exactly.  Lives in
+    EXTRA_QUERIES (pytest-oracle evidence; dedup_vs_corpus carries the
+    driver row)."""
+    import tempfile
+
+    from img2dataset_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_vs_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_mhidx_")
+    build_minhash_index(d.filter(F.col("doc_id") % 3 != 0)).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/idx")
+    idx = spark.read.parquet(f"{tmp}/idx")
+    return minhash_lsh_pairs_vs_index(
+        d.filter(F.col("doc_id") % 3 == 0), idx, k=3, jaccard_threshold=0.3
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + canonical-URL dedup (functions/url.py):
     three deterministic spellings of the same image URL per base id —
@@ -1405,6 +1432,7 @@ QUERIES.update(
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_vs_corpus": q_dedup_vs_corpus,
+        "dedup_vs_corpus_indexed": q_dedup_vs_corpus_indexed,
         "dedup_substring_spans": q_dedup_substring_spans,
         "url_dedup": q_url_dedup,
         "dedup_simhash": q_dedup_simhash,
@@ -1479,6 +1507,10 @@ _EXTRA_NAMES = (
     # rotated out round 6 (r5-green) to make room for dedup_vs_corpus;
     # its pruned sibling ann_ivf_fit_topk stays in-window
     "ann_cosine_topk",
+    # NEW in round 6, EXTRA from birth: the parquet-index twin of
+    # dedup_vs_corpus (identical oracle SQL; pytest-oracle evidence,
+    # the direct twin holds the driver slot)
+    "dedup_vs_corpus_indexed",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN round 6) — first in line

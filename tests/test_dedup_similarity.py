@@ -453,3 +453,34 @@ def test_minhash_lsh_pairs_vs_corpus_cap_bounds_fanout(spark):
         new, corpus, jaccard_threshold=0.0, max_bucket_size=0
     )
     assert out.count() == 0
+
+
+def test_minhash_index_parquet_roundtrip_equals_direct(spark, tmp_path):
+    """build_minhash_index written to parquet and probed with
+    minhash_lsh_pairs_vs_index must reproduce the direct two-frame
+    call exactly — the wave-amortization path changes cost, not
+    results."""
+    from img2dataset_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_vs,
+        minhash_lsh_pairs_vs_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus).write.parquet(path)
+    stored = spark.read.parquet(path)
+    via_index = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_vs_index(
+            new, stored, jaccard_threshold=0.3
+        ).collect()
+    }
+    direct = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_vs(new, corpus, jaccard_threshold=0.3).collect()
+    }
+    assert via_index == direct
+    assert via_index  # non-degenerate
