@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_components",
     "curation_e2e",
     "curation_substr",
+    "ingest_wave_e2e",
     "pipeline_e2e",
 ]
 

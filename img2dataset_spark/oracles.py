@@ -1359,6 +1359,43 @@ WHERE ({_hv_of("md5(s.doc_id::VARCHAR)")}) % 1000000
       < FLOOR(rate * 1000000 + 0.5)
 """
 
+# Ingest-side composition: URL-dedup the wave (expected-output style —
+# min doc_id per base, analytically-known canonical), Bloom-exclude
+# historical ids (same relational 1024-bit/7-hash rebuild as
+# bloom_probe), drop wave docs with any verified corpus near-dup (the
+# dedup_vs_corpus closure), keep quality passers.
+ORACLES["ingest_wave_e2e"] = f"""
+WITH pairs AS ({ORACLES["dedup_vs_corpus"]}),
+w AS (SELECT doc_id, doc_id % 90 AS base FROM documents WHERE doc_id % 3 = 0),
+u AS (
+  SELECT MIN(doc_id)::BIGINT AS doc_id,
+         'http://synth.local/img/' || base::VARCHAR || '.jpg'
+           AS canonical_url
+  FROM w GROUP BY base),
+seeds AS (SELECT unnest(generate_series(0, 6)) AS j),
+hist AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+bits AS (
+  SELECT DISTINCT
+    ({_hv_of("md5(j::VARCHAR || ':' || doc_id::VARCHAR)")}) % 1024 AS pos
+  FROM hist CROSS JOIN seeds),
+hits AS (
+  SELECT u.doc_id, COUNT(*) AS nhit
+  FROM u CROSS JOIN seeds s
+  JOIN bits b
+    ON ({_hv_of("md5(s.j::VARCHAR || ':' || u.doc_id::VARCHAR)")}) % 1024
+       = b.pos
+  GROUP BY u.doc_id),
+nb AS (
+  SELECT u.doc_id, u.canonical_url FROM u
+  LEFT JOIN hits h USING (doc_id) WHERE COALESCE(h.nhit, 0) < 7),
+nd AS (
+  SELECT doc_id, canonical_url FROM nb
+  WHERE doc_id NOT IN (SELECT id_a FROM pairs)),
+qf AS (SELECT doc_id FROM ({ORACLES["quality_flags"]}) q WHERE q.passed)
+SELECT doc_id, canonical_url FROM nd
+WHERE doc_id IN (SELECT doc_id FROM qf)
+"""
+
 ORACLES["tpch_q6"] = """
 SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(27,4))) AS DOUBLE)
          AS revenue

@@ -774,6 +774,50 @@ def q_dedup_vs_corpus_indexed(spark, sf_dir):
     )
 
 
+def q_ingest_wave_e2e(spark, sf_dir):
+    """The INGEST-side composition flagship: one lazy plan running the
+    full new-wave admission story — canonical-URL dedup within the
+    wave (two spellings per base id; fetch each image once) -> Bloom
+    exclusion against historical ids (fixed m=1024/k=7 so the SQL twin
+    rebuilds the identical filter; map-only probe, no shuffle) ->
+    near-dup screening vs the accumulated corpus
+    (minhash_lsh_pairs_vs) -> quality gate.  Every stage is an
+    oracle-proven operator; this row pins that they COMPOSE, the
+    ingest twin of curation_e2e.  Returns surviving (doc_id,
+    canonical_url)."""
+    from img2dataset_spark.functions.url import dedup_by_url
+    from img2dataset_spark.operators.bloom import build_bloom, probe_bloom
+    from img2dataset_spark.operators.dedup import minhash_lsh_pairs_vs
+    from img2dataset_spark.operators.quality import quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    wave = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    base = (F.col("doc_id") % 90).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP://Synth.LOCAL:80/img/"), base, F.lit(".jpg#f")),
+    ).otherwise(F.concat(F.lit("http://synth.local/img/"), base, F.lit(".jpg")))
+    u = dedup_by_url(
+        wave.select("doc_id", url.alias("url")), "url", "doc_id"
+    ).select("doc_id", "canonical_url")
+    hist = d.filter(F.col("doc_id") % 5 == 0)
+    bloom = build_bloom(hist, "doc_id", 1024, 7)
+    not_seen = (
+        probe_bloom(u, "doc_id", bloom, 7)
+        .filter(~F.col("maybe_seen"))
+        .drop("maybe_seen")
+    )
+    matched = (
+        minhash_lsh_pairs_vs(wave, corpus, k=3, jaccard_threshold=0.3)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    fresh = not_seen.join(matched, "doc_id", "left_anti")
+    passed = quality_flags(d).filter("passed").select("doc_id")
+    return fresh.join(passed, "doc_id", "left_semi")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + canonical-URL dedup (functions/url.py):
     three deterministic spellings of the same image URL per base id —
@@ -1442,6 +1486,7 @@ QUERIES.update(
         "events_salted_join": q_events_salted_join,
         "curation_e2e": q_curation_e2e,
         "curation_substr": q_curation_substr,
+        "ingest_wave_e2e": q_ingest_wave_e2e,
         "dedup_survivors": q_dedup_survivors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1511,12 +1556,17 @@ _EXTRA_NAMES = (
     # dedup_vs_corpus (identical oracle SQL; pytest-oracle evidence,
     # the direct twin holds the driver slot)
     "dedup_vs_corpus_indexed",
+    # rotated out round 6 (r5-green) to make room for ingest_wave_e2e;
+    # the pipeline family keeps pipeline_e2e + pipeline_route_stats
+    # in-window
+    "pipeline_verify_hash",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (rotated IN round 6) — first in line
     "curation_substr",
     "embedding_dup_pairs_lsh_sized",
     "dedup_vs_corpus",
+    "ingest_wave_e2e",
     # rotated IN round 5, r5-green
     "compact_roundtrip",
     "dedup_substring_spans",
