@@ -167,3 +167,101 @@ def streaming_neardup_flags(
             F.max(F.col("ref_id").isNotNull()).alias("is_neardup"),
         )
     )
+
+
+def streaming_wave_admission(
+    stream: DataFrame,
+    index: DataFrame,
+    bloom: bytes,
+    num_hashes: int,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    k: int = 3,
+    mh_num_hashes: int = 32,
+    mh_num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The INGEST admission story as ONE streaming query — the
+    streaming twin of the batch ingest_wave_e2e composition:
+
+    1. canonical-URL dedup within the watermark horizon (NULL urls
+       exempt, matching streaming_url_dedup);
+    2. Bloom exclusion against historical ids (map-only pandas-UDF
+       probe — stateless, the broadcast bit array is the only data);
+    3. near-dup screening vs a PREBUILT corpus index
+       (operators.dedup.build_minhash_index read from parquet) with
+       EXACT stream-static Jaccard verification: the index carries
+       shingle_set alongside bands, so a band hit is verified with the
+       same array_intersect expression the batch verifier uses — no
+       state, no UDF, unlike streaming_neardup_flags which only counts
+       band collisions.
+
+    Emits one row per admitted-or-rejected document at watermark close:
+    (id, ts, canonical_url, n_matches, admitted) where admitted means
+    "no historical id hit AND no verified corpus near-dup"; URL-dup
+    rows inside the horizon are dropped by stage 1 and never emitted.
+    Two stateful operators (dedup + aggregation) chained under one
+    watermark — supported append-mode shape.  At 100 TB the index is
+    the static side of a stream-static join (partitioned scan, no
+    state), and per-micro-batch cost is the wave's own shingle/band
+    pass — identical economics to the batch wave probe."""
+    from img2dataset_spark.functions.text_fast import (
+        make_minhash_bands_udf,
+        make_shingle_h32_udf,
+    )
+    from img2dataset_spark.functions.url import canonical_url
+    from img2dataset_spark.operators.bloom import probe_bloom
+
+    cu = canonical_url(F.col(url_col))
+    key = F.coalesce(cu, F.concat(F.lit("\x00row:"), F.expr("uuid()")))
+    deduped = (
+        ensure_event_time(
+            stream.withColumn("canonical_url", cu).withColumn("_dedup_key", key),
+            ts_col,
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
+    )
+    probed = probe_bloom(deduped, id_col, bloom, num_hashes, flag_col="_seen")
+
+    shingle_h32 = make_shingle_h32_udf(k)
+    bands = make_minhash_bands_udf(mh_num_hashes, mh_num_bands)
+    banded = probed.withColumn("_ss", shingle_h32(F.col(text_col))).withColumn(
+        "band",
+        F.explode_outer(F.when(F.size("_ss") > 0, bands(F.col("_ss")))),
+    )
+    idx = index.select(
+        F.col("bands"),
+        F.col("shingle_set").alias("_ref_ss"),
+    ).select(F.explode("bands").alias("band"), "_ref_ss")
+    hits = banded.join(idx, "band", "left")
+    inter = F.size(F.array_intersect("_ss", "_ref_ss"))
+    union = F.size("_ss") + F.size("_ref_ss") - inter
+    jacc = F.when(
+        F.col("_ref_ss").isNotNull() & (union > 0), inter / union
+    ).otherwise(F.lit(None))
+    flagged = hits.withColumn(
+        "_match", (jacc >= jaccard_threshold).cast("boolean")
+    )
+    return (
+        flagged.groupBy(id_col, ts_col, "canonical_url", "_seen")
+        .agg(
+            F.sum(F.when(F.col("_match"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .select(
+            id_col,
+            ts_col,
+            "canonical_url",
+            "n_matches",
+            (
+                ~F.coalesce(F.col("_seen"), F.lit(False))
+                & (F.col("n_matches") == 0)
+            ).alias("admitted"),
+        )
+    )

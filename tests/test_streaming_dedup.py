@@ -151,3 +151,97 @@ def test_streaming_url_dedup_null_urls_exempt(spark, tmp_path):
     null_ids = sorted(r["doc_id"] for r in got if r["canonical_url"] is None)
     assert null_ids == [1, 2]  # both NULL rows survive
     assert len([r for r in got if r["canonical_url"] is not None]) == 1
+
+
+def test_streaming_wave_admission_matches_batch(spark, tmp_path):
+    """streaming_wave_admission = the batch ingest composition at the
+    watermark horizon: URL-dup rows collapse to one emission, bloom
+    'seen' ids and verified corpus near-dups are rejected, everything
+    else is admitted — verdicts must equal the batch operators run
+    with identical parameters."""
+    import datetime as dt
+
+    from img2dataset_spark.operators.bloom import build_bloom, probe_bloom
+    from img2dataset_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_vs,
+    )
+    from img2dataset_spark.streaming.dedup import streaming_wave_admission
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wave = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    hist = docs.filter(F.col("doc_id") % 5 == 0)
+    bloom = build_bloom(hist, "doc_id", 1024, 7)
+    index = build_minhash_index(corpus)
+
+    # unique url per wave doc, EXCEPT doc 0 and doc 90 which are two
+    # spellings of one resource (the url-dedup case)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    url = F.when(
+        F.col("doc_id").isin(0, 90),
+        F.lit("HTTP://Synth.LOCAL:80/img/shared.jpg#f"),
+    ).otherwise(
+        F.concat(F.lit("http://synth.local/img/u"),
+                 F.col("doc_id").cast("string"), F.lit(".jpg"))
+    )
+    src = os.path.join(str(tmp_path), "wavesrc")
+    batch_wave = wave.select(
+        "doc_id", "text", url.alias("url"), F.lit(t0).alias("ts")
+    )
+    batch_wave.coalesce(1).write.parquet(src)
+    # append mode emits aggregated groups only once the watermark passes
+    # them: a LATE flush row (t0 + 2h, beyond the 10m watermark) in a
+    # SECOND file + maxFilesPerTrigger=1 advances the watermark between
+    # micro-batches so the wave's groups close; the flush row itself
+    # stays pending and is never emitted
+    flush = spark.createDataFrame(
+        [(-1, "flush", None, t0 + dt.timedelta(hours=2))],
+        batch_wave.schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_wave.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_wave_admission(
+            stream, index, bloom, 7, k=3, watermark="10 minutes",
+            jaccard_threshold=0.3,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wave_admission")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "wackpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"]: r for r in spark.table("t_wave_admission").collect()}
+
+    # batch twins with identical parameters
+    seen = {
+        r["doc_id"]
+        for r in probe_bloom(wave.select("doc_id"), "doc_id", bloom, 7)
+        .filter("maybe_seen").collect()
+    }
+    matched = {
+        r["id_a"]
+        for r in minhash_lsh_pairs_vs(wave, corpus, k=3, jaccard_threshold=0.3)
+        .select("id_a").distinct().collect()
+    }
+    wave_ids = {r["doc_id"] for r in wave.select("doc_id").collect()}
+
+    # exactly one of the url-dup pair emitted; all other wave docs emitted
+    assert len({0, 90} & set(got)) == 1
+    dup_dropped = ({0, 90} - set(got)).pop()
+    assert set(got) == wave_ids - {dup_dropped}
+    for doc_id, row in got.items():
+        assert row["admitted"] == (
+            doc_id not in seen and doc_id not in matched
+        ), (doc_id, row)
+    # non-degenerate: some of each verdict class
+    assert any(r["admitted"] for r in got.values())
+    assert any(not r["admitted"] for r in got.values())
