@@ -44,7 +44,15 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of an absolute http(s)-style URL (see module
     docstring for the rule set).  NULL in -> NULL out; a string with no
     scheme://authority comes back unchanged minus fragment/tracking
-    (garbage stays garbage, deterministically)."""
+    (garbage stays garbage, deterministically).
+
+    NUL bytes are stripped first: \\x00 never appears in a valid URL,
+    and the null-exemption dedup keys ('\\x00id:...', '\\x00row:...')
+    rely on canonical urls never starting with NUL — without the strip,
+    an adversarial input like '\\x00id:7' would land inside the
+    exemption key space and could silently merge with (and drop) a
+    genuine NULL-url row of doc 7."""
+    url = F.regexp_replace(url, "\x00", "")
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
     # default-port strip: the regexes are anchored to the full authority

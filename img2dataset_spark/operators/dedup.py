@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark import StorageLevel
@@ -37,8 +37,29 @@ from img2dataset_spark.functions.text_fast import (
 )
 
 # Stack of active dedup_cache_scope() collectors; _persisted registers
-# into the innermost one so the scope can unpersist on exit.
-_SCOPE_STACK: list[list[DataFrame]] = []
+# into the innermost one so the scope can unpersist on exit.  Stored
+# thread-LOCALLY: driver code commonly builds plans from multiple
+# threads (concurrent-job pattern), and a shared stack would let one
+# thread's scope exit unpersist frames another thread still consumes.
+import threading
+
+_SCOPE_TL = threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_SCOPE_TL, "stack", None)
+    if stack is None:
+        stack = _SCOPE_TL.stack = []
+    return stack
+
+
+def round6(col: Column) -> Column:
+    """Floor-round to 6 dp — floor(x*1e6 + 0.5)/1e6, identical in the
+    SQL oracles.  The ONE rounding expression every similarity verdict
+    (batch minhash/ngram verify, streaming wave admission) compares to
+    its threshold, so batch and stream can never disagree on a
+    boundary-jaccard pair."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
 
 
 def _persisted(df: DataFrame) -> DataFrame:
@@ -60,8 +81,9 @@ def _persisted(df: DataFrame) -> DataFrame:
     re-run the shingle UDF per subtree (measured 2.8x WORSE, see
     minhash_lsh_pairs)."""
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if _SCOPE_STACK:
-        _SCOPE_STACK[-1].append(out)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(out)
     return out
 
 
@@ -77,14 +99,17 @@ class dedup_cache_scope:
 
     Multi-corpus loops use one scope per corpus so cache entries never
     accumulate across iterations.  Scopes nest; each unpersists only
-    the frames registered while it was innermost."""
+    the frames registered while it was innermost.  Scope state is
+    per-thread (threading.local), so concurrent driver threads each
+    see only their own scopes — enter and exit a scope on the SAME
+    thread that builds the plan inside it."""
 
     def __enter__(self) -> "dedup_cache_scope":
-        _SCOPE_STACK.append([])
+        _scope_stack().append([])
         return self
 
     def __exit__(self, *exc) -> None:
-        for df in _SCOPE_STACK.pop():
+        for df in _scope_stack().pop():
             df.unpersist()
 
 
@@ -439,7 +464,7 @@ def _verified_jaccard(
         # threshold - 1e-6: the accept filter compares the 6-dp ROUNDED
         # jaccard, which can round up by half an ulp — keep that margin
         .where(F.least(na, nb) >= (threshold - 1e-6) * F.greatest(na, nb))
-        .withColumn("jaccard", F.floor(jacc * 1e6 + F.lit(0.5)) / 1e6)
+        .withColumn("jaccard", round6(jacc))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -47,9 +47,29 @@ def streaming_exact_dedup(
     )
 
 
+def _row_exempt_key(cu, id_col: str, ts_col: str):
+    """Per-row dedup key exempting NULL-canonical-url rows: falls back
+    to '\\x00row:<id>:<ts>' — DETERMINISTIC row content, not uuid(), so
+    a micro-batch replay after failure recomputes the same key and
+    dropDuplicatesWithinWatermark state suppresses the replay (a fresh
+    uuid per attempt would re-emit null-url rows on recovery).  NUL
+    never appears in a canonical url (canonical_url strips it), so the
+    exemption space cannot collide with a real url."""
+    return F.coalesce(
+        cu,
+        F.concat(
+            F.lit("\x00row:"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col(ts_col).cast("string"),
+        ),
+    )
+
+
 def streaming_url_dedup(
     stream: DataFrame,
     url_col: str = "url",
+    id_col: str = "doc_id",
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
@@ -62,14 +82,15 @@ def streaming_url_dedup(
     spellings before they ever reach the fetch pool, with state
     bounded by the horizon exactly like streaming_exact_dedup.
 
-    NULL-url rows are exempt from dedup (each gets a unique state key
-    via uuid() — dropDuplicates treats NULLs as equal, which would keep
-    one survivor from ALL null-url rows); they pass through with
+    NULL-url rows are exempt from dedup (each gets a deterministic
+    per-row state key from (id, ts) — see _row_exempt_key;
+    dropDuplicates treats NULLs as equal, which would keep one
+    survivor from ALL null-url rows); they pass through with
     canonical_url NULL, matching batch dedup_by_url."""
     from img2dataset_spark.functions.url import canonical_url
 
     cu = canonical_url(F.col(url_col))
-    key = F.coalesce(cu, F.concat(F.lit("\x00row:"), F.expr("uuid()")))
+    key = _row_exempt_key(cu, id_col, ts_col)
     return (
         ensure_event_time(
             stream.withColumn("canonical_url", cu).withColumn("_dedup_key", key),
@@ -183,6 +204,7 @@ def streaming_wave_admission(
     mh_num_hashes: int = 32,
     mh_num_bands: int = 8,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """The INGEST admission story as ONE streaming query — the
     streaming twin of the batch ingest_wave_e2e composition:
@@ -199,6 +221,18 @@ def streaming_wave_admission(
        state, no UDF, unlike streaming_neardup_flags which only counts
        band collisions.
 
+    Verdict parity with the batch twin (minhash_lsh_pairs_vs) is exact
+    by construction, not just on easy data: the corpus side applies the
+    SAME max_bucket_size hot-band cap (bounding join fan-out on
+    degenerate bands exactly like the batch plan); the Jaccard is
+    floor-rounded to 6 dp with the shared operators.dedup.round6
+    expression BEFORE the threshold compare (a boundary pair rounds the
+    same way in both engines); and n_matches counts DISTINCT verified
+    corpus documents (collect_set of matched ref ids inside the
+    watermark aggregation — the streaming equivalent of the batch
+    pair-level .distinct(), since a doc sharing three bands with one
+    ref is still one near-dup).
+
     Emits one row per admitted-or-rejected document at watermark close:
     (id, ts, canonical_url, n_matches, admitted) where admitted means
     "no historical id hit AND no verified corpus near-dup"; URL-dup
@@ -214,9 +248,10 @@ def streaming_wave_admission(
     )
     from img2dataset_spark.functions.url import canonical_url
     from img2dataset_spark.operators.bloom import probe_bloom
+    from img2dataset_spark.operators.dedup import round6
 
     cu = canonical_url(F.col(url_col))
-    key = F.coalesce(cu, F.concat(F.lit("\x00row:"), F.expr("uuid()")))
+    key = _row_exempt_key(cu, id_col, ts_col)
     deduped = (
         ensure_event_time(
             stream.withColumn("canonical_url", cu).withColumn("_dedup_key", key),
@@ -234,25 +269,38 @@ def streaming_wave_admission(
         "band",
         F.explode_outer(F.when(F.size("_ss") > 0, bands(F.col("_ss")))),
     )
+    # static side: explode the index, then drop hot bands — the same
+    # corpus-side max_bucket_size cap as minhash_lsh_pairs_vs, computed
+    # once on the static frame (stream-static join keeps it stateless)
     idx = index.select(
-        F.col("bands"),
+        F.col(id_col).alias("_ref_id"),
         F.col("shingle_set").alias("_ref_ss"),
-    ).select(F.explode("bands").alias("band"), "_ref_ss")
+        F.explode("bands").alias("band"),
+    )
+    bucket_sizes = idx.groupBy("band").count()
+    idx = idx.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band"),
+        "band",
+    )
     hits = banded.join(idx, "band", "left")
     inter = F.size(F.array_intersect("_ss", "_ref_ss"))
     union = F.size("_ss") + F.size("_ref_ss") - inter
+    # shared 6-dp rounding BEFORE the threshold compare — bit-identical
+    # to the batch verifier's accept filter on boundary jaccards
     jacc = F.when(
-        F.col("_ref_ss").isNotNull() & (union > 0), inter / union
+        F.col("_ref_ss").isNotNull() & (union > 0), round6(inter / union)
     ).otherwise(F.lit(None))
     flagged = hits.withColumn(
-        "_match", (jacc >= jaccard_threshold).cast("boolean")
+        "_match_ref",
+        F.when(jacc >= jaccard_threshold, F.col("_ref_id")),
     )
     return (
         flagged.groupBy(id_col, ts_col, "canonical_url", "_seen")
+        # collect_set dedupes (doc, ref) across shared bands: n_matches
+        # is the count of DISTINCT verified corpus near-dups, matching
+        # the batch pair-level .distinct()
         .agg(
-            F.sum(F.when(F.col("_match"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_matches"),
+            F.size(F.collect_set("_match_ref")).cast("long").alias("n_matches"),
         )
         .select(
             id_col,

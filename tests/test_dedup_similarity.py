@@ -125,6 +125,53 @@ def test_dedup_cache_scope_unpersists(docs_df, spark):
     spark.catalog.clearCache()
 
 
+def test_dedup_cache_scope_is_thread_local(docs_df, spark):
+    """Scopes are per-thread: a scope exiting on one thread must not
+    unpersist frames another thread registered concurrently (the
+    concurrent-driver-jobs pattern).  Thread B opens a scope, persists,
+    and holds it open while thread A's scope enters and exits — B's
+    frames must still be cached afterwards."""
+    import threading
+
+    from img2dataset_spark.operators.dedup import (
+        _persisted,
+        _scope_stack,
+        dedup_cache_scope,
+    )
+
+    spark.catalog.clearCache()
+    b_entered = threading.Event()
+    a_done = threading.Event()
+    b_frame = {}
+
+    def thread_b():
+        with dedup_cache_scope():
+            b_frame["df"] = _persisted(docs_df.select("doc_id"))
+            b_frame["df"].count()
+            b_entered.set()
+            a_done.wait(30)
+            # A's scope exited while we were open: our frame survives
+            b_frame["alive_during"] = (
+                b_frame["df"].storageLevel.useMemory
+                or b_frame["df"].storageLevel.useDisk
+            )
+
+    tb = threading.Thread(target=thread_b)
+    tb.start()
+    assert b_entered.wait(30)
+    with dedup_cache_scope():
+        # A's scope sees an EMPTY stack frame of its own, not B's
+        assert _scope_stack()[-1] == []
+    a_done.set()
+    tb.join(30)
+    assert b_frame["alive_during"]
+    # after B's scope exits its own frame is released
+    assert not (
+        b_frame["df"].storageLevel.useMemory or b_frame["df"].storageLevel.useDisk
+    )
+    spark.catalog.clearCache()
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0], 0),
     (1, [0.9, 0.1, 0.0], 0),   # close to 0

@@ -119,8 +119,11 @@ def test_streaming_url_dedup_matches_batch_canonicals(spark, tmp_path):
 
 def test_streaming_url_dedup_null_urls_exempt(spark, tmp_path):
     """NULL-url rows are exempt from streaming dedup (each gets a
-    unique uuid state key): ALL of them pass through with canonical_url
-    NULL, matching batch dedup_by_url's null exemption."""
+    deterministic per-row state key from (id, ts)): ALL of them pass
+    through with canonical_url NULL, matching batch dedup_by_url's
+    null exemption.  The key is derived from row content — not uuid()
+    — so replayed micro-batches recompute the same key and recovery
+    cannot double-emit a null-url row."""
     import datetime as dt
 
     from img2dataset_spark.streaming.dedup import streaming_url_dedup
@@ -157,8 +160,10 @@ def test_streaming_wave_admission_matches_batch(spark, tmp_path):
     """streaming_wave_admission = the batch ingest composition at the
     watermark horizon: URL-dup rows collapse to one emission, bloom
     'seen' ids and verified corpus near-dups are rejected, everything
-    else is admitted — verdicts must equal the batch operators run
-    with identical parameters."""
+    else is admitted — verdicts AND per-doc match counts must equal
+    the batch operators run with identical parameters, including the
+    corpus-side hot-band cap (a deliberately small max_bucket_size
+    here forces the cap to actually drop bands on both sides)."""
     import datetime as dt
 
     from img2dataset_spark.operators.bloom import build_bloom, probe_bloom
@@ -209,7 +214,7 @@ def test_streaming_wave_admission_matches_batch(spark, tmp_path):
     q = (
         streaming_wave_admission(
             stream, index, bloom, 7, k=3, watermark="10 minutes",
-            jaccard_threshold=0.3,
+            jaccard_threshold=0.3, max_bucket_size=2,
         )
         .writeStream.outputMode("append")
         .format("memory")
@@ -227,12 +232,25 @@ def test_streaming_wave_admission_matches_batch(spark, tmp_path):
         for r in probe_bloom(wave.select("doc_id"), "doc_id", bloom, 7)
         .filter("maybe_seen").collect()
     }
-    matched = {
-        r["id_a"]
-        for r in minhash_lsh_pairs_vs(wave, corpus, k=3, jaccard_threshold=0.3)
-        .select("id_a").distinct().collect()
+    batch_pairs = minhash_lsh_pairs_vs(
+        wave, corpus, k=3, jaccard_threshold=0.3, max_bucket_size=2
+    )
+    n_matches_batch = {
+        r["id_a"]: r["n"]
+        for r in batch_pairs.groupBy("id_a")
+        .agg(F.count_distinct("id_b").alias("n"))
+        .collect()
     }
+    matched = set(n_matches_batch)
     wave_ids = {r["doc_id"] for r in wave.select("doc_id").collect()}
+
+    # the small cap must actually bite (otherwise this test proves
+    # nothing about cap parity) — some corpus band bucket exceeds it
+    hot = (
+        index.select(F.explode("bands").alias("band"))
+        .groupBy("band").count().filter("count > 2").count()
+    )
+    assert hot > 0, "test data no longer exercises the bucket cap"
 
     # exactly one of the url-dup pair emitted; all other wave docs emitted
     assert len({0, 90} & set(got)) == 1
@@ -242,6 +260,10 @@ def test_streaming_wave_admission_matches_batch(spark, tmp_path):
         assert row["admitted"] == (
             doc_id not in seen and doc_id not in matched
         ), (doc_id, row)
+        # n_matches counts DISTINCT verified corpus docs — exactly the
+        # batch pair count for this doc (0 when the doc pairs with
+        # nothing, including the url-dup survivor's group)
+        assert row["n_matches"] == n_matches_batch.get(doc_id, 0), (doc_id, row)
     # non-degenerate: some of each verdict class
     assert any(r["admitted"] for r in got.values())
     assert any(not r["admitted"] for r in got.values())

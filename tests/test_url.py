@@ -97,6 +97,29 @@ def test_null_urls_pass_through_dedup(spark):
     assert {r["doc_id"]: r["dup_count"] for r in out if r["canonical_url"]} == {2: 2}
 
 
+def test_nul_sentinel_cannot_collide(spark):
+    """Adversarial input: a url string that literally starts with
+    '\\x00id:' must NOT land in the null-exemption key space (it would
+    silently merge with — and drop — a genuine NULL-url row of the
+    matching doc).  canonical_url strips NUL bytes first, so the
+    sentinel prefix is unreachable from any input string."""
+    rows = [
+        (7, None),                      # genuine NULL-url row, key '\x00id:7'
+        (8, "\x00id:7"),                # adversarial spelling
+        (9, "id:7"),                    # the honest NUL-less twin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in dedup_by_url(df).collect()}
+    # the NULL row survives untouched
+    assert 7 in out and out[7]["canonical_url"] is None and out[7]["dup_count"] == 1
+    # the adversarial url is canonicalized NUL-stripped — it merges with
+    # its honest twin (same resource spelling), never with the NULL row
+    survivor = out[8] if 8 in out else out[9]
+    assert survivor["canonical_url"] == "id:7"
+    assert survivor["dup_count"] == 2
+    assert len(out) == 2
+
+
 def test_pure_codegen_no_python(spark):
     df = spark.createDataFrame([(0, "http://e.com/x")], "doc_id long, url string")
     plan = (
