@@ -92,6 +92,9 @@ HEADLINE = [
     "curation_substr",
     "ingest_wave_e2e",
     "pipeline_e2e",
+    "bm25_topk",
+    "semantic_dedup",
+    "aspect_buckets",
 ]
 
 

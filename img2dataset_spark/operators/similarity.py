@@ -301,6 +301,100 @@ def ivf_topk_fitted(
     return cosine_topk(pruned, query_df, k=k, vec_col="v", id_col=id_col)
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    num_cells: int = 10,
+    iters: int = 2,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_cell_size: int = 10_000,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    pairs ONLY within a cluster — the clustering replaces LSH banding as
+    the candidate generator, catching "same meaning, different words"
+    duplicates that shingle/minhash dedup cannot see.
+
+    Returns (id_a, id_b, cell, cos_sim) with id_a < id_b and cos_sim =
+    the exact 6-dp quantized cosine (make_pair_qcosine_udf) >=
+    ``threshold``.
+
+    Scale shape: the codebook is :func:`ivf_fit`'s literal k-row frame
+    (pass ``codebook=`` to reuse one across calls — the SemDeDup paper
+    fits once per corpus version); assignment is the one-matmul Arrow
+    pass of :func:`ivf_assign`; the per-cell self-join is an equi-join
+    on `cell` whose fan-out is bounded by cell occupancy — at 100 TB
+    you raise ``num_cells`` so cells stay batch-sized (the paper uses
+    ~100k clusters for LAION-scale corpora), and ``max_cell_size``
+    guards the degenerate-clustering case the same way the LSH bucket
+    caps do (a window count per cell, reusing the join's own hash
+    distribution; capped cells are skipped, not sampled).  Like
+    embedding_dup_pairs_lsh, nothing is persisted: the assignment
+    subtree is one cheap matmul per reference, and persisting a
+    corpus-sized frame is itself the scale hazard (measured trade-off,
+    SCALE.md §5)."""
+    from pyspark.sql import Window
+
+    if codebook is None:
+        codebook = ivf_fit(df, num_cells, iters, vec_col, id_col)
+    assigned = ivf_assign(df, codebook, vec_col, id_col)
+    capped = (
+        assigned.withColumn(
+            "_cc", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+        )
+        .filter(F.col("_cc") <= max_cell_size)
+        .select(id_col, "cell", "v")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    qcos = make_pair_qcosine_udf(dim)
+    return (
+        a.join(b, "cell")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cell",
+            qcos(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    num_cells: int = 10,
+    iters: int = 2,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_cell_size: int = 10_000,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Survivors of SemDeDup: one representative per semantic
+    near-duplicate group, chosen by the deterministic min-id rule — a
+    vector is dropped iff a SMALLER-id vector in its cell sits within
+    the cosine threshold (i.e. it appears as id_b in
+    :func:`semantic_dedup_pairs`).  Greedy-local like the paper's
+    keep-one-per-cluster-neighborhood rule, not transitive-closure:
+    pipe the pairs through graph.connected_components +
+    dedup_representatives when full CC semantics are wanted.  Returns
+    (id, cell) survivors; one AQE-decided left-anti join off the
+    verified pairs."""
+    if codebook is None:
+        codebook = ivf_fit(df, num_cells, iters, vec_col, id_col)
+    pairs = semantic_dedup_pairs(
+        df, num_cells, iters, threshold, vec_col, id_col, dim,
+        max_cell_size, codebook,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    assigned = ivf_assign(df, codebook, vec_col, id_col)
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane (sign-bit) LSH — the label-free scale path
 # ---------------------------------------------------------------------------

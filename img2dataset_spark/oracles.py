@@ -1429,3 +1429,126 @@ SELECT regexp_extract(url, 'synth\\.local/([a-z]+)/', 1) AS route,
        status, error_message, COUNT(*) AS cnt
 FROM out GROUP BY 1, 2, 3
 """
+
+# -- BM25 retrieval ---------------------------------------------------------
+# Lucene-flavored BM25 mirrored term by term: dl is the codegen
+# token_count (no explode), the explode is pre-filtered to the query
+# terms, df_t is a term-partitioned window over the (doc, term) tf
+# aggregate, and the per-document sum runs in FIXED-POINT (each term
+# score floor-rounded to 6 dp and summed as a BIGINT) so the fold is
+# exact and order-independent in both engines.
+
+ORACLES["bm25_topk"] = """
+WITH docs AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS dl,
+    text
+  FROM documents),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM docs),
+tok AS (
+  SELECT doc_id, dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM docs),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, dl, term),
+tfd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM tf),
+s AS (
+  SELECT doc_id,
+    CAST(floor(
+      ln(1.0 + (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5))
+      * CAST(tf AS DOUBLE) * 2.2
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                  / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      * 1e6 + 0.5) AS BIGINT) AS s6
+  FROM tfd, corpus)
+SELECT doc_id, COUNT(*) AS n_terms, SUM(s6) / 1e6 AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+# -- SemDeDup: k-means clustering + within-cell cosine dedup ----------------
+# Reuses the deterministic Lloyd machinery of ann_ivf_fit_topk (same
+# seeds/iterations/quantized argmin), then the quantized-cosine pair
+# sweep within cells and the min-id survivor rule.
+
+_SD_COS = _R6.format(
+    x=f"({_QDOT.format(a='ea.qv', b='eb.qv')})::DOUBLE / "
+      f"(sqrt(({_QDOT.format(a='ea.qv', b='ea.qv')})::DOUBLE) * "
+      f"sqrt(({_QDOT.format(a='eb.qv', b='eb.qv')})::DOUBLE))"
+)
+
+ORACLES["semantic_dedup"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+cap AS (SELECT vec_id, cell FROM af
+        WHERE cell IN (SELECT cell FROM af
+                       GROUP BY cell HAVING COUNT(*) <= 10000)),
+dropped AS (
+  SELECT DISTINCT b.vec_id FROM cap a
+  JOIN cap b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {_SD_COS} >= 0.3)
+SELECT vec_id, cell FROM af
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+# -- Aspect-ratio bucketing over the mock pipeline's dimensions -------------
+# Same md5-derived dims as pipeline_e2e (resize_mode='no' keeps every
+# fetched row a success); nearest bucket by the log-free stretch metric
+# max(w*bh, h*bw)/min(w*bh, h*bw) — one IEEE division of exact integer
+# products, tie-break to the smaller bucket id.
+
+
+def _aspect_bucket_values() -> str:
+    from img2dataset_spark.operators.aspect import ASPECT_BUCKETS
+
+    return ", ".join(
+        f"({i}, {w}, {h})" for i, (w, h) in enumerate(ASPECT_BUCKETS)
+    )
+
+
+ORACLES["aspect_buckets"] = f"""
+WITH base AS ({_PIPE_BASE}),
+f AS (
+  SELECT doc_id, md5(url) AS m FROM base
+  WHERE url NOT LIKE '%/missing/%' AND url NOT LIKE '%/disallowed/%'),
+g AS (
+  SELECT doc_id,
+    64 + (ascii(substr(m,1,1))*256 + ascii(substr(m,2,1))) % 1985 AS ow,
+    64 + (ascii(substr(m,3,1))*256 + ascii(substr(m,4,1))) % 1985 AS oh
+  FROM f),
+bkt(bucket_id, bucket_w, bucket_h) AS (VALUES {_aspect_bucket_values()}),
+asg AS (
+  SELECT doc_id, bucket_id, bucket_w, bucket_h FROM (
+    SELECT g.doc_id, b.bucket_id, b.bucket_w, b.bucket_h,
+      row_number() OVER (PARTITION BY g.doc_id ORDER BY
+        CAST(greatest(ow*bucket_h, oh*bucket_w) AS DOUBLE)
+          / least(ow*bucket_h, oh*bucket_w),
+        bucket_id) AS rn
+    FROM g, bkt b) WHERE rn = 1)
+SELECT bucket_id, bucket_w, bucket_h,
+  COUNT(*) AS n_images,
+  (COUNT(*) + 31) // 32 AS n_batches,
+  CASE WHEN COUNT(*) % 32 = 0 THEN 32 ELSE COUNT(*) % 32 END
+    AS last_batch_fill
+FROM asg GROUP BY bucket_id, bucket_w, bucket_h
+"""

@@ -1449,6 +1449,49 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/retrieval.py): one pre-filtered
+    explode + one hash-agg + a term-partitioned window; per-doc score
+    summed in fixed-point so both engines fold identically."""
+    from img2dataset_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "window", "merge"], k=20)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py): deterministic 2-iteration
+    k-means clustering, within-cell quantized-cosine pairs, min-id
+    survivors — vs a full Lloyd + pair sweep twin in SQL."""
+    from img2dataset_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, num_cells=10, iters=2, threshold=0.3)
+
+
+def q_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucketing (operators/aspect.py) over the mock
+    pipeline's extracted dimensions: nearest equal-area bucket by the
+    log-free stretch metric, then per-bucket batch planning stats."""
+    from img2dataset_spark.config import PipelineConfig
+    from img2dataset_spark.operators.aspect import aspect_bucket_stats
+    from img2dataset_spark.plans.pipeline import build_pipeline
+
+    cfg = PipelineConfig(
+        url_list="unused",
+        input_format="parquet",
+        caption_col="caption",
+        fetch_mode="mock",
+        number_sample_per_shard=100,
+        resize_mode="no",
+        compute_hash=None,
+    )
+    df = build_pipeline(spark, cfg, input_df=_pipeline_input(spark, sf_dir))
+    return aspect_bucket_stats(
+        df.filter(F.col("status") == "success"), batch_size=32
+    )
+
+
 QUERIES.update(
     {
         "events_asof": q_events_asof,
@@ -1497,6 +1540,9 @@ QUERIES.update(
         "pipeline_e2e": q_pipeline_e2e,
         "pipeline_verify_hash": q_pipeline_verify_hash,
         "pipeline_route_stats": q_pipeline_route_stats,
+        "bm25_topk": q_bm25_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "aspect_buckets": q_aspect_buckets,
     }
 )
 
@@ -1560,9 +1606,21 @@ _EXTRA_NAMES = (
     # the pipeline family keeps pipeline_e2e + pipeline_route_stats
     # in-window
     "pipeline_verify_hash",
+    # rotated out round 7 (all r6-green: CORRECTNESS_r06.json) to make
+    # room for bm25_topk / semantic_dedup / aspect_buckets — each has
+    # an in-window sibling: embedding_dup_pairs' cosine-verify family
+    # keeps embedding_dup_pairs_lsh_sized, pack_blocks' twin
+    # pack_sequences stays, tpch_q3's join-tree sibling tpch_q5 stays
+    "embedding_dup_pairs",
+    "pack_blocks",
+    "tpch_q3",
 )
 _FLAGSHIP_FIRST = (
-    # never-before-driver-verified (rotated IN round 6) — first in line
+    # never-before-driver-verified (NEW round 7) — first in line
+    "bm25_topk",
+    "semantic_dedup",
+    "aspect_buckets",
+    # rotated IN round 6, r6-green
     "curation_substr",
     "embedding_dup_pairs_lsh_sized",
     "dedup_vs_corpus",
@@ -1573,13 +1631,10 @@ _FLAGSHIP_FIRST = (
     "url_dedup",
     # rotated in round 4, all r4-green
     "pack_sequences",
-    "pack_blocks",
     "bloom_probe",
-    "tpch_q3",
     "tpch_q5",
     "dedup_simhash",
     "dedup_components",
-    "embedding_dup_pairs",
     "sample_stratified",
     "text_repetition",
     "text_fingerprint",

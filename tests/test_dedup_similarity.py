@@ -404,6 +404,64 @@ class TestSimhashMultiprobe:
         assert single <= multi  # rotations only ADD co-blocking chances
 
 
+def test_semantic_dedup_survivor_rule(spark, vecs_df):
+    """SemDeDup survivors = all ids minus every id that appears as the
+    LARGER id of a within-cell pair at/above the threshold; pairs only
+    ever form inside one k-means cell."""
+    from img2dataset_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    vecs = vecs_df.select("vec_id", "embedding")
+    cb = ivf_fit(vecs, num_cells=2, iters=2, vec_col="embedding")
+    pairs = semantic_dedup_pairs(
+        vecs, threshold=0.9, dim=3, codebook=cb
+    ).collect()
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(vecs, cb, vec_col="embedding").collect()
+    }
+    for p in pairs:
+        assert p["id_a"] < p["id_b"]
+        assert cells[p["id_a"]] == cells[p["id_b"]] == p["cell"]
+        assert p["cos_sim"] >= 0.9
+    dropped = {p["id_b"] for p in pairs}
+    surv = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(vecs, threshold=0.9, dim=3, codebook=cb).collect()
+    }
+    assert set(surv) == set(cells) - dropped
+    assert all(surv[i] == cells[i] for i in surv)
+    # the fixture has at least one 0.9-cosine pair (vectors 0/1/4)
+    assert dropped, "fixture no longer exercises the dedup path"
+
+
+def test_semantic_dedup_codebook_reuse_and_cap(spark, vecs_df):
+    """Passing a prefit codebook gives the same result as the internal
+    fit (fit is deterministic); max_cell_size=1 disables pairing
+    entirely (every cell capped) so all vectors survive."""
+    from img2dataset_spark.operators.similarity import ivf_fit, semantic_dedup
+
+    vecs = vecs_df.select("vec_id", "embedding")
+    cb = ivf_fit(vecs, num_cells=2, iters=2, vec_col="embedding")
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in semantic_dedup(vecs, num_cells=2, iters=2, threshold=0.9, dim=3).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in semantic_dedup(vecs, threshold=0.9, dim=3, codebook=cb).collect()
+    )
+    assert a == b
+    capped = semantic_dedup(
+        vecs, threshold=0.9, dim=3, codebook=cb, max_cell_size=1
+    )
+    assert capped.count() == vecs.count()
+
+
 def test_ivf_assign_partitioned_write_prunes_files(spark, vecs_df, tmp_path):
     """The 100 TB IVF deployment story end-to-end: fit a codebook,
     write vectors PARTITIONED BY cell, and confirm a probe-filtered
