@@ -539,6 +539,54 @@ def recommended_num_bands(
     return max(min_bands, b)
 
 
+def make_bucket_verify_udf(
+    id_col: str, vec_col: str, threshold: float, max_bucket_size: int
+):
+    """Per-bucket verifier for applyInPandas over band groups: ONE
+    intra-bucket int64 Gram matmul replaces per-pair cosine evaluation.
+    Emits (id_a < id_b, cos_sim) for pairs at/above the threshold;
+    buckets over ``max_bucket_size`` are dropped whole (the degenerate
+    near-dup-cluster cap, same rule the window-cap plan applied).
+
+    Exactness: the Gram matrix Q@Q.T contains the SAME int64 quantized
+    dot products make_pair_qcosine_udf computes pairwise, and the
+    cosine/rounding arithmetic is element-for-element identical
+    (float64 division of exact integers, floor 6-dp) — so the switch
+    from per-pair to per-bucket evaluation is bit-invisible to the SQL
+    oracle."""
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2 or m > max_bucket_size:
+            return empty
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Q = np.floor(V * _QUANT + 0.5).astype(np.int64)
+        G = Q @ Q.T  # exact int64 pairwise dots (diag = squared norms)
+        nrm = np.sqrt(np.diag(G).astype(np.float64))
+        cos = G.astype(np.float64) / (nrm[:, None] * nrm[None, :])
+        cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        ia, ib = np.triu_indices(m, k=1)
+        keep = cos6[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": cos6[ia, ib][keep],
+            }
+        )
+
+    return verify
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.98,
@@ -576,17 +624,30 @@ def embedding_dup_pairs_lsh(
     below ~0.9 cosine falls off — by design; this is a NEAR-duplicate
     detector, use ann/ivf search for range queries.
 
-    No persist/cache anywhere: the banding subtree (scan → int-matmul
-    UDF → window cap) executes once per self-join side and the two
-    verify-side scans re-read a pruned 2-column projection — measured
-    across sf0.1/sf3/sf10, recomputing the cheap matmul costs less
-    than the MEMORY_AND_DISK persists it replaces (which also leaked
-    across calls; at 100 TB persisting corpus-sized frames is itself
-    the hazard).  Contrast operators/dedup.py minhash_lsh_pairs, whose
-    per-row banding cost is high enough that the persist wins there —
-    both trade-offs are measured and documented in SCALE.md."""
-    from pyspark.sql import Window
+    Verification is PER-BUCKET, not per-pair: band groups go through
+    applyInPandas and each bucket computes one intra-bucket int64 Gram
+    matmul (make_bucket_verify_udf), emitting only pairs at/above the
+    threshold; a final distinct() dedupes pairs that co-band more than
+    once.  The step-timed sf30 profile of the previous per-pair plan
+    showed why: with occupancy pinned at ~200, candidates ≈
+    occupancy x n x bands / 2 rows (88.8M at n=600k) and the two
+    id-keyed joins + per-pair Arrow transfer moved ~46 GB of vector
+    payload — 118 s of a 134 s wall.  In the bucket plan vectors move
+    ONCE per band row (n x bands rows, ~1% of the pair volume), the
+    bucket cap is a group-size check inside the verifier (no window
+    pass), and the only pair-shaped frame is the VERIFIED pairs
+    (measured 13.3x smaller than the candidate set at sf30).  Measured
+    walls (identical outputs, SCALE.md §6.2): sf3 4.3 s -> 2.0 s,
+    sf10 25.2 s -> 2.8 s, sf30 109.3 s -> 9.3 s — the sf10->sf30
+    ratio drops from 4.3x to 3.3x (linear) because nothing pair-shaped
+    is shuffled anymore.
 
+    No persist/cache anywhere: the banding subtree executes exactly
+    once (the bucket plan has no self-join), and at 100 TB persisting
+    corpus-sized frames is itself the hazard.  Contrast
+    operators/dedup.py minhash_lsh_pairs, whose shingle-set frame IS
+    persisted — both trade-offs are measured and documented in
+    SCALE.md."""
     if num_planes is None:
         n = n_vectors if n_vectors is not None else df.count()
         # r and b interact (more bands -> more rows per band -> +~1 bit),
@@ -601,33 +662,10 @@ def embedding_dup_pairs_lsh(
     bands_udf = make_hyperplane_bands_udf(num_planes, num_bands, dim)
     vecs = df.select(id_col, vec_col)
     banded = vecs.select(
-        id_col, F.explode(bands_udf(F.col(vec_col))).alias("band")
+        id_col, vec_col, F.explode(bands_udf(F.col(vec_col))).alias("band")
     )
-    # bucket cap via a band-partitioned window count: one shuffle on
-    # band, no bucket_sizes side-join, and the self-join below reuses
-    # the same hash distribution
-    capped = (
-        banded.withColumn(
-            "_bc", F.count(F.lit(1)).over(Window.partitionBy("band"))
-        )
-        .filter(F.col("_bc") <= max_bucket_size)
-        .drop("_bc")
+    verify = make_bucket_verify_udf(id_col, vec_col, threshold, max_bucket_size)
+    pairs = banded.groupBy("band").applyInPandas(
+        verify, schema="id_a long, id_b long, cos_sim double"
     )
-    a, b = capped.alias("a"), capped.alias("b")
-    cand = (
-        a.join(b, "band")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    qcos = make_pair_qcosine_udf(dim)
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", qcos(F.col("_va"), F.col("_vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return pairs.distinct()
