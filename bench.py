@@ -48,9 +48,24 @@ def _q_dedup_substring_spans_hashed(spark, sf_dir):
     return duplicated_spans(d, k=5, min_count=2, hash_grams=True)
 
 
+def _q_semantic_dedup_auto(spark, sf_dir):
+    """Bench twin of semantic_dedup with num_cells=None — the ENGINE
+    DEFAULT (occupancy-pinned cluster count via recommended_num_cells).
+    Not in the registry: the auto k depends on the corpus row count, so
+    a static SQL oracle cannot mirror the seed set; the pinned-10-cell
+    registry query pins correctness, this entry MEASURES the default."""
+    import os as _os
+
+    from img2dataset_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(e, threshold=0.3)
+
+
 BENCH_ONLY = {
     "embedding_dup_pairs_lsh_auto": _q_embedding_dup_pairs_lsh_auto,
     "dedup_substring_spans_hashed": _q_dedup_substring_spans_hashed,
+    "semantic_dedup_auto": _q_semantic_dedup_auto,
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
@@ -94,6 +109,7 @@ HEADLINE = [
     "pipeline_e2e",
     "bm25_topk",
     "semantic_dedup",
+    "semantic_dedup_auto",
     "aspect_buckets",
 ]
 

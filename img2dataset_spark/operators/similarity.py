@@ -301,9 +301,26 @@ def ivf_topk_fitted(
     return cosine_topk(pruned, query_df, k=k, vec_col="v", id_col=id_col)
 
 
+def recommended_num_cells(
+    n_vectors: int, target_cell_size: int = 1024
+) -> int:
+    """Cluster count that pins expected cell occupancy at
+    ``target_cell_size`` — the SemDeDup scale rule (the paper runs
+    ~100k clusters on LAION-scale corpora for the same reason the LSH
+    band bits grow with log2(n)): a FIXED k means cells grow linearly
+    with the corpus until they blow past max_cell_size and the cap
+    silently drops them all.  k = ceil(n / target); fit cost grows as
+    n·k per iteration, which stays linear in n at fixed occupancy."""
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return max(1, math.ceil(n_vectors / target_cell_size))
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
-    num_cells: int = 10,
+    num_cells: int | None = None,
     iters: int = 2,
     threshold: float = 0.98,
     vec_col: str = "embedding",
@@ -311,6 +328,7 @@ def semantic_dedup_pairs(
     dim: int = 64,
     max_cell_size: int = 10_000,
     codebook: DataFrame | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then compare
@@ -330,42 +348,64 @@ def semantic_dedup_pairs(
     you raise ``num_cells`` so cells stay batch-sized (the paper uses
     ~100k clusters for LAION-scale corpora), and ``max_cell_size``
     guards the degenerate-clustering case the same way the LSH bucket
-    caps do (a window count per cell, reusing the join's own hash
-    distribution; capped cells are skipped, not sampled).  Like
-    embedding_dup_pairs_lsh, nothing is persisted: the assignment
-    subtree is one cheap matmul per reference, and persisting a
-    corpus-sized frame is itself the scale hazard (measured trade-off,
-    SCALE.md §5)."""
-    from pyspark.sql import Window
+    caps do (a group-size check inside the per-cell verifier; capped
+    cells are skipped, not sampled).  Like embedding_dup_pairs_lsh,
+    verification is per-GROUP, not per-pair: each cell flows through
+    applyInPandas and runs blocked int64 Gram matmuls (_gram_pairs —
+    bit-identical to pairwise qcosine, block-bounded memory since
+    cells can be far larger than LSH buckets), so vectors move once
+    per row and nothing pair-shaped is ever shuffled.  Nothing is
+    persisted: the assignment subtree is one cheap matmul, and
+    persisting a corpus-sized frame is itself the scale hazard
+    (measured trade-off, SCALE.md §5-6).
 
+    ``num_cells=None`` (the default) sizes the cluster count from the
+    corpus via :func:`recommended_num_cells`, pinning expected cell
+    occupancy regardless of n — a FIXED k on a growing corpus would
+    eventually push every cell past ``max_cell_size`` and the cap
+    would silently drop them all.  Pass ``n_vectors`` to skip the
+    sizing count, or an explicit ``num_cells`` for a fully static
+    configuration (the oracle registry does)."""
     if codebook is None:
+        if num_cells is None:
+            n = n_vectors if n_vectors is not None else df.count()
+            num_cells = recommended_num_cells(n)
         codebook = ivf_fit(df, num_cells, iters, vec_col, id_col)
     assigned = ivf_assign(df, codebook, vec_col, id_col)
-    capped = (
-        assigned.withColumn(
-            "_cc", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
         )
-        .filter(F.col("_cc") <= max_cell_size)
-        .select(id_col, "cell", "v")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    qcos = make_pair_qcosine_udf(dim)
-    return (
-        a.join(b, "cell")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cell",
-            qcos(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        m = len(pdf)
+        if m < 2 or m > max_cell_size:
+            return empty
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        id_a, id_b, cos6 = _gram_pairs(ids, V, threshold)
+        return pd.DataFrame(
+            {
+                "id_a": id_a,
+                "id_b": id_b,
+                "cell": np.full(len(id_a), pdf["cell"].iloc[0], dtype=np.int64),
+                "cos_sim": cos6,
+            }
         )
-        .filter(F.col("cos_sim") >= threshold)
+
+    return assigned.groupBy("cell").applyInPandas(
+        verify, schema="id_a long, id_b long, cell long, cos_sim double"
     )
 
 
 def semantic_dedup(
     df: DataFrame,
-    num_cells: int = 10,
+    num_cells: int | None = None,
     iters: int = 2,
     threshold: float = 0.98,
     vec_col: str = "embedding",
@@ -373,6 +413,7 @@ def semantic_dedup(
     dim: int = 64,
     max_cell_size: int = 10_000,
     codebook: DataFrame | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Survivors of SemDeDup: one representative per semantic
     near-duplicate group, chosen by the deterministic min-id rule — a
@@ -385,6 +426,9 @@ def semantic_dedup(
     (id, cell) survivors; one AQE-decided left-anti join off the
     verified pairs."""
     if codebook is None:
+        if num_cells is None:
+            n = n_vectors if n_vectors is not None else df.count()
+            num_cells = recommended_num_cells(n)
         codebook = ivf_fit(df, num_cells, iters, vec_col, id_col)
     pairs = semantic_dedup_pairs(
         df, num_cells, iters, threshold, vec_col, id_col, dim,
@@ -539,6 +583,39 @@ def recommended_num_bands(
     return max(min_bands, b)
 
 
+def _gram_pairs(
+    ids: np.ndarray, V: np.ndarray, threshold: float, block: int = 2048
+):
+    """All (i < j) pairs of rows of V whose 6-dp quantized cosine is at
+    or above ``threshold``, via BLOCKED int64 Gram matmuls: Q[s:e] @ Q.T
+    one row-block at a time, so peak memory is block x m doubles
+    regardless of group size.  Arithmetic is element-for-element the
+    per-pair make_pair_qcosine_udf computation (exact integer dots,
+    float64 division, floor 6-dp) — bit-identical results.  ``ids``
+    must be ascending so emitted pairs satisfy id_a < id_b.  Returns
+    (id_a, id_b, cos6) numpy arrays."""
+    m = len(ids)
+    Q = np.floor(V * _QUANT + 0.5).astype(np.int64)
+    sq = (Q * Q).sum(axis=1)
+    nrm = np.sqrt(sq.astype(np.float64))
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, m, block):
+        e = min(s + block, m)
+        G = Q[s:e] @ Q.T  # (e-s, m) exact int64 dots
+        cos = G.astype(np.float64) / (nrm[s:e, None] * nrm[None, :])
+        cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        rows, cols = np.nonzero(cos6 >= threshold)
+        keep = cols > rows + s  # strict upper triangle in global indices
+        rows, cols = rows[keep], cols[keep]
+        out_a.append(ids[rows + s])
+        out_b.append(ids[cols])
+        out_c.append(cos6[rows, cols])
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.float64)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_c)
+
+
 def make_bucket_verify_udf(
     id_col: str, vec_col: str, threshold: float, max_bucket_size: int
 ):
@@ -569,20 +646,8 @@ def make_bucket_verify_udf(
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        Q = np.floor(V * _QUANT + 0.5).astype(np.int64)
-        G = Q @ Q.T  # exact int64 pairwise dots (diag = squared norms)
-        nrm = np.sqrt(np.diag(G).astype(np.float64))
-        cos = G.astype(np.float64) / (nrm[:, None] * nrm[None, :])
-        cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
-        ia, ib = np.triu_indices(m, k=1)
-        keep = cos6[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cos_sim": cos6[ia, ib][keep],
-            }
-        )
+        id_a, id_b, cos6 = _gram_pairs(ids, V, threshold)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": cos6})
 
     return verify
 

@@ -462,6 +462,32 @@ def test_semantic_dedup_codebook_reuse_and_cap(spark, vecs_df):
     assert capped.count() == vecs.count()
 
 
+def test_semantic_dedup_auto_cell_sizing(spark, vecs_df):
+    """num_cells=None sizes k from the corpus (occupancy-pinned, the
+    SemDeDup scale rule); at tiny n that is one cell, and the result
+    equals the explicit num_cells=1 call."""
+    from img2dataset_spark.operators.similarity import (
+        recommended_num_cells,
+        semantic_dedup,
+    )
+
+    assert recommended_num_cells(0) == 1
+    assert recommended_num_cells(1024) == 1
+    assert recommended_num_cells(1025) == 2
+    assert recommended_num_cells(600_000) == 586
+
+    vecs = vecs_df.select("vec_id", "embedding")
+    auto = sorted(
+        (r["vec_id"], r["cell"])
+        for r in semantic_dedup(vecs, threshold=0.9, dim=3).collect()
+    )
+    pinned = sorted(
+        (r["vec_id"], r["cell"])
+        for r in semantic_dedup(vecs, num_cells=1, threshold=0.9, dim=3).collect()
+    )
+    assert auto == pinned
+
+
 def test_ivf_assign_partitioned_write_prunes_files(spark, vecs_df, tmp_path):
     """The 100 TB IVF deployment story end-to-end: fit a codebook,
     write vectors PARTITIONED BY cell, and confirm a probe-filtered
