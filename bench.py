@@ -110,6 +110,7 @@ HEADLINE = [
     "bm25_topk",
     "semantic_dedup",
     "semantic_dedup_auto",
+    "semantic_dedup_vs",
     "aspect_buckets",
 ]
 

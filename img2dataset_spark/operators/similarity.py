@@ -439,6 +439,123 @@ def semantic_dedup(
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
 
 
+def semantic_dedup_pairs_vs(
+    new: DataFrame,
+    corpus: DataFrame,
+    num_cells: int | None = None,
+    iters: int = 2,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_cell_size: int = 10_000,
+    codebook: DataFrame | None = None,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Cross-corpus SemDeDup: every NEW vector vs an EXISTING corpus —
+    the embedding-space twin of dedup.minhash_lsh_pairs_vs (crawl-wave
+    screening against the accumulated corpus, without re-pairing the
+    corpus against itself).  The codebook is fit on the CORPUS (the
+    reference distribution; pass ``codebook=`` to amortize one fit
+    across many waves — the index-persistence story of
+    build_minhash_index), both sides are assigned with the same
+    one-matmul pass, and each cell runs ONE blocked new x corpus Gram
+    matmul inside applyInPandas — nothing pair-shaped is shuffled,
+    same as the self-join variants (SCALE.md §6.2).  Ids are assumed
+    distinct across the two frames.  Returns (id_a = new id, id_b =
+    corpus id, cell, cos_sim >= threshold), 6-dp floor-rounded.
+    The ``max_cell_size`` cap applies to the CORPUS side of a cell
+    (mirroring the minhash corpus-side cap: a giant corpus cell is a
+    degenerate cluster; capping the wave side would cost recall
+    without bounding anything)."""
+    if codebook is None:
+        if num_cells is None:
+            n = n_vectors if n_vectors is not None else corpus.count()
+            num_cells = recommended_num_cells(n)
+        codebook = ivf_fit(corpus, num_cells, iters, vec_col, id_col)
+    tagged = ivf_assign(new, codebook, vec_col, id_col).withColumn(
+        "_side", F.lit("n")
+    ).unionByName(
+        ivf_assign(corpus, codebook, vec_col, id_col).withColumn(
+            "_side", F.lit("c")
+        )
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        nn = pdf[pdf["_side"] == "n"]
+        cc = pdf[pdf["_side"] == "c"]
+        if len(nn) == 0 or len(cc) == 0 or len(cc) > max_cell_size:
+            return empty
+        ids_n = nn[id_col].to_numpy()
+        ids_c = cc[id_col].to_numpy()
+        VN = np.stack([np.asarray(v, dtype=np.float64) for v in nn["v"]])
+        VC = np.stack([np.asarray(v, dtype=np.float64) for v in cc["v"]])
+        QN = np.floor(VN * _QUANT + 0.5).astype(np.int64)
+        QC = np.floor(VC * _QUANT + 0.5).astype(np.int64)
+        nrm_n = np.sqrt((QN * QN).sum(axis=1).astype(np.float64))
+        nrm_c = np.sqrt((QC * QC).sum(axis=1).astype(np.float64))
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        for s in range(0, len(ids_n), block):
+            e = min(s + block, len(ids_n))
+            G = QN[s:e] @ QC.T
+            cos = G.astype(np.float64) / (nrm_n[s:e, None] * nrm_c[None, :])
+            cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+            rows, cols = np.nonzero(cos6 >= threshold)
+            out_a.append(ids_n[rows + s])
+            out_b.append(ids_c[cols])
+            out_c.append(cos6[rows, cols])
+        id_a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        id_b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        c6 = np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "id_a": id_a,
+                "id_b": id_b,
+                "cell": np.full(len(id_a), pdf["cell"].iloc[0], dtype=np.int64),
+                "cos_sim": c6,
+            }
+        )
+
+    return tagged.groupBy("cell").applyInPandas(
+        verify, schema="id_a long, id_b long, cell long, cos_sim double"
+    )
+
+
+def semantic_dedup_vs(
+    new: DataFrame,
+    corpus: DataFrame,
+    num_cells: int | None = None,
+    iters: int = 2,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_cell_size: int = 10_000,
+    codebook: DataFrame | None = None,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Survivors of cross-corpus SemDeDup: NEW rows whose vector
+    semantically duplicates nothing in the existing corpus.  One
+    AQE-decided left-anti join off the verified pairs (the corpus side
+    always wins — no connected components needed, same rule as
+    dedup.dedup_against_corpus)."""
+    pairs = semantic_dedup_pairs_vs(
+        new, corpus, num_cells, iters, threshold, vec_col, id_col, dim,
+        max_cell_size, codebook, n_vectors,
+    )
+    dropped = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    return new.join(dropped, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane (sign-bit) LSH — the label-free scale path
 # ---------------------------------------------------------------------------

@@ -1552,3 +1552,46 @@ SELECT bucket_id, bucket_w, bucket_h,
     AS last_batch_fill
 FROM asg GROUP BY bucket_id, bucket_w, bucket_h
 """
+
+# -- Cross-corpus SemDeDup --------------------------------------------------
+# Codebook fit on the CORPUS split only (same Lloyd machinery), both
+# sides assigned with the final centroids, per-cell new x corpus cosine
+# sweep with the corpus-side cell cap, survivors by NOT IN.
+
+ORACLES["semantic_dedup_vs"] = f"""
+WITH allv AS (SELECT vec_id, label,
+                list_transform(embedding, x -> x::DOUBLE) AS v,
+                {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+              FROM embeddings),
+e AS (SELECT vec_id, v, qv FROM allv WHERE vec_id % 3 <> 0),
+nv AS (SELECT vec_id, v, qv FROM allv WHERE vec_id % 3 = 0),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+ac AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+an AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM nv q, cqf c) WHERE rn = 1),
+okcell AS (SELECT cell FROM ac GROUP BY cell HAVING COUNT(*) <= 10000),
+dropped AS (
+  SELECT DISTINCT n.vec_id FROM an n
+  JOIN ac c ON n.cell = c.cell
+  JOIN okcell o ON o.cell = n.cell
+  JOIN allv ea ON ea.vec_id = n.vec_id
+  JOIN allv eb ON eb.vec_id = c.vec_id
+  WHERE {_SD_COS} >= 0.3)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT vec_id FROM dropped)
+"""

@@ -1469,6 +1469,20 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(e, num_cells=10, iters=2, threshold=0.3)
 
 
+def q_semantic_dedup_vs(spark, sf_dir):
+    """Cross-corpus SemDeDup (operators/similarity.py): codebook fit on
+    the corpus split, both sides assigned, per-cell new x corpus Gram
+    verification, survivors by left-anti — vs a full Lloyd + cross
+    sweep twin in SQL."""
+    from img2dataset_spark.operators.similarity import semantic_dedup_vs
+
+    e = _t(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 3 == 0)
+    corpus = e.filter(F.col("vec_id") % 3 != 0)
+    surv = semantic_dedup_vs(new, corpus, num_cells=10, iters=2, threshold=0.3)
+    return surv.select("vec_id", "label")
+
+
 def q_aspect_buckets(spark, sf_dir):
     """Aspect-ratio bucketing (operators/aspect.py) over the mock
     pipeline's extracted dimensions: nearest equal-area bucket by the
@@ -1542,6 +1556,7 @@ QUERIES.update(
         "pipeline_route_stats": q_pipeline_route_stats,
         "bm25_topk": q_bm25_topk,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_vs": q_semantic_dedup_vs,
         "aspect_buckets": q_aspect_buckets,
     }
 )
@@ -1614,11 +1629,17 @@ _EXTRA_NAMES = (
     "embedding_dup_pairs",
     "pack_blocks",
     "tpch_q3",
+    # rotated out round 7 (r6-green) to make room for semantic_dedup_vs;
+    # its multiprobe sibling dedup_simhash_multiprobe carries the same
+    # simhash formulas (r5-green) and the banded minhash family stays
+    # in-window
+    "dedup_simhash",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 7) — first in line
     "bm25_topk",
     "semantic_dedup",
+    "semantic_dedup_vs",
     "aspect_buckets",
     # rotated IN round 6, r6-green
     "curation_substr",
@@ -1633,7 +1654,6 @@ _FLAGSHIP_FIRST = (
     "pack_sequences",
     "bloom_probe",
     "tpch_q5",
-    "dedup_simhash",
     "dedup_components",
     "sample_stratified",
     "text_repetition",

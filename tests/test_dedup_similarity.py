@@ -488,6 +488,46 @@ def test_semantic_dedup_auto_cell_sizing(spark, vecs_df):
     assert auto == pinned
 
 
+def test_semantic_dedup_vs_survivors(spark):
+    """Cross-corpus SemDeDup: a new vector survives iff no corpus
+    vector in its cell sits within the threshold; corpus side always
+    wins (no new-vs-new pairing); codebook reuse across waves gives
+    identical verdicts."""
+    from img2dataset_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        semantic_dedup_pairs_vs,
+        semantic_dedup_vs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # corpus
+        (1, [0.0, 1.0, 0.0]),    # corpus
+        (10, [0.99, 0.05, 0.0]), # new, dup of 0
+        (11, [0.0, 0.0, 1.0]),   # new, orthogonal to corpus
+        (12, [0.98, 0.08, 0.0]), # new, dup of 0 AND near 10 (new-new ignored)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = df.filter(F.col("vec_id") < 10)
+    new = df.filter(F.col("vec_id") >= 10)
+    cb = ivf_fit(corpus, num_cells=1, iters=1, vec_col="embedding")
+    pairs = semantic_dedup_pairs_vs(
+        new, corpus, threshold=0.9, dim=3, codebook=cb
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(10, 0), (12, 0)}
+    assert all(p["cos_sim"] >= 0.9 for p in pairs)
+    surv = semantic_dedup_vs(new, corpus, threshold=0.9, dim=3, codebook=cb)
+    assert {r["vec_id"] for r in surv.collect()} == {11}
+    # auto-fit path (codebook=None, num_cells sized from the corpus)
+    surv2 = semantic_dedup_vs(new, corpus, threshold=0.9, dim=3)
+    assert {r["vec_id"] for r in surv2.collect()} == {11}
+    # corpus-side cell cap disables pairing -> every new vector survives
+    surv3 = semantic_dedup_vs(
+        new, corpus, threshold=0.9, dim=3, codebook=cb, max_cell_size=1
+    )
+    assert surv3.count() == new.count()
+
+
 def test_ivf_assign_partitioned_write_prunes_files(spark, vecs_df, tmp_path):
     """The 100 TB IVF deployment story end-to-end: fit a codebook,
     write vectors PARTITIONED BY cell, and confirm a probe-filtered
