@@ -470,6 +470,72 @@ def _verified_jaccard(
     )
 
 
+def hamming_pairs64(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs over a 64-bit hash column (e.g.
+    functions/phash.py perceptual hashes) by Hamming distance, with
+    PIGEONHOLE banding: the 64 bits are split into ``max_hamming + 1``
+    words; two hashes within ``max_hamming`` differing bits must agree
+    on at least one whole word (k differences cannot touch k+1 words),
+    so the per-(word index, word value) equi-self-join has FULL recall
+    by construction — no probabilistic misses, unlike rotation-probe
+    simhash blocking.  Candidate volume is linear in n at fixed
+    occupancy; degenerate buckets (flat images all hashing alike) are
+    capped by ``max_bucket_size`` exactly like the minhash plan.
+    Returns distinct (id_a < id_b, hamming <= max_hamming).
+
+    Scale shape: word extraction is codegen bit arithmetic
+    (shiftrightunsigned + mask) on the map side; one shuffle keys the
+    (word, value) blocks; hamming is a JVM bit_count(xor).  NULL
+    hashes (undecodable payloads) are dropped before banding."""
+    num_words = max_hamming + 1
+    width = 64 // num_words
+    hashes = df.select(id_col, hash_col).filter(F.col(hash_col).isNotNull())
+    words = []
+    for i in range(num_words):
+        shift = i * width
+        # last word absorbs the remainder bits
+        this_width = width if i < num_words - 1 else 64 - width * (num_words - 1)
+        mask = (1 << this_width) - 1
+        words.append(
+            F.struct(
+                F.lit(i).alias("w"),
+                F.shiftrightunsigned(F.col(hash_col), shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    banded = hashes.select(
+        id_col, hash_col, F.explode(F.array(*words)).alias("blk")
+    ).select(
+        id_col, hash_col, F.col("blk.w").alias("w"), F.col("blk.val").alias("val")
+    )
+    bucket_sizes = banded.groupBy("w", "val").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("w", "val"),
+        ["w", "val"],
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    return (
+        a.join(b, ["w", "val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1595,3 +1595,40 @@ dropped AS (
 SELECT vec_id, label FROM embeddings
 WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT vec_id FROM dropped)
 """
+
+# -- Perceptual image dedup (expected-output oracle) ------------------------
+# The Spark side PNG-encodes deterministic synthetic scenes on
+# executors, decodes them back through the pure-Python codecs, pHashes,
+# and runs the pigeonhole-banded Hamming join.  The oracle is the SAME
+# recipe computed locally over raw arrays (no PNG roundtrip, no Spark,
+# brute-force pairing) — an independent single-process computation in
+# the url_dedup expected-output style: agreement certifies that the
+# distributed encode -> decode -> DCT hash -> banded join is lossless
+# and recall-complete (pigeonhole guarantees banding finds every
+# hamming<=4 pair brute force finds).  Fixed id range 0..199, so one
+# static VALUES literal holds at every sf.
+
+
+def _phash_expected_values() -> str:
+    from img2dataset_spark.functions.phash import (
+        hamming64,
+        phash64,
+        synth_payload_image,
+    )
+
+    hs = {i: phash64(synth_payload_image(i)) for i in range(200)}
+    rows = []
+    for a in range(200):
+        for b in range(a + 1, 200):
+            hd = hamming64(hs[a], hs[b])
+            if hd <= 4:
+                rows.append(f"({a}, {b}, {hd})")
+    assert rows, "synthetic scenes no longer produce near-dup pairs"
+    return ", ".join(rows)
+
+
+ORACLES["phash_dedup"] = f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES {_phash_expected_values()}) AS t(id_a, id_b, hamming)
+"""

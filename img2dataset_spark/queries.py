@@ -1483,6 +1483,34 @@ def q_semantic_dedup_vs(spark, sf_dir):
     return surv.select("vec_id", "label")
 
 
+def q_phash_dedup(spark, sf_dir):
+    """Perceptual image dedup end-to-end on executors with zero imaging
+    deps: deterministic synthetic scenes (every doc_id%10==7 is a
+    RESIZED copy of its predecessor) are PNG-encoded, decoded back, and
+    pHashed through the repo's pure-Python codecs, then paired by the
+    pigeonhole-banded Hamming join.  The oracle is the same recipe
+    computed locally over arrays (expected-output oracle, url_dedup
+    precedent) — so the driver row certifies encode -> decode -> DCT
+    hash -> banded join, distributed, against an independent
+    single-process computation.  Fixed id range (0..199) so the result
+    is sf-invariant."""
+    from img2dataset_spark.functions.phash import (
+        make_phash_udf,
+        make_synth_png_udf,
+    )
+    from img2dataset_spark.operators.dedup import hamming_pairs64
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    png = make_synth_png_udf()
+    ph = make_phash_udf()
+    hashed = d.select(
+        "doc_id", ph(png(F.col("doc_id"))).alias("phash")
+    )
+    return hamming_pairs64(hashed, "phash", max_hamming=4)
+
+
 def q_aspect_buckets(spark, sf_dir):
     """Aspect-ratio bucketing (operators/aspect.py) over the mock
     pipeline's extracted dimensions: nearest equal-area bucket by the
@@ -1558,6 +1586,7 @@ QUERIES.update(
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_vs": q_semantic_dedup_vs,
         "aspect_buckets": q_aspect_buckets,
+        "phash_dedup": q_phash_dedup,
     }
 )
 
@@ -1634,6 +1663,10 @@ _EXTRA_NAMES = (
     # simhash formulas (r5-green) and the banded minhash family stays
     # in-window
     "dedup_simhash",
+    # rotated out round 7 (r6-green) to make room for phash_dedup; the
+    # text-profiling family keeps text_stats/vocab/fingerprint/
+    # repetition/lm_score in-window
+    "text_langid",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 7) — first in line
@@ -1641,6 +1674,7 @@ _FLAGSHIP_FIRST = (
     "semantic_dedup",
     "semantic_dedup_vs",
     "aspect_buckets",
+    "phash_dedup",
     # rotated IN round 6, r6-green
     "curation_substr",
     "embedding_dup_pairs_lsh_sized",
