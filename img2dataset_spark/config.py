@@ -101,6 +101,14 @@ class PipelineConfig:
     extract_exif: bool = False
     verify_hash: tuple[str, str] | None = None  # (column, algorithm)
     compute_hash: str | None = "sha256"
+    # 64-bit perceptual hash of the STORED payload (functions/phash.py)
+    # as a metadata long column — enables pixel-level near-dup dedup of
+    # the written corpus (dedup.hamming_pairs64 over the metadata
+    # parquet), which byte hashing cannot do.  NULL when the payload is
+    # absent or undecodable (incl. mock-fetch payloads).  Beyond the
+    # reference's surface (its hashes are byte-level: downloader.py
+    # compute_hash).
+    compute_phash: bool = False
     timeout: int = 10
     retries: int = 0
     user_agent_token: str | None = None

@@ -253,6 +253,17 @@ def build_pipeline(
         )
         hash_cols.append(alg)
 
+    # perceptual hash of the STORED payload (post-transform bytes — the
+    # image downstream dedup actually compares); Arrow UDF returns NULL
+    # for undecodable payloads, so mock-fetch rows carry NULL honestly
+    if config.compute_phash:
+        from img2dataset_spark.functions.phash import make_phash_udf
+
+        df = df.withColumn(
+            "phash", F.when(ok, make_phash_udf()(F.col("_tr.data")))
+        )
+        hash_cols.append("phash")
+
     # payload column named after the encode format (writer.py:69)
     df = df.withColumn(config.encode_format, F.when(ok, F.col("_tr.data")))
 

@@ -16,6 +16,7 @@ import tarfile
 import pytest
 
 from img2dataset_spark import PipelineConfig, download
+from pyspark.sql import functions as F
 from img2dataset_spark.functions.jpeg import decode_jpeg
 
 REF_IMAGES = sorted(glob.glob("/root/reference/tests/resize_test_image/*.jpg"))
@@ -112,3 +113,54 @@ def test_original_dims_survive_to_metadata(spark, http_fixture, tmp_path):
     assert min(r["width"], r["height"]) == 64
     arr = decode_jpeg(bytes(r["jpg"]))
     assert arr.shape[:2] == (r["height"], r["width"])
+
+def test_compute_phash_dedups_respellings(spark, http_fixture, tmp_path):
+    """compute_phash=True writes a perceptual hash of the STORED
+    payload into the metadata; two spellings of the same photo (the
+    original and a recompressed copy) land within a small Hamming
+    distance and pair up via hamming_pairs64 over the metadata parquet
+    — the pixel-level dedup byte hashes (sha256) cannot do."""
+    from img2dataset_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from img2dataset_spark.operators.dedup import hamming_pairs64
+
+    base, images = http_fixture
+    src = open(REF_IMAGES[0], "rb").read()
+    # a re-encoded spelling: same pixels, different bytes
+    respelled = encode_jpeg(decode_jpeg(src), quality=70)
+    other = open(REF_IMAGES[-1], "rb").read()
+    images["ph_a.jpg"] = src
+    images["ph_b.jpg"] = respelled
+    images["ph_c.jpg"] = other
+
+    inp = str(tmp_path / "urls.parquet")
+    spark.createDataFrame(
+        [(f"{base}/allowed/ph_{k}.jpg", k) for k in ("a", "b", "c")],
+        "url string, caption string",
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(
+        url_list=inp,
+        input_format="parquet",
+        caption_col="caption",
+        output_folder=out,
+        output_format="parquet",
+        number_sample_per_shard=10,
+        image_size=128,
+        resize_mode="center_crop",
+        encode_format="jpg",
+        fetch_mode="http",
+        compute_phash=True,
+    )
+    download(cfg, spark=spark)
+    meta = spark.read.parquet(out + "/00000.parquet")
+    rows = {r["caption"]: r for r in meta.collect()}
+    assert all(rows[k]["phash"] is not None for k in ("a", "b", "c"))
+    # sha256 sees three distinct byte strings; phash sees two scenes
+    assert len({rows[k]["sha256"] for k in ("a", "b", "c")}) == 3
+    keyed = meta.select(
+        F.col("key").cast("long").alias("doc_id"), "phash"
+    )
+    pairs = hamming_pairs64(keyed, "phash", max_hamming=10).collect()
+    key_of = {k: int(rows[k]["key"]) for k in ("a", "b", "c")}
+    want = tuple(sorted((key_of["a"], key_of["b"])))
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {want}
