@@ -53,7 +53,13 @@ def _q_semantic_dedup_auto(spark, sf_dir):
     DEFAULT (occupancy-pinned cluster count via recommended_num_cells).
     Not in the registry: the auto k depends on the corpus row count, so
     a static SQL oracle cannot mirror the seed set; the pinned-10-cell
-    registry query pins correctness, this entry MEASURES the default."""
+    registry query pins correctness, this entry MEASURES the default.
+
+    Reads HIGHER than the pinned twin on the synthetic tables and that
+    is recall, not regression (step-timed at sf1): occupancy-pinned
+    cells are PURER clusters, so at the bench's loose 0.3 threshold
+    far more within-cell pairs qualify and the verifier emits them —
+    more near-dups found costs more output.  Fit cost is linear in k."""
     import os as _os
 
     from img2dataset_spark.operators.similarity import semantic_dedup

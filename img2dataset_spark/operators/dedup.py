@@ -470,6 +470,31 @@ def _verified_jaccard(
     )
 
 
+def hash64_words(hash_col: str, max_hamming: int) -> Column:
+    """Array of (w, val) pigeonhole words of a 64-bit hash column: the
+    bits split into ``max_hamming + 1`` words (the last absorbs the
+    remainder), so two hashes within max_hamming MUST share a word.
+    The ONE banding expression shared by hamming_pairs64 and the
+    streaming phash screen, so batch and stream can never band
+    differently.  Pure codegen (shiftrightunsigned + mask)."""
+    num_words = max_hamming + 1
+    width = 64 // num_words
+    words = []
+    for i in range(num_words):
+        shift = i * width
+        this_width = width if i < num_words - 1 else 64 - width * (num_words - 1)
+        mask = (1 << this_width) - 1
+        words.append(
+            F.struct(
+                F.lit(i).alias("w"),
+                F.shiftrightunsigned(F.col(hash_col), shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    return F.array(*words)
+
+
 def hamming_pairs64(
     df: DataFrame,
     hash_col: str = "phash",
@@ -493,25 +518,9 @@ def hamming_pairs64(
     (shiftrightunsigned + mask) on the map side; one shuffle keys the
     (word, value) blocks; hamming is a JVM bit_count(xor).  NULL
     hashes (undecodable payloads) are dropped before banding."""
-    num_words = max_hamming + 1
-    width = 64 // num_words
     hashes = df.select(id_col, hash_col).filter(F.col(hash_col).isNotNull())
-    words = []
-    for i in range(num_words):
-        shift = i * width
-        # last word absorbs the remainder bits
-        this_width = width if i < num_words - 1 else 64 - width * (num_words - 1)
-        mask = (1 << this_width) - 1
-        words.append(
-            F.struct(
-                F.lit(i).alias("w"),
-                F.shiftrightunsigned(F.col(hash_col), shift)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-        )
     banded = hashes.select(
-        id_col, hash_col, F.explode(F.array(*words)).alias("blk")
+        id_col, hash_col, F.explode(hash64_words(hash_col, max_hamming)).alias("blk")
     ).select(
         id_col, hash_col, F.col("blk.w").alias("w"), F.col("blk.val").alias("val")
     )

@@ -313,3 +313,82 @@ def streaming_wave_admission(
             ).alias("admitted"),
         )
     )
+
+
+def streaming_phash_flags(
+    stream: DataFrame,
+    index: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_hamming: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Ingestion-time PERCEPTUAL image screening: each streaming
+    document's 64-bit pHash (functions/phash.py, e.g. computed by the
+    pipeline's compute_phash) is pigeonhole-banded with the SAME
+    hash64_words expression the batch hamming_pairs64 uses and
+    stream-static LEFT-joined against ``index`` — a static (ref_id,
+    phash) frame of the accumulated corpus (the metadata parquet).  A
+    word collision is verified with the same JVM bit_count(xor), so a
+    flagged row means exactly "hamming_pairs64 would have paired it",
+    with the pigeonhole recall guarantee intact (a <= max_hamming
+    near-dup ALWAYS shares a word).
+
+    Emits (id, ts, n_matches, is_dup) at watermark close, where
+    n_matches counts DISTINCT corpus images within the radius
+    (collect_set, mirroring the batch pair-level distinct).  NULL-hash
+    rows (undecodable payloads) are emitted with n_matches = 0 via a
+    zero-word placeholder — every incoming document gets a verdict.
+    The static side applies the batch corpus-side max_bucket_size cap
+    (degenerate flat-image buckets); the only state is the
+    watermark-bounded aggregation — the stream-static join itself is
+    stateless, the 100 TB shape."""
+    from img2dataset_spark.operators.dedup import hash64_words
+
+    banded = (
+        stream.select(F.col(id_col), F.col(ts_col), F.col(hash_col))
+        .withColumn(
+            "blk",
+            F.explode_outer(
+                F.when(
+                    F.col(hash_col).isNotNull(),
+                    hash64_words(hash_col, max_hamming),
+                )
+            ),
+        )
+        .select(
+            id_col, ts_col, hash_col,
+            F.col("blk.w").alias("w"), F.col("blk.val").alias("val"),
+        )
+    )
+    idx = index.select(
+        F.col(id_col).alias("_ref_id"),
+        F.col(hash_col).alias("_ref_hash"),
+    ).select(
+        "_ref_id", "_ref_hash",
+        F.explode(hash64_words("_ref_hash", max_hamming)).alias("blk"),
+    ).select(
+        "_ref_id", "_ref_hash",
+        F.col("blk.w").alias("w"), F.col("blk.val").alias("val"),
+    )
+    bucket_sizes = idx.groupBy("w", "val").count()
+    idx = idx.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("w", "val"),
+        ["w", "val"],
+    )
+    hits = ensure_event_time(
+        banded.join(idx, ["w", "val"], "left"), ts_col
+    )
+    hd = F.bit_count(F.col(hash_col).bitwiseXOR(F.col("_ref_hash")))
+    matched = F.when(
+        F.col("_ref_hash").isNotNull() & (hd <= max_hamming), F.col("_ref_id")
+    )
+    return (
+        hits.withColumn("_m", matched)
+        .withWatermark(ts_col, watermark)
+        .groupBy(id_col, ts_col)
+        .agg(F.size(F.collect_set("_m")).cast("long").alias("n_matches"))
+        .withColumn("is_dup", F.col("n_matches") > 0)
+    )

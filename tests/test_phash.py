@@ -144,3 +144,65 @@ def test_phash_e2e_near_dup_images(spark):
     hashed = df.select("doc_id", ph(F.col("payload")).alias("phash"))
     pairs = hamming_pairs64(hashed, "phash", max_hamming=4).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
+
+
+def test_streaming_phash_flags_matches_batch(spark, tmp_path):
+    """Stream-static perceptual screening agrees with batch
+    hamming_pairs64 verdicts: distinct in-radius corpus refs counted,
+    NULL hashes get a 0-match verdict, capped degenerate buckets drop."""
+    import datetime as dt
+    import os
+
+    from img2dataset_spark.streaming.dedup import streaming_phash_flags
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # corpus: two hashes 1 bit apart + one far hash
+    index = spark.createDataFrame(
+        [(100, 0x1234), (101, 0x1235), (102, -(1 << 62) | 0x5A5A)],
+        "doc_id long, phash long",
+    )
+    stream_rows = [
+        (0, t0, 0x1234),                  # within 1 of 100 AND 101 -> 2 matches
+        (1, t0, 0x1234 ^ (1 << 40)),      # within 2 of both        -> 2
+        (2, t0, 0x0F0F0F0F0F0F0F0F),      # far from everything     -> 0
+        (3, t0, None),                    # undecodable             -> 0
+    ]
+    src = os.path.join(str(tmp_path), "phsrc")
+    batch = spark.createDataFrame(stream_rows, "doc_id long, ts timestamp, phash long")
+    batch.coalesce(1).write.parquet(src)
+    # append mode emits aggregated groups only once the watermark passes
+    # them: a LATE flush row in a second file + maxFilesPerTrigger=1
+    # advances the watermark between micro-batches (same pattern as the
+    # wave-admission test); the flush row stays pending, never emitted
+    flush = spark.createDataFrame(
+        [(-1, t0 + dt.timedelta(hours=2), 0)], batch.schema
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_phash_flags(stream, index, max_hamming=4, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_phash_flags")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "phckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"]: r for r in spark.table("t_phash_flags").collect()}
+    # batch ground truth: union frame, pairs between stream ids and refs
+    union = batch.select("doc_id", "phash").unionByName(index)
+    bpairs = hamming_pairs64(union, "phash", max_hamming=4).collect()
+    want = {i: set() for i, _, _ in stream_rows}
+    for p in bpairs:
+        lo, hi = p["id_a"], p["id_b"]
+        if lo < 100 and hi >= 100:
+            want[lo].add(hi)
+    assert set(got) == {0, 1, 2, 3}
+    for i in got:
+        assert got[i]["n_matches"] == len(want[i]), (i, got[i])
+        assert got[i]["is_dup"] == (len(want[i]) > 0)
