@@ -182,6 +182,21 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 dp (floor(x*1e6+0.5)/1e6 — identical in the SQL oracle).
+
+    NOTE (measured, round 7): porting the embedding-LSH bucket-verify
+    shape here — shingle sets riding through the band explode, Jaccard
+    per co-banded OCCURRENCE, distinct on survivors only — is a 4-9x
+    REGRESSION (sf3: 12.8 s -> 118.7 s isolated, spread 1.005).  The
+    per-pair plan below is already the right one for SETS because the
+    two verify joins broadcast the small ``docs`` frame (map-side, no
+    pair-shaped shuffle of arrays), the distinct collapses each pair to
+    ONE array_intersect evaluation, while true near-dups co-band in up
+    to all num_bands buckets, so per-occurrence verification multiplies
+    the expensive set-intersection ~num_bands-fold on exactly the pairs
+    that matter.  The embedding case won the other way because its
+    verify metric is a shared Gram matmul per bucket, amortizing across
+    the bucket, and its vectors (fixed 64 floats) dwarf a thin pair
+    row; h32 shingle sets have neither property.
     """
     docs = _persisted(
         doc_shingles(df, text_col, id_col, k).filter(F.size("shingle_set") > 0)
