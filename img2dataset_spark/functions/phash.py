@@ -129,7 +129,7 @@ def make_synth_png_udf():
     return synth
 
 
-def make_phash_udf(data_col_is_bytes: bool = True):
+def make_phash_udf():
     """binary image payload -> phash long (NULL when the payload can't
     be decoded).  Arrow-batched; decode uses the repo's pure-Python
     codecs, so this runs on executors with zero imaging deps — the

@@ -104,9 +104,14 @@ def aspect_bucket_batches(
     """Assign buckets, then number fixed-size batches within each
     bucket: adds (bucket_id, bucket_w, bucket_h, batch_id) where
     batch_id is dense from 0 per bucket in ascending id order.  The
-    window partitions by bucket_id — per-bucket state only, the
-    100 TB-safe shape (contrast a global row_number).  NULL-dimension
-    rows are excluded (they have no bucket)."""
+    window partitions by bucket_id, avoiding a GLOBAL single-partition
+    sort — but with only ~len(buckets) distinct keys each bucket's
+    full row set still sorts on one task, so this shape is bounded by
+    the largest bucket, not the corpus.  For very large corpora,
+    number batches in two phases: per-(bucket, salt) row_number +
+    per-salt counts, then add the broadcast prefix offsets (the
+    operators/packing.py distributed-prefix-sum pattern).
+    NULL-dimension rows are excluded (they have no bucket)."""
     from pyspark.sql import Window
 
     assigned = assign_aspect_bucket(df, width_col, height_col, buckets)

@@ -491,7 +491,17 @@ def hash64_words(hash_col: str, max_hamming: int) -> Column:
     remainder), so two hashes within max_hamming MUST share a word.
     The ONE banding expression shared by hamming_pairs64 and the
     streaming phash screen, so batch and stream can never band
-    differently.  Pure codegen (shiftrightunsigned + mask)."""
+    differently.  Pure codegen (shiftrightunsigned + mask).
+
+    ``max_hamming`` must be in [1, 63]: 0 would make the single word's
+    mask (1<<64)-1, which overflows the int64 literal at plan time —
+    exact-match dedup is a plain equality join on the hash column, not
+    a banding problem (use dedup_exact / groupBy(hash))."""
+    if not 1 <= max_hamming <= 63:
+        raise ValueError(
+            "max_hamming must be in [1, 63]; for max_hamming=0 use a plain "
+            f"equality join on the hash column (got {max_hamming})"
+        )
     num_words = max_hamming + 1
     width = 64 // num_words
     words = []
@@ -539,6 +549,10 @@ def hamming_pairs64(
     ).select(
         id_col, hash_col, F.col("blk.w").alias("w"), F.col("blk.val").alias("val")
     )
+    # The banded subtree is referenced twice (sizes + join) — safe here,
+    # unlike graph._symmetrize's lesson: it is pure codegen bit
+    # arithmetic over an 8-byte hash (no UDF, no join), so the second
+    # execution is a cheap re-scan, cheaper than persisting it.
     bucket_sizes = banded.groupBy("w", "val").count()
     banded = banded.join(
         bucket_sizes.filter(F.col("count") <= max_bucket_size).select("w", "val"),

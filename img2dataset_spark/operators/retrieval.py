@@ -43,10 +43,6 @@ from pyspark.sql import functions as F
 from img2dataset_spark.functions.text import token_count, tokens
 
 
-def _round6(c):
-    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
-
-
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

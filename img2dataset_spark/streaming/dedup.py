@@ -54,7 +54,14 @@ def _row_exempt_key(cu, id_col: str, ts_col: str):
     dropDuplicatesWithinWatermark state suppresses the replay (a fresh
     uuid per attempt would re-emit null-url rows on recovery).  NUL
     never appears in a canonical url (canonical_url strips it), so the
-    exemption space cannot collide with a real url."""
+    exemption space cannot collide with a real url.
+
+    Determinism trade-off: two DISTINCT null-url rows sharing
+    (id, ts) — including both ids NULL — collide on one key and the
+    second is dropped, where the old uuid() key kept both.  The key
+    assumes (id, ts) identifies a row among null-url rows; feed a
+    real id column (or fold a content column into ``id_col``) if the
+    stream can't promise that."""
     return F.coalesce(
         cu,
         F.concat(

@@ -126,6 +126,16 @@ def test_hamming_pairs64_cap_and_nulls(spark):
     assert got == {(101, 102, 1)}
 
 
+def test_hamming_pairs64_rejects_degenerate_radius(spark):
+    """max_hamming=0 would overflow the single word's int64 mask at
+    plan time (exact match is an equality join, not banding); 64+
+    words would make zero-width words.  Both rejected up front."""
+    df = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
+    for bad in (0, -1, 64):
+        with pytest.raises(ValueError, match="max_hamming"):
+            hamming_pairs64(df, "phash", max_hamming=bad)
+
+
 def test_phash_e2e_near_dup_images(spark):
     """Two spellings of one image (different resolution, PNG re-encode)
     pair up; the third, different image does not — the pixel-level
