@@ -163,6 +163,20 @@ def _seed_order(id_col: str):
     return [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
 
 
+# Flat-codebook ceiling: above this cell count, ivf_fit/ivf_assign
+# auto-route to the two-level hierarchical path.  Rationale: the flat
+# path broadcasts the whole codebook (k x d int64 quantized + float64
+# rows, ~16·k·d bytes — ~100 MB at k=8192, d=768) and, during fit,
+# collects k x d centroid rows to the driver once per Lloyd iteration.
+# Both costs grow linearly with k, and recommended_num_cells ties k to
+# the corpus size — so an un-gated flat path walks itself into a
+# driver/broadcast bottleneck exactly when the corpus is large.  Below
+# the ceiling the flat path is exact (global argmin) and cheap; above
+# it the hierarchical path bounds every driver/broadcast artifact at
+# O(sqrt(k) · d) and keeps the fine codebook a DataFrame end to end.
+FLAT_CODEBOOK_MAX_CELLS = 8192
+
+
 def ivf_fit(
     df: DataFrame,
     num_cells: int = 10,
@@ -176,17 +190,28 @@ def ivf_fit(
     subsequent `ivf_assign`/`ivf_topk_fitted` call, unlike the per-query
     label-derived codebook of `ivf_topk`.
 
-    Scale shape per iteration: one Arrow assignment pass with the k
-    centroids in the UDF closure (k is small — tens to thousands; one
-    (n x d) @ (d x k) matmul per batch, no n*k row explosion, no
-    per-vector window shuffle), then one (cell, dim) aggregation with
-    exact decimal sums.  No corpus self-join anywhere.  The training
-    frame is persisted across the iteration scans; seed cell ids are
-    assigned on the driver from the collected orderBy+limit rows (k
-    rows) — a row_number window here would be a global single-partition
-    window, the one shape to never ship."""
+    Above :data:`FLAT_CODEBOOK_MAX_CELLS` this dispatches to
+    :func:`ivf_fit_hierarchical` (two-level codebook, schema gains a
+    `coarse`/`level` column pair) so nothing driver-materialized or
+    closure/broadcast-shipped grows past O(sqrt(k) · d) — see the
+    ceiling's rationale above.
+
+    Flat-path scale shape per iteration: one Arrow assignment pass with
+    the k centroids broadcast (one torrent-distributed copy per
+    executor, not a per-task closure; one (n x d) @ (d x k) matmul per
+    batch, no n*k row explosion, no per-vector window shuffle), then
+    one (cell, dim) aggregation with exact decimal sums.  No corpus
+    self-join anywhere.  The training frame is persisted across the
+    iteration scans; seed cell ids are assigned on the driver from the
+    collected orderBy+limit rows (k rows) — a row_number window here
+    would be a global single-partition window, the one shape to never
+    ship.  The per-iteration k-row driver collect is the flat path's
+    ceiling-gated cost: bounded by FLAT_CODEBOOK_MAX_CELLS x d, never
+    by the corpus."""
     from pyspark import StorageLevel
 
+    if num_cells > FLAT_CODEBOOK_MAX_CELLS:
+        return ivf_fit_hierarchical(df, num_cells, iters, vec_col, id_col)
     e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -234,13 +259,16 @@ def _assign_cells(
     e: DataFrame, cents: DataFrame, vec_field: str, id_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow pass: the codebook is
-    tiny (it is the *point* of IVF), so it rides into the UDF closure and
-    each batch does a single (n x d) @ (d x k) integer matmul — no n*k
-    row explosion, no per-vector window shuffle.  Distances are exact
-    int64 squared-L2 over 2^-20 fixed-point quantized values (both
-    vectors AND centroids quantized, mirrored in the SQL twin), so
-    argmin ties break identically everywhere; among exact ties the
-    smallest cell id wins."""
+    small (it is the *point* of IVF — and the flat path is ceiling-
+    gated at FLAT_CODEBOOK_MAX_CELLS), so it ships as an explicit
+    ``SparkContext.broadcast`` (the operators/bloom.py precedent: ONE
+    torrent-distributed copy per executor, not a per-task closure
+    copy) and each batch does a single (n x d) @ (d x k) integer
+    matmul — no n*k row explosion, no per-vector window shuffle.
+    Distances are exact int64 squared-L2 over 2^-20 fixed-point
+    quantized values (both vectors AND centroids quantized, mirrored
+    in the SQL twin), so argmin ties break identically everywhere;
+    among exact ties the smallest cell id wins."""
     from pyspark.sql.functions import pandas_udf
 
     rows = cents.select("cell", "centroid").collect()
@@ -249,18 +277,246 @@ def _assign_cells(
     C = np.stack([np.asarray(rows[i]["centroid"], dtype=np.float64) for i in order])
     QC = np.floor(C * _QUANT + 0.5).astype(np.int64)  # k x d
     nc = (QC * QC).sum(axis=1)  # k
+    bc = e.sparkSession.sparkContext.broadcast((cell_ids, QC, nc))
 
     @pandas_udf("long")
     def assign(vs: pd.Series) -> pd.Series:
+        b_ids, b_qc, b_nc = bc.value
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
         # |a-b|^2 = |a|^2 + |b|^2 - 2ab, all int64-exact
-        d2 = (QV * QV).sum(axis=1)[:, None] + nc[None, :] - 2 * (QV @ QC.T)
+        d2 = (QV * QV).sum(axis=1)[:, None] + b_nc[None, :] - 2 * (QV @ b_qc.T)
         # argmin returns the FIRST minimum; cells are sorted ascending,
         # so exact ties resolve to the smallest cell id
-        return pd.Series(cell_ids[np.argmin(d2, axis=1)])
+        return pd.Series(b_ids[np.argmin(d2, axis=1)])
 
     return e.withColumn("cell", assign(F.col(vec_field)))
+
+
+def _md5_order_key(ids: np.ndarray) -> list[int]:
+    """Row order by (md5(str(id)), id) — the SAME deterministic
+    pseudo-random order `_seed_order` expresses in SQL, computed
+    locally.  Used by the hierarchical fine fit for seeding and
+    fit-sampling, so local seeding follows the exact global rule."""
+    import hashlib
+
+    return sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+            int(ids[i]),
+        ),
+    )
+
+
+def _local_lloyd(ids: np.ndarray, V: np.ndarray, k: int, iters: int):
+    """Deterministic Lloyd's k-means over ONE coarse cell's vectors,
+    run entirely inside an executor task — the hierarchical fit's
+    fine-level trainer.  Mirrors the global :func:`ivf_fit` rules:
+    seeds are the first min(k, n) rows in (md5(str(id)), id) order,
+    assignment is exact int64 squared-L2 over 2^-20 quantized vectors
+    AND centroids with first-minimum (= smallest local cell id)
+    tie-break, empty cells are dropped (ids of survivors stay stable).
+    The one divergence: means are float64 numpy sums, not the global
+    path's decimal(28,12) — the hierarchical codebook has no SQL twin
+    to stay bit-identical with (it is the beyond-ceiling scale path),
+    and on test-scale data with exactly-representable values the two
+    agree bitwise.  Returns (local_cell_ids, centroids)."""
+    seed_idx = _md5_order_key(ids)
+    k = min(k, len(ids))
+    local_ids = np.arange(k, dtype=np.int64)
+    C = V[seed_idx[:k]].astype(np.float64)
+    QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
+    nv = (QV * QV).sum(axis=1)
+    for _ in range(iters):
+        QC = np.floor(C * _QUANT + 0.5).astype(np.int64)
+        nc = (QC * QC).sum(axis=1)
+        d2 = nv[:, None] + nc[None, :] - 2 * (QV @ QC.T)
+        # C rows are kept in ascending local-id order, so argmin's
+        # first-minimum resolves exact ties to the smallest cell id
+        a = np.argmin(d2, axis=1)
+        live = np.unique(a)
+        C = np.stack([V[a == c].sum(axis=0) / (a == c).sum() for c in live])
+        local_ids = local_ids[live]
+    return local_ids, C
+
+
+def ivf_fit_hierarchical(
+    df: DataFrame,
+    num_cells: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_cells: int | None = None,
+    fit_sample_per_cell: int = 262_144,
+) -> DataFrame:
+    """Two-level IVF codebook for cell counts past
+    :data:`FLAT_CODEBOOK_MAX_CELLS` — the standard large-scale IVF
+    answer to the flat path's driver bottleneck (recommended_num_cells
+    ties k to n, so at the 100 TB design point k reaches 10^6-10^7 and
+    a flat codebook would mean tens-of-GB per-iteration driver collects
+    and an unshippable broadcast).
+
+    Shape — nothing driver-materialized or broadcast grows past
+    O(sqrt(k) · d):
+
+    - COARSE level: a flat :func:`ivf_fit` with k1 = coarse_cells
+      (default ceil(sqrt(num_cells))) cells.  Driver collect and
+      broadcast are bounded at k1 x d.
+    - FINE level: the corpus is coarse-assigned (one broadcast matmul
+      pass), then each coarse cell trains its own
+      ceil(num_cells / k1)-cell local Lloyd INSIDE
+      ``groupBy(coarse).applyInPandas`` (:func:`_local_lloyd`) — all
+      fine centroids are born distributed and stay a DataFrame; the
+      driver never sees them.  Cells larger than
+      ``fit_sample_per_cell`` train on their first N rows in
+      deterministic (md5(id), id) order (the faiss train-on-a-sample
+      convention); assignment later still covers every row.  Fit-task
+      memory is bounded by coarse-cell occupancy — raise
+      ``coarse_cells`` to shrink it.
+
+    Returns a codebook DataFrame (cell, coarse, centroid, level) with
+    level ∈ {'coarse','fine'}: fine rows carry the global cell id
+    coarse_id * ceil(num_cells/k1) + local_id; coarse rows carry their
+    own centroid for the assignment's first hop.  The fine subtree is
+    persisted (MEMORY_AND_DISK) — it is k rows, the codebook itself,
+    referenced by every subsequent assignment (write it to parquet to
+    reuse across jobs); level-filters on the union are pruned by
+    constant folding, so reading one level never scans the other.
+
+    Assignment through this codebook (:func:`ivf_assign` dispatches on
+    the `level` column) is the standard IVF approximation: exact argmin
+    WITHIN the nearest coarse cell — a vector whose true nearest fine
+    centroid lives in a different coarse cell gets its best in-cell
+    centroid instead (same trade every two-level IVF makes)."""
+    import math
+
+    from pyspark import StorageLevel
+
+    k1 = coarse_cells if coarse_cells is not None else max(
+        1, math.ceil(math.sqrt(num_cells))
+    )
+    if k1 > FLAT_CODEBOOK_MAX_CELLS:
+        raise ValueError(
+            f"coarse_cells={k1} exceeds FLAT_CODEBOOK_MAX_CELLS="
+            f"{FLAT_CODEBOOK_MAX_CELLS}; the coarse level must stay flat"
+        )
+    fine_per_coarse = math.ceil(num_cells / k1)
+    coarse = ivf_fit(df, k1, iters, vec_col, id_col)
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    tagged = _assign_cells(e, coarse, "v", id_col).withColumnRenamed(
+        "cell", "coarse"
+    )
+
+    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        order = _md5_order_key(ids)
+        if len(order) > fit_sample_per_cell:
+            order = order[:fit_sample_per_cell]
+        ids, V = ids[order], V[order]
+        # _local_lloyd re-derives the md5 seed order itself; passing the
+        # sample pre-ordered only bounds WHICH rows train, not seeding
+        local_ids, C = _local_lloyd(ids, V, fine_per_coarse, iters)
+        coarse_id = int(pdf["coarse"].iloc[0])
+        return pd.DataFrame(
+            {
+                "cell": coarse_id * fine_per_coarse + local_ids,
+                "coarse": np.full(len(local_ids), coarse_id, dtype=np.int64),
+                "centroid": [list(map(float, c)) for c in C],
+            }
+        )
+
+    fine = (
+        tagged.groupBy("coarse")
+        .applyInPandas(fit_cell, schema="cell long, coarse long, centroid array<double>")
+        .withColumn("level", F.lit("fine"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    coarse_rows = coarse.select(
+        "cell",
+        F.col("cell").alias("coarse"),
+        "centroid",
+        F.lit("coarse").alias("level"),
+    )
+    return fine.select("cell", "coarse", "centroid", "level").unionByName(
+        coarse_rows
+    )
+
+
+def _assign_cells_hierarchical(
+    e: DataFrame,
+    codebook: DataFrame,
+    vec_field: str,
+    id_col: str,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Two-hop assignment through a hierarchical codebook, with the
+    fine codebook staying a DataFrame end to end:
+
+    1. Coarse hop: :func:`_assign_cells` against the (collected +
+       broadcast, O(sqrt(k) · d)-bounded) coarse rows.
+    2. Fine hop: a salted COGROUP — corpus rows keyed by
+       (coarse, pmod(xxhash64(id), num_salts)), fine codebook rows
+       replicated across the salts — so each applyInPandas group holds
+       occupancy/num_salts vectors plus that coarse cell's
+       fine_per_coarse centroids and runs one quantized argmin matmul.
+       No per-vector window, nothing pair-shaped, no driver round trip;
+       group size is bounded by salting, not by coarse occupancy.
+
+    Output (id, vec, cell) matches the flat `_assign_cells` contract
+    (cell = global fine id).  Deterministic: the salt is a pure
+    function of the id and the result is salt-invariant."""
+    coarse = codebook.filter(F.col("level") == "coarse").select("cell", "centroid")
+    fine = codebook.filter(F.col("level") == "fine").select(
+        "coarse", "cell", "centroid"
+    )
+    tagged = _assign_cells(e, coarse, vec_field, id_col).withColumnRenamed(
+        "cell", "coarse"
+    )
+    tagged = tagged.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts))
+    )
+    fine_s = fine.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+
+    def assign(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                vec_field: pd.Series([], dtype="object"),
+                "cell": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        right = right.sort_values("cell")
+        cells = right["cell"].to_numpy()
+        C = np.stack([np.asarray(c, dtype=np.float64) for c in right["centroid"]])
+        QC = np.floor(C * _QUANT + 0.5).astype(np.int64)
+        nc = (QC * QC).sum(axis=1)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in left[vec_field]])
+        QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
+        d2 = (QV * QV).sum(axis=1)[:, None] + nc[None, :] - 2 * (QV @ QC.T)
+        # centroids sorted ascending by global cell id: first-minimum
+        # argmin = smallest cell id on exact ties, the global rule
+        a = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: left[id_col].to_numpy(),
+                vec_field: [list(map(float, v)) for v in left[vec_field]],
+                "cell": cells[a],
+            }
+        )
+
+    return (
+        tagged.groupBy("coarse", "_salt")
+        .cogroup(fine_s.groupBy("coarse", "_salt"))
+        .applyInPandas(
+            assign, schema=f"{id_col} long, {vec_field} array<double>, cell long"
+        )
+    )
 
 
 def ivf_assign(
@@ -271,8 +527,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Transform step: tag every vector with its codebook cell.  At scale
     this is the one-off partitioning pass whose output is written
-    bucketed by cell; queries then prune to nprobe cells."""
+    bucketed by cell; queries then prune to nprobe cells.  Dispatches
+    on the codebook's shape: a flat (cell, centroid) codebook takes the
+    single broadcast-matmul pass; a hierarchical codebook (the `level`
+    column, from :func:`ivf_fit_hierarchical`) takes the two-hop
+    coarse-broadcast + salted-cogroup pass."""
     e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if "level" in codebook.columns:
+        return _assign_cells_hierarchical(e, codebook, "v", id_col)
     return _assign_cells(e, codebook, "v", id_col)
 
 
@@ -285,7 +547,12 @@ def ivf_topk_fitted(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Search with a pre-fit codebook over pre-assigned vectors: rank
-    cells by cosine(query, centroid), scan only the top `nprobe` cells."""
+    cells by cosine(query, centroid), scan only the top `nprobe` cells.
+    With a hierarchical codebook only the FINE cells are ranked (the
+    assignment's cell ids are fine ids); the ranking is a distributed
+    top-nprobe over the codebook DataFrame, never a driver collect."""
+    if "level" in codebook.columns:
+        codebook = codebook.filter(F.col("level") == "fine")
     q = F.broadcast(query_df.select("query_vec"))
     probed = (
         codebook.crossJoin(q)
@@ -340,10 +607,15 @@ def semantic_dedup_pairs(
     the exact 6-dp quantized cosine (make_pair_qcosine_udf) >=
     ``threshold``.
 
-    Scale shape: the codebook is :func:`ivf_fit`'s literal k-row frame
-    (pass ``codebook=`` to reuse one across calls — the SemDeDup paper
-    fits once per corpus version); assignment is the one-matmul Arrow
-    pass of :func:`ivf_assign`; the per-cell self-join is an equi-join
+    Scale shape: the codebook comes from :func:`ivf_fit` (pass
+    ``codebook=`` to reuse one across calls — the SemDeDup paper fits
+    once per corpus version): a literal k-row frame below
+    FLAT_CODEBOOK_MAX_CELLS, auto-routed to the two-level
+    :func:`ivf_fit_hierarchical` above it so nothing driver-side or
+    broadcast grows past O(sqrt(k) · d) even though
+    recommended_num_cells ties k to n; assignment is the broadcast
+    matmul (or two-hop cogroup) pass of :func:`ivf_assign`; the
+    per-cell self-join is an equi-join
     on `cell` whose fan-out is bounded by cell occupancy — at 100 TB
     you raise ``num_cells`` so cells stay batch-sized (the paper uses
     ~100k clusters for LAION-scale corpora), and ``max_cell_size``

@@ -1218,8 +1218,9 @@ def q_ann_ivf_fit_topk(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    # no persist: ivf_fit returns a LITERAL k-row frame (the k-means
-    # lineage is already severed), so caching it would only leak
+    # no persist: at k=10 (below FLAT_CODEBOOK_MAX_CELLS) ivf_fit
+    # returns a LITERAL k-row frame (the k-means lineage is already
+    # severed), so caching it would only leak
     cb = ivf_fit(e, num_cells=10, iters=2)
     assigned = ivf_assign(e, cb)
     return ivf_topk_fitted(assigned, cb, _query_vec(spark, sf_dir), k=10, nprobe=2)

@@ -528,6 +528,126 @@ def test_semantic_dedup_vs_survivors(spark):
     assert surv3.count() == new.count()
 
 
+class TestHierarchicalCodebook:
+    """ivf_fit_hierarchical: the beyond-FLAT_CODEBOOK_MAX_CELLS scale
+    path — driver/broadcast artifacts bounded at O(sqrt(k) · d), fine
+    codebook born and kept distributed."""
+
+    def test_single_coarse_cell_parity_with_flat(self, spark):
+        """With coarse_cells=1 the fine level IS a global Lloyd fit:
+        same seeds, same quantized argmin, same cells — centroids agree
+        to the fp64-vs-decimal summation noise (documented divergence,
+        _local_lloyd docstring) and the quantized ASSIGNMENT, the
+        operator-visible output, matches the flat path exactly."""
+        import numpy as np
+
+        from img2dataset_spark.operators.similarity import (
+            ivf_assign,
+            ivf_fit,
+            ivf_fit_hierarchical,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        flat = ivf_fit(e, num_cells=4, iters=2)
+        hier = ivf_fit_hierarchical(e, num_cells=4, iters=2, coarse_cells=1)
+        cb_f = {r["cell"]: r["centroid"] for r in flat.collect()}
+        cb_h = {
+            r["cell"]: r["centroid"]
+            for r in hier.filter(F.col("level") == "fine").collect()
+        }
+        assert set(cb_f) == set(cb_h)  # global fine id = 0*k + local
+        for c in cb_f:
+            np.testing.assert_allclose(cb_f[c], cb_h[c], rtol=0, atol=1e-9)
+        af = sorted((r["vec_id"], r["cell"]) for r in ivf_assign(e, flat).collect())
+        ah = sorted((r["vec_id"], r["cell"]) for r in ivf_assign(e, hier).collect())
+        assert af == ah
+
+    def test_driver_materialization_bounded_by_coarse_cells(self, spark, monkeypatch):
+        """THE scale property the hierarchical path exists for: no
+        DataFrame.collect during fit returns more rows than the coarse
+        cell count, however large num_cells is — the fine codebook is
+        never driver-materialized."""
+        from img2dataset_spark.operators import similarity as S
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        seen: list[int] = []
+        cls = type(e)  # the concrete (classic) DataFrame class
+        orig = cls.collect
+
+        def spy(self):
+            rows = orig(self)
+            seen.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(cls, "collect", spy)
+        for num_cells in (16, 256):  # 16x the cells, same driver bound
+            seen.clear()
+            cb = S.ivf_fit_hierarchical(e, num_cells, iters=2, coarse_cells=4)
+            assert cb.filter(F.col("level") == "fine").count() > 4
+            assert seen, "fit no longer collects anything? update the test"
+            assert max(seen) <= 4
+
+    def test_flat_fit_autoroutes_past_ceiling(self, spark):
+        """ivf_fit beyond FLAT_CODEBOOK_MAX_CELLS returns a hierarchical
+        codebook, and ivf_assign dispatches on it transparently."""
+        from img2dataset_spark.operators import similarity as S
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = S.ivf_fit(e, num_cells=S.FLAT_CODEBOOK_MAX_CELLS + 1, iters=1)
+        assert "level" in cb.columns
+        assigned = S.ivf_assign(e, cb)
+        assert assigned.count() == e.count()
+        fine = {r["cell"] for r in cb.filter(F.col("level") == "fine").collect()}
+        got = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+        assert got <= fine
+
+    def test_assignment_salt_invariant(self, spark):
+        """The cogroup salt only bounds group size; the assignment is a
+        pure function of (vector, codebook)."""
+        from img2dataset_spark.operators.similarity import (
+            _as_double,
+            _assign_cells_hierarchical,
+            ivf_fit_hierarchical,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = ivf_fit_hierarchical(df, num_cells=9, iters=1, coarse_cells=3)
+        e = df.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        a1 = sorted(
+            (r["vec_id"], r["cell"])
+            for r in _assign_cells_hierarchical(e, cb, "v", "vec_id", num_salts=1).collect()
+        )
+        a8 = sorted(
+            (r["vec_id"], r["cell"])
+            for r in _assign_cells_hierarchical(e, cb, "v", "vec_id", num_salts=8).collect()
+        )
+        assert a1 == a8
+
+    def test_semantic_dedup_through_hierarchical_codebook(self, spark):
+        """semantic_dedup survivors with an auto-routed hierarchical
+        codebook keep the min-id invariant: every dropped id has a
+        smaller-id within-cell neighbor at/above the threshold."""
+        from img2dataset_spark.operators.similarity import (
+            ivf_assign,
+            ivf_fit_hierarchical,
+            semantic_dedup,
+            semantic_dedup_pairs,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = ivf_fit_hierarchical(e, num_cells=9, iters=2, coarse_cells=3)
+        pairs = semantic_dedup_pairs(e, threshold=0.3, codebook=cb).collect()
+        assert pairs, "threshold no longer exercises the dedup path"
+        cells = {r["vec_id"]: r["cell"] for r in ivf_assign(e, cb).collect()}
+        for p in pairs:
+            assert p["id_a"] < p["id_b"]
+            assert cells[p["id_a"]] == cells[p["id_b"]] == p["cell"]
+            assert p["cos_sim"] >= 0.3
+        surv = {r["vec_id"] for r in semantic_dedup(e, threshold=0.3, codebook=cb).collect()}
+        dropped = {p["id_b"] for p in pairs}
+        assert surv == set(cells) - dropped
+
+
 def test_ivf_assign_partitioned_write_prunes_files(spark, vecs_df, tmp_path):
     """The 100 TB IVF deployment story end-to-end: fit a codebook,
     write vectors PARTITIONED BY cell, and confirm a probe-filtered
