@@ -1481,12 +1481,19 @@ _SD_COS = _R6.format(
       f"sqrt(({_QDOT.format(a='eb.qv', b='eb.qv')})::DOUBLE))"
 )
 
-ORACLES["semantic_dedup"] = f"""
+def _semantic_dedup_sql(k: int) -> str:
+    """Full SemDeDup twin parametrized by the cell count: md5-seeded
+    2-iteration Lloyd as CTEs, quantized-argmin assignment, cell cap,
+    within-cell pair sweep, min-id survivors.  k=10 mirrors the
+    explicit-num_cells registry row; k=5 mirrors semantic_dedup_sized,
+    where the Spark side runs the PRODUCTION num_cells=None path and
+    recommended_num_cells(n_vectors=5000) resolves to 5."""
+    return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
 seeds AS (SELECT vec_id, v FROM e
-          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}),
 c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
          AS cell, v AS centroid FROM seeds),
 {_kmeans_iter_sql(1, 'c0')},
@@ -1510,6 +1517,10 @@ dropped AS (
 SELECT vec_id, cell FROM af
 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_sql(10)
+ORACLES["semantic_dedup_sized"] = _semantic_dedup_sql(5)
 
 # -- Aspect-ratio bucketing over the mock pipeline's dimensions -------------
 # Same md5-derived dims as pipeline_e2e (resize_mode='no' keeps every

@@ -1470,6 +1470,22 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(e, num_cells=10, iters=2, threshold=0.3)
 
 
+def q_semantic_dedup_sized(spark, sf_dir):
+    """The PRODUCTION sizing of semantic_dedup — the num_cells=None
+    default, where the cell count comes from recommended_num_cells
+    (occupancy-pinned, the SemDeDup scale rule).  n_vectors is pinned
+    at 5000 (skipping the sizing count, as a catalog estimate would)
+    so the resolved k=5 is sf-invariant and the static Lloyd-in-SQL
+    twin can mirror it — the same precedent as
+    embedding_dup_pairs_lsh_sized giving the runtime-sizing path its
+    own driver-oracle evidence (the explicit-num_cells twin
+    semantic_dedup rotates to EXTRA_QUERIES with its r7 evidence)."""
+    from img2dataset_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_vectors=5000, iters=2, threshold=0.3)
+
+
 def q_semantic_dedup_vs(spark, sf_dir):
     """Cross-corpus SemDeDup (operators/similarity.py): codebook fit on
     the corpus split, both sides assigned, per-cell new x corpus Gram
@@ -1585,6 +1601,7 @@ QUERIES.update(
         "pipeline_route_stats": q_pipeline_route_stats,
         "bm25_topk": q_bm25_topk,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_sized": q_semantic_dedup_sized,
         "semantic_dedup_vs": q_semantic_dedup_vs,
         "aspect_buckets": q_aspect_buckets,
         "phash_dedup": q_phash_dedup,
@@ -1664,15 +1681,21 @@ _EXTRA_NAMES = (
     # simhash formulas (r5-green) and the banded minhash family stays
     # in-window
     "dedup_simhash",
+    # rotated out round 8 (r7-green: CORRECTNESS_r07.json) to make room
+    # for semantic_dedup_sized — the SAME operator through the
+    # production num_cells=None sizing path (lsh_sized precedent); the
+    # explicit-num_cells twin keeps pytest-oracle coverage here
+    "semantic_dedup",
     # rotated out round 7 (r6-green) to make room for phash_dedup; the
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
     "text_langid",
 )
 _FLAGSHIP_FIRST = (
-    # never-before-driver-verified (NEW round 7) — first in line
+    # never-before-driver-verified (NEW round 8) — first in line
+    "semantic_dedup_sized",
+    # NEW round 7, r7-green
     "bm25_topk",
-    "semantic_dedup",
     "semantic_dedup_vs",
     "aspect_buckets",
     "phash_dedup",
