@@ -118,6 +118,7 @@ HEADLINE = [
     "semantic_dedup_auto",
     "semantic_dedup_vs",
     "aspect_buckets",
+    "dedup_phash",
 ]
 
 

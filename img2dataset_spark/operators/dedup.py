@@ -574,6 +574,54 @@ def hamming_pairs64(
     )
 
 
+def dedup_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    phash_col: str = "phash",
+    data_col: str | None = None,
+    max_hamming: int = 4,
+    max_bucket_size: int = 1000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Perceptual dedup SURVIVORS — the composition the pHash family
+    was missing (the minhash family's dedup_survivors twin): banded
+    Hamming pairs (:func:`hamming_pairs64`, pigeonhole full recall) →
+    connected components (transitive closure over a→b→c hash drift) →
+    min-id representatives.  One row per perceptual cluster survives;
+    rows never paired (including NULL hashes — undecodable payloads
+    can't be perceptually compared, so they are kept) all survive.
+
+    Consumes either a precomputed ``phash_col`` — the pipeline's
+    ``PipelineConfig.compute_phash`` metadata column, so a crawl's
+    parquet output dedups without re-decoding — or, with ``data_col``,
+    hashes raw image bytes in-flight through the pure-Python codecs.
+
+    Scale shape: pair generation is the codegen banded join (linear at
+    fixed occupancy), CC is the round-budgeted hybrid
+    (graph.connected_components_auto — near-dup graphs are shallow, so
+    a few frontier-LP rounds close them; pass ``checkpoint_dir`` for
+    preemptible fleets), survivors one AQE-decided left-anti join.
+    Cost ≈ the pair pass + ε, same as the minhash curation chain."""
+    from img2dataset_spark.operators.graph import (
+        connected_components_auto,
+        dedup_representatives,
+    )
+
+    if data_col is not None:
+        from img2dataset_spark.functions.phash import make_phash_udf
+
+        df = df.withColumn(phash_col, make_phash_udf()(F.col(data_col)))
+    pairs = hamming_pairs64(
+        df,
+        hash_col=phash_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+    comps = connected_components_auto(pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir)
+    return dedup_representatives(df, comps, id_col)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1643,3 +1643,41 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(hamming AS INTEGER) AS hamming
 FROM (VALUES {_phash_expected_values()}) AS t(id_a, id_b, hamming)
 """
+
+
+def _dedup_phash_expected_values() -> str:
+    """Expected SURVIVORS of dedup_phash over the synthetic scenes:
+    brute-force hamming<=4 pairs, union-find to min-id components, keep
+    ids that are their own representative.  Independent of the Spark
+    plan (no banding, no CC label propagation, no anti-join) — the same
+    recipe, single-process."""
+    from img2dataset_spark.functions.phash import (
+        hamming64,
+        phash64,
+        synth_payload_image,
+    )
+
+    hs = {i: phash64(synth_payload_image(i)) for i in range(200)}
+    parent = {i: i for i in range(200)}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(200):
+        for b in range(a + 1, 200):
+            if hamming64(hs[a], hs[b]) <= 4:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    survivors = [i for i in range(200) if find(i) == i]
+    assert len(survivors) < 200, "scenes no longer produce any dropouts"
+    return ", ".join(f"({i}, {hs[i]})" for i in survivors)
+
+
+ORACLES["dedup_phash"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(phash AS BIGINT) AS phash
+FROM (VALUES {_dedup_phash_expected_values()}) AS t(doc_id, phash)
+"""

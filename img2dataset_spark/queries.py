@@ -1528,6 +1528,27 @@ def q_phash_dedup(spark, sf_dir):
     return hamming_pairs64(hashed, "phash", max_hamming=4)
 
 
+def q_dedup_phash(spark, sf_dir):
+    """Perceptual dedup SURVIVORS (operators/dedup.dedup_phash): the
+    synthetic-scene corpus of q_phash_dedup composed through banded
+    Hamming pairs -> connected components -> min-id representatives —
+    the pHash twin of dedup_survivors.  data_col mode, so the driver
+    row certifies encode -> decode -> hash -> pair -> CC -> anti-join
+    end-to-end; the oracle is the same recipe computed locally
+    (brute-force pairs + union-find — expected-output oracle,
+    phash_dedup precedent).  Fixed id range (0..199): sf-invariant."""
+    from img2dataset_spark.functions.phash import make_synth_png_udf
+    from img2dataset_spark.operators.dedup import dedup_phash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    png = make_synth_png_udf()
+    payloads = d.select("doc_id", png(F.col("doc_id")).alias("data"))
+    surv = dedup_phash(payloads, data_col="data", max_hamming=4)
+    return surv.select("doc_id", "phash")
+
+
 def q_aspect_buckets(spark, sf_dir):
     """Aspect-ratio bucketing (operators/aspect.py) over the mock
     pipeline's extracted dimensions: nearest equal-area bucket by the
@@ -1605,6 +1626,7 @@ QUERIES.update(
         "semantic_dedup_vs": q_semantic_dedup_vs,
         "aspect_buckets": q_aspect_buckets,
         "phash_dedup": q_phash_dedup,
+        "dedup_phash": q_dedup_phash,
     }
 )
 
@@ -1686,6 +1708,10 @@ _EXTRA_NAMES = (
     # production num_cells=None sizing path (lsh_sized precedent); the
     # explicit-num_cells twin keeps pytest-oracle coverage here
     "semantic_dedup",
+    # rotated out round 8 (r7-green) to make room for dedup_phash — the
+    # SAME pair generation composed through CC + survivors; the pairs
+    # stay oracle-checked here on every pytest run
+    "phash_dedup",
     # rotated out round 7 (r6-green) to make room for phash_dedup; the
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
@@ -1694,11 +1720,11 @@ _EXTRA_NAMES = (
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 8) — first in line
     "semantic_dedup_sized",
+    "dedup_phash",
     # NEW round 7, r7-green
     "bm25_topk",
     "semantic_dedup_vs",
     "aspect_buckets",
-    "phash_dedup",
     # rotated IN round 6, r6-green
     "curation_substr",
     "embedding_dup_pairs_lsh_sized",

@@ -126,6 +126,27 @@ def test_hamming_pairs64_cap_and_nulls(spark):
     assert got == {(101, 102, 1)}
 
 
+def test_dedup_phash_survivors_precomputed_column(spark):
+    """dedup_phash over a precomputed phash column: transitive chains
+    collapse to the min id (a-b and b-c within radius but a-c outside
+    — CC must still merge all three), NULL hashes and singletons
+    survive, original columns pass through."""
+    from img2dataset_spark.operators.dedup import dedup_phash
+
+    # 0-1 hamming 2, 1-2 hamming 2, 0-2 hamming 4: one chain @ radius 2
+    rows = [
+        (0, 0b0000, "a"),
+        (1, 0b0011, "b"),
+        (2, 0b1111, "c"),
+        (3, 0b1010101010101010, "d"),  # singleton
+        (4, None, "e"),  # undecodable: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long, extra string")
+    surv = dedup_phash(df, max_hamming=2)
+    got = {(r["doc_id"], r["extra"]) for r in surv.collect()}
+    assert got == {(0, "a"), (3, "d"), (4, "e")}
+
+
 def test_hamming_pairs64_rejects_degenerate_radius(spark):
     """max_hamming=0 would overflow the single word's int64 mask at
     plan time (exact match is an equality join, not banding); 64+
