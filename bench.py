@@ -114,6 +114,7 @@ HEADLINE = [
     "ingest_wave_e2e",
     "pipeline_e2e",
     "bm25_topk",
+    "bm25_multi_topk",
     "semantic_dedup",
     "semantic_dedup_auto",
     "semantic_dedup_vs",

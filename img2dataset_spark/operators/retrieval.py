@@ -131,3 +131,101 @@ def bm25_topk(
     with a deterministic (score desc, id asc) tie-break."""
     s = bm25_scores(df, query_terms, text_col, id_col, k1, b)
     return s.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_multi_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BATCH BM25: top-k documents for EVERY query in a (query_id,
+    term) DataFrame, in one corpus pass — the shape a real curation
+    audit needs (hundreds of decontamination/curriculum probes scored
+    together, not one driver-loop call per probe).
+
+    Scale shape, relative to the single-query plan:
+      - The ONE corpus explode is pre-filtered by a broadcast semi-ish
+        join against the DISTINCT term set of all queries (replacing
+        the literal `array_contains` — a term list from a DataFrame
+        can be thousands of terms, past the literal-expression
+        comfort zone, but still broadcast-sized).
+      - tf and the term-window df_t are computed ONCE per (doc, term)
+        — a term shared by ten queries is aggregated and idf-scored
+        once, globally (df_t is a corpus property, not a query
+        property), then fanned out to queries by a broadcast join on
+        term.
+      - Per-(query, doc) totals are the same exact fixed-point long
+        sum; top-k is a row_number window partitioned by query_id —
+        per-query state only, bounded by that query's matched docs.
+    Returns (query_id, doc_id, n_terms, score) with at most k rows per
+    query, score floor-rounded to 6 dp, (score desc, id asc) rank
+    order within each query.  Duplicate terms within a query are
+    deduped (scores count each term once, as the single-query path's
+    set(terms) does)."""
+    from pyspark.sql import Window
+
+    qn = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.lower(F.col(term_col)).alias("term"),
+    ).distinct()
+    qterms = qn.select("term").distinct()
+
+    docs = df.select(
+        F.col(id_col), F.col(text_col).alias("_text"),
+        token_count(F.col(text_col)).alias("dl"),
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        docs.select(
+            id_col, "dl", F.explode(tokens(F.col("_text"))).alias("term")
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n_docs
+    idf = F.log(
+        F.lit(1.0) + (n_docs - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tfn = F.col("tf").cast("double")
+    dln = F.col("dl").cast("double")
+    term_score = (
+        idf
+        * tfn
+        * (k1 + 1.0)
+        / (tfn + k1 * (1.0 - b + b * dln / avgdl))
+    )
+    scored = tf.crossJoin(F.broadcast(corpus)).select(
+        id_col,
+        "term",
+        F.floor(term_score * 1e6 + F.lit(0.5)).cast("long").alias("_s6"),
+    )
+    per_q = (
+        scored.join(F.broadcast(qn), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (F.sum("_s6") / F.lit(1e6)).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    )
+    return (
+        per_q.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1470,6 +1470,51 @@ FROM s GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
+# Batch BM25: same tf/df_t/score pipeline, restricted to the union of
+# the probe queries' terms, fanned out per query by a term join, top-10
+# per query by (score desc, doc_id).  Query set mirrored verbatim from
+# queries.q_bm25_multi_topk.
+ORACLES["bm25_multi_topk"] = """
+WITH q(query_id, term) AS (VALUES
+  (0,'spark'), (0,'window'), (0,'merge'),
+  (1,'join'), (1,'filter'),
+  (2,'vector'), (2,'hash'), (2,'stream')),
+docs AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS dl,
+    text
+  FROM documents),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM docs),
+tok AS (
+  SELECT doc_id, dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM docs),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, dl, term),
+tfd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM tf),
+s AS (
+  SELECT doc_id, term,
+    CAST(floor(
+      ln(1.0 + (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5))
+      * CAST(tf AS DOUBLE) * 2.2
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                  / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      * 1e6 + 0.5) AS BIGINT) AS s6
+  FROM tfd, corpus),
+pq AS (
+  SELECT q.query_id, s.doc_id, COUNT(*) AS n_terms, SUM(s6) / 1e6 AS score
+  FROM s JOIN q ON s.term = q.term
+  GROUP BY q.query_id, s.doc_id)
+SELECT query_id, doc_id, n_terms, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM pq) WHERE rn <= 10
+"""
+
 # -- SemDeDup: k-means clustering + within-cell cosine dedup ----------------
 # Reuses the deterministic Lloyd machinery of ann_ivf_fit_topk (same
 # seeds/iterations/quantized argmin), then the quantized-cosine pair

@@ -1460,6 +1460,23 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, ["spark", "window", "merge"], k=20)
 
 
+def q_bm25_multi_topk(spark, sf_dir):
+    """Batch BM25 (operators/retrieval.bm25_multi_topk): three probe
+    queries scored in ONE corpus pass — shared terms tf/idf-computed
+    once, broadcast term-join fan-out, per-query row_number top-k.
+    Query set mirrored verbatim in the oracle's VALUES literal."""
+    from img2dataset_spark.operators.retrieval import bm25_multi_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(0, t) for t in ("spark", "window", "merge")]
+        + [(1, t) for t in ("join", "filter")]
+        + [(2, t) for t in ("vector", "hash", "stream")],
+        "query_id long, term string",
+    )
+    return bm25_multi_topk(d, qdf, k=10)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/similarity.py): deterministic 2-iteration
     k-means clustering, within-cell quantized-cosine pairs, min-id
@@ -1621,6 +1638,7 @@ QUERIES.update(
         "pipeline_verify_hash": q_pipeline_verify_hash,
         "pipeline_route_stats": q_pipeline_route_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_multi_topk": q_bm25_multi_topk,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_sized": q_semantic_dedup_sized,
         "semantic_dedup_vs": q_semantic_dedup_vs,
@@ -1712,6 +1730,10 @@ _EXTRA_NAMES = (
     # SAME pair generation composed through CC + survivors; the pairs
     # stay oracle-checked here on every pytest run
     "phash_dedup",
+    # rotated out round 8 (r7-green) to make room for bm25_multi_topk —
+    # the batch generalization of the same scoring pipeline (shared
+    # formulas); the single-probe twin stays oracle-checked here
+    "bm25_topk",
     # rotated out round 7 (r6-green) to make room for phash_dedup; the
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
@@ -1721,8 +1743,8 @@ _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 8) — first in line
     "semantic_dedup_sized",
     "dedup_phash",
+    "bm25_multi_topk",
     # NEW round 7, r7-green
-    "bm25_topk",
     "semantic_dedup_vs",
     "aspect_buckets",
     # rotated IN round 6, r6-green

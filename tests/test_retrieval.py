@@ -88,3 +88,44 @@ def test_bm25_plan_shape(docs_df):
     )
     assert plan.count("Generate") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_multi_topk_matches_singles(spark, docs_df):
+    """Batch BM25 per query_id equals the single-query path run per
+    query — shared-term tf/df_t computed once must not change scores."""
+    from img2dataset_spark.operators.retrieval import bm25_multi_topk
+
+    qsets = {10: ["spark", "window"], 11: ["merge"], 12: ["window", "join"]}
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in qsets.items() for t in ts],
+        "query_id long, term string",
+    )
+    multi = bm25_multi_topk(docs_df, qdf, k=3).collect()
+    got = {}
+    for r in multi:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_terms"], r["score"])
+        )
+    for qid, terms in qsets.items():
+        want = [
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_topk(docs_df, terms, k=3).collect()
+        ]
+        assert sorted(got[qid]) == sorted(want), qid
+
+
+def test_bm25_multi_topk_plan_shape(spark, docs_df):
+    """Still ONE corpus explode for the whole batch, term filtering via
+    broadcast join below the aggregation, no Python UDF."""
+    from img2dataset_spark.operators.retrieval import bm25_multi_topk
+
+    qdf = spark.createDataFrame(
+        [(0, "spark"), (1, "window")], "query_id long, term string"
+    )
+    plan = (
+        bm25_multi_topk(docs_df, qdf, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
