@@ -574,6 +574,50 @@ def hamming_pairs64(
     )
 
 
+def capped_bucket_stats(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Cap-observability core (SCALE.md "no silent caps"): one
+    hash-aggregate over a banded/celled candidate frame returning a
+    single row (n_buckets, n_capped_buckets, capped_row_mass) — how
+    many candidate groups the ``max_bucket_size`` guard drops whole,
+    and how many banded rows they carried.  The verifiers themselves
+    return empty for over-cap groups with no trace (by design: the hot
+    path stays output-only); callers that need the recall ledger run
+    this one extra agg over the SAME banding expression, so the two
+    can never disagree about what was dropped."""
+    sizes = banded.groupBy(*[F.col(c) for c in key_cols]).count()
+    over = F.col("count") > max_bucket_size
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(over.cast("long")).alias("n_capped_buckets"),
+        F.sum(F.when(over, F.col("count")).otherwise(F.lit(0))).alias(
+            "capped_row_mass"
+        ),
+    )
+
+
+def hamming_bucket_stats(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cap ledger for :func:`hamming_pairs64`: the SAME pigeonhole
+    banding (:func:`hash64_words`), aggregated instead of joined —
+    (n_buckets, n_capped_buckets, capped_row_mass).  A capped (word,
+    value) bucket means every hamming-pair whose ONLY shared word was
+    that bucket is lost; a nonzero counter here is the signal to raise
+    ``max_bucket_size`` or pre-dedup the exact-duplicate hashes that
+    typically cause it (flat images all hashing alike)."""
+    hashes = df.select(id_col, hash_col).filter(F.col(hash_col).isNotNull())
+    banded = hashes.select(
+        F.explode(hash64_words(hash_col, max_hamming)).alias("blk")
+    ).select(F.col("blk.w").alias("w"), F.col("blk.val").alias("val"))
+    return capped_bucket_stats(banded, ["w", "val"], max_bucket_size)
+
+
 def dedup_phash(
     df: DataFrame,
     id_col: str = "doc_id",

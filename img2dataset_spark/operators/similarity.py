@@ -1041,6 +1041,52 @@ def make_bucket_verify_udf(
     return verify
 
 
+def embedding_lsh_bucket_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 32,
+    num_bands: int = 4,
+    max_bucket_size: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """Cap ledger for :func:`embedding_dup_pairs_lsh` (SCALE.md "no
+    silent caps"): the same hyperplane banding, one aggregate —
+    (n_buckets, n_capped_buckets, capped_row_mass).  The bucket
+    verifier returns empty for over-cap bands with no trace; run this
+    (one extra agg over the banded frame) when the recall ledger
+    matters.  A nonzero counter means a degenerate near-identical
+    cluster bigger than the cap — raise ``max_bucket_size``, or raise
+    ``num_planes`` so bands split it."""
+    from img2dataset_spark.operators.dedup import capped_bucket_stats
+
+    bands_udf = make_hyperplane_bands_udf(num_planes, num_bands, dim)
+    banded = df.select(
+        F.explode(bands_udf(F.col(vec_col))).alias("band")
+    )
+    return capped_bucket_stats(banded, ["band"], max_bucket_size)
+
+
+def semantic_dedup_cell_stats(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_size: int = 10_000,
+) -> DataFrame:
+    """Cap ledger for :func:`semantic_dedup_pairs` /
+    :func:`semantic_dedup_pairs_vs`: the same cell assignment, one
+    aggregate — (n_buckets, n_capped_buckets, capped_row_mass) where a
+    "bucket" is a k-means cell.  A nonzero counter means clustering
+    degenerated (cells past ``max_cell_size`` are skipped whole by the
+    per-cell Gram verifier); the fix is more cells —
+    recommended_num_cells pins occupancy exactly so this stays zero."""
+    from img2dataset_spark.operators.dedup import capped_bucket_stats
+
+    assigned = ivf_assign(df, codebook, vec_col, id_col)
+    return capped_bucket_stats(assigned, ["cell"], max_cell_size)
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.98,

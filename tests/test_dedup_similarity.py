@@ -648,6 +648,60 @@ class TestHierarchicalCodebook:
         assert surv == set(cells) - dropped
 
 
+def test_embedding_lsh_bucket_stats_pins_capped_mass(spark):
+    """Cap ledger vs a constructed degenerate cluster: 40 identical
+    vectors band into the same bucket per band; cap 10 flags all 4."""
+    from img2dataset_spark.operators.similarity import (
+        embedding_lsh_bucket_stats,
+    )
+
+    rows = [(i, [1.0] * 64) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    s = embedding_lsh_bucket_stats(
+        df, num_planes=32, num_bands=4, max_bucket_size=10
+    ).collect()[0]
+    assert s["n_buckets"] == 4
+    assert s["n_capped_buckets"] == 4
+    assert s["capped_row_mass"] == 4 * 40
+    # and the verifier really does drop them: zero pairs out
+    from img2dataset_spark.operators.similarity import embedding_dup_pairs_lsh
+
+    assert (
+        embedding_dup_pairs_lsh(
+            df, threshold=0.9, num_planes=32, num_bands=4, max_bucket_size=10
+        ).count()
+        == 0
+    )
+
+
+def test_semantic_dedup_cell_stats_pins_capped_mass(spark, vecs_df):
+    """max_cell_size=1 caps every multi-member cell; the ledger's
+    capped row mass is exactly the rows the Gram verifier skips."""
+    from img2dataset_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        semantic_dedup_cell_stats,
+    )
+
+    vecs = vecs_df.select("vec_id", "embedding")
+    cb = ivf_fit(vecs, num_cells=2, iters=2, vec_col="embedding")
+    sizes = [
+        r["count"]
+        for r in ivf_assign(vecs, cb, vec_col="embedding")
+        .groupBy("cell").count().collect()
+    ]
+    s = semantic_dedup_cell_stats(
+        vecs, cb, vec_col="embedding", max_cell_size=1
+    ).collect()[0]
+    assert s["n_buckets"] == len(sizes)
+    assert s["n_capped_buckets"] == sum(1 for c in sizes if c > 1)
+    assert s["capped_row_mass"] == sum(c for c in sizes if c > 1)
+    ok = semantic_dedup_cell_stats(
+        vecs, cb, vec_col="embedding", max_cell_size=10_000
+    ).collect()[0]
+    assert ok["n_capped_buckets"] == 0 and ok["capped_row_mass"] == 0
+
+
 def test_ivf_assign_partitioned_write_prunes_files(spark, vecs_df, tmp_path):
     """The 100 TB IVF deployment story end-to-end: fit a codebook,
     write vectors PARTITIONED BY cell, and confirm a probe-filtered

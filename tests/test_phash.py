@@ -147,6 +147,25 @@ def test_dedup_phash_survivors_precomputed_column(spark):
     assert got == {(0, "a"), (3, "d"), (4, "e")}
 
 
+def test_hamming_bucket_stats_pins_capped_mass(spark):
+    """The cap ledger counts the constructed degenerate bucket the
+    verifier silently drops: 30 identical hashes over cap 10 occupy
+    all 4 pigeonhole words -> 4 capped buckets; a/b share the zero
+    words 2-3 with the cluster (32-row buckets) but their private
+    word-1 bucket stays under cap and uncounted."""
+    from img2dataset_spark.operators.dedup import hamming_bucket_stats
+
+    a, b = 0xAAAA0001, 0xAAAA0003
+    rows = [(i, 0) for i in range(30)] + [(100, None), (101, a), (102, b)]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    s = hamming_bucket_stats(df, "phash", max_hamming=3, max_bucket_size=10).collect()[0]
+    assert s["n_capped_buckets"] == 4  # the zero-hash cluster, per word
+    assert s["capped_row_mass"] == 30 + 30 + 32 + 32
+    clean = hamming_bucket_stats(df, "phash", max_hamming=3, max_bucket_size=1000).collect()[0]
+    assert clean["n_capped_buckets"] == 0 and clean["capped_row_mass"] == 0
+    assert clean["n_buckets"] == s["n_buckets"]
+
+
 def test_hamming_pairs64_rejects_degenerate_radius(spark):
     """max_hamming=0 would overflow the single word's int64 mask at
     plan time (exact match is an equality join, not banding); 64+
