@@ -322,6 +322,112 @@ def streaming_wave_admission(
     )
 
 
+def semantic_static_index(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_size: int = 10_000,
+) -> DataFrame:
+    """(cell, _ref_id, _ref_v) index of an EXISTING embedding corpus
+    for stream-static semantic screening: the corpus assigned through
+    the SAME quantized-argmin pass batch SemDeDup uses (ivf_assign),
+    with the corpus-side cell cap applied ONCE on the static frame —
+    mirroring semantic_dedup_pairs_vs's corpus-side max_cell_size rule
+    (a giant corpus cell is a degenerate cluster; capping here bounds
+    the stream-static join's fan-out exactly like the batch plan).
+    Persist the result (or write it to parquet): Spark re-reads the
+    static side every micro-batch."""
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(corpus, codebook, vec_col, id_col)
+    ok = (
+        assigned.groupBy("cell")
+        .count()
+        .filter(F.col("count") <= max_cell_size)
+        .select("cell")
+    )
+    return assigned.join(ok, "cell").select(
+        "cell",
+        F.col(id_col).alias("_ref_id"),
+        F.col("v").alias("_ref_v"),
+    )
+
+
+def streaming_semantic_flags(
+    stream: DataFrame,
+    index: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    threshold: float = 0.98,
+    dim: int = 64,
+) -> DataFrame:
+    """Ingestion-time SEMANTIC screening — the embedding twin that
+    completes the batch/stream screening triple (minhash:
+    streaming_wave_admission, pHash: streaming_phash_flags, semantic:
+    this).  Each streaming vector is cell-assigned with the SAME
+    _assign_cells quantized-argmin matmul batch SemDeDup uses (the
+    codebook must be FLAT — a hierarchical codebook's cogroup hop is
+    not a streaming shape; screening corpora fit the flat ceiling or
+    pass the fine level of a persisted codebook re-keyed flat),
+    stream-static LEFT-joined against ``index``
+    (:func:`semantic_static_index`) on the cell, and verified with the
+    exact 6-dp quantized cosine (make_pair_qcosine_udf) against the
+    shared threshold — so a flagged row means exactly
+    "semantic_dedup_pairs_vs would have paired it with that corpus
+    vector in that cell".
+
+    Emits (id, ts, n_matches, is_semantic_dup) at watermark close;
+    n_matches counts DISTINCT verified corpus neighbors (collect_set,
+    the batch pair-level distinct).  The stream-static join is
+    stateless; the only state is the watermark-bounded aggregation.
+    Verification here is per-(stream row x corpus row) Arrow cosine
+    rather than the batch per-cell Gram matmul: a stream micro-batch
+    is wave-sized and the corpus fan-out is capped per cell, so the
+    pair volume is bounded — bulk re-screens should use the batch
+    semantic_dedup_vs (the lambda split in the module header).
+    Unmatched cells (corpus has nothing there) produce n_matches = 0;
+    rows must carry a non-NULL ``dim``-length vector (they come from
+    an embedder)."""
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        make_pair_qcosine_udf,
+    )
+
+    if "level" in codebook.columns:
+        raise ValueError(
+            "streaming_semantic_flags requires a FLAT codebook (cell, "
+            "centroid); the hierarchical cogroup hop is not a streaming "
+            "shape"
+        )
+    e = stream.select(
+        F.col(id_col), F.col(ts_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    assigned = _assign_cells(e, codebook, "_v", id_col)
+    hits = ensure_event_time(assigned.join(index, "cell", "left"), ts_col)
+    qcos = make_pair_qcosine_udf(dim)
+    # NULL ref rows (empty/capped corpus cell) ride a zero-vector into
+    # the Arrow verifier so the UDF never sees a None (np.stack would
+    # throw); their cos is NaN, and although Spark orders NaN ABOVE all
+    # numbers the _ref_id null-guard below keeps them from flagging
+    zeros = F.array(*[F.lit(0.0)] * dim)
+    cos6 = qcos(F.col("_v"), F.coalesce(F.col("_ref_v"), zeros))
+    matched = F.when(
+        F.col("_ref_id").isNotNull() & (cos6 >= threshold), F.col("_ref_id")
+    )
+    return (
+        hits.withColumn("_m", matched)
+        .withWatermark(ts_col, watermark)
+        .groupBy(id_col, ts_col)
+        .agg(F.size(F.collect_set("_m")).cast("long").alias("n_matches"))
+        .withColumn("is_semantic_dup", F.col("n_matches") > 0)
+    )
+
+
 def streaming_phash_flags(
     stream: DataFrame,
     index: DataFrame,

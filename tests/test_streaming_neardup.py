@@ -89,3 +89,94 @@ def test_stream_static_neardup_flags(spark, tmp_path):
     want = {r["doc_id"]: r["n"] for r in b.collect()}
     assert {d: n for d, (n, _) in got.items()} == want
     index.unpersist()
+
+
+def test_streaming_semantic_flags_matches_batch(spark, tmp_path):
+    """Stream-static semantic screening agrees with the batch
+    semantic_dedup_pairs_vs verdicts on the sf0.001 embeddings split:
+    same codebook, same quantized assignment, same 6-dp cosine
+    threshold — per-stream-row distinct-match counts must be equal."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.similarity import (
+        ivf_fit,
+        semantic_dedup_pairs_vs,
+    )
+    from img2dataset_spark.streaming.dedup import (
+        semantic_static_index,
+        streaming_semantic_flags,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    wave = e.filter(F.col("vec_id") % 5 == 0)
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    cb = ivf_fit(corpus, num_cells=4, iters=2)
+    threshold = 0.3
+
+    # batch ground truth: distinct corpus neighbors per wave vector
+    bp = semantic_dedup_pairs_vs(
+        wave, corpus, threshold=threshold, codebook=cb
+    ).collect()
+    want: dict[int, set] = {}
+    for p in bp:
+        want.setdefault(p["id_a"], set()).add(p["id_b"])
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = os.path.join(str(tmp_path), "semsrc")
+    batch = wave.select(
+        "vec_id", F.lit(t0).alias("ts"), "embedding"
+    )
+    batch.coalesce(1).write.parquet(src)
+    flush = spark.createDataFrame(
+        [(-1, t0 + dt.timedelta(hours=2), [0.5] * 64)],
+        "vec_id long, ts timestamp, embedding array<float>",
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index = semantic_static_index(corpus, cb).persist()
+    index.count()
+    q = (
+        streaming_semantic_flags(
+            stream, index, cb, threshold=threshold, watermark="10 minutes"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sem_flags")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "semckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["vec_id"]: r for r in spark.table("t_sem_flags").collect()}
+    wave_ids = {r["vec_id"] for r in wave.select("vec_id").collect()}
+    assert set(got) == wave_ids  # every wave row got a verdict
+    assert want, "threshold no longer exercises the matching path"
+    for i in wave_ids:
+        assert got[i]["n_matches"] == len(want.get(i, set())), i
+        assert got[i]["is_semantic_dup"] == (i in want)
+    index.unpersist()
+
+
+def test_streaming_semantic_flags_rejects_hierarchical_codebook(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.similarity import ivf_fit_hierarchical
+    from img2dataset_spark.streaming.dedup import streaming_semantic_flags
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = ivf_fit_hierarchical(e, num_cells=4, iters=1, coarse_cells=2)
+    stream = e.select(
+        "vec_id", F.lit(dt.datetime(2024, 1, 1)).alias("ts"), "embedding"
+    )
+    with pytest.raises(ValueError, match="FLAT codebook"):
+        streaming_semantic_flags(stream, e, cb)
