@@ -65,7 +65,13 @@ INPUT_FORMATS = (
 
 OUTPUT_FORMATS = ("files", "webdataset", "parquet", "tfrecord", "dummy")
 
-RESIZE_MODES = ("no", "keep_ratio", "keep_ratio_largest", "center_crop", "border")
+# "aspect_bucket" is beyond-reference (operators/aspect.py): resize to
+# the nearest equal-area aspect bucket (scale-to-cover + center-crop)
+# so same-bucket rows share one tensor shape — the SDXL training recipe.
+RESIZE_MODES = (
+    "no", "keep_ratio", "keep_ratio_largest", "center_crop", "border",
+    "aspect_bucket",
+)
 
 ENCODE_FORMATS = ("jpg", "png", "webp")
 

@@ -147,10 +147,24 @@ def resize_geometry(
     resize_mode: str,
     image_size: int,
     resize_only_if_bigger: bool,
+    aspect_buckets=None,
 ) -> tuple[int, int]:
-    """Output dimensions per resize mode (resizer.py:178-215)."""
+    """Output dimensions per resize mode (resizer.py:178-215).
+
+    ``aspect_bucket`` (beyond-reference, operators/aspect.py): output
+    dims are the image's nearest equal-area bucket — the SDXL-style
+    training recipe where every batch member shares one tensor shape.
+    ``resize_only_if_bigger`` is ignored for this mode (exact bucket
+    dims are the contract; a passthrough would break same-shape
+    batching), and ``image_size`` plays no role (the bucket set fixes
+    the area)."""
     if resize_mode == "no":
         return w, h
+    if resize_mode == "aspect_bucket":
+        from img2dataset_spark.operators.aspect import nearest_bucket
+
+        _, bw, bh = nearest_bucket(w, h, aspect_buckets)
+        return bw, bh
     if resize_mode in ("keep_ratio", "center_crop"):
         if resize_only_if_bigger and min(w, h) <= image_size:
             return w, h
@@ -227,15 +241,23 @@ def select_interpolation(
     image_size: int,
     upscale: str = "lanczos",
     downscale: str = "area",
+    aspect_buckets=None,
 ) -> str:
     """T7: per-image interpolation choice (resizer.py:114-115,177-198):
     the DOWNSCALE filter when the controlling original side exceeds the
     target (min side for keep_ratio/center_crop, max side for
-    keep_ratio_largest/border), else the UPSCALE filter."""
+    keep_ratio_largest/border), else the UPSCALE filter.  For
+    ``aspect_bucket`` the controlling factor is the cover scale
+    max(bw/w, bh/h): below 1 the resize shrinks."""
     if resize_mode in ("keep_ratio", "center_crop"):
         is_down = min(w, h) > image_size
     elif resize_mode in ("keep_ratio_largest", "border"):
         is_down = max(w, h) > image_size
+    elif resize_mode == "aspect_bucket":
+        from img2dataset_spark.operators.aspect import nearest_bucket
+
+        _, bw, bh = nearest_bucket(w, h, aspect_buckets)
+        is_down = bw < w and bh < h  # cover scale max(bw/w, bh/h) < 1
     else:
         return downscale
     return downscale if is_down else upscale
@@ -266,6 +288,7 @@ def _pil_transform(
     bboxes=None,
     upscale_interpolation: str = "lanczos",
     downscale_interpolation: str = "area",
+    aspect_buckets=None,
 ):  # pragma: no cover - exercised only when PIL is installed
     """Real pixel path, used when PIL is importable."""
     import io
@@ -297,15 +320,27 @@ def _pil_transform(
     else:
         img = img.convert("RGB")
     w, h = img.size
-    nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
+    nw, nh = resize_geometry(
+        w, h, resize_mode, image_size, resize_only_if_bigger, aspect_buckets
+    )
     resample = _pil_filter(
         select_interpolation(
-            w, h, resize_mode, image_size, upscale_interpolation, downscale_interpolation
+            w, h, resize_mode, image_size, upscale_interpolation,
+            downscale_interpolation, aspect_buckets,
         )
     )
-    if resize_mode in ("center_crop", "border") and (nw, nh) != (w, h):
+    if resize_mode in ("center_crop", "border", "aspect_bucket") and (nw, nh) != (w, h):
         if resize_mode == "center_crop":
             sw, sh = _scaled(w, h, image_size / min(w, h))
+            img = _blur(img.resize((sw, sh), resample))
+            left, top = (sw - nw) // 2, (sh - nh) // 2
+            img = img.crop((left, top, left + nw, top + nh))
+        elif resize_mode == "aspect_bucket":
+            # scale-to-cover the bucket, then center-crop to exactly
+            # (bw, bh) — the NovelAI/SDXL recipe; clamp the rounded
+            # cover size so it never undershoots the crop target
+            sw, sh = _scaled(w, h, max(nw / w, nh / h))
+            sw, sh = max(sw, nw), max(sh, nh)
             img = _blur(img.resize((sw, sh), resample))
             left, top = (sw - nw) // 2, (sh - nh) // 2
             img = img.crop((left, top, left + nw, top + nh))
@@ -495,6 +530,7 @@ def _numpy_transform(
     bboxes=None,
     upscale_interpolation: str = "lanczos",
     downscale_interpolation: str = "area",
+    aspect_buckets=None,
 ):
     """Real pixel path without any imaging library: pure-Python PNG and
     baseline-JPEG codecs + numpy resampling (functions/png.py,
@@ -514,13 +550,23 @@ def _numpy_transform(
 
     img = _white_matte(_codec_decode(data))
     h, w = img.shape[:2]
-    nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
-    mode = select_interpolation(
-        w, h, resize_mode, image_size, upscale_interpolation, downscale_interpolation
+    nw, nh = resize_geometry(
+        w, h, resize_mode, image_size, resize_only_if_bigger, aspect_buckets
     )
-    if resize_mode in ("center_crop", "border") and (nw, nh) != (w, h):
+    mode = select_interpolation(
+        w, h, resize_mode, image_size, upscale_interpolation,
+        downscale_interpolation, aspect_buckets,
+    )
+    if resize_mode in ("center_crop", "border", "aspect_bucket") and (nw, nh) != (w, h):
         if resize_mode == "center_crop":
             sw, sh = _scaled(w, h, image_size / min(w, h))
+            img = _blur(resize(img, sw, sh, mode))
+            img = crop_center(img, nw, nh)
+        elif resize_mode == "aspect_bucket":
+            # scale-to-cover + center-crop (NovelAI/SDXL recipe); the
+            # rounded cover size is clamped to never undershoot the crop
+            sw, sh = _scaled(w, h, max(nw / w, nh / h))
+            sw, sh = max(sw, nw), max(sh, nh)
             img = _blur(resize(img, sw, sh, mode))
             img = crop_center(img, nw, nh)
         else:
@@ -557,6 +603,7 @@ def make_transform_fn(
     mock: bool = False,
     upscale_interpolation: str = "lanczos",
     downscale_interpolation: str = "area",
+    aspect_buckets=None,
 ):
     """Row-level transform closure shared by the pandas UDF and unit tests:
     (data, bboxes) -> (data, width, height, original_width, original_height,
@@ -580,7 +627,9 @@ def make_transform_fn(
         err = check_filters(w, h, min_image_size, max_image_area, max_aspect_ratio)
         if err is not None:
             return null + (err,)
-        nw, nh = resize_geometry(w, h, resize_mode, image_size, resize_only_if_bigger)
+        nw, nh = resize_geometry(
+            w, h, resize_mode, image_size, resize_only_if_bigger, aspect_buckets
+        )
         n_boxes = 0 if bboxes is None else len(bboxes)
         if mock:
             out = data if (nw, nh) == (w, h) else mock_encode(data, nw, nh)
@@ -605,6 +654,7 @@ def make_transform_fn(
                     encode_format, encode_quality, bboxes=bboxes,
                     upscale_interpolation=upscale_interpolation,
                     downscale_interpolation=downscale_interpolation,
+                    aspect_buckets=aspect_buckets,
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)
@@ -648,6 +698,7 @@ def make_transform_fn(
                     bboxes=bboxes,
                     upscale_interpolation=upscale_interpolation,
                     downscale_interpolation=downscale_interpolation,
+                    aspect_buckets=aspect_buckets,
                 )
             except Exception as e:
                 return null + (str(e) or type(e).__name__,)

@@ -49,6 +49,23 @@ ASPECT_BUCKETS: list[tuple[int, int]] = [
 ]
 
 
+def nearest_bucket(
+    w: int, h: int, buckets: list[tuple[int, int]] | None = None
+) -> tuple[int, int, int]:
+    """(bucket_id, bucket_w, bucket_h) for positive dims — the plain-
+    Python mirror of :func:`assign_aspect_bucket`'s codegen metric
+    (same single IEEE division of exact integer products, same
+    smaller-id tie-break via tuple ordering), used by the transform
+    UDF's ``resize_mode="aspect_bucket"`` so the pixel path and the
+    relational bucketing can never disagree about an image's bucket."""
+    bl = buckets if buckets is not None else ASPECT_BUCKETS
+    m, i, bw, bh = min(
+        (max(w * bh, h * bw) / min(w * bh, h * bw), i, bw, bh)
+        for i, (bw, bh) in enumerate(bl)
+    )
+    return i, bw, bh
+
+
 def _stretch(w: Column, h: Column, bw: int, bh: int) -> Column:
     """max(a/r, r/a) for a = w/h, r = bw/bh, as a single division of
     exact integer products — the log-free nearest-aspect metric."""

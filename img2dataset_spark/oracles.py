@@ -1609,6 +1609,57 @@ SELECT bucket_id, bucket_w, bucket_h,
 FROM asg GROUP BY bucket_id, bucket_w, bucket_h
 """
 
+# resize_mode='aspect_bucket' through the pipeline: the SAME bucket
+# metric as ORACLES["aspect_buckets"], driving the mock re-encode dims.
+# Defined AFTER _aspect_bucket_values (f-string ordering).
+ORACLES["pipeline_aspect_resize"] = f"""
+WITH base AS ({_PIPE_BASE}),
+f AS (
+  SELECT doc_id,
+    CASE WHEN url LIKE '%/missing/%' THEN '{_404_MSG}'
+         WHEN url LIKE '%/disallowed/%' THEN '{_DISALLOWED_MSG}' END AS fetch_error,
+    md5(url) AS m
+  FROM base),
+g AS (
+  SELECT *, repeat(m, 8) AS payload,
+    64 + (ascii(substr(m,1,1))*256 + ascii(substr(m,2,1))) % 1985 AS ow,
+    64 + (ascii(substr(m,3,1))*256 + ascii(substr(m,4,1))) % 1985 AS oh
+  FROM f),
+h AS (
+  SELECT *, CASE WHEN fetch_error IS NOT NULL THEN NULL
+    WHEN least(ow, oh) < 200 THEN 'image too small'
+    WHEN ow*oh > 2000000 THEN 'image area too large'
+    WHEN greatest(ow, oh) / least(ow, oh) > 4.0 THEN 'aspect ratio too large'
+    END AS tr_error
+  FROM g),
+bkt(bucket_id, bucket_w, bucket_h) AS (VALUES {_aspect_bucket_values()}),
+asg AS (
+  SELECT doc_id, bucket_w, bucket_h FROM (
+    SELECT h.doc_id, b.bucket_w, b.bucket_h,
+      row_number() OVER (PARTITION BY h.doc_id ORDER BY
+        CAST(greatest(ow*bucket_h, oh*bucket_w) AS DOUBLE)
+          / least(ow*bucket_h, oh*bucket_w),
+        bucket_id) AS rn
+    FROM h, bkt b
+    WHERE h.fetch_error IS NULL AND h.tr_error IS NULL) WHERE rn = 1)
+SELECT h.doc_id,
+  CASE WHEN fetch_error IS NOT NULL THEN 'failed_to_download'
+       WHEN tr_error IS NOT NULL THEN 'failed_to_resize'
+       ELSE 'success' END AS status,
+  COALESCE(fetch_error, tr_error) AS error_message,
+  a.bucket_w::INTEGER AS width,
+  a.bucket_h::INTEGER AS height,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN ow END::INTEGER
+    AS original_width,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN oh END::INTEGER
+    AS original_height,
+  CASE WHEN fetch_error IS NULL AND tr_error IS NULL THEN
+    CASE WHEN ow = a.bucket_w AND oh = a.bucket_h THEN md5(payload)
+         ELSE md5(md5(payload || '|' || a.bucket_w || 'x' || a.bucket_h))
+    END END AS payload_md5
+FROM h LEFT JOIN asg a ON a.doc_id = h.doc_id
+"""
+
 # -- Cross-corpus SemDeDup --------------------------------------------------
 # Codebook fit on the CORPUS split only (same Lloyd machinery), both
 # sides assigned with the final centroids, per-cell new x corpus cosine

@@ -1330,6 +1330,42 @@ def q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def q_pipeline_aspect_resize(spark, sf_dir):
+    """resize_mode='aspect_bucket' through the full pipeline: T2/T7
+    geometry driven by the image's nearest equal-area aspect bucket
+    (operators/aspect.py) instead of one square size — each success
+    row's (width, height) must be exactly its bucket's dims, and the
+    mock re-encode must reflect them.  The oracle recomputes the bucket
+    assignment independently (the aspect_buckets VALUES metric) and the
+    same mock-encode md5."""
+    from img2dataset_spark.config import PipelineConfig
+    from img2dataset_spark.plans.pipeline import build_pipeline
+
+    cfg = PipelineConfig(
+        url_list="unused",
+        input_format="parquet",
+        caption_col="caption",
+        fetch_mode="mock",
+        number_sample_per_shard=100,
+        min_image_size=200,
+        max_image_area=2_000_000,
+        max_aspect_ratio=4.0,
+        resize_mode="aspect_bucket",
+        compute_hash=None,
+    )
+    df = build_pipeline(spark, cfg, input_df=_pipeline_input(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        "status",
+        "error_message",
+        "width",
+        "height",
+        "original_width",
+        "original_height",
+        F.md5(F.col("jpg")).alias("payload_md5"),
+    )
+
+
 def q_pipeline_verify_hash(spark, sf_dir):
     """P4 inside the full pipeline: verify md5 against a manifest with
     deliberate mismatches (doc_id % 13 == 0)."""
@@ -1635,6 +1671,7 @@ QUERIES.update(
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
         "pipeline_e2e": q_pipeline_e2e,
+        "pipeline_aspect_resize": q_pipeline_aspect_resize,
         "pipeline_verify_hash": q_pipeline_verify_hash,
         "pipeline_route_stats": q_pipeline_route_stats,
         "bm25_topk": q_bm25_topk,
@@ -1734,6 +1771,10 @@ _EXTRA_NAMES = (
     # the batch generalization of the same scoring pipeline (shared
     # formulas); the single-probe twin stays oracle-checked here
     "bm25_topk",
+    # rotated out round 8 (r7-green) to make room for
+    # pipeline_aspect_resize — the SAME bucket metric driving pixel
+    # geometry through the pipeline; the stats view stays here
+    "aspect_buckets",
     # rotated out round 7 (r6-green) to make room for phash_dedup; the
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
@@ -1744,9 +1785,9 @@ _FLAGSHIP_FIRST = (
     "semantic_dedup_sized",
     "dedup_phash",
     "bm25_multi_topk",
+    "pipeline_aspect_resize",
     # NEW round 7, r7-green
     "semantic_dedup_vs",
-    "aspect_buckets",
     # rotated IN round 6, r6-green
     "curation_substr",
     "embedding_dup_pairs_lsh_sized",

@@ -109,3 +109,92 @@ def test_pure_codegen_no_shuffle_in_assignment(spark):
     )
     assert "Exchange" not in plan  # map-only
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nearest_bucket_mirrors_codegen(spark):
+    """The plain-Python nearest_bucket must agree with the codegen
+    assign_aspect_bucket on a dim sweep (same metric, same tie-break)."""
+    from img2dataset_spark.operators.aspect import (
+        assign_aspect_bucket,
+        nearest_bucket,
+    )
+
+    dims = [(w, h) for w in (64, 333, 512, 1024, 1500, 2048)
+            for h in (64, 400, 1024, 1900)]
+    df = spark.createDataFrame(
+        [(i, w, h) for i, (w, h) in enumerate(dims)],
+        "doc_id long, original_width int, original_height int",
+    )
+    got = {
+        r["doc_id"]: (r["bucket_id"], r["bucket_w"], r["bucket_h"])
+        for r in assign_aspect_bucket(df).collect()
+    }
+    for i, (w, h) in enumerate(dims):
+        assert got[i] == nearest_bucket(w, h), (w, h)
+
+
+def test_aspect_bucket_resize_geometry_and_pixels():
+    """resize_mode='aspect_bucket': geometry is exactly the assigned
+    bucket's dims, and the REAL no-imaging-lib pixel path produces a
+    decodable image of that shape (scale-to-cover + center-crop)."""
+    import numpy as np
+
+    from img2dataset_spark.functions.image import (
+        make_transform_fn,
+        resize_geometry,
+        select_interpolation,
+    )
+    from img2dataset_spark.functions.png import decode_png, encode_png
+    from img2dataset_spark.operators.aspect import nearest_bucket
+
+    for (w, h) in [(2000, 500), (500, 2000), (1024, 1024), (300, 290)]:
+        _, bw, bh = nearest_bucket(w, h)
+        assert resize_geometry(w, h, "aspect_bucket", 256, False) == (bw, bh)
+        # only-if-bigger is documented as ignored for this mode
+        assert resize_geometry(w, h, "aspect_bucket", 256, True) == (bw, bh)
+    # downscale vs upscale selection by the cover scale
+    assert select_interpolation(4000, 1100, "aspect_bucket", 256) == "area"
+    assert select_interpolation(300, 290, "aspect_bucket", 256) == "lanczos"
+
+    # real pixels through the pure-Python codecs
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(120, 400, 3), dtype=np.uint8)  # 400x120
+    data = bytes(encode_png(img))
+    fn = make_transform_fn(resize_mode="aspect_bucket", encode_format="png")
+    out, nw, nh, ow, oh, err = fn(data)
+    assert err is None and (ow, oh) == (400, 120)
+    _, bw, bh = nearest_bucket(400, 120)
+    assert (nw, nh) == (bw, bh)
+    arr = decode_png(out)
+    assert arr.shape[:2] == (bh, bw)
+
+
+def test_pipeline_aspect_bucket_geometry_postcondition(spark):
+    """Every success row of an aspect_bucket pipeline run carries
+    exactly its assigned bucket's dims — the fixtures-style geometry
+    postcondition over the mock pipe."""
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.config import PipelineConfig
+    from img2dataset_spark.operators.aspect import nearest_bucket
+    from img2dataset_spark.plans.pipeline import build_pipeline
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = d.select(
+        F.concat(F.lit("http://x.local/img/"), F.col("doc_id").cast("string"),
+                 F.lit(".jpg")).alias("url"),
+        F.substring("text", 1, 16).alias("caption"),
+        "doc_id",
+    ).limit(80)
+    cfg = PipelineConfig(
+        url_list="unused", input_format="parquet", caption_col="caption",
+        fetch_mode="mock", number_sample_per_shard=100,
+        resize_mode="aspect_bucket", compute_hash=None,
+    )
+    rows = build_pipeline(spark, cfg, input_df=inp).filter(
+        F.col("status") == "success"
+    ).select("width", "height", "original_width", "original_height").collect()
+    assert rows
+    for r in rows:
+        _, bw, bh = nearest_bucket(r["original_width"], r["original_height"])
+        assert (r["width"], r["height"]) == (bw, bh)
