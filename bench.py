@@ -68,10 +68,35 @@ def _q_semantic_dedup_auto(spark, sf_dir):
     return semantic_dedup(e, threshold=0.3)
 
 
+def _q_semantic_dedup_hier(spark, sf_dir):
+    """Bench twin of semantic_dedup with the HIERARCHICAL codebook
+    FORCED at the auto-sized k (the path that auto-engages past
+    FLAT_CODEBOOK_MAX_CELLS): coarse ~sqrt(k) fit + per-coarse-cell
+    applyInPandas fine Lloyd + salted-cogroup assignment.  Not in the
+    registry (hierarchical assignment is the documented two-level IVF
+    approximation, no SQL twin); this entry MEASURES the overhead of
+    the beyond-ceiling plan relative to semantic_dedup_auto at the
+    same corpus, so the flat-vs-hierarchical crossover is a recorded
+    number instead of a guess."""
+    import os as _os
+
+    from img2dataset_spark.operators.similarity import (
+        ivf_fit_hierarchical,
+        recommended_num_cells,
+        semantic_dedup,
+    )
+
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    k = recommended_num_cells(e.count())
+    cb = ivf_fit_hierarchical(e, k, iters=2)
+    return semantic_dedup(e, threshold=0.3, codebook=cb)
+
+
 BENCH_ONLY = {
     "embedding_dup_pairs_lsh_auto": _q_embedding_dup_pairs_lsh_auto,
     "dedup_substring_spans_hashed": _q_dedup_substring_spans_hashed,
     "semantic_dedup_auto": _q_semantic_dedup_auto,
+    "semantic_dedup_hier": _q_semantic_dedup_hier,
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
