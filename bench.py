@@ -145,6 +145,7 @@ HEADLINE = [
     "semantic_dedup_vs",
     "aspect_buckets",
     "dedup_phash",
+    "pipeline_aspect_resize",
 ]
 
 
