@@ -502,10 +502,12 @@ def _assign_cells_hierarchical(
         # centroids sorted ascending by global cell id: first-minimum
         # argmin = smallest cell id on exact ties, the global rule
         a = np.argmin(d2, axis=1)
+        # vectors pass through untouched (Arrow serializes the ndarray
+        # column directly — no per-element Python conversion)
         return pd.DataFrame(
             {
                 id_col: left[id_col].to_numpy(),
-                vec_field: [list(map(float, v)) for v in left[vec_field]],
+                vec_field: left[vec_field].to_numpy(),
                 "cell": cells[a],
             }
         )

@@ -623,6 +623,26 @@ class TestHierarchicalCodebook:
         )
         assert a1 == a8
 
+    def test_hierarchical_codebook_parquet_roundtrip(self, spark, tmp_path):
+        """The deployment story: write the hierarchical codebook to
+        parquet once per corpus version, reload, and assignment is
+        identical — the level/coarse columns carry everything."""
+        import os
+
+        from img2dataset_spark.operators.similarity import (
+            ivf_assign,
+            ivf_fit_hierarchical,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = ivf_fit_hierarchical(e, num_cells=9, iters=1, coarse_cells=3)
+        path = os.path.join(str(tmp_path), "codebook")
+        cb.write.parquet(path)
+        cb2 = spark.read.parquet(path)
+        a1 = sorted((r["vec_id"], r["cell"]) for r in ivf_assign(e, cb).collect())
+        a2 = sorted((r["vec_id"], r["cell"]) for r in ivf_assign(e, cb2).collect())
+        assert a1 == a2
+
     def test_semantic_dedup_through_hierarchical_codebook(self, spark):
         """semantic_dedup survivors with an auto-routed hierarchical
         codebook keep the min-id invariant: every dropped id has a
