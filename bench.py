@@ -117,6 +117,7 @@ HEADLINE = [
     "url_dedup",
     "ann_cosine_topk",
     "ann_ivf_fit_topk",
+    "pq_adc_topk",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",
     "decontamination",

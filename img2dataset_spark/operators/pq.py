@@ -1,0 +1,217 @@
+"""Product quantization (PQ) — compressed embeddings + ADC search.
+
+Beyond-reference operator family (SURVEY §7 M6): at the 100 TB design
+point raw embeddings do not fit the working set (10⁹ vectors × 768
+float32 ≈ 3 TB before replication); the standard answer (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011) splits
+each vector into ``m`` subspaces, k-means-quantizes each subspace
+independently, and stores only the m one-byte-ish code indices —
+a d·4/m-fold compression — then answers queries by Asymmetric Distance
+Computation (ADC): the query precomputes an m×k table of
+query-subvector → centroid distances and a scan SUMS m table lookups
+per row, never touching a float vector.
+
+Spark-first shape:
+
+- **fit** reuses :func:`operators.similarity.ivf_fit` per subspace —
+  the SAME deterministic md5-seeded, decimal-mean, quantized-argmin
+  Lloyd the SQL oracle already mirrors; the codebook is m·k rows
+  (tiny, broadcastable; k ≤ 256 for byte codes).
+- **encode** is ONE Arrow pass with all m sub-codebooks broadcast: per
+  batch, m small (n × d/m) @ (d/m × k) int64 matmuls — no joins, no
+  shuffle, the map-only pass whose output you write once per corpus
+  version (codes + id: ~m bytes/row).
+- **search** is pure codegen: the m×k distance table is EXACT int64
+  (2^-20 fixed-point, same quantization as everything else in this
+  repo), small enough to inline as literal arrays, so the ADC scan is
+  `element_at(lit_array_j, code_j + 1)` summed across subspaces —
+  whole-stage codegen over the codes table, no Python, no UDF, no
+  vector column read.  Top-k is a TakeOrdered.
+
+Exactness (oracle-shared): subspace slicing, quantization, argmin
+tie-breaks (smallest code wins), and the ADC int64 sums are all
+mirrored expression-for-expression in DuckDB SQL, so the registry row
+strict-compares.  ADC distance is an APPROXIMATION of the true
+distance (that is PQ's trade) — what the oracle certifies is that the
+distributed computation of that approximation is bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.similarity import (
+    _QUANT,
+    _as_double,
+    ivf_fit,
+)
+
+
+def _check_geometry(dim: int, num_subspaces: int) -> int:
+    if dim % num_subspaces != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible into {num_subspaces} subspaces"
+        )
+    return dim // num_subspaces
+
+
+def pq_fit(
+    df: DataFrame,
+    num_subspaces: int = 4,
+    num_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Train a PQ codebook: an independent ``num_codes``-cell Lloyd fit
+    (:func:`ivf_fit` — md5 seeds, exact decimal means, quantized
+    argmin) on each of the ``num_subspaces`` vector slices.  Returns
+    (subspace, cell, centroid) with d/m-dim centroids — m·k rows, the
+    whole artifact; persist or write it once per corpus version.
+
+    Scale: each subspace fit scans the corpus slice independently
+    (driver materialization = k centroids per fit, ceiling-gated
+    inside ivf_fit); k ≤ 256 keeps codes byte-sized, and PQ's capacity
+    comes from the PRODUCT k^m, not from big k — so the flat path
+    always suffices here, no hierarchical route needed."""
+    sub_dim = _check_geometry(dim, num_subspaces)
+    parts = []
+    for j in range(num_subspaces):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * sub_dim + 1, sub_dim).alias(
+                "_sub"
+            ),
+        )
+        cb = ivf_fit(sliced, num_codes, iters, vec_col="_sub", id_col=id_col)
+        parts.append(
+            cb.select(
+                F.lit(j).alias("subspace"), "cell", "centroid"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _collect_codebook(codebook: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(QC, nc): quantized centroids stacked [m, k, sub_dim] int64 and
+    their squared norms [m, k] — the broadcastable encode/search
+    artifact.  Missing (cell dropped empty) codes are disallowed by
+    construction at PQ's small k; raises if the grid is ragged."""
+    rows = codebook.select("subspace", "cell", "centroid").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], {})[r["cell"]] = r["centroid"]
+    m = len(by_sub)
+    ks = {len(v) for v in by_sub.values()}
+    if len(ks) != 1:
+        raise ValueError(f"ragged PQ codebook: per-subspace sizes {sorted(ks)}")
+    k = ks.pop()
+    sub_dim = len(next(iter(by_sub[0].values())))
+    C = np.zeros((m, k, sub_dim), dtype=np.float64)
+    for j in range(m):
+        cells = by_sub[j]
+        if sorted(cells) != list(range(k)):
+            raise ValueError(
+                f"subspace {j} has non-contiguous cells {sorted(cells)}; "
+                "refit with fewer codes than distinct training rows"
+            )
+        for c, cent in cells.items():
+            C[j, c] = np.asarray(cent, dtype=np.float64)
+    QC = np.floor(C * _QUANT + 0.5).astype(np.int64)
+    nc = (QC * QC).sum(axis=2)
+    return QC, nc
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<long>) — nearest-centroid code per subspace in
+    ONE Arrow pass with the full codebook broadcast (m·k·d/m values —
+    tiny).  Distances are exact int64 squared-L2 over quantized
+    subvectors and centroids; ties resolve to the smallest code, the
+    repo-wide argmin rule, mirrored in the SQL twin."""
+    from pyspark.sql.functions import pandas_udf
+
+    QC, nc = _collect_codebook(codebook)
+    m, k, sub_dim = QC.shape
+    bc = df.sparkSession.sparkContext.broadcast((QC, nc))
+
+    @pandas_udf("array<long>")
+    def encode(vs: pd.Series) -> pd.Series:
+        b_qc, b_nc = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
+        codes = np.empty((len(V), m), dtype=np.int64)
+        for j in range(m):
+            S = QV[:, j * sub_dim : (j + 1) * sub_dim]
+            d2 = (
+                (S * S).sum(axis=1)[:, None]
+                + b_nc[j][None, :]
+                - 2 * (S @ b_qc[j].T)
+            )
+            codes[:, j] = np.argmin(d2, axis=1)  # first min = smallest code
+        return pd.Series(list(codes))
+
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    return e.select(id_col, encode(F.col("_v")).alias("codes"))
+
+
+def pq_adc_distances(
+    codebook: DataFrame, query_vec: list[float]
+) -> np.ndarray:
+    """The m×k ADC table: exact int64 squared-L2 between each quantized
+    query subvector and each quantized centroid.  Tiny (m·k longs) —
+    inlined as literal arrays into the scan expression by pq_topk."""
+    QC, nc = _collect_codebook(codebook)
+    m, k, sub_dim = QC.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * sub_dim:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * sub_dim}")
+    Q = np.floor(q * _QUANT + 0.5).astype(np.int64)
+    dt = np.empty((m, k), dtype=np.int64)
+    for j in range(m):
+        s = Q[j * sub_dim : (j + 1) * sub_dim]
+        dt[j] = (s * s).sum() + nc[j] - 2 * (QC[j] @ s)
+    return dt
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebook: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus: the query's m×k distance
+    table rides the PLAN as literal arrays and each row's approximate
+    distance is m `element_at` lookups summed — whole-stage codegen,
+    no UDF, no join, no vector column.  Returns (id, adc_dist) with
+    adc_dist the exact int64 sum of quantized subspace distances,
+    ranked (adc_dist asc, id asc), limit ``k``.  The query side is a
+    1-row frame with a `query_vec` column (cosine_topk convention);
+    the table is computed once on the driver from the k·m-row
+    codebook — the one collect, bounded by the codebook size."""
+    qrow = query_df.select("query_vec").collect()
+    if len(qrow) != 1:
+        raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
+    dt = pq_adc_distances(codebook, [float(x) for x in qrow[0]["query_vec"]])
+    m = dt.shape[0]
+    dist = None
+    for j in range(m):
+        # explicit long literals: quantized sub-distances reach ~2^47,
+        # past int32, and F.array needs one element type
+        table = F.array(*[F.lit(int(v)).cast("long") for v in dt[j]])
+        term = F.element_at(table, (F.col("codes")[j] + 1).cast("int"))
+        dist = term if dist is None else dist + term
+    scored = codes_df.select(F.col(id_col), dist.alias("adc_dist"))
+    return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

@@ -653,6 +653,75 @@ FROM af, qq WHERE cell IN (SELECT cell FROM probe)
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
+# -- Product quantization: per-subspace Lloyd + ADC scan --------------------
+# Mirrors operators/pq.py expression-for-expression: each subspace is an
+# independent md5-seeded 2-iteration k-means over the vector SLICE
+# (decimal means, quantized-argmin assignment, smallest-code ties), the
+# ADC table is exact int64 squared-L2 between quantized query subvector
+# and quantized centroids, and the scan sums the per-subspace lookups.
+
+_QL2_N = (
+    "list_sum(list_transform(generate_series(1, {n}), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+
+def _pq_sub_sql(j: int, lo: int, hi: int, k: int, iters: int) -> str:
+    """CTE chain for subspace ``j`` over slice v[lo:hi]: training frame,
+    seeds, ``iters`` Lloyd iterations, final quantized codebook, corpus
+    code assignment, and the query-side ADC distances."""
+    n = hi - lo + 1
+    d_assign = _QL2_N.format(n=n, a="q.qv", b="c.qc")
+    parts = [
+        f"""es{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v,
+  {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM e0),
+seeds{j} AS (SELECT vec_id, v FROM es{j}
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}),
+c{j}x0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+  AS cell, v AS centroid FROM seeds{j})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""cq{j}x{i} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
+  FROM c{j}x{i - 1}),
+a{j}x{i} AS (SELECT vec_id, v, cell FROM (
+  SELECT q.vec_id, q.v, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_assign}, c.cell) AS rn
+  FROM es{j} q, cq{j}x{i} c) WHERE rn = 1),
+d{j}x{i} AS (SELECT cell, i,
+    CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
+  FROM a{j}x{i}, (SELECT unnest(generate_series(1, {n})) AS i)
+  GROUP BY cell, i),
+c{j}x{i} AS (SELECT cell, list(cv ORDER BY i) AS centroid FROM d{j}x{i} GROUP BY cell)"""
+        )
+    parts.append(
+        f"""cqf{j} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
+  FROM c{j}x{iters}),
+code{j} AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_assign}, c.cell) AS rn
+  FROM es{j} q, cqf{j} c) WHERE rn = 1),
+qs{j} AS (SELECT {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM e0 WHERE vec_id = 0),
+qd{j} AS (SELECT c.cell, {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
+  FROM cqf{j} c, qs{j} q)"""
+    )
+    return ",\n".join(parts)
+
+
+ORACLES["pq_adc_topk"] = f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+{_pq_sub_sql(0, 1, 32, 4, 2)},
+{_pq_sub_sql(1, 33, 64, 4, 2)}
+SELECT e0.vec_id, (qd0.d + qd1.d) AS adc_dist
+FROM e0
+JOIN code0 ON code0.vec_id = e0.vec_id
+JOIN code1 ON code1.vec_id = e0.vec_id
+JOIN qd0 ON qd0.cell = code0.cell
+JOIN qd1 ON qd1.cell = code1.cell
+ORDER BY adc_dist ASC, e0.vec_id ASC LIMIT 10
+"""
+
 # -- random-hyperplane LSH near-dup (label-free) ----------------------------
 # Same md5-seeded integer hyperplanes as operators.similarity
 # .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer

@@ -1226,6 +1226,20 @@ def q_ann_ivf_fit_topk(spark, sf_dir):
     return ivf_topk_fitted(assigned, cb, _query_vec(spark, sf_dir), k=10, nprobe=2)
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product quantization end-to-end (operators/pq.py): per-subspace
+    Lloyd codebooks (m=2, k=4 — static so the SQL twin can mirror the
+    seeds), one-pass Arrow encode, and the ADC top-10 scan whose m×k
+    distance table rides the plan as literal arrays (pure codegen —
+    no UDF, no join, no vector read at query time)."""
+    from img2dataset_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    codes = pq_encode(e, cb)
+    return pq_topk(codes, cb, _query_vec(spark, sf_dir), k=10)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1667,6 +1681,7 @@ QUERIES.update(
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,
+        "pq_adc_topk": q_pq_adc_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1775,6 +1790,10 @@ _EXTRA_NAMES = (
     # pipeline_aspect_resize — the SAME bucket metric driving pixel
     # geometry through the pipeline; the stats view stays here
     "aspect_buckets",
+    # rotated out round 8 (r7-green) to make room for pq_adc_topk —
+    # top-k shape covered in-window by bm25 rows and pq's TakeOrdered;
+    # the error-topk query stays oracle-checked here
+    "a2_error_topk",
     # rotated out round 7 (r6-green) to make room for phash_dedup; the
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
@@ -1786,6 +1805,7 @@ _FLAGSHIP_FIRST = (
     "dedup_phash",
     "bm25_multi_topk",
     "pipeline_aspect_resize",
+    "pq_adc_topk",
     # NEW round 7, r7-green
     "semantic_dedup_vs",
     # rotated IN round 6, r6-green
