@@ -118,6 +118,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_fit_topk",
     "pq_adc_topk",
+    "ivfpq_topk",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",
     "decontamination",

@@ -205,13 +205,83 @@ def pq_topk(
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     dt = pq_adc_distances(codebook, [float(x) for x in qrow[0]["query_vec"]])
-    m = dt.shape[0]
+    scored = codes_df.select(F.col(id_col), _adc_expr(dt).alias("adc_dist"))
+    return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+
+
+def _adc_expr(dt: np.ndarray):
+    """The ADC scan expression: sum over subspaces of
+    element_at(literal table_j, codes[j]+1) — pure codegen."""
     dist = None
-    for j in range(m):
+    for j in range(dt.shape[0]):
         # explicit long literals: quantized sub-distances reach ~2^47,
         # past int32, and F.array needs one element type
         table = F.array(*[F.lit(int(v)).cast("long") for v in dt[j]])
         term = F.element_at(table, (F.col("codes")[j] + 1).cast("int"))
         dist = term if dist is None else dist + term
-    scored = codes_df.select(F.col(id_col), dist.alias("adc_dist"))
+    return dist
+
+
+def ivfpq_index(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, codes) — the FAISS-style IVF+PQ index row: coarse IVF
+    cell for pruning plus the PQ code word for the ADC scan.  Two
+    broadcast Arrow passes over one scan; at 100 TB this is the
+    one-off indexing job whose output is written PARTITIONED BY cell
+    (the ivf_assign deployment story), after which a query touches
+    only nprobe cells' code files and never a raw vector."""
+    from img2dataset_spark.operators.similarity import _assign_cells
+
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    tagged = _assign_cells(e, ivf_codebook, "_v", id_col)
+    codes = pq_encode(
+        tagged.select(id_col, F.col("_v").alias(vec_col)),
+        pq_codebook,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    return tagged.select(id_col, "cell").join(codes, id_col)
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned ADC search — the standard large-corpus composition:
+    rank coarse cells by cosine(query, centroid) (the ivf_topk_fitted
+    probe rule, 6-dp rounded, cell-ascending ties), keep the top
+    ``nprobe``, and ADC-scan ONLY those cells' PQ codes.  The cell
+    filter is a broadcast join that becomes partition pruning when the
+    index is written partitioned by cell; the scan itself reads
+    m-byte codes, not vectors.  Returns (id, adc_dist), exact int64
+    sums, (adc_dist asc, id asc) top-k."""
+    from img2dataset_spark.operators.similarity import cosine, round6
+
+    q = F.broadcast(query_df.select("query_vec"))
+    probed = (
+        ivf_codebook.crossJoin(q)
+        .select(
+            "cell",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    qrow = query_df.select("query_vec").collect()
+    if len(qrow) != 1:
+        raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
+    dt = pq_adc_distances(pq_codebook, [float(x) for x in qrow[0]["query_vec"]])
+    scored = pruned.select(F.col(id_col), _adc_expr(dt).alias("adc_dist"))
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

@@ -722,6 +722,46 @@ JOIN qd1 ON qd1.cell = code1.cell
 ORDER BY adc_dist ASC, e0.vec_id ASC LIMIT 10
 """
 
+# IVF+PQ composition: the ann_ivf_fit_topk coarse fit + probe restricts
+# the ADC scan to the top-nprobe cells' codes.  Reuses _kmeans_iter_sql
+# (coarse, names c0/c1/c2) and _pq_sub_sql (subspaces, names c{j}x{i})
+# — distinct CTE namespaces by construction.
+ORACLES["ivfpq_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
+  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+e0 AS (SELECT vec_id, v FROM e),
+{_pq_sub_sql(0, 1, 32, 4, 2)},
+{_pq_sub_sql(1, 33, 64, 4, 2)}
+SELECT e.vec_id, (qd0.d + qd1.d) AS adc_dist
+FROM e
+JOIN af ON af.vec_id = e.vec_id
+JOIN code0 ON code0.vec_id = e.vec_id
+JOIN code1 ON code1.vec_id = e.vec_id
+JOIN qd0 ON qd0.cell = code0.cell
+JOIN qd1 ON qd1.cell = code1.cell
+WHERE af.cell IN (SELECT cell FROM probe)
+ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
+"""
+
 # -- random-hyperplane LSH near-dup (label-free) ----------------------------
 # Same md5-seeded integer hyperplanes as operators.similarity
 # .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer

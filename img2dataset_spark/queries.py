@@ -1240,6 +1240,24 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_topk(codes, cb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """The FAISS-style IVF+PQ composition end-to-end: 10-cell coarse
+    codebook (ann_ivf_fit_topk's fit), 2×4 PQ codebook, one indexing
+    pass to (id, cell, codes), then a query that probes the top-2
+    cells by centroid cosine and ADC-scans ONLY their codes — the
+    full 100 TB vector-search shape (partition pruning + compressed
+    scan) verified against a SQL twin that recomputes both codebooks,
+    the probe, and the int64 ADC sums."""
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(e, ivf_cb, pq_cb)
+    return ivfpq_topk(idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir), k=10, nprobe=2)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1682,6 +1700,7 @@ QUERIES.update(
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1794,6 +1813,10 @@ _EXTRA_NAMES = (
     # top-k shape covered in-window by bm25 rows and pq's TakeOrdered;
     # the error-topk query stays oracle-checked here
     "a2_error_topk",
+    # rotated out round 8 (r7-green) to make room for ivfpq_topk,
+    # which subsumes its fit + probe (same coarse codebook and cell
+    # ranking) and adds the compressed ADC scan
+    "ann_ivf_fit_topk",
     # rotated out round 7 (r6-green) to make room for phash_dedup; the
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
@@ -1806,6 +1829,7 @@ _FLAGSHIP_FIRST = (
     "bm25_multi_topk",
     "pipeline_aspect_resize",
     "pq_adc_topk",
+    "ivfpq_topk",
     # NEW round 7, r7-green
     "semantic_dedup_vs",
     # rotated IN round 6, r6-green

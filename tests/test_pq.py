@@ -127,3 +127,43 @@ def test_pq_topk_plan_is_codegen(fitted, emb, tmp_path):
     assert "TakeOrderedAndProject" in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "Join", "Exchange"):
         assert bad not in plan, bad
+
+
+def test_ivfpq_topk_scans_only_probed_cells(spark, emb, fitted):
+    """The composition: results come exclusively from the nprobe probed
+    cells, and within them the ranking equals a local ADC recompute."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk,
+        pq_adc_distances,
+    )
+    from img2dataset_spark.operators.similarity import cosine, ivf_fit, round6
+
+    pq_cb, _ = fitted
+    ivf_cb = ivf_fit(emb, num_cells=5, iters=1)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    qdf = spark.createDataFrame([(qvec,)], "query_vec array<double>")
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2).collect()]
+
+    # local ground truth: probe ranking by rounded centroid cosine
+    probe = [
+        r["cell"]
+        for r in ivf_cb.crossJoin(F.broadcast(qdf))
+        .select("cell", round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("s"))
+        .orderBy(F.desc("s"), F.asc("cell")).limit(2).collect()
+    ]
+    rows = idx.collect()
+    dt = pq_adc_distances(pq_cb, qvec)
+    local = sorted(
+        (int(sum(dt[j][c] for j, c in enumerate(r["codes"]))), r["vec_id"])
+        for r in rows if r["cell"] in probe
+    )[:10]
+    assert got == [(v, d) for d, v in local]
+    assert {r["cell"] for r in rows if r["vec_id"] in {v for v, _ in got}} <= set(probe)
