@@ -234,13 +234,14 @@ def ivfpq_index(
     broadcast Arrow passes over one scan; at 100 TB this is the
     one-off indexing job whose output is written PARTITIONED BY cell
     (the ivf_assign deployment story), after which a query touches
-    only nprobe cells' code files and never a raw vector."""
-    from img2dataset_spark.operators.similarity import _assign_cells
+    only nprobe cells' code files and never a raw vector.  Cell
+    assignment goes through :func:`similarity.ivf_assign`, so flat
+    AND hierarchical coarse codebooks both work."""
+    from img2dataset_spark.operators.similarity import ivf_assign
 
-    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    tagged = _assign_cells(e, ivf_codebook, "_v", id_col)
+    tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
     codes = pq_encode(
-        tagged.select(id_col, F.col("_v").alias(vec_col)),
+        tagged.select(id_col, F.col("v").alias(vec_col)),
         pq_codebook,
         vec_col=vec_col,
         id_col=id_col,
@@ -267,6 +268,9 @@ def ivfpq_topk(
     sums, (adc_dist asc, id asc) top-k."""
     from img2dataset_spark.operators.similarity import cosine, round6
 
+    if "level" in ivf_codebook.columns:
+        # hierarchical coarse codebook: assignment cells are FINE ids
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     q = F.broadcast(query_df.select("query_vec"))
     probed = (
         ivf_codebook.crossJoin(q)

@@ -167,3 +167,24 @@ def test_ivfpq_topk_scans_only_probed_cells(spark, emb, fitted):
     )[:10]
     assert got == [(v, d) for d, v in local]
     assert {r["cell"] for r in rows if r["vec_id"] in {v for v, _ in got}} <= set(probe)
+
+
+def test_ivfpq_with_hierarchical_coarse_codebook(spark, emb, fitted):
+    """ivfpq_index/ivfpq_topk accept a hierarchical coarse codebook
+    (the beyond-ceiling IVF path): assignment dispatches through
+    ivf_assign and the probe ranks fine cells only."""
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk
+    from img2dataset_spark.operators.similarity import ivf_fit_hierarchical
+
+    pq_cb, _ = fitted
+    ivf_cb = ivf_fit_hierarchical(emb, num_cells=9, iters=1, coarse_cells=3)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    fine = {r["cell"] for r in ivf_cb.filter(F.col("level") == "fine").collect()}
+    assert {r["cell"] for r in idx.select("cell").distinct().collect()} <= fine
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    top = ivfpq_topk(idx, ivf_cb, pq_cb, q, k=5, nprobe=2).collect()
+    assert len(top) > 0
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
