@@ -119,6 +119,7 @@ HEADLINE = [
     "ann_ivf_fit_topk",
     "pq_adc_topk",
     "ivfpq_topk",
+    "ivfpq_residual_topk",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",
     "decontamination",

@@ -222,12 +222,65 @@ def _adc_expr(dt: np.ndarray):
     return dist
 
 
+def residual_vectors(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, rvec) — each vector minus its coarse cell's centroid,
+    the residual that real IVF+PQ quantizes (residuals cluster tightly
+    around 0, so the same code budget buys far finer resolution than
+    coding raw vectors).  Assignment dispatches through ivf_assign;
+    the subtraction is a broadcast join + zip_with — pure codegen, no
+    UDF beyond the assignment pass itself."""
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    cents = ivf_codebook
+    if "level" in cents.columns:
+        cents = cents.filter(F.col("level") == "fine")
+    cents = F.broadcast(cents.select("cell", "centroid"))
+    return tagged.join(cents, "cell").select(
+        F.col(id_col),
+        "cell",
+        F.zip_with("v", "centroid", lambda x, c: x - c).alias("rvec"),
+    )
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    num_cells: int = 10,
+    num_subspaces: int = 4,
+    num_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the RESIDUAL IVF+PQ pair: coarse codebook on the raw
+    vectors, then one shared PQ codebook on the coarse RESIDUALS
+    (the FAISS IVFPQ recipe — one residual codebook across cells, not
+    k of them).  Returns (ivf_codebook, pq_codebook); feed both to
+    :func:`ivfpq_index` / :func:`ivfpq_topk` with ``residual=True``."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    ivf_cb = ivf_fit(df, num_cells, iters, vec_col, id_col)
+    res = residual_vectors(df, ivf_cb, vec_col, id_col)
+    pq_cb = pq_fit(
+        res, num_subspaces, num_codes, iters,
+        vec_col="rvec", id_col=id_col, dim=dim,
+    )
+    return ivf_cb, pq_cb
+
+
 def ivfpq_index(
     df: DataFrame,
     ivf_codebook: DataFrame,
     pq_codebook: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
     """(id, cell, codes) — the FAISS-style IVF+PQ index row: coarse IVF
     cell for pruning plus the PQ code word for the ADC scan.  Two
@@ -236,9 +289,18 @@ def ivfpq_index(
     (the ivf_assign deployment story), after which a query touches
     only nprobe cells' code files and never a raw vector.  Cell
     assignment goes through :func:`similarity.ivf_assign`, so flat
-    AND hierarchical coarse codebooks both work."""
+    AND hierarchical coarse codebooks both work.
+
+    With ``residual=True`` (pair with :func:`ivfpq_fit`) the codes
+    quantize v − centroid[cell] instead of v — the standard IVFPQ
+    accuracy upgrade; the search side must then also pass
+    ``residual=True`` so its ADC tables are per-probed-cell."""
     from img2dataset_spark.operators.similarity import ivf_assign
 
+    if residual:
+        res = residual_vectors(df, ivf_codebook, vec_col, id_col)
+        codes = pq_encode(res, pq_codebook, vec_col="rvec", id_col=id_col)
+        return res.select(id_col, "cell").join(codes, id_col)
     tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
     codes = pq_encode(
         tagged.select(id_col, F.col("v").alias(vec_col)),
@@ -257,6 +319,7 @@ def ivfpq_topk(
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-pruned ADC search — the standard large-corpus composition:
     rank coarse cells by cosine(query, centroid) (the ivf_topk_fitted
@@ -265,7 +328,13 @@ def ivfpq_topk(
     filter is a broadcast join that becomes partition pruning when the
     index is written partitioned by cell; the scan itself reads
     m-byte codes, not vectors.  Returns (id, adc_dist), exact int64
-    sums, (adc_dist asc, id asc) top-k."""
+    sums, (adc_dist asc, id asc) top-k.
+
+    ``residual=True`` (index built with residual codes): the query's
+    residual — and therefore its ADC table — differs per probed cell,
+    so the scan expression is an nprobe-way CASE over per-cell literal
+    tables: still pure codegen, nprobe·m·k literal longs in the plan
+    (a few hundred KB at FAISS-like settings — plan-sized)."""
     from img2dataset_spark.operators.similarity import cosine, round6
 
     if "level" in ivf_codebook.columns:
@@ -276,16 +345,33 @@ def ivfpq_topk(
         ivf_codebook.crossJoin(q)
         .select(
             "cell",
+            F.col("centroid"),
             round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
         )
         .orderBy(F.desc("c_sim"), F.asc("cell"))
         .limit(nprobe)
-        .select("cell")
     )
-    pruned = index_df.join(F.broadcast(probed), "cell")
+    pruned = index_df.join(F.broadcast(probed.select("cell")), "cell")
     qrow = query_df.select("query_vec").collect()
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
-    dt = pq_adc_distances(pq_codebook, [float(x) for x in qrow[0]["query_vec"]])
-    scored = pruned.select(F.col(id_col), _adc_expr(dt).alias("adc_dist"))
+    qvec = np.asarray([float(x) for x in qrow[0]["query_vec"]], dtype=np.float64)
+    if residual:
+        # nprobe rows: the one collect, bounded by nprobe
+        cells = probed.select("cell", "centroid").collect()
+        dist = None
+        for r in cells:
+            dt = pq_adc_distances(
+                pq_codebook, qvec - np.asarray(r["centroid"], dtype=np.float64)
+            )
+            cond = F.col("cell") == int(r["cell"])
+            dist = (
+                F.when(cond, _adc_expr(dt))
+                if dist is None
+                else dist.when(cond, _adc_expr(dt))
+            )
+        scored = pruned.select(F.col(id_col), dist.alias("adc_dist"))
+    else:
+        dt = pq_adc_distances(pq_codebook, qvec)
+        scored = pruned.select(F.col(id_col), _adc_expr(dt).alias("adc_dist"))
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

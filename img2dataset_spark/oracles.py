@@ -666,10 +666,14 @@ _QL2_N = (
 )
 
 
-def _pq_sub_sql(j: int, lo: int, hi: int, k: int, iters: int) -> str:
+def _pq_sub_sql(
+    j: int, lo: int, hi: int, k: int, iters: int, query: bool = True
+) -> str:
     """CTE chain for subspace ``j`` over slice v[lo:hi]: training frame,
     seeds, ``iters`` Lloyd iterations, final quantized codebook, corpus
-    code assignment, and the query-side ADC distances."""
+    code assignment, and (``query=True``) the query-side ADC distances
+    from e0's vec_id=0 row; residual twins pass query=False and build
+    per-probed-cell qd CTEs themselves."""
     n = hi - lo + 1
     d_assign = _QL2_N.format(n=n, a="q.qv", b="c.qc")
     parts = [
@@ -694,17 +698,18 @@ d{j}x{i} AS (SELECT cell, i,
   GROUP BY cell, i),
 c{j}x{i} AS (SELECT cell, list(cv ORDER BY i) AS centroid FROM d{j}x{i} GROUP BY cell)"""
         )
-    parts.append(
-        f"""cqf{j} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
+    tail = f"""cqf{j} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
   FROM c{j}x{iters}),
 code{j} AS (SELECT vec_id, cell FROM (
   SELECT q.vec_id, c.cell,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_assign}, c.cell) AS rn
-  FROM es{j} q, cqf{j} c) WHERE rn = 1),
+  FROM es{j} q, cqf{j} c) WHERE rn = 1)"""
+    if query:
+        tail += f""",
 qs{j} AS (SELECT {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM e0 WHERE vec_id = 0),
 qd{j} AS (SELECT c.cell, {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
   FROM cqf{j} c, qs{j} q)"""
-    )
+    parts.append(tail)
     return ",\n".join(parts)
 
 
@@ -758,6 +763,57 @@ JOIN code0 ON code0.vec_id = e.vec_id
 JOIN code1 ON code1.vec_id = e.vec_id
 JOIN qd0 ON qd0.cell = code0.cell
 JOIN qd1 ON qd1.cell = code1.cell
+WHERE af.cell IN (SELECT cell FROM probe)
+ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
+"""
+
+# Residual IVF+PQ: the FAISS IVFPQ recipe — PQ codebook fit on the
+# coarse RESIDUALS (e0 below is v - centroid[assigned cell]), and the
+# query's ADC table recomputed per probed cell from the per-cell query
+# residual (qres/qs{j}r/qd{j}r — _pq_sub_sql's query=False mode).
+ORACLES["ivfpq_residual_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
+  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+e0 AS (SELECT e.vec_id,
+         list_transform(generate_series(1, 64), i -> e.v[i] - c.centroid[i]) AS v
+       FROM e JOIN af ON af.vec_id = e.vec_id JOIN c2 c ON c.cell = af.cell),
+{_pq_sub_sql(0, 1, 32, 4, 2, query=False)},
+{_pq_sub_sql(1, 33, 64, 4, 2, query=False)},
+qres AS (SELECT p.cell AS pcell,
+           list_transform(generate_series(1, 64), i -> q.qv[i] - c.centroid[i]) AS v
+         FROM probe p JOIN c2 c ON c.cell = p.cell, qq q),
+qs0r AS (SELECT pcell, {_QUANTIZE.format(v='v[1:32]')} AS qv FROM qres),
+qd0r AS (SELECT q.pcell, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf0 c, qs0r q),
+qs1r AS (SELECT pcell, {_QUANTIZE.format(v='v[33:64]')} AS qv FROM qres),
+qd1r AS (SELECT q.pcell, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf1 c, qs1r q)
+SELECT e.vec_id, (qd0r.d + qd1r.d) AS adc_dist
+FROM e
+JOIN af ON af.vec_id = e.vec_id
+JOIN code0 ON code0.vec_id = e.vec_id
+JOIN code1 ON code1.vec_id = e.vec_id
+JOIN qd0r ON qd0r.cell = code0.cell AND qd0r.pcell = af.cell
+JOIN qd1r ON qd1r.cell = code1.cell AND qd1r.pcell = af.cell
 WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
 """

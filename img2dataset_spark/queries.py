@@ -1258,6 +1258,30 @@ def q_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir), k=10, nprobe=2)
 
 
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """Residual IVF+PQ (the full FAISS IVFPQ recipe): PQ codebook fit
+    on the coarse residuals (v − centroid[cell]), codes quantize
+    residuals, and the query's ADC table is recomputed per probed
+    cell — an nprobe-way CASE of literal tables, still pure codegen.
+    The SQL twin recomputes both codebooks on residuals and the
+    per-cell query tables."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_fit,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb, pq_cb = ivfpq_fit(
+        e, num_cells=10, num_subspaces=2, num_codes=4, iters=2
+    )
+    idx = ivfpq_index(e, ivf_cb, pq_cb, residual=True)
+    return ivfpq_topk(
+        idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir),
+        k=10, nprobe=2, residual=True,
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1701,6 +1725,7 @@ QUERIES.update(
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1817,6 +1842,10 @@ _EXTRA_NAMES = (
     # which subsumes its fit + probe (same coarse codebook and cell
     # ranking) and adds the compressed ADC scan
     "ann_ivf_fit_topk",
+    # rotated out round 8 (r7-green) to make room for
+    # ivfpq_residual_topk; the P5-P7 predicate chain stays live inside
+    # the in-window pipeline_e2e / pipeline_aspect_resize rows
+    "p5p7_predicates",
     # rotated out round 7 (r6-green) to make room for phash_dedup; the
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
@@ -1830,6 +1859,7 @@ _FLAGSHIP_FIRST = (
     "pipeline_aspect_resize",
     "pq_adc_topk",
     "ivfpq_topk",
+    "ivfpq_residual_topk",
     # NEW round 7, r7-green
     "semantic_dedup_vs",
     # rotated IN round 6, r6-green

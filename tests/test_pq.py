@@ -188,3 +188,54 @@ def test_ivfpq_with_hierarchical_coarse_codebook(spark, emb, fitted):
     assert len(top) > 0
     dists = [r["adc_dist"] for r in top]
     assert dists == sorted(dists)
+
+
+def test_ivfpq_residual_matches_local_and_tightens(spark, emb):
+    """Residual codes: (a) the distributed per-probed-cell ADC ranking
+    equals a local recompute; (b) quantizing residuals is TIGHTER than
+    quantizing raw vectors — a corpus member's own approximate distance
+    shrinks (the reason FAISS encodes residuals)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_fit,
+        ivfpq_index,
+        ivfpq_topk,
+        pq_adc_distances,
+        pq_fit,
+    )
+
+    ivf_cb, pq_cb = ivfpq_fit(emb, num_cells=5, num_subspaces=4, num_codes=8, iters=1)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb, residual=True)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           ivfpq_topk(idx, ivf_cb, pq_cb, q, k=10, nprobe=2, residual=True).collect()]
+    assert got[0][0] == 0  # the query's own row ranks first
+
+    # local recompute: per-probed-cell tables over the collected index
+    from img2dataset_spark.operators.similarity import cosine, round6
+
+    qvec = np.asarray(
+        [float(x) for x in q.collect()[0]["query_vec"]], dtype=np.float64
+    )
+    probe = {
+        r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in ivf_cb.crossJoin(F.broadcast(q))
+        .select("cell", "centroid",
+                round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("s"))
+        .orderBy(F.desc("s"), F.asc("cell")).limit(2).collect()
+    }
+    tables = {c: pq_adc_distances(pq_cb, qvec - cen) for c, cen in probe.items()}
+    local = sorted(
+        (int(sum(tables[r["cell"]][j][c] for j, c in enumerate(r["codes"]))),
+         r["vec_id"])
+        for r in idx.collect() if r["cell"] in tables
+    )[:10]
+    assert got == [(v, d) for d, v in local]
+
+    # tightness: own-row ADC distance under residual coding <= raw coding
+    pq_raw = pq_fit(emb, num_subspaces=4, num_codes=8, iters=1)
+    idx_raw = ivfpq_index(emb, ivf_cb, pq_raw)
+    raw = {r["vec_id"]: r["adc_dist"] for r in
+           ivfpq_topk(idx_raw, ivf_cb, pq_raw, q, k=10, nprobe=2).collect()}
+    assert got[0][1] <= raw.get(0, float("inf"))
