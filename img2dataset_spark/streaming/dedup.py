@@ -505,3 +505,203 @@ def streaming_phash_flags(
         .agg(F.size(F.collect_set("_m")).cast("long").alias("n_matches"))
         .withColumn("is_dup", F.col("n_matches") > 0)
     )
+
+
+def streaming_multimodal_admission(
+    stream: DataFrame,
+    text_index: DataFrame,
+    phash_index: DataFrame,
+    semantic_index: DataFrame,
+    codebook: DataFrame,
+    bloom: bytes | None = None,
+    bloom_num_hashes: int = 7,
+    url_col: str = "url",
+    text_col: str = "text",
+    phash_col: str = "phash",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    k: int = 3,
+    mh_num_hashes: int = 32,
+    mh_num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_hamming: int = 4,
+    cosine_threshold: float = 0.98,
+    dim: int = 64,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The WHOLE multimodal ingest-admission story as ONE streaming
+    query: canonical-URL dedup within the watermark, optional Bloom
+    exclusion of historical ids, then all three corpus screens —
+    text MinHash+exact-Jaccard (streaming_wave_admission's stage 3),
+    perceptual pHash pigeonhole+bit_count (streaming_phash_flags),
+    and semantic cell+quantized-cosine (streaming_semantic_flags) —
+    each verified with the SAME expressions its batch twin uses.
+
+    Composition shape: the three screens are built as separate
+    stream-static left joins off the shared deduped base and then
+    UNIONED (tagged by screen) before a single watermark-bounded
+    aggregation — fan-outs ADD (bands + words + cell hits) instead of
+    multiplying as a chained-join plan would, and the plan stays at
+    two stateful operators (dedup + one aggregation), the supported
+    append-mode shape of streaming_wave_admission.  Emits one verdict
+    row per document at watermark close:
+
+        (id, ts, canonical_url, n_text_matches, n_image_matches,
+         n_semantic_matches, admitted)
+
+    with each count = DISTINCT verified corpus matches for that
+    modality and admitted = no historical id hit AND all three counts
+    zero.  NULL text/phash rows pass their screen with 0 matches
+    (placeholder rows, like the twins); vectors must be non-NULL
+    ``dim``-length (they come from an embedder), and the codebook
+    must be flat (streaming_semantic_flags' precondition)."""
+    from img2dataset_spark.functions.text_fast import (
+        make_minhash_bands_udf,
+        make_shingle_h32_udf,
+    )
+    from img2dataset_spark.functions.url import canonical_url
+    from img2dataset_spark.operators.dedup import hash64_words, round6
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        make_pair_qcosine_udf,
+    )
+
+    if "level" in codebook.columns:
+        raise ValueError(
+            "streaming_multimodal_admission requires a FLAT codebook "
+            "(streaming_semantic_flags precondition)"
+        )
+
+    cu = canonical_url(F.col(url_col))
+    key = _row_exempt_key(cu, id_col, ts_col)
+    deduped = (
+        ensure_event_time(
+            stream.withColumn("canonical_url", cu).withColumn("_dedup_key", key),
+            ts_col,
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
+    )
+    if bloom is not None:
+        from img2dataset_spark.operators.bloom import probe_bloom
+
+        base = probe_bloom(deduped, id_col, bloom, bloom_num_hashes, flag_col="_seen")
+    else:
+        base = deduped.withColumn("_seen", F.lit(False))
+    keep = [id_col, ts_col, "canonical_url", "_seen"]
+
+    # --- text screen: minhash bands -> capped index join -> exact jaccard
+    shingle_h32 = make_shingle_h32_udf(k)
+    bands = make_minhash_bands_udf(mh_num_hashes, mh_num_bands)
+    t_banded = base.select(*keep, F.col(text_col)).withColumn(
+        "_ss", shingle_h32(F.col(text_col))
+    ).withColumn(
+        "band",
+        F.explode_outer(F.when(F.size("_ss") > 0, bands(F.col("_ss")))),
+    )
+    t_idx = text_index.select(
+        F.col(id_col).alias("_ref_id"),
+        F.col("shingle_set").alias("_ref_ss"),
+        F.explode("bands").alias("band"),
+    )
+    t_sizes = t_idx.groupBy("band").count()
+    t_idx = t_idx.join(
+        t_sizes.filter(F.col("count") <= max_bucket_size).select("band"), "band"
+    )
+    t_hits = t_banded.join(t_idx, "band", "left")
+    inter = F.size(F.array_intersect("_ss", "_ref_ss"))
+    union = F.size("_ss") + F.size("_ref_ss") - inter
+    jacc = F.when(
+        F.col("_ref_ss").isNotNull() & (union > 0), round6(inter / union)
+    )
+    text_screen = t_hits.select(
+        *keep,
+        F.lit("text").alias("_screen"),
+        F.when(jacc >= jaccard_threshold, F.col("_ref_id")).alias("_match_ref"),
+    )
+
+    # --- image screen: pigeonhole words -> capped index join -> bit_count
+    p_banded = base.select(*keep, F.col(phash_col)).withColumn(
+        "blk",
+        F.explode_outer(
+            F.when(F.col(phash_col).isNotNull(), hash64_words(phash_col, max_hamming))
+        ),
+    ).select(
+        *keep, phash_col,
+        F.col("blk.w").alias("w"), F.col("blk.val").alias("val"),
+    )
+    p_idx = phash_index.select(
+        F.col(id_col).alias("_ref_id"), F.col(phash_col).alias("_ref_hash")
+    ).select(
+        "_ref_id", "_ref_hash",
+        F.explode(hash64_words("_ref_hash", max_hamming)).alias("blk"),
+    ).select(
+        "_ref_id", "_ref_hash",
+        F.col("blk.w").alias("w"), F.col("blk.val").alias("val"),
+    )
+    p_sizes = p_idx.groupBy("w", "val").count()
+    p_idx = p_idx.join(
+        p_sizes.filter(F.col("count") <= max_bucket_size).select("w", "val"),
+        ["w", "val"],
+    )
+    p_hits = p_banded.join(p_idx, ["w", "val"], "left")
+    hd = F.bit_count(F.col(phash_col).bitwiseXOR(F.col("_ref_hash")))
+    image_screen = p_hits.select(
+        *keep,
+        F.lit("image").alias("_screen"),
+        F.when(
+            F.col("_ref_hash").isNotNull() & (hd <= max_hamming), F.col("_ref_id")
+        ).alias("_match_ref"),
+    )
+
+    # --- semantic screen: cell assign -> index join -> quantized cosine
+    s_base = base.select(*keep, _as_double(F.col(vec_col)).alias("_v"))
+    s_assigned = _assign_cells(s_base, codebook, "_v", id_col)
+    s_hits = s_assigned.join(semantic_index, "cell", "left")
+    qcos = make_pair_qcosine_udf(dim)
+    zeros = F.array(*[F.lit(0.0)] * dim)
+    cos6 = qcos(F.col("_v"), F.coalesce(F.col("_ref_v"), zeros))
+    semantic_screen = s_hits.select(
+        *keep,
+        F.lit("semantic").alias("_screen"),
+        F.when(
+            F.col("_ref_id").isNotNull() & (cos6 >= cosine_threshold),
+            F.col("_ref_id"),
+        ).alias("_match_ref"),
+    )
+
+    unioned = text_screen.unionByName(image_screen).unionByName(semantic_screen)
+
+    def _count(screen: str):
+        return F.size(
+            F.collect_set(
+                F.when(F.col("_screen") == screen, F.col("_match_ref"))
+            )
+        ).cast("long")
+
+    return (
+        unioned.groupBy(id_col, ts_col, "canonical_url", "_seen")
+        .agg(
+            _count("text").alias("n_text_matches"),
+            _count("image").alias("n_image_matches"),
+            _count("semantic").alias("n_semantic_matches"),
+        )
+        .select(
+            id_col,
+            ts_col,
+            "canonical_url",
+            "n_text_matches",
+            "n_image_matches",
+            "n_semantic_matches",
+            (
+                ~F.coalesce(F.col("_seen"), F.lit(False))
+                & (F.col("n_text_matches") == 0)
+                & (F.col("n_image_matches") == 0)
+                & (F.col("n_semantic_matches") == 0)
+            ).alias("admitted"),
+        )
+    )

@@ -180,3 +180,147 @@ def test_streaming_semantic_flags_rejects_hierarchical_codebook(spark):
     )
     with pytest.raises(ValueError, match="FLAT codebook"):
         streaming_semantic_flags(stream, e, cb)
+
+
+def test_streaming_multimodal_admission_matches_batch(spark, tmp_path):
+    """The full multimodal admission: URL dedup, bloom, and all three
+    corpus screens in ONE streaming query — per-modality match counts
+    equal the batch twins (minhash_lsh_pairs_vs / hamming_pairs64 /
+    semantic_dedup_pairs_vs) and the verdict composes them."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.bloom import build_bloom
+    from img2dataset_spark.operators.dedup import (
+        build_minhash_index,
+        hamming_pairs64,
+        minhash_lsh_pairs_vs,
+    )
+    from img2dataset_spark.operators.similarity import (
+        ivf_fit,
+        semantic_dedup_pairs_vs,
+    )
+    from img2dataset_spark.streaming.dedup import (
+        semantic_static_index,
+        streaming_multimodal_admission,
+    )
+
+    def vec(i, eps=0.0):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        if eps:
+            v[(i + 1) % 64] = eps
+        return v
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus_rows = [
+        (100, base_text, -4611686018427387904, vec(10)),
+        (101, "completely different corpus words here entirely", 0x1234, vec(20)),
+        (102, "another unrelated corpus document text body", 0x0F0F0F0F0F0F0F0F, vec(30)),
+        (103, "yet more corpus filler words for banding", 0x7070707070707070, vec(40)),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, phash long, embedding array<double>"
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    stream_rows = [
+        # 0: text near-dup of corpus 100
+        (0, base_text.replace("dog", "cat"), 0x5555000000000000, vec(1), "u0"),
+        # 1: phash within hamming 2 of corpus 101
+        (1, "totally fresh words nothing shared one", 0x1234 ^ 3, vec(2), "u1"),
+        # 2: semantic near-dup of corpus 102
+        (2, "totally fresh words nothing shared two", 0x2222000000000000, vec(30, eps=0.01), "u2"),
+        # 3: clean content but historical id (bloom)
+        (3, "totally fresh words nothing shared three", 0x3333000000000000, vec(4), "u3"),
+        # 4 + 5: same canonical url (url dedup), clean content
+        (4, "totally fresh words nothing shared four", 0x0000FFFF00000000, vec(5), "SHARED"),
+        (5, "totally fresh words nothing shared five", 0x0000FFFF00000001, vec(6), "SHARED"),
+        # 6: clean everything
+        (6, "totally fresh words nothing shared six", 0x6666000000000000, vec(7), "u6"),
+    ]
+    wave = spark.createDataFrame(
+        stream_rows,
+        "doc_id long, text string, phash long, embedding array<double>, u string",
+    ).select(
+        "doc_id", "text", "phash", "embedding",
+        F.when(F.col("u") == "SHARED",
+               F.lit("HTTP://Synth.LOCAL:80/img/shared.jpg#frag"))
+         .otherwise(F.concat(F.lit("http://synth.local/img/"), F.col("u")))
+         .alias("url"),
+        F.lit(t0).alias("ts"),
+    )
+
+    bloom = build_bloom(
+        spark.createDataFrame([(3,)], "doc_id long"), "doc_id", 1024, 7
+    )
+    text_index = build_minhash_index(corpus)
+    cb = ivf_fit(corpus, num_cells=2, iters=1, id_col="doc_id")
+    sem_index = semantic_static_index(corpus, cb, id_col="doc_id").persist()
+    sem_index.count()
+
+    # batch ground truths per modality
+    tmatch = {}
+    for p in minhash_lsh_pairs_vs(wave, corpus, jaccard_threshold=0.3).collect():
+        tmatch.setdefault(p["id_a"], set()).add(p["id_b"])
+    union = wave.select("doc_id", "phash").unionByName(
+        corpus.select("doc_id", "phash")
+    )
+    imatch = {}
+    for p in hamming_pairs64(union, "phash", max_hamming=4).collect():
+        lo, hi = p["id_a"], p["id_b"]
+        if lo < 100 and hi >= 100:
+            imatch.setdefault(lo, set()).add(hi)
+    smatch = {}
+    for p in semantic_dedup_pairs_vs(
+        wave, corpus, threshold=0.9, codebook=cb, id_col="doc_id"
+    ).collect():
+        smatch.setdefault(p["id_a"], set()).add(p["id_b"])
+    assert tmatch.get(0) and imatch.get(1) and smatch.get(2), (
+        tmatch, imatch, smatch
+    )
+
+    src = os.path.join(str(tmp_path), "mmsrc")
+    wave.coalesce(1).write.parquet(src)
+    flush = spark.createDataFrame(
+        [(-1, "flush", 0, [0.0] * 64, "http://x/f", t0 + dt.timedelta(hours=2))],
+        wave.schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(wave.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_multimodal_admission(
+            stream, text_index, phash_index=corpus.select("doc_id", "phash"),
+            semantic_index=sem_index, codebook=cb, bloom=bloom,
+            watermark="10 minutes", jaccard_threshold=0.3,
+            max_hamming=4, cosine_threshold=0.9,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_mm_admission")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "mmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"]: r for r in spark.table("t_mm_admission").collect()}
+
+    # url dedup: exactly one of {4, 5} emitted, and it is admitted
+    shared = [i for i in (4, 5) if i in got]
+    assert len(shared) == 1 and got[shared[0]]["admitted"]
+    expected_ids = {0, 1, 2, 3, 6} | set(shared)
+    assert set(got) == expected_ids
+    for i in sorted(expected_ids):
+        r = got[i]
+        assert r["n_text_matches"] == len(tmatch.get(i, set())), i
+        assert r["n_image_matches"] == len(imatch.get(i, set())), i
+        assert r["n_semantic_matches"] == len(smatch.get(i, set())), i
+    assert not got[0]["admitted"] and not got[1]["admitted"]
+    assert not got[2]["admitted"] and not got[3]["admitted"]
+    assert got[6]["admitted"]
+    sem_index.unpersist()
