@@ -166,13 +166,9 @@ def pq_encode(
     return e.select(id_col, encode(F.col("_v")).alias("codes"))
 
 
-def pq_adc_distances(
-    codebook: DataFrame, query_vec: list[float]
-) -> np.ndarray:
-    """The m×k ADC table: exact int64 squared-L2 between each quantized
-    query subvector and each quantized centroid.  Tiny (m·k longs) —
-    inlined as literal arrays into the scan expression by pq_topk."""
-    QC, nc = _collect_codebook(codebook)
+def _adc_table(QC: np.ndarray, nc: np.ndarray, query_vec) -> np.ndarray:
+    """m×k ADC table from a pre-collected codebook: exact int64
+    squared-L2 between each quantized query subvector and centroid."""
     m, k, sub_dim = QC.shape
     q = np.asarray(query_vec, dtype=np.float64)
     if q.shape[0] != m * sub_dim:
@@ -183,6 +179,18 @@ def pq_adc_distances(
         s = Q[j * sub_dim : (j + 1) * sub_dim]
         dt[j] = (s * s).sum() + nc[j] - 2 * (QC[j] @ s)
     return dt
+
+
+def pq_adc_distances(
+    codebook: DataFrame, query_vec: list[float]
+) -> np.ndarray:
+    """The m×k ADC table: exact int64 squared-L2 between each quantized
+    query subvector and each quantized centroid.  Tiny (m·k longs) —
+    inlined as literal arrays into the scan expression by pq_topk.
+    Collects the codebook; callers building MANY tables (the residual
+    per-probed-cell search) collect once and use :func:`_adc_table`."""
+    QC, nc = _collect_codebook(codebook)
+    return _adc_table(QC, nc, query_vec)
 
 
 def pq_topk(
@@ -357,12 +365,14 @@ def ivfpq_topk(
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     qvec = np.asarray([float(x) for x in qrow[0]["query_vec"]], dtype=np.float64)
     if residual:
-        # nprobe rows: the one collect, bounded by nprobe
+        # two bounded collects: nprobe probe rows + the codebook ONCE
+        # (per-cell tables are then local numpy, not per-cell jobs)
         cells = probed.select("cell", "centroid").collect()
+        QC, nc = _collect_codebook(pq_codebook)
         dist = None
         for r in cells:
-            dt = pq_adc_distances(
-                pq_codebook, qvec - np.asarray(r["centroid"], dtype=np.float64)
+            dt = _adc_table(
+                QC, nc, qvec - np.asarray(r["centroid"], dtype=np.float64)
             )
             cond = F.col("cell") == int(r["cell"])
             dist = (
