@@ -23,8 +23,9 @@ Spark-first shape:
   version (codes + id: ~m bytes/row).
 - **search** is pure codegen: the m×k distance table is EXACT int64
   (2^-20 fixed-point, same quantization as everything else in this
-  repo), small enough to inline as literal arrays, so the ADC scan is
-  `element_at(lit_array_j, code_j + 1)` summed across subspaces —
+  repo), small enough to inline as literal (cell -> distance) maps,
+  so the ADC scan is `element_at(lit_map_j, code_j)` summed across
+  subspaces —
   whole-stage codegen over the codes table, no Python, no UDF, no
   vector column read.  Top-k is a TakeOrdered.
 
@@ -99,34 +100,37 @@ def pq_fit(
     return out
 
 
-def _collect_codebook(codebook: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """(QC, nc): quantized centroids stacked [m, k, sub_dim] int64 and
-    their squared norms [m, k] — the broadcastable encode/search
-    artifact.  Missing (cell dropped empty) codes are disallowed by
-    construction at PQ's small k; raises if the grid is ragged."""
+def _collect_codebook(
+    codebook: DataFrame,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """(cells, QC, nc): per-subspace ascending cell-id arrays,
+    quantized centroid matrices (k_j x sub_dim int64) and squared
+    norms — the broadcastable encode/search artifact.  Codes are the
+    ACTUAL cell ids, not dense positions: Lloyd legitimately drops a
+    cell that empties during iteration, so per-subspace id sets may be
+    gapped (and even differently sized); encode maps argmin positions
+    back through cells_j, the ADC lookup is a map (not an indexed
+    array), and the SQL twin joins by cell — all gap-safe."""
     rows = codebook.select("subspace", "cell", "centroid").collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in rows:
         by_sub.setdefault(r["subspace"], {})[r["cell"]] = r["centroid"]
-    m = len(by_sub)
-    ks = {len(v) for v in by_sub.values()}
-    if len(ks) != 1:
-        raise ValueError(f"ragged PQ codebook: per-subspace sizes {sorted(ks)}")
-    k = ks.pop()
-    sub_dim = len(next(iter(by_sub[0].values())))
-    C = np.zeros((m, k, sub_dim), dtype=np.float64)
-    for j in range(m):
-        cells = by_sub[j]
-        if sorted(cells) != list(range(k)):
-            raise ValueError(
-                f"subspace {j} has non-contiguous cells {sorted(cells)}; "
-                "refit with fewer codes than distinct training rows"
-            )
-        for c, cent in cells.items():
-            C[j, c] = np.asarray(cent, dtype=np.float64)
-    QC = np.floor(C * _QUANT + 0.5).astype(np.int64)
-    nc = (QC * QC).sum(axis=2)
-    return QC, nc
+    if sorted(by_sub) != list(range(len(by_sub))):
+        raise ValueError(f"missing subspaces: have {sorted(by_sub)}")
+    dims = {len(c) for v in by_sub.values() for c in v.values()}
+    if len(dims) != 1:
+        raise ValueError(f"inconsistent centroid dims {sorted(dims)}")
+    cells, QC, nc = [], [], []
+    for j in range(len(by_sub)):
+        ids = np.array(sorted(by_sub[j]), dtype=np.int64)
+        C = np.stack(
+            [np.asarray(by_sub[j][int(c)], dtype=np.float64) for c in ids]
+        )
+        Q = np.floor(C * _QUANT + 0.5).astype(np.int64)
+        cells.append(ids)
+        QC.append(Q)
+        nc.append((Q * Q).sum(axis=1))
+    return cells, QC, nc
 
 
 def pq_encode(
@@ -142,13 +146,13 @@ def pq_encode(
     repo-wide argmin rule, mirrored in the SQL twin."""
     from pyspark.sql.functions import pandas_udf
 
-    QC, nc = _collect_codebook(codebook)
-    m, k, sub_dim = QC.shape
-    bc = df.sparkSession.sparkContext.broadcast((QC, nc))
+    cells, QC, nc = _collect_codebook(codebook)
+    m, sub_dim = len(QC), QC[0].shape[1]
+    bc = df.sparkSession.sparkContext.broadcast((cells, QC, nc))
 
     @pandas_udf("array<long>")
     def encode(vs: pd.Series) -> pd.Series:
-        b_qc, b_nc = bc.value
+        b_cells, b_qc, b_nc = bc.value
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
         codes = np.empty((len(V), m), dtype=np.int64)
@@ -159,38 +163,42 @@ def pq_encode(
                 + b_nc[j][None, :]
                 - 2 * (S @ b_qc[j].T)
             )
-            codes[:, j] = np.argmin(d2, axis=1)  # first min = smallest code
+            # centroids sorted ascending by cell id: first-minimum
+            # argmin = smallest cell id on exact ties
+            codes[:, j] = b_cells[j][np.argmin(d2, axis=1)]
         return pd.Series(list(codes))
 
     e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     return e.select(id_col, encode(F.col("_v")).alias("codes"))
 
 
-def _adc_table(QC: np.ndarray, nc: np.ndarray, query_vec) -> np.ndarray:
-    """m×k ADC table from a pre-collected codebook: exact int64
+def _adc_table(QC, nc, query_vec) -> list[np.ndarray]:
+    """Per-subspace ADC distance arrays (aligned with the codebook's
+    cells_j order) from a pre-collected codebook: exact int64
     squared-L2 between each quantized query subvector and centroid."""
-    m, k, sub_dim = QC.shape
+    m, sub_dim = len(QC), QC[0].shape[1]
     q = np.asarray(query_vec, dtype=np.float64)
     if q.shape[0] != m * sub_dim:
         raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * sub_dim}")
     Q = np.floor(q * _QUANT + 0.5).astype(np.int64)
-    dt = np.empty((m, k), dtype=np.int64)
+    dt = []
     for j in range(m):
         s = Q[j * sub_dim : (j + 1) * sub_dim]
-        dt[j] = (s * s).sum() + nc[j] - 2 * (QC[j] @ s)
+        dt.append((s * s).sum() + nc[j] - 2 * (QC[j] @ s))
     return dt
 
 
 def pq_adc_distances(
     codebook: DataFrame, query_vec: list[float]
-) -> np.ndarray:
-    """The m×k ADC table: exact int64 squared-L2 between each quantized
-    query subvector and each quantized centroid.  Tiny (m·k longs) —
-    inlined as literal arrays into the scan expression by pq_topk.
-    Collects the codebook; callers building MANY tables (the residual
-    per-probed-cell search) collect once and use :func:`_adc_table`."""
-    QC, nc = _collect_codebook(codebook)
-    return _adc_table(QC, nc, query_vec)
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """(cells, distances): per-subspace ascending cell-id arrays and
+    the matching exact int64 squared-L2 ADC distances for the query.
+    Tiny (m·k longs) — inlined as literal (cell -> distance) maps into
+    the scan expression by pq_topk.  Collects the codebook; callers
+    building MANY tables (the residual per-probed-cell search) collect
+    once and use :func:`_adc_table`."""
+    cells, QC, nc = _collect_codebook(codebook)
+    return cells, _adc_table(QC, nc, query_vec)
 
 
 def pq_topk(
@@ -212,20 +220,29 @@ def pq_topk(
     qrow = query_df.select("query_vec").collect()
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
-    dt = pq_adc_distances(codebook, [float(x) for x in qrow[0]["query_vec"]])
-    scored = codes_df.select(F.col(id_col), _adc_expr(dt).alias("adc_dist"))
+    cells, dt = pq_adc_distances(
+        codebook, [float(x) for x in qrow[0]["query_vec"]]
+    )
+    scored = codes_df.select(
+        F.col(id_col), _adc_expr(cells, dt).alias("adc_dist")
+    )
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
-def _adc_expr(dt: np.ndarray):
-    """The ADC scan expression: sum over subspaces of
-    element_at(literal table_j, codes[j]+1) — pure codegen."""
+def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray]):
+    """The ADC scan expression: sum over subspaces of a literal
+    (cell id -> distance) MAP lookup on codes[j] — pure codegen
+    (GetMapValue), and gap-safe: codes are actual cell ids, so an
+    indexed-array lookup would break the moment Lloyd drops a cell."""
     dist = None
-    for j in range(dt.shape[0]):
+    for j in range(len(dt)):
         # explicit long literals: quantized sub-distances reach ~2^47,
-        # past int32, and F.array needs one element type
-        table = F.array(*[F.lit(int(v)).cast("long") for v in dt[j]])
-        term = F.element_at(table, (F.col("codes")[j] + 1).cast("int"))
+        # past int32, and map values need one type
+        table = F.map_from_arrays(
+            F.array(*[F.lit(int(c)).cast("long") for c in cells[j]]),
+            F.array(*[F.lit(int(v)).cast("long") for v in dt[j]]),
+        )
+        term = F.element_at(table, F.col("codes")[j])
         dist = term if dist is None else dist + term
     return dist
 
@@ -367,21 +384,23 @@ def ivfpq_topk(
     if residual:
         # two bounded collects: nprobe probe rows + the codebook ONCE
         # (per-cell tables are then local numpy, not per-cell jobs)
-        cells = probed.select("cell", "centroid").collect()
-        QC, nc = _collect_codebook(pq_codebook)
+        probe_rows = probed.select("cell", "centroid").collect()
+        cb_cells, QC, nc = _collect_codebook(pq_codebook)
         dist = None
-        for r in cells:
+        for r in probe_rows:
             dt = _adc_table(
                 QC, nc, qvec - np.asarray(r["centroid"], dtype=np.float64)
             )
             cond = F.col("cell") == int(r["cell"])
             dist = (
-                F.when(cond, _adc_expr(dt))
+                F.when(cond, _adc_expr(cb_cells, dt))
                 if dist is None
-                else dist.when(cond, _adc_expr(dt))
+                else dist.when(cond, _adc_expr(cb_cells, dt))
             )
         scored = pruned.select(F.col(id_col), dist.alias("adc_dist"))
     else:
-        dt = pq_adc_distances(pq_codebook, qvec)
-        scored = pruned.select(F.col(id_col), _adc_expr(dt).alias("adc_dist"))
+        cb_cells, dt = pq_adc_distances(pq_codebook, qvec)
+        scored = pruned.select(
+            F.col(id_col), _adc_expr(cb_cells, dt).alias("adc_dist")
+        )
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

@@ -49,8 +49,8 @@ def test_pq_encode_matches_local_argmin(emb, fitted):
     """The one-pass Arrow encode equals a local numpy recomputation of
     the per-subspace quantized argmin (smallest-code ties)."""
     cb, codes = fitted
-    QC, nc = _collect_codebook(cb)
-    m, k, sub_dim = QC.shape
+    cells, QC, nc = _collect_codebook(cb)
+    m, sub_dim = len(QC), QC[0].shape[1]
     vecs = {
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
         for r in emb.select("vec_id", "embedding").collect()
@@ -62,7 +62,7 @@ def test_pq_encode_matches_local_argmin(emb, fitted):
         for j in range(m):
             s = qv[j * sub_dim : (j + 1) * sub_dim]
             d2 = (s * s).sum() + nc[j] - 2 * (QC[j] @ s)
-            want.append(int(np.argmin(d2)))
+            want.append(int(cells[j][np.argmin(d2)]))
         assert got[vid] == want, vid
 
 
@@ -76,9 +76,10 @@ def test_pq_topk_equals_bruteforce_adc(emb, fitted):
         .select("embedding")
         .collect()[0]["embedding"]
     ]
-    dt = pq_adc_distances(cb, q)
+    cells, dt = pq_adc_distances(cb, q)
+    lut = [dict(zip(c.tolist(), d.tolist())) for c, d in zip(cells, dt)]
     local = sorted(
-        (int(dt[np.arange(len(r["codes"])), r["codes"]].sum()), r["vec_id"])
+        (int(sum(lut[j][c] for j, c in enumerate(r["codes"]))), r["vec_id"])
         for r in codes.collect()
     )[:10]
     qdf = emb.sparkSession.createDataFrame([(q,)], "query_vec array<double>")
@@ -160,9 +161,10 @@ def test_ivfpq_topk_scans_only_probed_cells(spark, emb, fitted):
         .orderBy(F.desc("s"), F.asc("cell")).limit(2).collect()
     ]
     rows = idx.collect()
-    dt = pq_adc_distances(pq_cb, qvec)
+    cbc, dt = pq_adc_distances(pq_cb, qvec)
+    lut = [dict(zip(c.tolist(), d.tolist())) for c, d in zip(cbc, dt)]
     local = sorted(
-        (int(sum(dt[j][c] for j, c in enumerate(r["codes"]))), r["vec_id"])
+        (int(sum(lut[j][c] for j, c in enumerate(r["codes"]))), r["vec_id"])
         for r in rows if r["cell"] in probe
     )[:10]
     assert got == [(v, d) for d, v in local]
@@ -225,7 +227,10 @@ def test_ivfpq_residual_matches_local_and_tightens(spark, emb):
                 round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("s"))
         .orderBy(F.desc("s"), F.asc("cell")).limit(2).collect()
     }
-    tables = {c: pq_adc_distances(pq_cb, qvec - cen) for c, cen in probe.items()}
+    tables = {}
+    for c, cen in probe.items():
+        cbc, dt = pq_adc_distances(pq_cb, qvec - cen)
+        tables[c] = [dict(zip(a.tolist(), d.tolist())) for a, d in zip(cbc, dt)]
     local = sorted(
         (int(sum(tables[r["cell"]][j][c] for j, c in enumerate(r["codes"]))),
          r["vec_id"])
@@ -239,3 +244,34 @@ def test_ivfpq_residual_matches_local_and_tightens(spark, emb):
     raw = {r["vec_id"]: r["adc_dist"] for r in
            ivfpq_topk(idx_raw, ivf_cb, pq_raw, q, k=10, nprobe=2).collect()}
     assert got[0][1] <= raw.get(0, float("inf"))
+
+
+def test_pq_gapped_codebook_is_handled(spark, emb):
+    """Lloyd can drop a cell that empties — encode and search must
+    work with GAPPED cell ids (codes are cell ids, the ADC lookup is
+    a map): construct a codebook missing cell 1 and pin encode codes
+    + the topk ranking against a local recompute."""
+    from img2dataset_spark.operators.pq import pq_adc_distances
+
+    rows = []
+    for j in range(2):
+        for cell, base in [(0, 0.1), (2, 0.5), (3, 0.9)]:  # gap at 1
+            rows.append((j, cell, [base + 0.001 * i for i in range(32)]))
+    cb = spark.createDataFrame(
+        rows, "subspace long, cell long, centroid array<double>"
+    )
+    codes = pq_encode(emb, cb)
+    vals = {c for r in codes.collect() for c in r["codes"]}
+    assert vals <= {0, 2, 3} and vals, vals
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    got = [(r["vec_id"], r["adc_dist"]) for r in pq_topk(codes, cb, q, k=5).collect()]
+    qvec = [float(x) for x in q.collect()[0]["query_vec"]]
+    cells, dt = pq_adc_distances(cb, qvec)
+    lut = [dict(zip(c.tolist(), d.tolist())) for c, d in zip(cells, dt)]
+    local = sorted(
+        (int(sum(lut[j][c] for j, c in enumerate(r["codes"]))), r["vec_id"])
+        for r in codes.collect()
+    )[:5]
+    assert got == [(v, d) for d, v in local]
