@@ -209,8 +209,8 @@ def pq_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: the query's m×k distance
-    table rides the PLAN as literal arrays and each row's approximate
-    distance is m `element_at` lookups summed — whole-stage codegen,
+    table rides the PLAN as literal (cell -> distance) maps and each
+    row's approximate distance is m map lookups summed — whole-stage codegen,
     no UDF, no join, no vector column.  Returns (id, adc_dist) with
     adc_dist the exact int64 sum of quantized subspace distances,
     ranked (adc_dist asc, id asc), limit ``k``.  The query side is a
