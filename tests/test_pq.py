@@ -275,3 +275,29 @@ def test_pq_gapped_codebook_is_handled(spark, emb):
         for r in codes.collect()
     )[:5]
     assert got == [(v, d) for d, v in local]
+
+
+def test_ivfpq_index_partitioned_write_prunes_files(spark, emb, fitted, tmp_path):
+    """The deployment story end-to-end: write the IVF+PQ index
+    PARTITIONED BY cell and confirm a probe-filtered read plans only
+    the probed cells' files (PartitionFilters — a query reads nprobe
+    cells' CODE files, never a vector)."""
+    import os
+
+    from img2dataset_spark.operators.pq import ivfpq_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    pq_cb, _ = fitted
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    out = os.path.join(str(tmp_path), "ivfpq")
+    idx.write.partitionBy("cell").parquet(out)
+    cells = sorted(r["cell"] for r in idx.select("cell").distinct().collect())
+    assert len(cells) > 1
+    probe = cells[:2]
+    rd = spark.read.parquet(out).filter(F.col("cell").isin(probe))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pf
+    want = idx.filter(F.col("cell").isin(probe)).count()
+    assert rd.count() == want > 0
