@@ -718,7 +718,7 @@ WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
             FROM embeddings),
 {_pq_sub_sql(0, 1, 32, 4, 2)},
 {_pq_sub_sql(1, 33, 64, 4, 2)}
-SELECT e0.vec_id, (qd0.d + qd1.d) AS adc_dist
+SELECT e0.vec_id, CAST(qd0.d + qd1.d AS BIGINT) AS adc_dist
 FROM e0
 JOIN code0 ON code0.vec_id = e0.vec_id
 JOIN code1 ON code1.vec_id = e0.vec_id
@@ -756,7 +756,7 @@ probe AS (
 e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2)},
 {_pq_sub_sql(1, 33, 64, 4, 2)}
-SELECT e.vec_id, (qd0.d + qd1.d) AS adc_dist
+SELECT e.vec_id, CAST(qd0.d + qd1.d AS BIGINT) AS adc_dist
 FROM e
 JOIN af ON af.vec_id = e.vec_id
 JOIN code0 ON code0.vec_id = e.vec_id
@@ -807,7 +807,7 @@ qd0r AS (SELECT q.pcell, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
 qs1r AS (SELECT pcell, {_QUANTIZE.format(v='v[33:64]')} AS qv FROM qres),
 qd1r AS (SELECT q.pcell, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
   FROM cqf1 c, qs1r q)
-SELECT e.vec_id, (qd0r.d + qd1r.d) AS adc_dist
+SELECT e.vec_id, CAST(qd0r.d + qd1r.d AS BIGINT) AS adc_dist
 FROM e
 JOIN af ON af.vec_id = e.vec_id
 JOIN code0 ON code0.vec_id = e.vec_id

@@ -3,6 +3,15 @@ and its DuckDB oracle, sort columns by name + rows by value, compare.
 
 Reports BOTH bit-exact equality (what a value-hash would see) and
 approximate float equality (to distinguish real bugs from float jitter).
+
+Round-9 addition: a REPRESENTATION-STRICT hash over the canonicalized
+frame (str-rendered cells, so int64 1000637000000 != float64
+1000637000000.0).  The r8 PQ rows were value-EXACT here yet red at the
+driver because DuckDB list_sum returns HUGEINT (surfaced as float64)
+against Spark's int64 — a dtype drift the old float-tolerant compare
+masked.  EXACT now additionally requires the strict hash to match; a
+value-equal-but-representation-drifted result reads REPR_MISMATCH, so
+local green implies driver green again.
 """
 
 from __future__ import annotations
@@ -35,6 +44,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def strict_hash(df: pd.DataFrame) -> str:
+    """Representation-sensitive value hash of a canonicalized frame:
+    every cell str-rendered with its dtype-native formatting, so an
+    int64 column and a float64 column holding equal values hash
+    DIFFERENTLY (the driver's hash is representation-strict too)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for c in df.columns:
+        h.update(c.encode())
+        for v in df[c]:
+            h.update(str(v).encode())
+            h.update(b"\x00")
+    return h.hexdigest()
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> dict:
@@ -82,6 +107,17 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> dict:
                     i = (~eq).idxmax()
                     first_diff = (c, sv[i], ov[i])
     out["verdict"] = "EXACT" if exact else ("APPROX" if approx else "VALUE_MISMATCH")
+    if exact:
+        # values agree under dtype-tolerant compare; now require the
+        # driver-style representation-strict hash too (int != float)
+        out["strict_hash_match"] = strict_hash(s) == strict_hash(o)
+        if not out["strict_hash_match"]:
+            out["verdict"] = "REPR_MISMATCH"
+            for c in s.columns:
+                if str(s[c].dtype) != str(o[c].dtype):
+                    out.setdefault("dtype_diffs", []).append(
+                        (c, str(s[c].dtype), str(o[c].dtype))
+                    )
     if first_diff:
         out["first_diff"] = first_diff
     return out
