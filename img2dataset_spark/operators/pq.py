@@ -138,12 +138,16 @@ def pq_encode(
     codebook: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<long>) — nearest-centroid code per subspace in
-    ONE Arrow pass with the full codebook broadcast (m·k·d/m values —
-    tiny).  Distances are exact int64 squared-L2 over quantized
-    subvectors and centroids; ties resolve to the smallest code, the
-    repo-wide argmin rule, mirrored in the SQL twin."""
+    """(id, *keep_cols, codes array<long>) — nearest-centroid code per
+    subspace in ONE Arrow pass with the full codebook broadcast
+    (m·k·d/m values — tiny).  Distances are exact int64 squared-L2 over
+    quantized subvectors and centroids; ties resolve to the smallest
+    code, the repo-wide argmin rule, mirrored in the SQL twin.
+    ``keep_cols`` threads extra columns (e.g. the IVF cell) through the
+    same select, so callers never self-join the projection back on id —
+    the r8 double-reference fix for :func:`ivfpq_index`."""
     from pyspark.sql.functions import pandas_udf
 
     cells, QC, nc = _collect_codebook(codebook)
@@ -168,8 +172,12 @@ def pq_encode(
             codes[:, j] = b_cells[j][np.argmin(d2, axis=1)]
         return pd.Series(list(codes))
 
-    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    return e.select(id_col, encode(F.col("_v")).alias("codes"))
+    e = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    return e.select(id_col, *keep_cols, encode(F.col("_v")).alias("codes"))
 
 
 def _adc_table(QC, nc, query_vec) -> list[np.ndarray]:
@@ -266,7 +274,13 @@ def residual_vectors(
     if "level" in cents.columns:
         cents = cents.filter(F.col("level") == "fine")
     cents = F.broadcast(cents.select("cell", "centroid"))
-    return tagged.join(cents, "cell").select(
+    # LEFT join, deliberately: an inner join makes Catalyst infer
+    # isnotnull(cell) and push it below the projection as a Filter that
+    # RE-RUNS the assignment UDF (the expensive-subtree double-reference
+    # shape, plan-pinned in test_ivfpq_index_single_pass_plan).  Every
+    # assigned cell exists in the codebook, so left ≡ inner here — and a
+    # codebook hole now surfaces as a null rvec instead of a silent drop.
+    return tagged.join(cents, "cell", "left").select(
         F.col(id_col),
         "cell",
         F.zip_with("v", "centroid", lambda x, c: x - c).alias("rvec"),
@@ -308,13 +322,18 @@ def ivfpq_index(
     residual: bool = False,
 ) -> DataFrame:
     """(id, cell, codes) — the FAISS-style IVF+PQ index row: coarse IVF
-    cell for pruning plus the PQ code word for the ADC scan.  Two
-    broadcast Arrow passes over one scan; at 100 TB this is the
-    one-off indexing job whose output is written PARTITIONED BY cell
-    (the ivf_assign deployment story), after which a query touches
-    only nprobe cells' code files and never a raw vector.  Cell
-    assignment goes through :func:`similarity.ivf_assign`, so flat
-    AND hierarchical coarse codebooks both work.
+    cell for pruning plus the PQ code word for the ADC scan.  ONE pass
+    over one scan: assignment and encode live in the SAME select
+    (``pq_encode(keep_cols=("cell",))``), so the coarse-assignment
+    Arrow pass — the hottest stage of the one-off 100 TB indexing job —
+    executes exactly once and the corpus is never shuffled on id (the
+    r8 plan self-joined the encode projection back, re-running
+    assignment twice; ``tests/test_pq.py`` pins the single-pass shape).
+    The output is written PARTITIONED BY cell (the ivf_assign
+    deployment story), after which a query touches only nprobe cells'
+    code files and never a raw vector.  Cell assignment goes through
+    :func:`similarity.ivf_assign`, so flat AND hierarchical coarse
+    codebooks both work.
 
     With ``residual=True`` (pair with :func:`ivfpq_fit`) the codes
     quantize v − centroid[cell] instead of v — the standard IVFPQ
@@ -324,16 +343,15 @@ def ivfpq_index(
 
     if residual:
         res = residual_vectors(df, ivf_codebook, vec_col, id_col)
-        codes = pq_encode(res, pq_codebook, vec_col="rvec", id_col=id_col)
-        return res.select(id_col, "cell").join(codes, id_col)
+        return pq_encode(
+            res, pq_codebook, vec_col="rvec", id_col=id_col,
+            keep_cols=("cell",),
+        )
     tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
-    codes = pq_encode(
-        tagged.select(id_col, F.col("v").alias(vec_col)),
-        pq_codebook,
-        vec_col=vec_col,
-        id_col=id_col,
+    return pq_encode(
+        tagged, pq_codebook, vec_col="v", id_col=id_col,
+        keep_cols=("cell",),
     )
-    return tagged.select(id_col, "cell").join(codes, id_col)
 
 
 def ivfpq_topk(

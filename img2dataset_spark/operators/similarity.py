@@ -471,6 +471,22 @@ def _assign_cells_hierarchical(
     fine = codebook.filter(F.col("level") == "fine").select(
         "coarse", "cell", "centroid"
     )
+    # A coarse cell can legitimately end up with ZERO fine children (no
+    # training row landed in it, so fit_cell never saw its group).  For
+    # the training corpus that cell also attracts no rows at assign time
+    # (same codebook, same deterministic argmin), but a FRESH dataset
+    # (semantic_dedup_pairs_vs new side, ivfpq_index over new data) can
+    # land vectors there — and an empty cogroup right side would silently
+    # drop them, breaking the one-row-per-input contract.  Restrict the
+    # coarse hop to cells that HAVE fine centroids: out-of-corpus vectors
+    # re-route to the nearest USABLE coarse cell (the same approximation
+    # IVF already makes), and nothing vanishes.  The semi-join is over
+    # two codebook-sized frames and executes inside the coarse collect.
+    coarse = coarse.join(
+        fine.select(F.col("coarse").alias("cell")).distinct(),
+        "cell",
+        "left_semi",
+    )
     tagged = _assign_cells(e, coarse, vec_field, id_col).withColumnRenamed(
         "cell", "coarse"
     )
@@ -489,8 +505,16 @@ def _assign_cells_hierarchical(
                 "cell": pd.Series([], dtype="int64"),
             }
         )
-        if len(left) == 0 or len(right) == 0:
+        if len(left) == 0:
             return empty
+        if len(right) == 0:
+            # unreachable after the fine-less-coarse filter above; raise
+            # rather than silently dropping rows if it ever regresses
+            raise ValueError(
+                "coarse cell "
+                f"{int(left['coarse'].iloc[0]) if 'coarse' in left else '?'}"
+                " has corpus rows but no fine centroids"
+            )
         right = right.sort_values("cell")
         cells = right["cell"].to_numpy()
         C = np.stack([np.asarray(c, dtype=np.float64) for c in right["centroid"]])

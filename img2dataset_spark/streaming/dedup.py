@@ -416,8 +416,14 @@ def streaming_semantic_flags(
     # numbers the _ref_id null-guard below keeps them from flagging
     zeros = F.array(*[F.lit(0.0)] * dim)
     cos6 = qcos(F.col("_v"), F.coalesce(F.col("_ref_v"), zeros))
+    # ~isnan guard: a zero-NORM STREAM vector against a real corpus
+    # neighbor also yields NaN, and Spark orders NaN above every number
+    # (NaN >= t is TRUE) with _ref_id non-null — without the guard such
+    # a row would be wrongly flagged.  The batch twin's numpy compare
+    # treats NaN >= t as False, so the guard is also batch parity.
     matched = F.when(
-        F.col("_ref_id").isNotNull() & (cos6 >= threshold), F.col("_ref_id")
+        F.col("_ref_id").isNotNull() & ~F.isnan(cos6) & (cos6 >= threshold),
+        F.col("_ref_id"),
     )
     return (
         hits.withColumn("_m", matched)
@@ -669,7 +675,11 @@ def streaming_multimodal_admission(
         *keep,
         F.lit("semantic").alias("_screen"),
         F.when(
-            F.col("_ref_id").isNotNull() & (cos6 >= cosine_threshold),
+            # ~isnan: zero-norm stream vector vs a real neighbor is NaN,
+            # and NaN >= t is TRUE in Spark (see streaming_semantic_flags)
+            F.col("_ref_id").isNotNull()
+            & ~F.isnan(cos6)
+            & (cos6 >= cosine_threshold),
             F.col("_ref_id"),
         ).alias("_match_ref"),
     )

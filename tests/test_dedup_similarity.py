@@ -601,6 +601,54 @@ class TestHierarchicalCodebook:
         got = {r["cell"] for r in assigned.select("cell").distinct().collect()}
         assert got <= fine
 
+    def test_fineless_coarse_cell_reroutes_instead_of_dropping(self, spark):
+        """A coarse cell with NO fine children (possible when Lloyd's
+        final re-assignment empties it) must not swallow out-of-corpus
+        vectors: the coarse hop is restricted to cells that HAVE fine
+        centroids, so every input row comes back exactly once, routed
+        to the nearest USABLE coarse cell's best fine centroid."""
+        from img2dataset_spark.operators.similarity import ivf_assign
+
+        cb = spark.createDataFrame(
+            [
+                (0, 0, [0.0] * 64, "coarse"),
+                (7, 7, [1.0] * 64, "coarse"),  # fine-less coarse cell
+                (0, 0, [0.05] * 64, "fine"),
+                (1, 0, [0.2] * 64, "fine"),
+            ],
+            "cell long, coarse long, centroid array<double>, level string",
+        )
+        data = spark.createDataFrame(
+            [(i, [0.9] * 64) for i in range(10)]  # nearest coarse = 7
+            + [(100 + i, [0.1] * 64) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r["cell"] for r in ivf_assign(data, cb).collect()}
+        assert len(got) == 13  # one-row-per-input: nothing dropped
+        # 0.9-vectors re-route into coarse 0 and pick its nearest fine
+        # centroid (0.2 -> fine cell 1); 0.1-vectors pick 0.05 -> cell 0
+        assert all(got[i] == 1 for i in range(10))
+        assert all(got[100 + i] == 0 for i in range(3))
+
+    def test_cross_dataset_assignment_preserves_rows(self, spark):
+        """ivf_assign with a hierarchical codebook applied to a DIFFERENT
+        dataset than the training corpus returns exactly one row per
+        input (the semantic_dedup_pairs_vs / ivfpq_index-over-fresh-data
+        contract)."""
+        from img2dataset_spark.operators.similarity import (
+            ivf_assign,
+            ivf_fit_hierarchical,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        train = e.filter(F.col("vec_id") < 100)
+        cb = ivf_fit_hierarchical(train, num_cells=9, iters=1, coarse_cells=3)
+        out = ivf_assign(e, cb)  # superset of the training corpus
+        assert out.count() == e.count()
+        fine = {r["cell"] for r in cb.filter(F.col("level") == "fine").collect()}
+        got = {r["cell"] for r in out.select("cell").distinct().collect()}
+        assert got <= fine
+
     def test_assignment_salt_invariant(self, spark):
         """The cogroup salt only bounds group size; the assignment is a
         pure function of (vector, codebook)."""

@@ -277,6 +277,32 @@ def test_pq_gapped_codebook_is_handled(spark, emb):
     assert got == [(v, d) for d, v in local]
 
 
+def test_ivfpq_index_single_pass_plan(spark, emb, fitted):
+    """(id, cell, codes) comes from ONE select: the coarse-assignment
+    Arrow pass — the hottest stage of the 100 TB indexing job —
+    executes exactly once, and the corpus is never self-joined back on
+    id (the r8 plan ran assignment twice and paid a full id-shuffle)."""
+    from img2dataset_spark.operators.pq import ivfpq_fit, ivfpq_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    pq_cb, _ = fitted
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    rivf_cb, rpq_cb = ivfpq_fit(
+        emb, num_cells=4, num_subspaces=4, num_codes=8, iters=1
+    )
+    for idx in (
+        ivfpq_index(emb, ivf_cb, pq_cb),
+        ivfpq_index(emb, rivf_cb, rpq_cb, residual=True),
+    ):
+        assert idx.columns == ["vec_id", "cell", "codes"]
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("assign(") == 1, plan  # assignment UDF once
+        assert plan.count("encode(") == 1, plan
+        for bad in ("SortMergeJoin", "ShuffledHashJoin",
+                    "Exchange hashpartitioning"):
+            assert bad not in plan, bad
+
+
 def test_ivfpq_index_partitioned_write_prunes_files(spark, emb, fitted, tmp_path):
     """The deployment story end-to-end: write the IVF+PQ index
     PARTITIONED BY cell and confirm a probe-filtered read plans only

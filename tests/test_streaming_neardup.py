@@ -164,6 +164,65 @@ def test_streaming_semantic_flags_matches_batch(spark, tmp_path):
     index.unpersist()
 
 
+def test_streaming_semantic_flags_zero_norm_stream_vector_not_flagged(
+    spark, tmp_path
+):
+    """A zero-NORM stream vector joined to a REAL corpus neighbor gives
+    cos=NaN, and Spark orders NaN above every number (NaN >= t is TRUE)
+    — without the ~isnan guard the row would wrongly flag.  The batch
+    twin's numpy compare reads NaN >= t as False; the stream must agree:
+    zero-vector verdict is clean, a genuine near-dup still flags."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        semantic_static_index,
+        streaming_semantic_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [0.5 + 0.001 * i] * 64) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = ivf_fit(corpus, num_cells=1, iters=1)  # one cell: co-assignment
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = os.path.join(str(tmp_path), "zsrc")
+    spark.createDataFrame(
+        [(100, t0, [0.0] * 64), (101, t0, [0.5] * 64)],
+        "vec_id long, ts timestamp, embedding array<float>",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(-1, t0 + dt.timedelta(hours=2), [0.5] * 64)],
+        "vec_id long, ts timestamp, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, ts timestamp, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index = semantic_static_index(corpus, cb).persist()
+    index.count()
+    q = (
+        streaming_semantic_flags(
+            stream, index, cb, threshold=0.9, watermark="10 minutes"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sem_zero")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "zckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["vec_id"]: r for r in spark.table("t_sem_zero").collect()}
+    index.unpersist()
+    assert got[100]["n_matches"] == 0 and not got[100]["is_semantic_dup"]
+    assert got[101]["n_matches"] > 0 and got[101]["is_semantic_dup"]
+
+
 def test_streaming_semantic_flags_rejects_hierarchical_codebook(spark):
     import datetime as dt
 
