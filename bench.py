@@ -92,13 +92,176 @@ def _q_semantic_dedup_hier(spark, sf_dir):
     return semantic_dedup(e, threshold=0.3, codebook=cb)
 
 
+_PQ_ARTIFACTS: dict[str, str] = {}
+
+
+def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
+    """The one-off PQ indexing job, run UNTIMED (PREPARE hook): train
+    codebooks at production-ish settings (m=8 subspaces, k=16 codes,
+    occupancy-pinned coarse cells), encode, and write codebooks + codes
+    + cell-partitioned IVF+PQ indexes to parquet — the artifact a
+    deployment builds once per corpus version.  The *_fitted bench rows
+    then measure ONLY the production query shape: read codebook rows,
+    inline the literal ADC tables, scan compressed codes (pruned to the
+    probed cells' files), TakeOrdered — zero Lloyd fits in the timed
+    region.  Memoized per sf_dir, so the 2-4 timed runs share one
+    build."""
+    if sf_dir in _PQ_ARTIFACTS:
+        return _PQ_ARTIFACTS[sf_dir]
+    import tempfile
+
+    from img2dataset_spark.operators.pq import (
+        ivfpq_fit,
+        ivfpq_index,
+        pq_encode,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import (
+        ivf_fit,
+        recommended_num_cells,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    k_coarse = recommended_num_cells(e.count())
+    base = tempfile.mkdtemp(prefix="pq_fitted_bench_")
+    pq_cb = pq_fit(e, num_subspaces=8, num_codes=16, iters=2)
+    pq_cb.write.parquet(base + "/pq_cb")
+    pq_cb_rd = spark.read.parquet(base + "/pq_cb")
+    pq_encode(e, pq_cb_rd).write.parquet(base + "/codes")
+    pq_encode(e, pq_cb_rd, packed=True).write.parquet(base + "/codes_packed")
+    ivf_cb = ivf_fit(e, num_cells=k_coarse, iters=2)
+    ivf_cb.write.parquet(base + "/ivf_cb")
+    ivfpq_index(
+        e, spark.read.parquet(base + "/ivf_cb"), pq_cb_rd
+    ).write.partitionBy("cell").parquet(base + "/index")
+    rivf_cb, rpq_cb = ivfpq_fit(
+        e, num_cells=k_coarse, num_subspaces=8, num_codes=16, iters=2
+    )
+    rivf_cb.write.parquet(base + "/rivf_cb")
+    rpq_cb.write.parquet(base + "/rpq_cb")
+    ivfpq_index(
+        e,
+        spark.read.parquet(base + "/rivf_cb"),
+        spark.read.parquet(base + "/rpq_cb"),
+        residual=True,
+    ).write.partitionBy("cell").parquet(base + "/rindex")
+    _PQ_ARTIFACTS[sf_dir] = base
+    return base
+
+
+def _fitted_query_vec(spark, sf_dir):
+    from img2dataset_spark.queries import _query_vec
+
+    return _query_vec(spark, sf_dir)
+
+
+def _q_pq_adc_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY PQ bench row: codebook + codes read from parquet
+    (the production shape — pq_adc_topk re-trains its codebooks every
+    run, so its number is fit-dominated; this one is the compressed
+    scan the family exists for)."""
+    from img2dataset_spark.operators.pq import pq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return pq_topk(
+        spark.read.parquet(base + "/codes"),
+        spark.read.parquet(base + "/pq_cb"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
+def _q_pq_adc_topk_fitted_packed(spark, sf_dir):
+    """The packed-codes twin of pq_adc_topk_fitted (byte-packed words,
+    shift+mask slices): same search, smaller scan — the storage A/B."""
+    from img2dataset_spark.operators.pq import pq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return pq_topk(
+        spark.read.parquet(base + "/codes_packed"),
+        spark.read.parquet(base + "/pq_cb"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        packed=True,
+    )
+
+
+def _q_ivfpq_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY IVF+PQ: cell-partitioned index + codebooks from
+    parquet; the timed region is probe-rank -> partition-pruned ADC
+    scan -> TakeOrdered (zero fits)."""
+    from img2dataset_spark.operators.pq import ivfpq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return ivfpq_topk(
+        spark.read.parquet(base + "/index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+    )
+
+
+def _q_ivfpq_refine_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY two-stage refine: compressed ADC top-40 from the
+    pre-built index, exact-cosine re-rank of just those 40 rows via a
+    broadcast semi-join into the raw vector table."""
+    from img2dataset_spark.operators.pq import ivfpq_refine_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivfpq_refine_topk(
+        spark.read.parquet(base + "/index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+        e,
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+        refine_factor=4,
+    )
+
+
+def _q_ivfpq_residual_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY residual IVF+PQ: per-probed-cell literal ADC tables
+    over the pre-built residual index — the full FAISS query shape."""
+    from img2dataset_spark.operators.pq import ivfpq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return ivfpq_topk(
+        spark.read.parquet(base + "/rindex"),
+        spark.read.parquet(base + "/rivf_cb"),
+        spark.read.parquet(base + "/rpq_cb"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+        residual=True,
+    )
+
+
 BENCH_ONLY = {
     "embedding_dup_pairs_lsh_auto": _q_embedding_dup_pairs_lsh_auto,
     "dedup_substring_spans_hashed": _q_dedup_substring_spans_hashed,
     "semantic_dedup_auto": _q_semantic_dedup_auto,
     "semantic_dedup_hier": _q_semantic_dedup_hier,
+    "pq_adc_topk_fitted": _q_pq_adc_topk_fitted,
+    "pq_adc_topk_fitted_packed": _q_pq_adc_topk_fitted_packed,
+    "ivfpq_topk_fitted": _q_ivfpq_topk_fitted,
+    "ivfpq_refine_topk_fitted": _q_ivfpq_refine_topk_fitted,
+    "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
+
+# untimed per-query setup (the one-off indexing job the *_fitted rows
+# search against); memoized, so the four rows share one build
+PREPARE = {
+    "pq_adc_topk_fitted": _pq_fitted_artifacts,
+    "pq_adc_topk_fitted_packed": _pq_fitted_artifacts,
+    "ivfpq_topk_fitted": _pq_fitted_artifacts,
+    "ivfpq_refine_topk_fitted": _pq_fitted_artifacts,
+    "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
+}
 
 HEADLINE = [
     "tpch_q1",
@@ -118,8 +281,16 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_fit_topk",
     "pq_adc_topk",
+    "pq_adc_topk_packed",
     "ivfpq_topk",
     "ivfpq_residual_topk",
+    "ivfpq_refine_topk",
+    "pq_adc_topk_fitted",
+    "pq_adc_topk_fitted_packed",
+    "ivfpq_topk_fitted",
+    "ivfpq_refine_topk_fitted",
+    "ivfpq_residual_topk_fitted",
+    "ann_ivf_hier_assign",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",
     "decontamination",
@@ -191,6 +362,8 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
+        if name in PREPARE:
+            PREPARE[name](spark, sf_dir)  # untimed one-off indexing job
         runs = [run_once(name), run_once(name)]
         while len(runs) < 4 and sorted(runs)[1] > 1.3 * sorted(runs)[0]:
             runs.append(run_once(name))

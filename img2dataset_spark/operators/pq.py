@@ -20,7 +20,10 @@ Spark-first shape:
 - **encode** is ONE Arrow pass with all m sub-codebooks broadcast: per
   batch, m small (n × d/m) @ (d/m × k) int64 matmuls — no joins, no
   shuffle, the map-only pass whose output you write once per corpus
-  version (codes + id: ~m bytes/row).
+  version.  Default codes are ``array<long>`` of m cell ids (8 B/code
+  pre-encoding; parquet dictionary/bit-packing recovers most of it);
+  ``packed=True`` stores ceil(m/8) byte-packed words — literally
+  m bytes/row — with the scan still pure codegen (shift+mask slices).
 - **search** is pure codegen: the m×k distance table is EXACT int64
   (2^-20 fixed-point, same quantization as everything else in this
   repo), small enough to inline as literal (cell -> distance) maps,
@@ -139,20 +142,33 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_cols: tuple[str, ...] = (),
+    packed: bool = False,
 ) -> DataFrame:
-    """(id, *keep_cols, codes array<long>) — nearest-centroid code per
-    subspace in ONE Arrow pass with the full codebook broadcast
-    (m·k·d/m values — tiny).  Distances are exact int64 squared-L2 over
-    quantized subvectors and centroids; ties resolve to the smallest
-    code, the repo-wide argmin rule, mirrored in the SQL twin.
+    """(id, *keep_cols, codes) — nearest-centroid code per subspace in
+    ONE Arrow pass with the full codebook broadcast (m·k·d/m values —
+    tiny).  Distances are exact int64 squared-L2 over quantized
+    subvectors and centroids; ties resolve to the smallest code, the
+    repo-wide argmin rule, mirrored in the SQL twin.
     ``keep_cols`` threads extra columns (e.g. the IVF cell) through the
     same select, so callers never self-join the projection back on id —
-    the r8 double-reference fix for :func:`ivfpq_index`."""
+    the r8 double-reference fix for :func:`ivfpq_index`.
+
+    ``packed=False``: codes is ``array<long>`` of m cell ids — readable,
+    parquet dictionary/bit-packing compresses it well in practice.
+    ``packed=True``: codes is ``array<long>`` of ceil(m/8) WORDS, each
+    packing 8 one-byte codes little-endian — the literal "m bytes/row"
+    representation (requires every cell id < 256, guaranteed while
+    k ≤ 256 since pq_fit numbers cells 0..k-1 and Lloyd drops never
+    renumber).  The ADC scan stays pure codegen either way: the packed
+    lookup key is ``shiftright(word, 8·(j mod 8)) & 255``."""
     from pyspark.sql.functions import pandas_udf
 
     cells, QC, nc = _collect_codebook(codebook)
     m, sub_dim = len(QC), QC[0].shape[1]
+    if packed and any(int(c.max()) > 255 for c in cells):
+        raise ValueError("packed codes need every cell id < 256 (k <= 256)")
     bc = df.sparkSession.sparkContext.broadcast((cells, QC, nc))
+    n_words = (m + 7) // 8
 
     @pandas_udf("array<long>")
     def encode(vs: pd.Series) -> pd.Series:
@@ -170,7 +186,16 @@ def pq_encode(
             # centroids sorted ascending by cell id: first-minimum
             # argmin = smallest cell id on exact ties
             codes[:, j] = b_cells[j][np.argmin(d2, axis=1)]
-        return pd.Series(list(codes))
+        if not packed:
+            return pd.Series(list(codes))
+        # little-endian byte pack; uint64 arithmetic then a bit-level
+        # view back to int64 (byte 7 would overflow a signed shift)
+        words = np.zeros((len(V), n_words), dtype=np.uint64)
+        for j in range(m):
+            words[:, j // 8] |= codes[:, j].astype(np.uint64) << np.uint64(
+                8 * (j % 8)
+            )
+        return pd.Series(list(words.view(np.int64)))
 
     e = df.select(
         F.col(id_col),
@@ -215,6 +240,7 @@ def pq_topk(
     query_df: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
+    packed: bool = False,
 ) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: the query's m×k distance
     table rides the PLAN as literal (cell -> distance) maps and each
@@ -232,16 +258,20 @@ def pq_topk(
         codebook, [float(x) for x in qrow[0]["query_vec"]]
     )
     scored = codes_df.select(
-        F.col(id_col), _adc_expr(cells, dt).alias("adc_dist")
+        F.col(id_col), _adc_expr(cells, dt, packed=packed).alias("adc_dist")
     )
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
-def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray]):
+def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray], packed: bool = False):
     """The ADC scan expression: sum over subspaces of a literal
-    (cell id -> distance) MAP lookup on codes[j] — pure codegen
+    (cell id -> distance) MAP lookup on the j-th code — pure codegen
     (GetMapValue), and gap-safe: codes are actual cell ids, so an
-    indexed-array lookup would break the moment Lloyd drops a cell."""
+    indexed-array lookup would break the moment Lloyd drops a cell.
+    With ``packed`` codes the j-th code is a byte slice of word
+    j div 8: ``shiftright(word, 8·(j mod 8)) & 255`` — the arithmetic
+    shift's sign-extension only touches bits the mask drops, so byte 7
+    of a negative word still reads correctly."""
     dist = None
     for j in range(len(dt)):
         # explicit long literals: quantized sub-distances reach ~2^47,
@@ -250,9 +280,63 @@ def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray]):
             F.array(*[F.lit(int(c)).cast("long") for c in cells[j]]),
             F.array(*[F.lit(int(v)).cast("long") for v in dt[j]]),
         )
-        term = F.element_at(table, F.col("codes")[j])
+        if packed:
+            code_j = F.shiftright(
+                F.col("codes")[j // 8], 8 * (j % 8)
+            ).bitwiseAND(F.lit(255))
+        else:
+            code_j = F.col("codes")[j]
+        term = F.element_at(table, code_j.cast("long"))
         dist = term if dist is None else dist + term
     return dist
+
+
+def ivfpq_refine_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    vectors_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    refine_factor: int = 4,
+    residual: bool = False,
+    packed: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage refine search — the standard FAISS ``IndexRefineFlat``
+    composition that recovers exact ranking from a lossy index: stage 1
+    takes the top ``k·refine_factor`` candidates by compressed ADC
+    (:func:`ivfpq_topk` — probe-pruned, codes-only scan), stage 2
+    re-ranks ONLY those candidates by exact cosine against their raw
+    vectors and returns the top ``k``.
+
+    100 TB shape: the corpus-sized pass stays compressed (nprobe cells'
+    code files); the exact pass touches k·refine_factor rows via a
+    BROADCAST semi-join of the candidate ids into the vector table —
+    never a full vector scan, and with the vector table sorted/bucketed
+    by id the broadcast filter prunes row groups too.  Output
+    (id, cos_sim) follows cosine_topk's convention (round6 quantized
+    cosine, desc, id-asc ties), so refine results are directly
+    comparable to the brute-force baseline's."""
+    from img2dataset_spark.operators.similarity import cosine, round6
+
+    cand = ivfpq_topk(
+        index_df, ivf_codebook, pq_codebook, query_df,
+        k=k * refine_factor, nprobe=nprobe,
+        id_col=id_col, residual=residual, packed=packed,
+    )
+    e = vectors_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    pruned = e.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+    q = F.broadcast(query_df.select("query_vec"))
+    scored = pruned.crossJoin(q).select(
+        F.col(id_col),
+        round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
 def residual_vectors(
@@ -320,6 +404,7 @@ def ivfpq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     residual: bool = False,
+    packed: bool = False,
 ) -> DataFrame:
     """(id, cell, codes) — the FAISS-style IVF+PQ index row: coarse IVF
     cell for pruning plus the PQ code word for the ADC scan.  ONE pass
@@ -345,12 +430,12 @@ def ivfpq_index(
         res = residual_vectors(df, ivf_codebook, vec_col, id_col)
         return pq_encode(
             res, pq_codebook, vec_col="rvec", id_col=id_col,
-            keep_cols=("cell",),
+            keep_cols=("cell",), packed=packed,
         )
     tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
     return pq_encode(
         tagged, pq_codebook, vec_col="v", id_col=id_col,
-        keep_cols=("cell",),
+        keep_cols=("cell",), packed=packed,
     )
 
 
@@ -363,6 +448,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     residual: bool = False,
+    packed: bool = False,
 ) -> DataFrame:
     """IVF-pruned ADC search — the standard large-corpus composition:
     rank coarse cells by cosine(query, centroid) (the ivf_topk_fitted
@@ -411,14 +497,14 @@ def ivfpq_topk(
             )
             cond = F.col("cell") == int(r["cell"])
             dist = (
-                F.when(cond, _adc_expr(cb_cells, dt))
+                F.when(cond, _adc_expr(cb_cells, dt, packed=packed))
                 if dist is None
-                else dist.when(cond, _adc_expr(cb_cells, dt))
+                else dist.when(cond, _adc_expr(cb_cells, dt, packed=packed))
             )
         scored = pruned.select(F.col(id_col), dist.alias("adc_dist"))
     else:
         cb_cells, dt = pq_adc_distances(pq_codebook, qvec)
         scored = pruned.select(
-            F.col(id_col), _adc_expr(cb_cells, dt).alias("adc_dist")
+            F.col(id_col), _adc_expr(cb_cells, dt, packed=packed).alias("adc_dist")
         )
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

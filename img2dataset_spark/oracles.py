@@ -727,11 +727,41 @@ JOIN qd1 ON qd1.cell = code1.cell
 ORDER BY adc_dist ASC, e0.vec_id ASC LIMIT 10
 """
 
+# Packed codes are a STORAGE representation (byte-packed words,
+# shift+mask slices in the scan); codebooks, code assignment and the
+# int64 ADC sums are bit-identical, so the packed row shares the twin.
+ORACLES["pq_adc_topk_packed"] = ORACLES["pq_adc_topk"]
+
+# Hierarchical codebook path with coarse_cells=1: the fine level is one
+# global _local_lloyd, so the twin is the flat global-Lloyd k-means
+# (k=4, 2 iters) and the row certifies the two-hop ASSIGNMENT output.
+# _local_lloyd's float64 means vs decimal(28,12) here agree after the
+# 2^-20 centroid quantization (documented divergence; the parity pytest
+# pins flat-vs-hier assignment equality on the same data).
+ORACLES["ann_ivf_hier_assign"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 4),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2)
+SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1
+"""
+
 # IVF+PQ composition: the ann_ivf_fit_topk coarse fit + probe restricts
 # the ADC scan to the top-nprobe cells' codes.  Reuses _kmeans_iter_sql
 # (coarse, names c0/c1/c2) and _pq_sub_sql (subspaces, names c{j}x{i})
 # — distinct CTE namespaces by construction.
-ORACLES["ivfpq_topk"] = f"""
+_IVFPQ_CTES = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
@@ -755,7 +785,9 @@ probe AS (
   ORDER BY c_sim DESC, cell ASC LIMIT 2),
 e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2)},
-{_pq_sub_sql(1, 33, 64, 4, 2)}
+{_pq_sub_sql(1, 33, 64, 4, 2)}"""
+
+_IVFPQ_SELECT = """
 SELECT e.vec_id, CAST(qd0.d + qd1.d AS BIGINT) AS adc_dist
 FROM e
 JOIN af ON af.vec_id = e.vec_id
@@ -764,8 +796,21 @@ JOIN code1 ON code1.vec_id = e.vec_id
 JOIN qd0 ON qd0.cell = code0.cell
 JOIN qd1 ON qd1.cell = code1.cell
 WHERE af.cell IN (SELECT cell FROM probe)
-ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
-"""
+ORDER BY adc_dist ASC, e.vec_id ASC LIMIT {limit}"""
+
+ORACLES["ivfpq_topk"] = _IVFPQ_CTES + _IVFPQ_SELECT.format(limit=10)
+
+# FAISS IndexRefineFlat: the same candidate chain widened to
+# k·refine_factor, then an EXACT-cosine re-rank of just those ids
+# (ann_cosine_topk's formula and output convention).
+ORACLES["ivfpq_refine_topk"] = (
+    _IVFPQ_CTES
+    + f""",
+cand AS ({_IVFPQ_SELECT.format(limit=40)})
+SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
+FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
+)
 
 # Residual IVF+PQ: the FAISS IVFPQ recipe — PQ codebook fit on the
 # coarse RESIDUALS (e0 below is v - centroid[assigned cell]), and the

@@ -1240,6 +1240,43 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_topk(codes, cb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_pq_adc_topk_packed(spark, sf_dir):
+    """pq_adc_topk through the PACKED code path: codes are ceil(m/8)
+    byte-packed int64 words (literally m bytes/row before parquet
+    encoding) and the ADC scan slices them with shiftright+mask —
+    still whole-stage codegen.  The oracle is the SAME SQL as
+    pq_adc_topk: packing is a storage representation; the math —
+    codebooks, code assignment, int64 ADC sums — is unchanged."""
+    from img2dataset_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    codes = pq_encode(e, cb, packed=True)
+    return pq_topk(codes, cb, _query_vec(spark, sf_dir), k=10, packed=True)
+
+
+def q_ann_ivf_hier_assign(spark, sf_dir):
+    """DRIVER-oracle evidence for the hierarchical codebook path — the
+    actual beyond-FLAT_CODEBOOK_MAX_CELLS 100 TB route (coarse broadcast
+    hop + salted-cogroup fine hop, fine centroids never on the driver).
+    With coarse_cells=1 the fine level is ONE global _local_lloyd, so
+    the SQL twin is the flat global-Lloyd k-means CTE: _local_lloyd's
+    float64 means vs the twin's decimal(28,12) means agree after the
+    2^-20 centroid quantization on this data (the documented divergence,
+    similarity.py _local_lloyd docstring; the coarse_cells=1 parity
+    pytest pins flat-vs-hier assignment equality).  Output is the
+    hierarchical ASSIGNMENT (vec_id, cell) — the operator-visible
+    artifact every downstream cell-pruned query consumes."""
+    from img2dataset_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit_hierarchical,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = ivf_fit_hierarchical(e, num_cells=4, iters=2, coarse_cells=1)
+    return ivf_assign(e, cb).select("vec_id", "cell")
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """The FAISS-style IVF+PQ composition end-to-end: 10-cell coarse
     codebook (ann_ivf_fit_topk's fit), 2×4 PQ codebook, one indexing
@@ -1279,6 +1316,31 @@ def q_ivfpq_residual_topk(spark, sf_dir):
     return ivfpq_topk(
         idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir),
         k=10, nprobe=2, residual=True,
+    )
+
+
+def q_ivfpq_refine_topk(spark, sf_dir):
+    """FAISS IndexRefineFlat as a Spark plan: the ivfpq_topk compressed
+    ADC scan widened to top-40 candidates, then an EXACT-cosine re-rank
+    of just those 40 rows via a broadcast semi-join into the vector
+    table — the two-stage shape that recovers exact ranking while the
+    corpus-sized pass stays codes-only.  Output follows
+    ann_cosine_topk's (cos_sim, vec_id) convention; the SQL twin
+    composes the ivfpq candidate CTE chain with the exact re-rank."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_refine_topk,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(e, ivf_cb, pq_cb)
+    return ivfpq_refine_topk(
+        idx, ivf_cb, pq_cb, e, _query_vec(spark, sf_dir),
+        k=10, nprobe=2, refine_factor=4,
     )
 
 
@@ -1724,8 +1786,11 @@ QUERIES.update(
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_fit_topk": q_ann_ivf_fit_topk,
         "pq_adc_topk": q_pq_adc_topk,
+        "pq_adc_topk_packed": q_pq_adc_topk_packed,
+        "ann_ivf_hier_assign": q_ann_ivf_hier_assign,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
+        "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1850,18 +1915,31 @@ _EXTRA_NAMES = (
     # text-profiling family keeps text_stats/vocab/fingerprint/
     # repetition/lm_score in-window
     "text_langid",
+    # rotated out round 9 (both r8-green: CORRECTNESS_r08.json) to make
+    # room for pq_adc_topk_packed + ann_ivf_hier_assign: dedup_phash's
+    # hamming-pair family stays oracle-checked here via phash_dedup and
+    # live in-window through the minhash/CC rows; pipeline_aspect_resize's
+    # bucket geometry stays covered by in-window pipeline_e2e + EXTRA
+    # aspect_buckets
+    "dedup_phash",
+    "pipeline_aspect_resize",
+    # rotated out round 9 (r7 AND r8 green) to make room for
+    # ivfpq_refine_topk; the semantic family keeps semantic_dedup_sized
+    # + the new ann_ivf_hier_assign in-window
+    "semantic_dedup_vs",
 )
 _FLAGSHIP_FIRST = (
-    # never-before-driver-verified (NEW round 8) — first in line
-    "semantic_dedup_sized",
-    "dedup_phash",
-    "bm25_multi_topk",
-    "pipeline_aspect_resize",
+    # never-before-driver-verified (NEW round 9) — first in line
+    "pq_adc_topk_packed",
+    "ann_ivf_hier_assign",
+    "ivfpq_refine_topk",
+    # red in r8 (oracle dtype bug, fixed round 9) — still need a green row
     "pq_adc_topk",
     "ivfpq_topk",
     "ivfpq_residual_topk",
-    # NEW round 7, r7-green
-    "semantic_dedup_vs",
+    # NEW round 8, r8-green
+    "semantic_dedup_sized",
+    "bm25_multi_topk",
     # rotated IN round 6, r6-green
     "curation_substr",
     "embedding_dup_pairs_lsh_sized",

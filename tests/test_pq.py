@@ -277,6 +277,100 @@ def test_pq_gapped_codebook_is_handled(spark, emb):
     assert got == [(v, d) for d, v in local]
 
 
+def test_pq_packed_codes_equal_unpacked(spark, emb, fitted):
+    """packed=True stores ceil(m/8) byte-packed words (m bytes/row on
+    disk); codes and the full ADC top-k are identical to the unpacked
+    representation."""
+    cb, codes = fitted
+    packed = pq_encode(emb, cb, packed=True)
+    words = {r["vec_id"]: r["codes"] for r in packed.collect()}
+    un = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for vid, cs in un.items():
+        w = words[vid]
+        assert len(w) == 1  # m=4 -> one word
+        assert [(w[0] >> (8 * j)) & 255 for j in range(4)] == cs
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_vec")
+    )
+    a = [(r["vec_id"], r["adc_dist"]) for r in pq_topk(codes, cb, q, k=10).collect()]
+    b = [(r["vec_id"], r["adc_dist"])
+         for r in pq_topk(packed, cb, q, k=10, packed=True).collect()]
+    assert a == b
+
+
+def test_pq_packed_byte7_sign_safe(spark):
+    """Byte 7 of a packed word lands in the int64 sign bits; the scan's
+    arithmetic shiftright sign-extends, and the & 255 mask must drop
+    exactly those bits — pinned with a code >= 128 in slot 7 (negative
+    word) against a local recompute."""
+    from img2dataset_spark.operators.pq import _adc_expr
+
+    m = 8
+    codes = [7, 1, 2, 3, 4, 5, 6, 200]
+    word = 0
+    for j, c in enumerate(codes):
+        word |= c << (8 * j)
+    if word >= 1 << 63:
+        word -= 1 << 64
+    assert word < 0
+    df = spark.createDataFrame([(1, [word])], "vec_id long, codes array<long>")
+    cells = [np.arange(256, dtype=np.int64) for _ in range(m)]
+    dt = [np.arange(256, dtype=np.int64) * (j + 1) for j in range(m)]
+    got = df.select(_adc_expr(cells, dt, packed=True).alias("d")).collect()[0]["d"]
+    assert got == sum(codes[j] * (j + 1) for j in range(m))
+
+
+def test_ivfpq_index_packed_roundtrip(spark, emb, fitted):
+    """ivfpq_index(packed=True) + ivfpq_topk(packed=True) return the
+    exact unpacked results through a parquet roundtrip (the deployment
+    shape the packing exists for)."""
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    pq_cb, _ = fitted
+    ivf_cb = ivf_fit(emb, num_cells=5, iters=1)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    want = [(r["vec_id"], r["adc_dist"]) for r in
+            ivfpq_topk(ivfpq_index(emb, ivf_cb, pq_cb), ivf_cb, pq_cb,
+                       q, k=10, nprobe=2).collect()]
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           ivfpq_topk(ivfpq_index(emb, ivf_cb, pq_cb, packed=True),
+                      ivf_cb, pq_cb, q, k=10, nprobe=2, packed=True).collect()]
+    assert got == want
+
+
+def test_ivfpq_refine_topk_exact_rerank(spark, emb, fitted):
+    """Refine = EXACT cosine over the ADC top-(k·f) candidate set: the
+    result equals brute-force cosine_topk restricted to those ids (and
+    therefore inherits its output convention), with candidates drawn
+    only from the probed cells."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_refine_topk,
+        ivfpq_topk,
+    )
+    from img2dataset_spark.operators.similarity import cosine_topk, ivf_fit
+
+    pq_cb, _ = fitted
+    ivf_cb = ivf_fit(emb, num_cells=5, iters=1)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    cand = {r["vec_id"] for r in
+            ivfpq_topk(idx, ivf_cb, pq_cb, q, k=40, nprobe=2).collect()}
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           ivfpq_refine_topk(idx, ivf_cb, pq_cb, emb, q,
+                             k=10, nprobe=2, refine_factor=4).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            cosine_topk(emb.filter(F.col("vec_id").isin(list(cand))),
+                        q, k=10).collect()]
+    assert got == want
+    assert {v for v, _ in got} <= cand
+
+
 def test_ivfpq_index_single_pass_plan(spark, emb, fitted):
     """(id, cell, codes) comes from ONE select: the coarse-assignment
     Arrow pass — the hottest stage of the 100 TB indexing job —

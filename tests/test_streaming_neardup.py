@@ -241,6 +241,147 @@ def test_streaming_semantic_flags_rejects_hierarchical_codebook(spark):
         streaming_semantic_flags(stream, e, cb)
 
 
+def test_streaming_multimodal_admission_restart_recovery(spark, tmp_path):
+    """Checkpoint-restart mid-stream: stop the composed admission query
+    after the first file, restart from the same checkpoint over the
+    remaining files, and the union of emitted verdicts equals an
+    UNINTERRUPTED run — including the URL-dedup state: a row in the
+    post-restart file sharing a canonical URL with a pre-stop row must
+    still be suppressed (the deterministic (id, ts) dedup-key argument
+    is exactly what a replay exercises)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.bloom import build_bloom
+    from img2dataset_spark.operators.dedup import build_minhash_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        semantic_static_index,
+        streaming_multimodal_admission,
+    )
+
+    def vec(i, eps=0.0):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        if eps:
+            v[(i + 1) % 64] = eps
+        return v
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (100, base_text, -4611686018427387904, vec(10)),
+            (101, "completely different corpus words here entirely", 0x1234, vec(20)),
+        ],
+        "doc_id long, text string, phash long, embedding array<double>",
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = (
+        "doc_id long, text string, phash long, embedding array<double>, "
+        "url string, ts timestamp"
+    )
+    shared_url = "http://synth.local/img/shared.jpg"
+    file1 = spark.createDataFrame(
+        [
+            (0, base_text.replace("dog", "cat"), 0x5555, vec(1),
+             "http://synth.local/img/u0", t0),
+            (4, "totally fresh words nothing shared four", 0x0F0F, vec(5),
+             shared_url, t0),
+        ],
+        schema,
+    )
+    file2 = spark.createDataFrame(
+        [
+            (2, "totally fresh words nothing shared two", 0x2222,
+             vec(20, eps=0.01), "http://synth.local/img/u2", t0),
+            # same canonical URL as row 4 (PRE-restart) — state must
+            # survive the checkpoint restart to suppress it
+            (5, "totally fresh words nothing shared five", 0x3333, vec(6),
+             shared_url, t0),
+            (6, "totally fresh words nothing shared six", 0x6666, vec(7),
+             "http://synth.local/img/u6", t0),
+        ],
+        schema,
+    )
+    flush = spark.createDataFrame(
+        [(-1, "flush", 0, [0.0] * 64, "http://x/f", t0 + dt.timedelta(hours=2))],
+        schema,
+    )
+
+    bloom = build_bloom(
+        spark.createDataFrame([(999,)], "doc_id long"), "doc_id", 1024, 7
+    )
+    text_index = build_minhash_index(corpus)
+    cb = ivf_fit(corpus, num_cells=1, iters=1, id_col="doc_id")
+    sem_index = semantic_static_index(corpus, cb, id_col="doc_id").persist()
+    sem_index.count()
+
+    def run(src: str, ckpt: str, out: str):
+        # parquet FILE sink, not memory: the memory sink does not
+        # support recovering from a checkpoint, which is the point here
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_multimodal_admission(
+                stream, text_index,
+                phash_index=corpus.select("doc_id", "phash"),
+                semantic_index=sem_index, codebook=cb, bloom=bloom,
+                watermark="10 minutes", jaccard_threshold=0.3,
+                max_hamming=4, cosine_threshold=0.9,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(out, "*.parquet")):
+            return {}
+        return {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+
+    def as_tuple(r):
+        return (
+            r["n_text_matches"], r["n_image_matches"],
+            r["n_semantic_matches"], r["admitted"],
+        )
+
+    # uninterrupted reference run: all three files up front
+    src_a = os.path.join(str(tmp_path), "a")
+    for i, f in enumerate((file1, file2, flush)):
+        f.coalesce(1).write.mode("append").parquet(src_a)
+    want = run(src_a, os.path.join(str(tmp_path), "ckpt_a"),
+               os.path.join(str(tmp_path), "out_a"))
+
+    # restart run: process file1, STOP, then append the rest and resume
+    # from the same checkpoint INTO THE SAME SINK
+    src_b = os.path.join(str(tmp_path), "b")
+    file1.coalesce(1).write.mode("append").parquet(src_b)
+    ckpt_b = os.path.join(str(tmp_path), "ckpt_b")
+    out_b = os.path.join(str(tmp_path), "out_b")
+    first = run(src_b, ckpt_b, out_b)
+    assert first == {}  # watermark hasn't closed any group pre-stop
+    file2.coalesce(1).write.mode("append").parquet(src_b)
+    flush.coalesce(1).write.mode("append").parquet(src_b)
+    got = run(src_b, ckpt_b, out_b)
+    sem_index.unpersist()
+
+    assert set(got) == set(want)
+    for i in want:
+        assert as_tuple(got[i]) == as_tuple(want[i]), i
+    # the URL-dedup state crossed the restart: row 4 (pre-stop) emitted,
+    # row 5 (post-restart, same canonical URL) suppressed
+    assert 4 in got and 5 not in got
+
+
 def test_streaming_multimodal_admission_matches_batch(spark, tmp_path):
     """The full multimodal admission: URL dedup, bloom, and all three
     corpus screens in ONE streaming query — per-modality match counts

@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import RESOLVE  # noqa: E402
+from bench import PREPARE, RESOLVE  # noqa: E402
 from img2dataset_spark.session import get_spark  # noqa: E402
 
 
@@ -50,6 +50,8 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     for name in names:
+        if name in PREPARE:
+            PREPARE[name](spark, sf_dir)  # untimed one-off indexing job
         # same adaptive depth as bench.py: sample until the two fastest
         # agree within 30% (cap 4) so one contended run can't masquerade
         # as a scaling regression
