@@ -493,8 +493,16 @@ def _assign_cells_hierarchical(
     tagged = tagged.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts))
     )
+    # the salt MUST be long on both sides: the corpus salt is
+    # pmod(xxhash64)=bigint, and an int literal here would hash-partition
+    # the two cogroup children with DIFFERENT murmur3 functions (int vs
+    # long), silently mis-aligning every (coarse, salt) group the moment
+    # AQE stops coalescing both sides to one partition — invisible at
+    # test scale, total at sf10 (found round 9; regression test pins it
+    # with AQE off)
     fine_s = fine.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(num_salts)])),
     )
 
     def assign(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

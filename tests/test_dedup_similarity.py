@@ -649,6 +649,30 @@ class TestHierarchicalCodebook:
         got = {r["cell"] for r in out.select("cell").distinct().collect()}
         assert got <= fine
 
+    def test_cogroup_salt_types_cohash_without_aqe(self, spark):
+        """The cogroup's two children must hash-partition their keys
+        with the SAME murmur3 function: the corpus salt is
+        pmod(xxhash64)=bigint, so the replicated codebook salt must be
+        cast to long too — an int literal hashes differently, the two
+        Exchanges stop being co-partitioned, and every (coarse, salt)
+        group silently mis-aligns.  AQE masked this at test scale by
+        coalescing both sides to ONE partition; at sf10 it dropped all
+        200k rows (found round 9).  Pin with AQE off, where the
+        8-partition zip exposes any hash disagreement at any scale."""
+        from img2dataset_spark.operators.similarity import (
+            ivf_assign,
+            ivf_fit_hierarchical,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = ivf_fit_hierarchical(e, num_cells=4, iters=1, coarse_cells=1)
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            assert ivf_assign(e, cb).count() == e.count()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+
     def test_assignment_salt_invariant(self, spark):
         """The cogroup salt only bounds group size; the assignment is a
         pure function of (vector, codebook)."""
