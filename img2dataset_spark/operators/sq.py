@@ -1,0 +1,160 @@
+"""Scalar quantization (SQ8) — per-dimension byte codes + integer scan.
+
+The second standard embedding-compression family (FAISS
+``IndexScalarQuantizer`` with ``QT_8bit``): each DIMENSION is linearly
+quantized to a byte against per-dimension [lo, hi] bounds learned from
+the corpus — a 4× compression of float32 (8× of float64) that, unlike
+PQ (operators/pq.py), needs NO codebook training, NO Arrow pass, and
+keeps per-dimension resolution (PQ trades dimensions for the k^m
+product; SQ8 keeps d independent axes at 256 levels each).  The classic
+trade: SQ8 compresses less than PQ but encodes for free and loses less
+at moderate dimensionality.
+
+Spark-first shape — every stage whole-stage codegen, no Python anywhere:
+
+- **fit** is ONE aggregation: ``posexplode`` the vectors and
+  ``groupBy(dim).agg(min, max)`` — partial aggregation combines
+  min/max map-side, so the shuffle carries ``partitions × d`` rows, not
+  ``n × d``.  The bounds artifact is d rows (the whole model).
+- **encode** is a pure-codegen ``transform`` with the d lo/hi bounds
+  inlined as literal arrays: ``floor((x−lo)·255/(hi−lo) + 0.5)``
+  clamped to [0, 255]; a constant dimension (hi = lo) codes to 0.
+  No UDF, no join — the cheapest possible compression pass.
+- **search** is SYMMETRIC code-domain squared-L2: the query is encoded
+  with the same bounds (driver-side, float64 — bit-identical IEEE ops)
+  and the scan sums ``(code_i − qcode_i)²`` — exact int64 arithmetic,
+  mirrored term-for-term in the DuckDB twin, ranked
+  (dist asc, id asc).  FAISS's asymmetric variant scores float
+  reconstructions; the symmetric integer form is chosen here so the
+  distributed computation strict-compares against SQL.
+
+Driver materialization is d rows (the bounds) — bounded by dimension,
+never by corpus size.  At 10⁹ × 768-dim float32 the codes table is
+768 B/row (~0.8 TB vs 3 TB raw), scanned by codegen at parquet speed;
+compose with :func:`operators.similarity.ivf_assign` partitioning for
+probe pruning exactly like IVF+PQ if the corpus also has a coarse
+codebook.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn per-dimension [lo, hi] bounds: (dim, lo, hi), dim 1-based.
+    One posexplode + min/max aggregation — partial agg keeps the
+    shuffle at partitions×d rows; min/max are exact (no float-sum
+    fold hazard), so the bounds are bit-identical in any engine."""
+    from img2dataset_spark.operators.similarity import _as_double
+
+    return (
+        df.select(
+            F.posexplode(_as_double(F.col(vec_col))).alias("_p", "_x")
+        )
+        .groupBy((F.col("_p") + 1).alias("dim"))
+        .agg(F.min("_x").alias("lo"), F.max("_x").alias("hi"))
+    )
+
+
+def _collect_bounds(bounds: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) float64 arrays in dim order — d values, the whole
+    artifact (the ONE driver materialization, bounded by dimension)."""
+    rows = bounds.select("dim", "lo", "hi").collect()
+    dims = sorted(r["dim"] for r in rows)
+    if dims != list(range(1, len(rows) + 1)):
+        raise ValueError(f"bounds dims not contiguous 1..d: {dims[:5]}...")
+    lo, hi = np.empty(len(rows)), np.empty(len(rows))
+    for r in rows:
+        lo[r["dim"] - 1] = float(r["lo"])
+        hi[r["dim"] - 1] = float(r["hi"])
+    return lo, hi
+
+
+def _encode_expr(vec, lo: np.ndarray, hi: np.ndarray):
+    """codegen byte-code expression: per-dimension
+    clamp(floor((x−lo)·255/(hi−lo) + 0.5), 0, 255); hi=lo codes to 0.
+    Bounds ride the plan as two d-value literal arrays."""
+    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+    hi_arr = F.array(*[F.lit(float(v)) for v in hi])
+    d = len(lo)
+
+    def code(x, i):
+        l_ = F.element_at(lo_arr, i + 1)
+        h = F.element_at(hi_arr, i + 1)
+        raw = F.floor((x - l_) * F.lit(255.0) / (h - l_) + F.lit(0.5))
+        clamped = F.greatest(F.lit(0).cast("long"),
+                             F.least(F.lit(255).cast("long"),
+                                     raw.cast("long")))
+        return F.when(h == l_, F.lit(0).cast("long")).otherwise(clamped)
+
+    # transform with index gives (x, i); slice first so extra dims in a
+    # malformed row fail loudly via the bounds arrays, not silently
+    return F.transform(F.slice(vec, 1, d), code)
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<long>) — one pure-codegen pass (no UDF, no
+    Arrow, no join): the compression write that runs once per corpus
+    version.  Codes are 0..255 per dimension."""
+    from img2dataset_spark.operators.similarity import _as_double
+
+    lo, hi = _collect_bounds(bounds)
+    return df.select(
+        F.col(id_col),
+        _encode_expr(_as_double(F.col(vec_col)), lo, hi).alias("codes"),
+    )
+
+
+def encode_query(bounds_lo: np.ndarray, bounds_hi: np.ndarray,
+                 query_vec: list[float]) -> np.ndarray:
+    """The query's own byte codes, computed driver-side with the SAME
+    float64 IEEE expression the distributed encode uses — symmetric
+    distance compares code against code, exactly."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    lo, hi = bounds_lo, bounds_hi
+    if q.shape[0] != lo.shape[0]:
+        raise ValueError(f"query dim {q.shape[0]} != bounds dim {lo.shape[0]}")
+    span = hi - lo
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.floor((q - lo) * 255.0 / span + 0.5)
+    codes = np.clip(raw, 0, 255)
+    codes[span == 0] = 0
+    return codes.astype(np.int64)
+
+
+def sq_topk(
+    codes_df: DataFrame,
+    bounds: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric SQ8 top-k: encode the query with the corpus bounds,
+    inline its d byte codes as a literal array, and rank by the exact
+    int64 code-domain squared-L2 — ``aggregate(zip_with(...))`` over
+    longs, whole-stage codegen, TakeOrdered.  Returns (id, sq_dist),
+    (sq_dist asc, id asc), limit k."""
+    qrow = query_df.select("query_vec").collect()
+    if len(qrow) != 1:
+        raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
+    lo, hi = _collect_bounds(bounds)
+    qc = encode_query(lo, hi, [float(x) for x in qrow[0]["query_vec"]])
+    q_arr = F.array(*[F.lit(int(c)).cast("long") for c in qc])
+    dist = F.aggregate(
+        F.zip_with(F.col("codes"), q_arr, lambda c, q: (c - q) * (c - q)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = codes_df.select(F.col(id_col), dist.alias("sq_dist"))
+    return scored.orderBy(F.asc("sq_dist"), F.asc(id_col)).limit(k)

@@ -863,6 +863,33 @@ WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
 """
 
+# Scalar quantization (SQ8): per-dimension min/max bounds (exact aggs,
+# no fold hazard), byte codes floor((x-lo)*255/(hi-lo)+0.5) clamped to
+# [0,255] (constant dims code to 0), symmetric code-domain int64
+# squared-L2 vs the query's own codes.  Same float64 IEEE expression
+# order as operators/sq.py, BIGINT-cast sum (the r8 HUGEINT lesson).
+ORACLES["sq8_topk"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
+bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+codes AS (SELECT vec_id,
+  list_transform(generate_series(1, 64), i ->
+    CASE WHEN bl.hi[i] = bl.lo[i] THEN 0
+         ELSE GREATEST(0, LEAST(255,
+           CAST(floor((e.v[i] - bl.lo[i]) * 255.0 / (bl.hi[i] - bl.lo[i]) + 0.5)
+                AS BIGINT)))
+    END) AS c
+  FROM e, bl),
+q AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+SELECT codes.vec_id,
+  CAST(list_sum(list_transform(generate_series(1, 64),
+    i -> (codes.c[i] - q.qc[i]) * (codes.c[i] - q.qc[i]))) AS BIGINT) AS sq_dist
+FROM codes, q
+ORDER BY sq_dist ASC, codes.vec_id ASC LIMIT 10
+"""
+
 # -- random-hyperplane LSH near-dup (label-free) ----------------------------
 # Same md5-seeded integer hyperplanes as operators.similarity
 # .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer

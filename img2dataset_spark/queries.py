@@ -1344,6 +1344,21 @@ def q_ivfpq_refine_topk(spark, sf_dir):
     )
 
 
+def q_sq8_topk(spark, sf_dir):
+    """Scalar quantization end-to-end (operators/sq.py — the FAISS
+    IndexScalarQuantizer QT_8bit family): per-dimension min/max bounds
+    from ONE partial-agg pass, pure-codegen byte encode (no UDF, no
+    Arrow — unlike PQ there is nothing to train), and symmetric
+    code-domain int64 squared-L2 top-10 with the query's own codes
+    inlined as a literal array.  Every term mirrored in the SQL twin."""
+    from img2dataset_spark.operators.sq import sq_encode, sq_fit, sq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    bounds = sq_fit(e)
+    codes = sq_encode(e, bounds)
+    return sq_topk(codes, bounds, _query_vec(spark, sf_dir), k=10)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1791,6 +1806,7 @@ QUERIES.update(
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
+        "sq8_topk": q_sq8_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1927,12 +1943,17 @@ _EXTRA_NAMES = (
     # ivfpq_refine_topk; the semantic family keeps semantic_dedup_sized
     # + the new ann_ivf_hier_assign in-window
     "semantic_dedup_vs",
+    # rotated out round 9 (r8-green) to make room for sq8_topk; key
+    # synthesis stays live inside in-window pipeline_e2e and the
+    # hash-mode twin t12_keys_hash_mode stays oracle-checked here
+    "t12_keys",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 9) — first in line
     "pq_adc_topk_packed",
     "ann_ivf_hier_assign",
     "ivfpq_refine_topk",
+    "sq8_topk",
     # red in r8 (oracle dtype bug, fixed round 9) — still need a green row
     "pq_adc_topk",
     "ivfpq_topk",

@@ -1,0 +1,113 @@
+"""operators/sq.py — SQ8 scalar quantization fit / encode / search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.sq import (
+    _collect_bounds,
+    encode_query,
+    sq_encode,
+    sq_fit,
+    sq_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def fitted(emb):
+    bounds = sq_fit(emb)
+    return bounds, sq_encode(emb, bounds)
+
+
+def test_sq_bounds_match_numpy(emb, fitted):
+    bounds, _ = fitted
+    lo, hi = _collect_bounds(bounds)
+    V = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("embedding").collect()
+    ])
+    np.testing.assert_array_equal(lo, V.min(axis=0))
+    np.testing.assert_array_equal(hi, V.max(axis=0))
+
+
+def test_sq_encode_matches_local(emb, fitted):
+    """The codegen encode equals the driver-side float64 recompute
+    (encode_query uses the SAME expression) on every corpus row."""
+    bounds, codes = fitted
+    lo, hi = _collect_bounds(bounds)
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in emb.select("vec_id", "embedding").collect()}
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for vid, v in list(vecs.items())[:100]:
+        want = encode_query(lo, hi, [float(x) for x in v]).tolist()
+        assert got[vid] == want, vid
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+
+
+def test_sq_topk_equals_bruteforce(emb, fitted):
+    bounds, codes = fitted
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_vec")
+    )
+    lo, hi = _collect_bounds(bounds)
+    qc = encode_query(lo, hi, [float(x) for x in
+                               q.collect()[0]["query_vec"]])
+    local = sorted(
+        (int(((np.asarray(r["codes"]) - qc) ** 2).sum()), r["vec_id"])
+        for r in codes.collect()
+    )[:10]
+    got = [(r["sq_dist"], r["vec_id"])
+           for r in sq_topk(codes, bounds, q, k=10).collect()]
+    assert got == local
+
+
+def test_sq_self_query_ranks_first(emb, fitted):
+    bounds, codes = fitted
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    top = sq_topk(codes, bounds, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["sq_dist"] == 0
+
+
+def test_sq_constant_dimension_codes_zero(spark):
+    """hi = lo (constant dimension) must code to 0, not NaN-propagate."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = sq_fit(df)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in sq_encode(df, bounds).collect()}
+    assert all(c[1] == 0 for c in codes.values())  # constant dim -> 0
+    assert codes[0][0] == 0 and codes[3][0] == 255  # lo -> 0, hi -> 255
+
+
+def test_sq_plan_is_pure_codegen(spark, emb, fitted, tmp_path):
+    """Unlike PQ there is no Arrow pass ANYWHERE: encode and the
+    search over a materialized codes table are codegen-only — no
+    Python, no join, no Exchange in the scan."""
+    import os
+
+    bounds, codes = fitted
+    assert "ArrowEvalPython" not in (
+        codes._jdf.queryExecution().executedPlan().toString()
+    )
+    path = os.path.join(str(tmp_path), "sq_codes")
+    codes.write.parquet(path)
+    rd = emb.sparkSession.read.parquet(path)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    plan = (
+        sq_topk(rd, bounds, q, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Join", "Exchange"):
+        assert bad not in plan, bad
