@@ -286,6 +286,7 @@ HEADLINE = [
     "ivfpq_residual_topk",
     "ivfpq_refine_topk",
     "sq8_topk",
+    "ivfsq_topk",
     "pq_adc_topk_fitted",
     "pq_adc_topk_fitted_packed",
     "ivfpq_topk_fitted",

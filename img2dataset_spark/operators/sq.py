@@ -158,3 +158,64 @@ def sq_topk(
     )
     scored = codes_df.select(F.col(id_col), dist.alias("sq_dist"))
     return scored.orderBy(F.asc("sq_dist"), F.asc(id_col)).limit(k)
+
+
+def ivfsq_index(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, codes) — the FAISS IVF+SQ index row (IndexIVFScalarQuantizer):
+    coarse IVF cell for pruning plus the SQ8 byte codes.  ONE pass:
+    the coarse assignment is the only Arrow stage, and the byte encode
+    is a codegen expression in the SAME select (SQ8's structural
+    advantage over IVF+PQ, whose encode is a second Arrow pass).
+    Write partitioned by cell; a query then reads nprobe cells' code
+    files.  Flat and hierarchical coarse codebooks both work
+    (ivf_assign dispatches)."""
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    lo, hi = _collect_bounds(bounds)
+    tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    return tagged.select(
+        F.col(id_col),
+        "cell",
+        _encode_expr(F.col("v"), lo, hi).alias("codes"),
+    )
+
+
+def ivfsq_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned symmetric SQ8 search: rank coarse cells by
+    cosine(query, centroid) (the shared probe rule — 6-dp rounded,
+    cell-ascending ties), keep the top ``nprobe``, and scan ONLY those
+    cells' byte codes against the query's own codes.  The cell filter
+    is a broadcast join that becomes partition pruning over a
+    cell-partitioned index; the scan is exact int64 arithmetic in
+    whole-stage codegen.  Returns (id, sq_dist), (asc, id asc), top k."""
+    from img2dataset_spark.operators.similarity import cosine, round6
+
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    q = F.broadcast(query_df.select("query_vec"))
+    probed = (
+        ivf_codebook.crossJoin(q)
+        .select(
+            "cell",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    return sq_topk(pruned, bounds, query_df, k=k, id_col=id_col)

@@ -890,6 +890,51 @@ FROM codes, q
 ORDER BY sq_dist ASC, codes.vec_id ASC LIMIT 10
 """
 
+# IVF+SQ8: the shared coarse-kmeans/probe CTEs restrict the sq8
+# symmetric scan to the top-nprobe cells' codes.
+ORACLES["ivfsq_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
+  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
+bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+codes AS (SELECT vec_id,
+  list_transform(generate_series(1, 64), i ->
+    CASE WHEN bl.hi[i] = bl.lo[i] THEN 0
+         ELSE GREATEST(0, LEAST(255,
+           CAST(floor((e.v[i] - bl.lo[i]) * 255.0 / (bl.hi[i] - bl.lo[i]) + 0.5)
+                AS BIGINT)))
+    END) AS c
+  FROM e, bl),
+qc AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+SELECT codes.vec_id,
+  CAST(list_sum(list_transform(generate_series(1, 64),
+    i -> (codes.c[i] - qc.qc[i]) * (codes.c[i] - qc.qc[i]))) AS BIGINT) AS sq_dist
+FROM codes
+JOIN af ON af.vec_id = codes.vec_id, qc
+WHERE af.cell IN (SELECT cell FROM probe)
+ORDER BY sq_dist ASC, codes.vec_id ASC LIMIT 10
+"""
+
 # -- random-hyperplane LSH near-dup (label-free) ----------------------------
 # Same md5-seeded integer hyperplanes as operators.similarity
 # .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer

@@ -1359,6 +1359,24 @@ def q_sq8_topk(spark, sf_dir):
     return sq_topk(codes, bounds, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ivfsq_topk(spark, sf_dir):
+    """IVF+SQ8 (FAISS IndexIVFScalarQuantizer): the coarse probe of
+    ivfpq_topk composed with SQ8 byte codes — indexing is ONE pass
+    whose only Arrow stage is the coarse assignment (the byte encode is
+    codegen in the same select), and the query scans nprobe cells'
+    codes with exact int64 symmetric distance.  SQL twin = the shared
+    coarse-kmeans/probe CTEs + the sq8 bounds/codes CTEs."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.operators.sq import ivfsq_index, ivfsq_topk, sq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    bounds = sq_fit(e)
+    idx = ivfsq_index(e, ivf_cb, bounds)
+    return ivfsq_topk(idx, ivf_cb, bounds, _query_vec(spark, sf_dir),
+                      k=10, nprobe=2)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1807,6 +1825,7 @@ QUERIES.update(
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "sq8_topk": q_sq8_topk,
+        "ivfsq_topk": q_ivfsq_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1947,6 +1966,10 @@ _EXTRA_NAMES = (
     # synthesis stays live inside in-window pipeline_e2e and the
     # hash-mode twin t12_keys_hash_mode stays oracle-checked here
     "t12_keys",
+    # rotated out round 9 (r8-green) to make room for ivfsq_topk;
+    # projection/rename semantics stay live inside every in-window
+    # pipeline row (pipeline_e2e reads renamed columns end-to-end)
+    "p1_project_rename",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 9) — first in line
@@ -1954,6 +1977,7 @@ _FLAGSHIP_FIRST = (
     "ann_ivf_hier_assign",
     "ivfpq_refine_topk",
     "sq8_topk",
+    "ivfsq_topk",
     # red in r8 (oracle dtype bug, fixed round 9) — still need a green row
     "pq_adc_topk",
     "ivfpq_topk",

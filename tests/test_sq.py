@@ -88,6 +88,58 @@ def test_sq_constant_dimension_codes_zero(spark):
     assert codes[0][0] == 0 and codes[3][0] == 255  # lo -> 0, hi -> 255
 
 
+def test_ivfsq_scans_only_probed_cells(spark, emb, fitted):
+    """IVF+SQ composition: results come exclusively from the top-nprobe
+    probed cells and match a local recompute over those cells."""
+    from img2dataset_spark.operators.similarity import cosine, ivf_fit, round6
+    from img2dataset_spark.operators.sq import (
+        encode_query,
+        ivfsq_index,
+        ivfsq_topk,
+    )
+
+    bounds, _ = fitted
+    ivf_cb = ivf_fit(emb, num_cells=5, iters=1)
+    idx = ivfsq_index(emb, ivf_cb, bounds)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qdf = spark.createDataFrame([(qvec,)], "query_vec array<double>")
+    got = [(r["vec_id"], r["sq_dist"]) for r in
+           ivfsq_topk(idx, ivf_cb, bounds, qdf, k=10, nprobe=2).collect()]
+    probe = [r["cell"] for r in
+             ivf_cb.crossJoin(F.broadcast(qdf))
+             .select("cell",
+                     round6(cosine(F.col("centroid"),
+                                   F.col("query_vec"))).alias("s"))
+             .orderBy(F.desc("s"), F.asc("cell")).limit(2).collect()]
+    lo, hi = _collect_bounds(bounds)
+    qc = encode_query(lo, hi, qvec)
+    local = sorted(
+        (int(((np.asarray(r["codes"]) - qc) ** 2).sum()), r["vec_id"])
+        for r in idx.collect() if r["cell"] in probe
+    )[:10]
+    assert got == [(v, d) for d, v in local]
+
+
+def test_ivfsq_index_single_pass_plan(spark, emb, fitted):
+    """The IVF+SQ index job's ONLY Python stage is the coarse
+    assignment — the byte encode is codegen in the same select (SQ8's
+    structural edge over IVF+PQ's second Arrow pass); no join, no
+    shuffle Exchange."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.operators.sq import ivfsq_index
+
+    bounds, _ = fitted
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    idx = ivfsq_index(emb, ivf_cb, bounds)
+    assert idx.columns == ["vec_id", "cell", "codes"]
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("assign(") == 1, plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "Exchange hashpartitioning"):
+        assert bad not in plan, bad
+
+
 def test_sq_plan_is_pure_codegen(spark, emb, fitted, tmp_path):
     """Unlike PQ there is no Arrow pass ANYWHERE: encode and the
     search over a materialized codes table are codegen-only — no
