@@ -145,6 +145,14 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
         spark.read.parquet(base + "/rpq_cb"),
         residual=True,
     ).write.partitionBy("cell").parquet(base + "/rindex")
+    from img2dataset_spark.operators.sq import ivfsq_index, sq_fit
+
+    sq_fit(e).write.parquet(base + "/sq_bounds")
+    ivfsq_index(
+        e,
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/sq_bounds"),
+    ).write.partitionBy("cell").parquet(base + "/sq_index")
     _PQ_ARTIFACTS[sf_dir] = base
     return base
 
@@ -223,6 +231,23 @@ def _q_ivfpq_refine_topk_fitted(spark, sf_dir):
     )
 
 
+def _q_ivfsq_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY IVF+SQ8: cell-partitioned byte-code index + bounds
+    from parquet; timed region is probe-rank -> pruned symmetric int64
+    scan -> TakeOrdered."""
+    from img2dataset_spark.operators.sq import ivfsq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return ivfsq_topk(
+        spark.read.parquet(base + "/sq_index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/sq_bounds"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+    )
+
+
 def _q_ivfpq_residual_topk_fitted(spark, sf_dir):
     """SEARCH-ONLY residual IVF+PQ: per-probed-cell literal ADC tables
     over the pre-built residual index — the full FAISS query shape."""
@@ -250,6 +275,7 @@ BENCH_ONLY = {
     "ivfpq_topk_fitted": _q_ivfpq_topk_fitted,
     "ivfpq_refine_topk_fitted": _q_ivfpq_refine_topk_fitted,
     "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
+    "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
@@ -261,6 +287,7 @@ PREPARE = {
     "ivfpq_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_refine_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
+    "ivfsq_topk_fitted": _pq_fitted_artifacts,
 }
 
 HEADLINE = [
@@ -292,6 +319,7 @@ HEADLINE = [
     "ivfpq_topk_fitted",
     "ivfpq_refine_topk_fitted",
     "ivfpq_residual_topk_fitted",
+    "ivfsq_topk_fitted",
     "ann_ivf_hier_assign",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",
