@@ -314,6 +314,7 @@ HEADLINE = [
     "ivfpq_refine_topk",
     "sq8_topk",
     "ivfsq_topk",
+    "bq_topk",
     "pq_adc_topk_fitted",
     "pq_adc_topk_fitted_packed",
     "ivfpq_topk_fitted",

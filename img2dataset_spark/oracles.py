@@ -935,6 +935,49 @@ WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY sq_dist ASC, codes.vec_id ASC LIMIT 10
 """
 
+# Binary quantization (operators/bq.py): sign bit per md5-seeded
+# hyperplane (the embedding-LSH dot/sign convention), packed 32 bits
+# per word, Hamming = popcount of xor per word summed.  BIGINT-cast
+# (the r8 HUGEINT lesson applies to bit_count's return type too).
+
+
+def _bq_words_sql(num_planes: int = 64, dim: int = 64) -> str:
+    from img2dataset_spark.operators.similarity import hyperplane_coeffs
+
+    hp = hyperplane_coeffs(num_planes, dim)
+
+    def bit(j: int) -> str:
+        coeffs = "[" + ",".join(str(c) for c in hp[j]) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(generate_series(1,{dim}), "
+            f"i -> qv[i] * ({coeffs})[i])) >= 0 THEN {1 << (j % 32)}::BIGINT "
+            f"ELSE 0::BIGINT END)"
+        )
+
+    words = []
+    for w in range((num_planes + 31) // 32):
+        js = range(w * 32, min(num_planes, w * 32 + 32))
+        words.append("(" + " + ".join(bit(j) for j in js) + ")")
+    return "[" + ", ".join(words) + "]"
+
+
+_BQ_HAMMING = " + ".join(
+    f"bit_count(xor(codes.c[{w + 1}], q.qc[{w + 1}]))" for w in range(2)
+)
+
+ORACLES["bq_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+qz AS (SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x*1048576 + 0.5) AS BIGINT)) AS qv
+       FROM e),
+codes AS (SELECT vec_id, {_bq_words_sql(64, 64)} AS c FROM qz),
+q AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+SELECT codes.vec_id, CAST({_BQ_HAMMING} AS BIGINT) AS hamming
+FROM codes, q
+ORDER BY hamming ASC, codes.vec_id ASC LIMIT 10
+"""
+
 # -- random-hyperplane LSH near-dup (label-free) ----------------------------
 # Same md5-seeded integer hyperplanes as operators.similarity
 # .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer

@@ -1377,6 +1377,21 @@ def q_ivfsq_topk(spark, sf_dir):
                       k=10, nprobe=2)
 
 
+def q_bq_topk(spark, sf_dir):
+    """Binary quantization end-to-end (operators/bq.py — the third
+    compression family, 1 bit per md5-seeded hyperplane, 8 bytes/vector
+    at 64 planes): one Arrow encode matmul, then a Hamming top-10 scan
+    that is ceil(p/32) JVM popcounts per row — pure codegen, the
+    query's packed words as plan literals.  SQL twin mirrors the
+    integer dot, sign rule, 32-bit packing and xor/bit_count sum."""
+    from img2dataset_spark.operators.bq import bq_encode, bq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes = bq_encode(e, num_planes=64, dim=64)
+    return bq_topk(codes, _query_vec(spark, sf_dir), k=10,
+                   num_planes=64, dim=64)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1826,6 +1841,7 @@ QUERIES.update(
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "sq8_topk": q_sq8_topk,
         "ivfsq_topk": q_ivfsq_topk,
+        "bq_topk": q_bq_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1970,6 +1986,10 @@ _EXTRA_NAMES = (
     # projection/rename semantics stay live inside every in-window
     # pipeline row (pipeline_e2e reads renamed columns end-to-end)
     "p1_project_rename",
+    # rotated out round 9 (r8-green) to make room for bq_topk; the
+    # hash-verify anti-filter stays live inside in-window pipeline_e2e
+    # (compute_hash + verify path) and keeps oracle coverage here
+    "p4_hash_verify",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 9) — first in line
@@ -1978,6 +1998,7 @@ _FLAGSHIP_FIRST = (
     "ivfpq_refine_topk",
     "sq8_topk",
     "ivfsq_topk",
+    "bq_topk",
     # red in r8 (oracle dtype bug, fixed round 9) — still need a green row
     "pq_adc_topk",
     "ivfpq_topk",

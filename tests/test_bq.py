@@ -1,0 +1,103 @@
+"""operators/bq.py — binary quantization encode / Hamming search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.bq import (
+    _pack_bits,
+    _plane_matrix,
+    bq_encode,
+    bq_topk,
+    encode_query_bits,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def codes(emb):
+    return bq_encode(emb, num_planes=64, dim=64)
+
+
+def test_bq_encode_matches_local(emb, codes):
+    """The Arrow encode equals a local recompute of the quantized
+    hyperplane dot signs + 32-bit packing, row for row."""
+    C = _plane_matrix(64, 64)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for vid, v in list(vecs.items())[:100]:
+        qv = np.floor(v * (1 << 20) + 0.5).astype(np.int64)
+        bits = (qv @ C >= 0).astype(np.int64)[None, :]
+        assert got[vid] == _pack_bits(bits)[0].tolist(), vid
+    # 32-bit words: always non-negative, below 2^32
+    assert all(0 <= w < (1 << 32) for ws in got.values() for w in ws)
+
+
+def test_bq_topk_equals_bruteforce(emb, codes):
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    qw = encode_query_bits(q, 64, 64)
+    local = sorted(
+        (sum(bin(w ^ int(qw[i])).count("1")
+             for i, w in enumerate(r["codes"])), r["vec_id"])
+        for r in codes.collect()
+    )[:10]
+    qdf = emb.sparkSession.createDataFrame([(q,)], "query_vec array<double>")
+    got = [(r["hamming"], r["vec_id"])
+           for r in bq_topk(codes, qdf, k=10).collect()]
+    assert got == local
+
+
+def test_bq_self_query_first(emb, codes):
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    top = bq_topk(codes, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["hamming"] == 0
+
+
+def test_bq_hamming_tracks_angle(emb, codes):
+    """Charikar's bound, loosely: the query's true nearest-cosine
+    neighbors should average a LOWER Hamming distance than random
+    rows — the property that makes 8-byte codes a useful screen."""
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    q = vecs[0]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-cos, kind="stable")
+    near = {ids[i] for i in order[1:21]}
+    far = {ids[i] for i in order[-20:]}
+    qw = encode_query_bits([float(x) for x in q], 64, 64)
+    ham = {r["vec_id"]: sum(bin(w ^ int(qw[i])).count("1")
+                            for i, w in enumerate(r["codes"]))
+           for r in codes.collect()}
+    near_avg = sum(ham[i] for i in near) / len(near)
+    far_avg = sum(ham[i] for i in far) / len(far)
+    assert near_avg < far_avg, (near_avg, far_avg)
+
+
+def test_bq_scan_plan_is_codegen(spark, emb, codes, tmp_path):
+    """The Hamming scan over a materialized codes table is popcounts in
+    codegen — no Python, no join, no Exchange."""
+    import os
+
+    path = os.path.join(str(tmp_path), "bq_codes")
+    codes.write.parquet(path)
+    rd = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    plan = (
+        bq_topk(rd, q, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Join", "Exchange"):
+        assert bad not in plan, bad
