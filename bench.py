@@ -153,6 +153,9 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
         spark.read.parquet(base + "/ivf_cb"),
         spark.read.parquet(base + "/sq_bounds"),
     ).write.partitionBy("cell").parquet(base + "/sq_index")
+    from img2dataset_spark.operators.bq import bq_encode
+
+    bq_encode(e, num_planes=64, dim=64).write.parquet(base + "/bq_codes")
     _PQ_ARTIFACTS[sf_dir] = base
     return base
 
@@ -248,6 +251,22 @@ def _q_ivfsq_topk_fitted(spark, sf_dir):
     )
 
 
+def _q_bq_topk_fitted(spark, sf_dir):
+    """SCAN-ONLY binary quantization: pre-encoded 8-byte codes from
+    parquet; the timed region is ceil(p/32) popcounts per row +
+    TakeOrdered — the cheapest possible ANN screen."""
+    from img2dataset_spark.operators.bq import bq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return bq_topk(
+        spark.read.parquet(base + "/bq_codes"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        num_planes=64,
+        dim=64,
+    )
+
+
 def _q_ivfpq_residual_topk_fitted(spark, sf_dir):
     """SEARCH-ONLY residual IVF+PQ: per-probed-cell literal ADC tables
     over the pre-built residual index — the full FAISS query shape."""
@@ -276,6 +295,7 @@ BENCH_ONLY = {
     "ivfpq_refine_topk_fitted": _q_ivfpq_refine_topk_fitted,
     "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
     "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
+    "bq_topk_fitted": _q_bq_topk_fitted,
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
@@ -288,6 +308,7 @@ PREPARE = {
     "ivfpq_refine_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
     "ivfsq_topk_fitted": _pq_fitted_artifacts,
+    "bq_topk_fitted": _pq_fitted_artifacts,
 }
 
 HEADLINE = [
@@ -321,6 +342,7 @@ HEADLINE = [
     "ivfpq_refine_topk_fitted",
     "ivfpq_residual_topk_fitted",
     "ivfsq_topk_fitted",
+    "bq_topk_fitted",
     "ann_ivf_hier_assign",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",
