@@ -95,6 +95,23 @@ def _q_semantic_dedup_hier(spark, sf_dir):
 _PQ_ARTIFACTS: dict[str, str] = {}
 
 
+def _cleanup_artifacts() -> None:
+    """Remove the fitted-index scratch dirs at exit — at sf10/sf30 the
+    codebooks + three cell-partitioned indexes are sizeable, and leaked
+    /tmp is exactly the stale-blockmgr hygiene problem this repo already
+    polices."""
+    import shutil
+
+    for path in _PQ_ARTIFACTS.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _PQ_ARTIFACTS.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_artifacts)
+
+
 def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     """The one-off PQ indexing job, run UNTIMED (PREPARE hook): train
     codebooks at production-ish settings (m=8 subspaces, k=16 codes,
@@ -147,7 +164,7 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     ).write.partitionBy("cell").parquet(base + "/rindex")
     from img2dataset_spark.operators.sq import ivfsq_index, sq_fit
 
-    sq_fit(e).write.parquet(base + "/sq_bounds")
+    sq_fit(e, dim=64).write.parquet(base + "/sq_bounds")
     ivfsq_index(
         e,
         spark.read.parquet(base + "/ivf_cb"),

@@ -125,5 +125,21 @@ def bq_topk(
             F.col("codes")[w].bitwiseXOR(F.lit(int(val)).cast("long"))
         ).cast("long")
         dist = term if dist is None else dist + term
+    # width guard: a codes table encoded with a DIFFERENT num_planes
+    # yields null array reads -> null hamming, and Spark's default asc
+    # ordering is NULLS FIRST — misconfigured rows would silently rank
+    # top-k.  Fail loudly naming the mismatch instead.
+    dist = F.when(
+        F.size(F.col("codes")) != len(qw),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bq_topk: codes width != {len(qw)} words "
+                    f"(num_planes={num_planes}) — got "
+                ),
+                F.size(F.col("codes")).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(dist)
     scored = codes_df.select(F.col(id_col), dist.alias("hamming"))
     return scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(k)

@@ -103,6 +103,14 @@ def pq_fit(
     return out
 
 
+# (id(df) -> (df, artifact)) memo — callers composing encode + search
+# over one codebook frame (ivfpq_index then ivfpq_topk in a session)
+# collect the m·k-row model ONCE instead of one Spark job per call.
+# The df reference is retained so the id can't be recycled; capped.
+_CODEBOOK_MEMO: dict[int, tuple[DataFrame, tuple]] = {}
+_CODEBOOK_MEMO_CAP = 64
+
+
 def _collect_codebook(
     codebook: DataFrame,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
@@ -113,7 +121,11 @@ def _collect_codebook(
     cell that empties during iteration, so per-subspace id sets may be
     gapped (and even differently sized); encode maps argmin positions
     back through cells_j, the ADC lookup is a map (not an indexed
-    array), and the SQL twin joins by cell — all gap-safe."""
+    array), and the SQL twin joins by cell — all gap-safe.
+    Memoized per codebook-DataFrame object."""
+    hit = _CODEBOOK_MEMO.get(id(codebook))
+    if hit is not None and hit[0] is codebook:
+        return hit[1]
     rows = codebook.select("subspace", "cell", "centroid").collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in rows:
@@ -133,6 +145,9 @@ def _collect_codebook(
         cells.append(ids)
         QC.append(Q)
         nc.append((Q * Q).sum(axis=1))
+    if len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_CAP:
+        _CODEBOOK_MEMO.clear()
+    _CODEBOOK_MEMO[id(codebook)] = (codebook, (cells, QC, nc))
     return cells, QC, nc
 
 
@@ -363,11 +378,21 @@ def residual_vectors(
     # RE-RUNS the assignment UDF (the expensive-subtree double-reference
     # shape, plan-pinned in test_ivfpq_index_single_pass_plan).  Every
     # assigned cell exists in the codebook, so left ≡ inner here — and a
-    # codebook hole now surfaces as a null rvec instead of a silent drop.
+    # codebook hole fails LOUDLY naming the cell (raise_error below)
+    # instead of feeding a null rvec into the encode UDF's np.stack.
+    rvec = F.when(
+        F.col("centroid").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("ivf codebook has no centroid for assigned cell "),
+                F.col("cell").cast("string"),
+            )
+        ).cast("array<double>"),
+    ).otherwise(F.zip_with("v", "centroid", lambda x, c: x - c))
     return tagged.join(cents, "cell", "left").select(
         F.col(id_col),
         "cell",
-        F.zip_with("v", "centroid", lambda x, c: x - c).alias("rvec"),
+        rvec.alias("rvec"),
     )
 
 

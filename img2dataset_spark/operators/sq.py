@@ -46,25 +46,66 @@ from pyspark.sql import functions as F
 def sq_fit(
     df: DataFrame,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Learn per-dimension [lo, hi] bounds: (dim, lo, hi), dim 1-based.
-    One posexplode + min/max aggregation — partial agg keeps the
-    shuffle at partitions×d rows; min/max are exact (no float-sum
-    fold hazard), so the bounds are bit-identical in any engine."""
+    ONE no-explode aggregation of 2d min/max expressions over the array
+    elements — zero row inflation (the r9 posexplode path materialized
+    n×d rows through the first stage: 768× at 768-dim), partial agg
+    keeps the shuffle at partitions rows, and min/max are exact (no
+    float-sum fold hazard), so the bounds are bit-identical in any
+    engine and to the explode formulation the SQL twin uses.  ``dim``
+    is peeked from the first row when not given (one limit-1 job —
+    fine for a one-off fit; pass it to stay fully lazy)."""
     from img2dataset_spark.operators.similarity import _as_double
 
-    return (
-        df.select(
-            F.posexplode(_as_double(F.col(vec_col))).alias("_p", "_x")
-        )
-        .groupBy((F.col("_p") + 1).alias("dim"))
-        .agg(F.min("_x").alias("lo"), F.max("_x").alias("hi"))
+    v = _as_double(F.col(vec_col))
+    if dim is None:
+        head = df.select(F.size(v).alias("_d")).head()
+        if head is None:
+            raise ValueError("sq_fit: empty corpus, cannot infer dim")
+        dim = int(head["_d"])
+    agg = df.agg(
+        *[
+            a
+            for i in range(dim)
+            for a in (
+                F.min(F.element_at(v, i + 1)).alias(f"_lo{i}"),
+                F.max(F.element_at(v, i + 1)).alias(f"_hi{i}"),
+            )
+        ]
     )
+    # one row of 2d scalars -> the canonical d-row (dim, lo, hi) shape
+    return agg.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.col(f"_lo{i}") for i in range(dim)]).alias("lo"),
+                F.array(*[F.col(f"_hi{i}") for i in range(dim)]).alias("hi"),
+            )
+        ).alias("_p", "_b")
+    ).select(
+        (F.col("_p") + 1).alias("dim"),
+        F.col("_b.lo").alias("lo"),
+        F.col("_b.hi").alias("hi"),
+    )
+
+
+# (id(df) -> (df, bounds)) memo: callers composing encode+search in one
+# session (ivfsq_index + ivfsq_topk, or several sq ops over one bounds
+# frame) collect the d-row model ONCE instead of one tiny Spark job per
+# call.  The df reference is retained so the id can't be recycled; the
+# cap bounds retained lineage (each entry is d floats + a plan).
+_BOUNDS_MEMO: dict[int, tuple[DataFrame, tuple[np.ndarray, np.ndarray]]] = {}
+_BOUNDS_MEMO_CAP = 64
 
 
 def _collect_bounds(bounds: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """(lo, hi) float64 arrays in dim order — d values, the whole
-    artifact (the ONE driver materialization, bounded by dimension)."""
+    artifact (the ONE driver materialization, bounded by dimension).
+    Memoized per bounds-DataFrame object."""
+    hit = _BOUNDS_MEMO.get(id(bounds))
+    if hit is not None and hit[0] is bounds:
+        return hit[1]
     rows = bounds.select("dim", "lo", "hi").collect()
     dims = sorted(r["dim"] for r in rows)
     if dims != list(range(1, len(rows) + 1)):
@@ -73,6 +114,9 @@ def _collect_bounds(bounds: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     for r in rows:
         lo[r["dim"] - 1] = float(r["lo"])
         hi[r["dim"] - 1] = float(r["hi"])
+    if len(_BOUNDS_MEMO) >= _BOUNDS_MEMO_CAP:
+        _BOUNDS_MEMO.clear()
+    _BOUNDS_MEMO[id(bounds)] = (bounds, (lo, hi))
     return lo, hi
 
 
@@ -156,6 +200,17 @@ def sq_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # width guard: zip_with null-pads a short codes array -> null dist,
+    # and NULLS-FIRST asc would silently rank misencoded rows top-k
+    dist = F.when(
+        F.size(F.col("codes")) != len(qc),
+        F.raise_error(
+            F.concat(
+                F.lit(f"sq_topk: codes width != bounds dim {len(qc)} — got "),
+                F.size(F.col("codes")).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(dist)
     scored = codes_df.select(F.col(id_col), dist.alias("sq_dist"))
     return scored.orderBy(F.asc("sq_dist"), F.asc(id_col)).limit(k)
 

@@ -1354,7 +1354,7 @@ def q_sq8_topk(spark, sf_dir):
     from img2dataset_spark.operators.sq import sq_encode, sq_fit, sq_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    bounds = sq_fit(e)
+    bounds = sq_fit(e, dim=64)
     codes = sq_encode(e, bounds)
     return sq_topk(codes, bounds, _query_vec(spark, sf_dir), k=10)
 
@@ -1371,7 +1371,7 @@ def q_ivfsq_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    bounds = sq_fit(e)
+    bounds = sq_fit(e, dim=64)
     idx = ivfsq_index(e, ivf_cb, bounds)
     return ivfsq_topk(idx, ivf_cb, bounds, _query_vec(spark, sf_dir),
                       k=10, nprobe=2)

