@@ -170,9 +170,12 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
         spark.read.parquet(base + "/ivf_cb"),
         spark.read.parquet(base + "/sq_bounds"),
     ).write.partitionBy("cell").parquet(base + "/sq_index")
-    from img2dataset_spark.operators.bq import bq_encode
+    from img2dataset_spark.operators.bq import bq_encode, ivfbq_index
 
     bq_encode(e, num_planes=64, dim=64).write.parquet(base + "/bq_codes")
+    ivfbq_index(
+        e, spark.read.parquet(base + "/ivf_cb"), num_planes=64, dim=64
+    ).write.partitionBy("cell").parquet(base + "/bq_index")
     _PQ_ARTIFACTS[sf_dir] = base
     return base
 
@@ -284,6 +287,43 @@ def _q_bq_topk_fitted(spark, sf_dir):
     )
 
 
+def _q_ivfbq_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY IVF+BQ: cell-partitioned packed words + coarse
+    codebook from parquet; timed region is probe-rank -> pruned
+    popcount scan -> TakeOrdered."""
+    from img2dataset_spark.operators.bq import ivfbq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return ivfbq_topk(
+        spark.read.parquet(base + "/bq_index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+        num_planes=64,
+        dim=64,
+    )
+
+
+def _q_bq_refine_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY two-stage binary refine: popcount screen over the
+    pre-encoded 8-byte codes to top-40, exact-cosine re-rank of just
+    those rows via broadcast semi-join into the raw vector table."""
+    from img2dataset_spark.operators.bq import bq_refine_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return bq_refine_topk(
+        spark.read.parquet(base + "/bq_codes"),
+        e,
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        refine_factor=4,
+        num_planes=64,
+        dim=64,
+    )
+
+
 def _q_ivfpq_residual_topk_fitted(spark, sf_dir):
     """SEARCH-ONLY residual IVF+PQ: per-probed-cell literal ADC tables
     over the pre-built residual index — the full FAISS query shape."""
@@ -313,6 +353,8 @@ BENCH_ONLY = {
     "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
     "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
     "bq_topk_fitted": _q_bq_topk_fitted,
+    "ivfbq_topk_fitted": _q_ivfbq_topk_fitted,
+    "bq_refine_topk_fitted": _q_bq_refine_topk_fitted,
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
@@ -326,6 +368,8 @@ PREPARE = {
     "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
     "ivfsq_topk_fitted": _pq_fitted_artifacts,
     "bq_topk_fitted": _pq_fitted_artifacts,
+    "ivfbq_topk_fitted": _pq_fitted_artifacts,
+    "bq_refine_topk_fitted": _pq_fitted_artifacts,
 }
 
 HEADLINE = [
@@ -353,6 +397,8 @@ HEADLINE = [
     "sq8_topk",
     "ivfsq_topk",
     "bq_topk",
+    "bq_refine_topk",
+    "ivfbq_topk",
     "pq_adc_topk_fitted",
     "pq_adc_topk_fitted_packed",
     "ivfpq_topk_fitted",
@@ -360,6 +406,8 @@ HEADLINE = [
     "ivfpq_residual_topk_fitted",
     "ivfsq_topk_fitted",
     "bq_topk_fitted",
+    "ivfbq_topk_fitted",
+    "bq_refine_topk_fitted",
     "ann_ivf_hier_assign",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",

@@ -26,11 +26,18 @@ Spark-first shape:
   JVM popcount over longs, the cheapest scan of the three families —
   ranked (hamming asc, id asc) via TakeOrdered.
 
-Composes with :func:`similarity.ivf_assign` partitioning for coarse
-pruning like the other families.  SQL twin: the hyperplane dot, sign,
-packing and xor/bit_count are mirrored term-for-term (DuckDB has
-xor()/bit_count on BIGINT; 32-bit words keep every value far from the
-sign bit in both engines).
+Role in the menu (r9 verdict): 1-bit Hamming is the coarsest signal of
+the three families — binary codes are a SCREEN, not a ranker.  The
+shipped compositions reflect that: :func:`bq_refine_topk` (popcount
+screen → broadcast semi-join → exact-cosine re-rank, the
+IndexRefineFlat shape of pq.ivfpq_refine_topk) recovers exact ranking
+while the corpus-sized pass stays 8 B/row, and
+:func:`ivfbq_index` / :func:`ivfbq_topk` compose the coarse IVF probe
+with the popcount scan (FAISS ``IndexBinaryIVF``) so the screen also
+partition-prunes.  SQL twin: the hyperplane dot, sign, packing and
+xor/bit_count are mirrored term-for-term (DuckDB has xor()/bit_count
+on BIGINT; 32-bit words keep every value far from the sign bit in both
+engines).
 """
 
 from __future__ import annotations
@@ -101,6 +108,42 @@ def encode_query_bits(
     return _pack_bits(bits)[0]
 
 
+def _hamming_expr(qw: np.ndarray, num_planes: int):
+    """The popcount scan expression: ceil(p/32) JVM ``bit_count(codes[w]
+    ^ literal)`` terms summed — whole-stage codegen.  Guarded: a codes
+    table encoded with a DIFFERENT num_planes yields null array reads
+    -> null hamming, and Spark's default asc ordering is NULLS FIRST —
+    misconfigured rows would silently rank top-k.  Fail loudly naming
+    the mismatch instead."""
+    dist = None
+    for w, val in enumerate(qw):
+        term = F.bit_count(
+            F.col("codes")[w].bitwiseXOR(F.lit(int(val)).cast("long"))
+        ).cast("long")
+        dist = term if dist is None else dist + term
+    return F.when(
+        F.size(F.col("codes")) != len(qw),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bq: codes width != {len(qw)} words "
+                    f"(num_planes={num_planes}) — got "
+                ),
+                F.size(F.col("codes")).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(dist)
+
+
+def _query_words(query_df: DataFrame, num_planes: int, dim: int) -> np.ndarray:
+    qrow = query_df.select("query_vec").collect()
+    if len(qrow) != 1:
+        raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
+    return encode_query_bits(
+        [float(x) for x in qrow[0]["query_vec"]], num_planes, dim
+    )
+
+
 def bq_topk(
     codes_df: DataFrame,
     query_df: DataFrame,
@@ -113,33 +156,126 @@ def bq_topk(
     plan literals and each row is ceil(p/32) JVM popcounts —
     whole-stage codegen, no UDF, no join, no vector read.  Returns
     (id, hamming), (hamming asc, id asc), limit k."""
-    qrow = query_df.select("query_vec").collect()
-    if len(qrow) != 1:
-        raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
-    qw = encode_query_bits(
-        [float(x) for x in qrow[0]["query_vec"]], num_planes, dim
+    qw = _query_words(query_df, num_planes, dim)
+    scored = codes_df.select(
+        F.col(id_col), _hamming_expr(qw, num_planes).alias("hamming")
     )
-    dist = None
-    for w, val in enumerate(qw):
-        term = F.bit_count(
-            F.col("codes")[w].bitwiseXOR(F.lit(int(val)).cast("long"))
-        ).cast("long")
-        dist = term if dist is None else dist + term
-    # width guard: a codes table encoded with a DIFFERENT num_planes
-    # yields null array reads -> null hamming, and Spark's default asc
-    # ordering is NULLS FIRST — misconfigured rows would silently rank
-    # top-k.  Fail loudly naming the mismatch instead.
-    dist = F.when(
-        F.size(F.col("codes")) != len(qw),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"bq_topk: codes width != {len(qw)} words "
-                    f"(num_planes={num_planes}) — got "
-                ),
-                F.size(F.col("codes")).cast("string"),
-            )
-        ).cast("long"),
-    ).otherwise(dist)
-    scored = codes_df.select(F.col(id_col), dist.alias("hamming"))
     return scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(k)
+
+
+def bq_refine_topk(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    num_planes: int = 64,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage binary search — the role 1-bit codes are FOR (r9
+    verdict: Hamming is a screen, not a ranker): stage 1 takes the top
+    ``k·refine_factor`` candidates by popcount Hamming (the cheapest
+    corpus scan of the three families, 8 B/row at 64 planes), stage 2
+    re-ranks ONLY those candidates by exact cosine against their raw
+    vectors via a BROADCAST semi-join into the vector table — never a
+    full vector scan.  Output (id, cos_sim) follows cosine_topk's
+    convention (round6 quantized cosine, desc, id-asc ties), directly
+    comparable to the brute-force baseline and to ivfpq_refine_topk.
+    Mirrors pq.ivfpq_refine_topk:294-341."""
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        round6,
+    )
+
+    cand = bq_topk(
+        codes_df, query_df, k=k * refine_factor,
+        num_planes=num_planes, dim=dim, id_col=id_col,
+    )
+    e = vectors_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    pruned = e.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+    q = F.broadcast(query_df.select("query_vec"))
+    scored = pruned.crossJoin(q).select(
+        F.col(id_col),
+        round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivfbq_index(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    num_planes: int = 64,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, codes) — the FAISS ``IndexBinaryIVF`` index row:
+    coarse IVF cell for partition pruning plus the packed sign-bit
+    words for the popcount scan.  ONE pass over one scan: the coarse
+    assignment and the BQ encode are two independent Arrow UDFs of the
+    SAME select, so Spark fuses them into a single ArrowEvalPython
+    stage — the corpus is read once and never shuffled (the delivery
+    of bq.py's r9 composability claim).  Write partitioned by cell;
+    a query then reads nprobe cells' 8-byte codes.  Flat and
+    hierarchical coarse codebooks both work (ivf_assign dispatches)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    C = _plane_matrix(num_planes, dim)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    @pandas_udf("array<long>")
+    def encode(vs: pd.Series) -> pd.Series:
+        M = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
+        bits = (QV @ M >= 0).astype(np.int64)
+        return pd.Series(list(_pack_bits(bits)))
+
+    tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    return tagged.select(
+        F.col(id_col), "cell", encode(F.col("v")).alias("codes")
+    )
+
+
+def ivfbq_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    num_planes: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned Hamming search: rank coarse cells by cosine(query,
+    centroid) (the shared probe rule — 6-dp rounded, cell-ascending
+    ties), keep the top ``nprobe``, and popcount-scan ONLY those cells'
+    packed words.  The cell filter is a broadcast join that becomes
+    partition pruning over a cell-partitioned index; the scan is
+    ceil(p/32) JVM popcounts in whole-stage codegen.  Returns
+    (id, hamming), (asc, id asc), top k."""
+    from img2dataset_spark.operators.similarity import cosine, round6
+
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    q = F.broadcast(query_df.select("query_vec"))
+    probed = (
+        ivf_codebook.crossJoin(q)
+        .select(
+            "cell",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    return bq_topk(pruned, query_df, k=k, num_planes=num_planes,
+                   dim=dim, id_col=id_col)

@@ -978,6 +978,59 @@ FROM codes, q
 ORDER BY hamming ASC, codes.vec_id ASC LIMIT 10
 """
 
+# Two-stage binary refine (bq_refine_topk): the bq_topk candidate CTE
+# widened to k·refine_factor = 40 rows, then an EXACT-cosine re-rank of
+# just those ids — ann_cosine_topk's formula and output convention
+# (the ivfpq_refine_topk recipe applied to the popcount screen).
+ORACLES["bq_refine_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+qz AS (SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x*1048576 + 0.5) AS BIGINT)) AS qv
+       FROM e),
+codes AS (SELECT vec_id, {_bq_words_sql(64, 64)} AS c FROM qz),
+q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+cand AS (SELECT codes.vec_id FROM codes, q
+         ORDER BY CAST({_BQ_HAMMING} AS BIGINT) ASC, codes.vec_id ASC
+         LIMIT 40),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
+FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+"""
+
+# IVF+BQ (ivfbq_topk): the shared coarse-kmeans/probe CTEs restrict the
+# popcount Hamming scan to the top-nprobe cells' packed words.
+ORACLES["ivfbq_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
+  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+codes AS (SELECT vec_id, {_bq_words_sql(64, 64)} AS c FROM e),
+q AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+SELECT codes.vec_id, CAST({_BQ_HAMMING} AS BIGINT) AS hamming
+FROM codes JOIN af ON af.vec_id = codes.vec_id, q
+WHERE af.cell IN (SELECT cell FROM probe)
+ORDER BY hamming ASC, codes.vec_id ASC LIMIT 10
+"""
+
 # -- random-hyperplane LSH near-dup (label-free) ----------------------------
 # Same md5-seeded integer hyperplanes as operators.similarity
 # .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer

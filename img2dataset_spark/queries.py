@@ -1392,6 +1392,41 @@ def q_bq_topk(spark, sf_dir):
                    num_planes=64, dim=64)
 
 
+def q_bq_refine_topk(spark, sf_dir):
+    """Two-stage binary search (operators/bq.py — the role 1-bit codes
+    are FOR, r9 verdict item 2): Hamming popcount screen to top-40
+    candidates over the 8-byte codes, then an exact-cosine re-rank of
+    just those rows via a broadcast semi-join into the vector table.
+    Output follows ann_cosine_topk's (vec_id, cos_sim) convention; the
+    SQL twin composes the bq_topk candidate CTE with the exact
+    re-rank (the ivfpq_refine_topk recipe)."""
+    from img2dataset_spark.operators.bq import bq_encode, bq_refine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes = bq_encode(e, num_planes=64, dim=64)
+    return bq_refine_topk(
+        codes, e, _query_vec(spark, sf_dir), k=10, refine_factor=4,
+        num_planes=64, dim=64,
+    )
+
+
+def q_ivfbq_topk(spark, sf_dir):
+    """IVF+BQ (FAISS IndexBinaryIVF — completes the r9 quantizer
+    matrix): the shared coarse probe restricts the popcount Hamming
+    scan to the top-nprobe cells' packed words; indexing is ONE fused
+    Arrow pass (assignment + sign-bit encode in the same select,
+    plan-pinned in test_bq).  SQL twin = the shared coarse-kmeans/
+    probe CTEs + the bq words CTE + the xor/bit_count sum."""
+    from img2dataset_spark.operators.bq import ivfbq_index, ivfbq_topk
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    idx = ivfbq_index(e, ivf_cb, num_planes=64, dim=64)
+    return ivfbq_topk(idx, ivf_cb, _query_vec(spark, sf_dir), k=10,
+                      nprobe=2, num_planes=64, dim=64)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1842,6 +1877,8 @@ QUERIES.update(
         "sq8_topk": q_sq8_topk,
         "ivfsq_topk": q_ivfsq_topk,
         "bq_topk": q_bq_topk,
+        "bq_refine_topk": q_bq_refine_topk,
+        "ivfbq_topk": q_ivfbq_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -1990,13 +2027,21 @@ _EXTRA_NAMES = (
     # hash-verify anti-filter stays live inside in-window pipeline_e2e
     # (compute_hash + verify path) and keeps oracle coverage here
     "p4_hash_verify",
+    # rotated out round 10 (both r9-green: CORRECTNESS_r09.json) to make
+    # room for bq_refine_topk + ivfbq_topk: the packed-codes storage
+    # variant shares pq_adc_topk's twin (the unpacked sibling stays
+    # in-window), and sq8_topk's bounds/codes/symmetric-distance
+    # formulas all stay in-window inside ivfsq_topk
+    "pq_adc_topk_packed",
+    "sq8_topk",
 )
 _FLAGSHIP_FIRST = (
-    # never-before-driver-verified (NEW round 9) — first in line
-    "pq_adc_topk_packed",
+    # never-before-driver-verified (NEW round 10) — first in line
+    "bq_refine_topk",
+    "ivfbq_topk",
+    # r9-green (NEW round 9)
     "ann_ivf_hier_assign",
     "ivfpq_refine_topk",
-    "sq8_topk",
     "ivfsq_topk",
     "bq_topk",
     # red in r8 (oracle dtype bug, fixed round 9) — still need a green row

@@ -97,3 +97,34 @@ def test_pq_recall_beats_random(spark, emb, raw):
                pq_topk(codes, cb, _qdf(spark, q), k=10).collect()}
         recalls.append(len(got & exact) / 10)
     assert max(recalls) >= 0.2 and min(recalls) >= 0.1, recalls
+
+
+def test_bq_refine_recall_scales_with_budget(spark, emb, raw):
+    """bq_refine_topk (popcount screen -> exact re-rank): recall@10 vs
+    exact cosine is monotone in the candidate budget and reaches 1.0 at
+    full budget (the exactness limit, pinned separately in test_bq).
+    Measured on these iid-Gaussian queries (r10): mean 0.57 @ rf=4,
+    0.65 @ rf=8, 0.85 @ rf=16 — BELOW SQ8's 0.7-1.0 at the smallest
+    budget, which is the honest trade: the screen reads 8 B/row vs
+    SQ8's 64 B/row, and unclustered data is Hamming's worst case.
+    Floors sit under the measurements with margin; a broken screen
+    (wrong plane/sign/packing) lands at random ≈ 0.02·rf."""
+    from img2dataset_spark.operators.bq import bq_encode, bq_refine_topk
+
+    ids, M = raw
+    codes = bq_encode(emb, num_planes=64, dim=64)
+    means = {}
+    for rf in (4, 16):
+        recalls = []
+        for qid in (0, 3, 7, 11):
+            q = M[ids.index(qid)]
+            cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+            exact = {ids[i] for i in np.argsort(-cos, kind="stable")[:10]}
+            got = {r["vec_id"] for r in bq_refine_topk(
+                codes, emb, _qdf(spark, q), k=10, refine_factor=rf
+            ).collect()}
+            recalls.append(len(got & exact) / 10)
+        means[rf] = sum(recalls) / len(recalls)
+    assert means[4] >= 0.3, means
+    assert means[16] >= 0.6, means
+    assert means[16] >= means[4], means

@@ -115,3 +115,83 @@ def test_bq_scan_plan_is_codegen(spark, emb, codes, tmp_path):
     assert "TakeOrderedAndProject" in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "Join", "Exchange"):
         assert bad not in plan, bad
+
+
+def test_bq_refine_full_budget_equals_exact(spark, emb, codes):
+    """The exactness limit (ivfpq_refine precedent): with the candidate
+    pool covering the whole corpus, popcount-screen + exact re-rank IS
+    brute-force cosine_topk — identical rows, identical scores."""
+    from img2dataset_spark.operators.bq import bq_refine_topk
+    from img2dataset_spark.operators.similarity import cosine_topk
+
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_vec")
+    )
+    want = [(r["vec_id"], r["cos_sim"])
+            for r in cosine_topk(emb, q, k=10).collect()]
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in bq_refine_topk(
+               codes, emb, q, k=10, refine_factor=n // 10 + 1).collect()]
+    assert got == want
+
+
+def test_bq_refine_candidates_come_from_screen(spark, emb, codes):
+    """Every refined row must be one of the screen's k·factor Hamming
+    candidates — the re-rank never looks outside the broadcast pool."""
+    from img2dataset_spark.operators.bq import bq_refine_topk
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    screen = {r["vec_id"] for r in bq_topk(codes, q, k=40).collect()}
+    got = {r["vec_id"]
+           for r in bq_refine_topk(codes, emb, q, k=10,
+                                   refine_factor=4).collect()}
+    assert got <= screen and len(got) == 10
+
+
+def test_ivfbq_scans_only_probed_cells(spark, emb):
+    """IVF+BQ composition: results come exclusively from the top-nprobe
+    probed cells and match a local popcount recompute over them."""
+    from img2dataset_spark.operators.bq import ivfbq_index, ivfbq_topk
+    from img2dataset_spark.operators.similarity import cosine, ivf_fit, round6
+
+    ivf_cb = ivf_fit(emb, num_cells=5, iters=1)
+    idx = ivfbq_index(emb, ivf_cb, num_planes=64, dim=64)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qdf = spark.createDataFrame([(qvec,)], "query_vec array<double>")
+    got = [(r["vec_id"], r["hamming"]) for r in
+           ivfbq_topk(idx, ivf_cb, qdf, k=10, nprobe=2).collect()]
+    probe = [r["cell"] for r in
+             ivf_cb.crossJoin(F.broadcast(qdf))
+             .select("cell",
+                     round6(cosine(F.col("centroid"),
+                                   F.col("query_vec"))).alias("s"))
+             .orderBy(F.desc("s"), F.asc("cell")).limit(2).collect()]
+    qw = encode_query_bits(qvec, 64, 64)
+    local = sorted(
+        (sum(bin(int(w) ^ int(qv)).count("1")
+             for w, qv in zip(r["codes"], qw)), r["vec_id"])
+        for r in idx.collect() if r["cell"] in probe
+    )[:10]
+    assert got == [(v, d) for d, v in local]
+
+
+def test_ivfbq_index_single_pass_plan(spark, emb):
+    """The IVF+BQ index job reads the corpus ONCE: coarse assignment
+    and the sign-bit encode are independent Arrow UDFs of the same
+    select, fused into a single ArrowEvalPython stage — no join, no
+    shuffle Exchange (the delivery of bq.py's r9 composability claim)."""
+    from img2dataset_spark.operators.bq import ivfbq_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    idx = ivfbq_index(emb, ivf_cb)
+    assert idx.columns == ["vec_id", "cell", "codes"]
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("assign(") == 1, plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "Exchange hashpartitioning"):
+        assert bad not in plan, bad
