@@ -392,6 +392,7 @@ HEADLINE = [
     "pq_adc_topk",
     "pq_adc_topk_packed",
     "ivfpq_topk",
+    "ivfpq_fitted_roundtrip",
     "ivfpq_residual_topk",
     "ivfpq_refine_topk",
     "sq8_topk",

@@ -800,6 +800,12 @@ ORDER BY adc_dist ASC, e.vec_id ASC LIMIT {limit}"""
 
 ORACLES["ivfpq_topk"] = _IVFPQ_CTES + _IVFPQ_SELECT.format(limit=10)
 
+# Persisted-index roundtrip: write codebooks + cell-partitioned index
+# to parquet, read back, search — a STORAGE representation of the same
+# relation (parquet roundtrips doubles/longs exactly), so the twin that
+# recomputes the index relationally is shared verbatim.
+ORACLES["ivfpq_fitted_roundtrip"] = ORACLES["ivfpq_topk"]
+
 # FAISS IndexRefineFlat: the same candidate chain widened to
 # k·refine_factor, then an EXACT-cosine re-rank of just those ids
 # (ann_cosine_topk's formula and output convention).

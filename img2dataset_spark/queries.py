@@ -1295,6 +1295,42 @@ def q_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir), k=10, nprobe=2)
 
 
+def q_ivfpq_fitted_roundtrip(spark, sf_dir):
+    """DRIVER-oracle evidence for the PERSISTED-INDEX search shape —
+    the actual production query the 100 TB claim rests on (r9 verdict
+    item 1; until now every green ANN row retrained in-query and the
+    read-path had only bench + pruning-pytest evidence).  Inside one
+    query, the compact_roundtrip recipe applied to IVF+PQ: train both
+    codebooks, build the (id, cell, codes) index, WRITE codebooks +
+    cell-partitioned index to parquet, READ them back, and answer the
+    probe-pruned ADC top-10 from the read-back artifacts alone — the
+    plan the driver hashes scans code FILES, zero fits, zero raw
+    vectors.  Identical fit/probe parameters to q_ivfpq_topk, so the
+    SQL twin (which recomputes the index relationally) is shared:
+    persistence is a storage representation, not math.  The scratch
+    dir is left for the OS tmp reaper (the returned frame lazily reads
+    the roundtripped files)."""
+    import tempfile
+
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    tmp = tempfile.mkdtemp(prefix="graft_ivfpq_rt_")
+    ivf_cb.write.parquet(f"{tmp}/ivf_cb")
+    pq_cb.write.parquet(f"{tmp}/pq_cb")
+    ivf_rd = spark.read.parquet(f"{tmp}/ivf_cb")
+    pq_rd = spark.read.parquet(f"{tmp}/pq_cb")
+    ivfpq_index(e, ivf_rd, pq_rd).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfpq_topk(idx_rd, ivf_rd, pq_rd, _query_vec(spark, sf_dir),
+                      k=10, nprobe=2)
+
+
 def q_ivfpq_residual_topk(spark, sf_dir):
     """Residual IVF+PQ (the full FAISS IVFPQ recipe): PQ codebook fit
     on the coarse residuals (v − centroid[cell]), codes quantize
@@ -1872,6 +1908,7 @@ QUERIES.update(
         "pq_adc_topk_packed": q_pq_adc_topk_packed,
         "ann_ivf_hier_assign": q_ann_ivf_hier_assign,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_fitted_roundtrip": q_ivfpq_fitted_roundtrip,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "sq8_topk": q_sq8_topk,
@@ -2034,19 +2071,24 @@ _EXTRA_NAMES = (
     # formulas all stay in-window inside ivfsq_topk
     "pq_adc_topk_packed",
     "sq8_topk",
+    # rotated out round 10 (r9-green) to make room for
+    # ivfpq_fitted_roundtrip, which runs the SAME search (shared SQL
+    # twin) against parquet-roundtripped codebooks + cell-partitioned
+    # index — the production shape subsumes the retrain-in-query twin
+    "ivfpq_topk",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 10) — first in line
     "bq_refine_topk",
     "ivfbq_topk",
+    "ivfpq_fitted_roundtrip",
     # r9-green (NEW round 9)
     "ann_ivf_hier_assign",
     "ivfpq_refine_topk",
     "ivfsq_topk",
     "bq_topk",
-    # red in r8 (oracle dtype bug, fixed round 9) — still need a green row
+    # red in r8 (oracle dtype bug, fixed round 9; r9-green)
     "pq_adc_topk",
-    "ivfpq_topk",
     "ivfpq_residual_topk",
     # NEW round 8, r8-green
     "semantic_dedup_sized",

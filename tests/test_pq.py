@@ -466,3 +466,17 @@ def test_residual_vectors_codebook_hole_fails_loudly(spark, emb):
             residual_vectors(emb, ivf_cb).collect()
     finally:
         monkeypatch.undo()
+
+
+def test_ivfpq_fitted_roundtrip_plan_dynamic_prunes(spark):
+    """The persisted-index registry row (r10): the search over the
+    parquet-roundtripped cell-partitioned index must partition-prune at
+    runtime — the probed-cell broadcast becomes a
+    dynamicpruningexpression on the scan's PartitionFilters, so a 100 TB
+    index reads nprobe cells' code files, not the corpus."""
+    from img2dataset_spark.queries import q_ivfpq_fitted_roundtrip
+
+    df = q_ivfpq_fitted_roundtrip(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert df.count() == 10
