@@ -324,6 +324,42 @@ def _q_bq_refine_topk_fitted(spark, sf_dir):
     )
 
 
+def _q_ivfpq_index_full(spark, sf_dir):
+    """The FULL re-index encode pass (assignment + PQ encode over the
+    whole corpus, pre-trained codebooks) — the denominator of the
+    wave-append story: at 100 TB this is the most expensive job in the
+    shop, and the append row below should cost ~its wave fraction."""
+    from img2dataset_spark.operators.pq import ivfpq_index
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivfpq_index(
+        e,
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+    )
+
+
+def _q_ivfpq_index_append_wave(spark, sf_dir):
+    """The wave-APPEND encode pass (operators/maintain.py story): the
+    same assignment+encode restricted to a 10% hash-slice wave with the
+    existing codebooks — FAISS add().  Compare against
+    ivfpq_index_full: the ratio should track the wave fraction, because
+    append never touches the existing corpus."""
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.pq import ivfpq_index
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    wave = e.filter(F.col("vec_id") % 10 == 7)
+    return ivfpq_index(
+        wave,
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+    )
+
+
 def _q_ivfpq_residual_topk_fitted(spark, sf_dir):
     """SEARCH-ONLY residual IVF+PQ: per-probed-cell literal ADC tables
     over the pre-built residual index — the full FAISS query shape."""
@@ -355,6 +391,8 @@ BENCH_ONLY = {
     "bq_topk_fitted": _q_bq_topk_fitted,
     "ivfbq_topk_fitted": _q_ivfbq_topk_fitted,
     "bq_refine_topk_fitted": _q_bq_refine_topk_fitted,
+    "ivfpq_index_full": _q_ivfpq_index_full,
+    "ivfpq_index_append_wave": _q_ivfpq_index_append_wave,
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
@@ -370,6 +408,8 @@ PREPARE = {
     "bq_topk_fitted": _pq_fitted_artifacts,
     "ivfbq_topk_fitted": _pq_fitted_artifacts,
     "bq_refine_topk_fitted": _pq_fitted_artifacts,
+    "ivfpq_index_full": _pq_fitted_artifacts,
+    "ivfpq_index_append_wave": _pq_fitted_artifacts,
 }
 
 HEADLINE = [
@@ -409,6 +449,9 @@ HEADLINE = [
     "bq_topk_fitted",
     "ivfbq_topk_fitted",
     "bq_refine_topk_fitted",
+    "ivfpq_index_full",
+    "ivfpq_index_append_wave",
+    "ivfpq_index_append",
     "ann_ivf_hier_assign",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",

@@ -608,17 +608,19 @@ _QL2 = (
 _QUANTIZE = "list_transform({v}, x -> CAST(floor(x*1048576 + 0.5) AS BIGINT))"
 
 
-def _kmeans_iter_sql(n: int, prev_c: str) -> str:
+def _kmeans_iter_sql(n: int, prev_c: str, src: str = "e") -> str:
     """One Lloyd iteration: quantized-distance argmin assignment
     (tie-break by cell) then exact-decimal means — mirrors
-    similarity.ivf_fit step for step."""
+    similarity.ivf_fit step for step.  ``src`` is the TRAINING frame
+    (default the whole corpus ``e``; the wave-append twin fits on the
+    base slice only)."""
     d = _QL2.format(a="q.qv", b="c.qc")
     return f"""
 cq{n} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM {prev_c}),
 a{n} AS (SELECT vec_id, v, cell FROM (
   SELECT q.vec_id, q.v, c.cell,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {d}, c.cell) AS rn
-  FROM e q, cq{n} c) WHERE rn = 1),
+  FROM {src} q, cq{n} c) WHERE rn = 1),
 d{n} AS (SELECT cell, i,
            CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
          FROM a{n}, (SELECT unnest(generate_series(1, 64)) AS i)
@@ -667,19 +669,34 @@ _QL2_N = (
 
 
 def _pq_sub_sql(
-    j: int, lo: int, hi: int, k: int, iters: int, query: bool = True
+    j: int,
+    lo: int,
+    hi: int,
+    k: int,
+    iters: int,
+    query: bool = True,
+    fit_where: str = "",
 ) -> str:
     """CTE chain for subspace ``j`` over slice v[lo:hi]: training frame,
     seeds, ``iters`` Lloyd iterations, final quantized codebook, corpus
     code assignment, and (``query=True``) the query-side ADC distances
     from e0's vec_id=0 row; residual twins pass query=False and build
-    per-probed-cell qd CTEs themselves."""
+    per-probed-cell qd CTEs themselves.  ``fit_where`` restricts the
+    TRAINING frame (seeds + Lloyd) to a predicate over es{j} while the
+    code assignment still covers every e0 row — the wave-append twin:
+    codebooks fit on the base slice, codes for base + wave alike."""
     n = hi - lo + 1
     d_assign = _QL2_N.format(n=n, a="q.qv", b="c.qc")
+    fit_src = f"esb{j}" if fit_where else f"es{j}"
+    head = f"""es{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v,
+  {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM e0)"""
+    if fit_where:
+        head += f""",
+esb{j} AS (SELECT * FROM es{j} WHERE {fit_where})"""
     parts = [
-        f"""es{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v,
-  {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM e0),
-seeds{j} AS (SELECT vec_id, v FROM es{j}
+        head
+        + f""",
+seeds{j} AS (SELECT vec_id, v FROM {fit_src}
   ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}),
 c{j}x0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
   AS cell, v AS centroid FROM seeds{j})"""
@@ -691,7 +708,7 @@ c{j}x0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
 a{j}x{i} AS (SELECT vec_id, v, cell FROM (
   SELECT q.vec_id, q.v, c.cell,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_assign}, c.cell) AS rn
-  FROM es{j} q, cq{j}x{i} c) WHERE rn = 1),
+  FROM {fit_src} q, cq{j}x{i} c) WHERE rn = 1),
 d{j}x{i} AS (SELECT cell, i,
     CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
   FROM a{j}x{i}, (SELECT unnest(generate_series(1, {n})) AS i)
@@ -805,6 +822,39 @@ ORACLES["ivfpq_topk"] = _IVFPQ_CTES + _IVFPQ_SELECT.format(limit=10)
 # relation (parquet roundtrips doubles/longs exactly), so the twin that
 # recomputes the index relationally is shared verbatim.
 ORACLES["ivfpq_fitted_roundtrip"] = ORACLES["ivfpq_topk"]
+
+# Wave-incremental append: codebooks FIT ON THE BASE SLICE only
+# (vec_id % 10 < 7), codes assigned to base + wave alike — the
+# append-with-frozen-codebooks ≡ full-re-index-on-union identity made
+# relational.  Same probe/scan/select as ivfpq_topk.
+_APPEND_FIT = "vec_id % 10 < 7"
+ORACLES["ivfpq_index_append"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
+  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+e0 AS (SELECT vec_id, v FROM e),
+{_pq_sub_sql(0, 1, 32, 4, 2, fit_where=_APPEND_FIT)},
+{_pq_sub_sql(1, 33, 64, 4, 2, fit_where=_APPEND_FIT)}
+{_IVFPQ_SELECT.format(limit=10)}"""
 
 # FAISS IndexRefineFlat: the same candidate chain widened to
 # k·refine_factor, then an EXACT-cosine re-rank of just those ids

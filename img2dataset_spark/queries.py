@@ -1331,6 +1331,40 @@ def q_ivfpq_fitted_roundtrip(spark, sf_dir):
                       k=10, nprobe=2)
 
 
+def q_ivfpq_index_append(spark, sf_dir):
+    """Wave-incremental index maintenance (operators/maintain.py, r9
+    verdict item 3): codebooks are FIT ON THE BASE CORPUS ONLY (the 70%
+    hash-slice ``vec_id % 10 < 7`` — they exist before the wave
+    arrives), the base is indexed and written cell-partitioned, then
+    the NEW wave (the other 30%) is encoded with the FROZEN codebooks
+    — one map-only assignment+encode pass over wave rows alone, the
+    FAISS ``add`` recipe — and appended as new files into the existing
+    cell directories.  The search answers from the read-back union
+    index.  The SQL twin recomputes the same relation: Lloyd CTEs
+    restricted to the base slice, code assignment over base + wave
+    alike (the append ≡ full-re-index-with-same-codebooks identity,
+    also pinned row-for-row in test_maintain.py)."""
+    import tempfile
+
+    from img2dataset_spark.operators.maintain import append_to_index
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    wave = e.filter(F.col("vec_id") % 10 >= 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+    tmp = tempfile.mkdtemp(prefix="graft_ivfpq_append_")
+    ivfpq_index(base, ivf_cb, pq_cb).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    append_to_index(ivfpq_index(wave, ivf_cb, pq_cb), f"{tmp}/index")
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfpq_topk(idx_rd, ivf_cb, pq_cb, _query_vec(spark, sf_dir),
+                      k=10, nprobe=2)
+
+
 def q_ivfpq_residual_topk(spark, sf_dir):
     """Residual IVF+PQ (the full FAISS IVFPQ recipe): PQ codebook fit
     on the coarse residuals (v − centroid[cell]), codes quantize
@@ -1909,6 +1943,7 @@ QUERIES.update(
         "ann_ivf_hier_assign": q_ann_ivf_hier_assign,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_fitted_roundtrip": q_ivfpq_fitted_roundtrip,
+        "ivfpq_index_append": q_ivfpq_index_append,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "sq8_topk": q_sq8_topk,
@@ -2076,14 +2111,20 @@ _EXTRA_NAMES = (
     # twin) against parquet-roundtripped codebooks + cell-partitioned
     # index — the production shape subsumes the retrain-in-query twin
     "ivfpq_topk",
+    # rotated out round 10 (r9-green) to make room for
+    # ivfpq_index_append; the hierarchical assignment path stays
+    # pytest-parity-pinned (flat-vs-hier equality + AQE-off co-hashing)
+    # and the codebook machinery stays in-window via
+    # semantic_dedup_sized + every ivf* row
+    "ann_ivf_hier_assign",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 10) — first in line
     "bq_refine_topk",
     "ivfbq_topk",
     "ivfpq_fitted_roundtrip",
+    "ivfpq_index_append",
     # r9-green (NEW round 9)
-    "ann_ivf_hier_assign",
     "ivfpq_refine_topk",
     "ivfsq_topk",
     "bq_topk",

@@ -1,0 +1,169 @@
+"""operators/maintain.py — wave-incremental index append + occupancy drift."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.maintain import (
+    append_to_index,
+    index_occupancy,
+    occupancy_drift,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def split(emb):
+    return (
+        emb.filter(F.col("vec_id") % 10 < 7),
+        emb.filter(F.col("vec_id") % 10 >= 7),
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["vec_id"], int(r["cell"]), tuple(r["codes"])) for r in df.collect()
+    )
+
+
+def test_ivfpq_append_equals_full_reindex(spark, emb, split, tmp_path):
+    """The load-bearing identity: base-index + wave-append with FROZEN
+    codebooks reads back row-for-row identical to a full re-index of
+    the union corpus with the same codebooks — encode is row-wise, so
+    appending can't change any code."""
+    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=6, iters=1)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=1)
+    path = os.path.join(str(tmp_path), "idx")
+    ivfpq_index(base, ivf_cb, pq_cb).write.partitionBy("cell").parquet(path)
+    append_to_index(ivfpq_index(wave, ivf_cb, pq_cb), path)
+    got = _rows(spark.read.parquet(path))
+    want = _rows(ivfpq_index(emb, ivf_cb, pq_cb))
+    assert got == want
+    assert len(got) == emb.count()
+
+
+def test_append_generic_across_families(spark, emb, split, tmp_path):
+    """Any family's (id, cell, codes) index rows compose with
+    append_to_index — verified for IVF+BQ (the cheapest encode)."""
+    from img2dataset_spark.operators.bq import ivfbq_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=5, iters=1)
+    path = os.path.join(str(tmp_path), "bq_idx")
+    ivfbq_index(base, ivf_cb).write.partitionBy("cell").parquet(path)
+    append_to_index(ivfbq_index(wave, ivf_cb), path)
+    got = _rows(spark.read.parquet(path))
+    want = _rows(ivfbq_index(emb, ivf_cb))
+    assert got == want
+
+
+def test_append_never_touches_existing_files(spark, split, tmp_path):
+    """Parquet immutability made explicit: after the append, every
+    pre-existing data file still exists byte-for-byte (same size +
+    mtime), and new files appear only under cell= directories."""
+    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=6, iters=1)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=1)
+    path = os.path.join(str(tmp_path), "idx")
+    ivfpq_index(base, ivf_cb, pq_cb).write.partitionBy("cell").parquet(path)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    append_to_index(ivfpq_index(wave, ivf_cb, pq_cb), path)
+    after = snapshot()
+    assert set(before) <= set(after)
+    for p, sig in before.items():
+        assert after[p] == sig, f"existing file rewritten: {p}"
+    new = set(after) - set(before)
+    assert new and all("cell=" in p for p in new)
+
+
+def test_append_requires_cell_column(spark):
+    flat = spark.createDataFrame([(1, [0])], "vec_id long, codes array<long>")
+    with pytest.raises(ValueError, match="cell-partitioned"):
+        append_to_index(flat, "/tmp/nowhere")
+
+
+def test_index_occupancy_counts(spark, emb, split, tmp_path):
+    from img2dataset_spark.operators.bq import ivfbq_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, _ = split
+    ivf_cb = ivf_fit(base, num_cells=5, iters=1)
+    idx = ivfbq_index(base, ivf_cb)
+    occ = {r["cell"]: r["n"] for r in index_occupancy(idx).collect()}
+    want = {
+        r["cell"]: r["count"]
+        for r in idx.groupBy("cell").count().collect()
+    }
+    assert occ == want
+    assert sum(occ.values()) == base.count()
+
+
+def test_occupancy_drift_flags_and_math(spark):
+    """Hand-built occupancies: uniform growth flags nothing; a cell
+    whose SHARE doubles flags at threshold 2; a cell unseen by the
+    base codebook always flags (null growth, the strongest signal)."""
+    base = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 100)], "cell long, n long"
+    )
+    # total 3x growth: cell0 keeps share (x3), cell1 share shrinks,
+    # cell2 share more than doubles, cell3 is brand new
+    new = spark.createDataFrame(
+        [(0, 300), (1, 60), (2, 520), (3, 20)], "cell long, n long"
+    )
+    out = {r["cell"]: r for r in occupancy_drift(base, new, threshold=1.5).collect()}
+    assert len(out) == 4
+    assert out[0]["growth"] == 1.0 and not out[0]["retrain"]
+    assert out[1]["growth"] < 1.0 and not out[1]["retrain"]
+    assert out[2]["growth"] > 1.5 and out[2]["retrain"]
+    assert out[3]["growth"] is None and out[3]["retrain"]
+    assert out[3]["base_n"] == 0 and out[3]["new_n"] == 20
+
+
+def test_occupancy_drift_uniform_growth_flags_nothing(spark):
+    base = spark.createDataFrame([(i, 50) for i in range(8)], "cell long, n long")
+    new = spark.createDataFrame([(i, 500) for i in range(8)], "cell long, n long")
+    out = occupancy_drift(base, new, threshold=1.2).collect()
+    assert all(not r["retrain"] and r["growth"] == 1.0 for r in out)
+
+
+def test_append_job_plan_is_map_only(spark, split):
+    """The append encode — the whole wave-maintenance cost — is one
+    map-only pass over the WAVE rows: a single fused Arrow stage, no
+    shuffle Exchange, no join beyond the broadcast codebook."""
+    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=6, iters=1)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=1)
+    plan = (
+        ivfpq_index(wave, ivf_cb, pq_cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("assign(") == 1, plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "Exchange hashpartitioning"):
+        assert bad not in plan, bad
