@@ -1,0 +1,216 @@
+"""Recall ledger — measured quality for the quantized ANN families.
+
+The "no silent caps" observability discipline (dedup's
+capped_bucket_stats, similarity's cap ledgers) applied to quantization
+ERROR (r9 verdict item 6): every compressed index trades recall for
+scan cost, and that trade should be a MEASURED relation per corpus —
+like the wall-times in SCALE.md — not a claim.
+
+Shape: sample ``num_queries`` corpus vectors DETERMINISTICALLY
+(md5-order on the stable id — the sample_stratified trick, so the same
+corpus always yields the same probe set and ledgers are comparable
+across runs and scale points), run each family's searcher AND the
+matching exact search per probe, and emit one row per family:
+(family, k, num_queries, mean_recall, min_recall).  Every search is a
+distributed Spark job; driver-side state is bounded by
+``num_queries × k`` ids — never corpus-sized.
+
+Ground truth is per-family: PQ/SQ approximate squared-L2, so they
+ledger against :func:`exact_l2_topk`; BQ Hamming estimates the angle
+and the refine stages re-rank by cosine, so they ledger against
+:func:`similarity.cosine_topk`.  Measuring a family against the other
+family's metric would manufacture recall loss that isn't the
+quantizer's.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_l2_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force exact top-k by squared-L2 against a 1-row query_df
+    (`query_vec` column) — the ground truth the L2-approximating
+    families (PQ ADC, SQ8) are measured against.  One scan + codegen
+    aggregate(zip_with(...)) + TakeOrdered; ties id-ascending."""
+    from img2dataset_spark.operators.similarity import _as_double
+
+    q = F.broadcast(query_df.select("query_vec"))
+    scored = df.crossJoin(q).select(
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                _as_double(F.col(vec_col)),
+                F.col("query_vec"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("l2_dist"),
+    )
+    return scored.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)
+
+
+def sample_query_vectors(
+    df: DataFrame,
+    num_queries: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """``num_queries`` (id, vector) probes in deterministic md5-of-id
+    order — corpus-stable, engine-agnostic (the sample_stratified /
+    Lloyd-seed ordering rule).  Driver materialization: num_queries
+    rows."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")),
+                 F.col(id_col))
+        .limit(num_queries)
+        .collect()
+    )
+    return [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def recall_ledger(
+    df: DataFrame,
+    families: dict[str, tuple[Callable[[DataFrame], DataFrame], str]],
+    k: int = 10,
+    num_queries: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(family, k, num_queries, mean_recall, min_recall) — recall@k of
+    each family's searcher against its exact metric over the
+    deterministic probe set.  ``families`` maps name -> (searcher,
+    metric): searcher takes a 1-row query DataFrame (`query_vec`) and
+    returns a frame whose FIRST column is the id; metric is "l2" or
+    "cosine" and selects the exact ground-truth search.  Exact and
+    approximate top-k run as ordinary distributed jobs per probe;
+    recall math happens on 2·k ids per (family, probe)."""
+    from img2dataset_spark.operators.similarity import cosine_topk
+
+    spark = df.sparkSession
+    probes = sample_query_vectors(df, num_queries, vec_col, id_col)
+    if not probes:
+        raise ValueError("recall_ledger: empty corpus")
+    exact_ids: dict[str, list[set]] = {}
+
+    def _qdf(vec: Sequence[float]) -> DataFrame:
+        return spark.createDataFrame([(list(vec),)],
+                                     "query_vec array<double>")
+
+    for metric in {m for _, m in families.values()}:
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unknown metric {metric!r}")
+        fn = exact_l2_topk if metric == "l2" else cosine_topk
+        exact_ids[metric] = [
+            {r[0] for r in fn(df, _qdf(v), k=k,
+                              vec_col=vec_col, id_col=id_col).collect()}
+            for _, v in probes
+        ]
+    out = []
+    for name, (searcher, metric) in families.items():
+        recalls = []
+        for i, (_, v) in enumerate(probes):
+            got = {r[0] for r in searcher(_qdf(v)).collect()}
+            recalls.append(len(got & exact_ids[metric][i]) / k)
+        out.append((name, k, len(probes),
+                    round(sum(recalls) / len(recalls), 6),
+                    round(min(recalls), 6)))
+    return spark.createDataFrame(
+        out,
+        "family string, k long, num_queries long, "
+        "mean_recall double, min_recall double",
+    )
+
+
+def quantizer_recall_ledger(
+    df: DataFrame,
+    k: int = 10,
+    num_queries: int = 4,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """The standard menu ledgered at production-ish settings (the
+    bench's fitted-artifact parameters: m=8/k=16 PQ, SQ8 bounds,
+    64-plane BQ, occupancy-pinned coarse cells): one fit per model,
+    then one ledger relation covering pq_adc / ivfpq / sq8 / ivfsq /
+    bq / bq_refine / ivfbq.  This is what tools/recall_ledger.py runs
+    per scale point for SCALE.md."""
+    from img2dataset_spark.operators.bq import (
+        bq_encode,
+        bq_refine_topk,
+        bq_topk,
+        ivfbq_index,
+        ivfbq_topk,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+    from img2dataset_spark.operators.similarity import (
+        ivf_fit,
+        recommended_num_cells,
+    )
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_topk,
+        sq_encode,
+        sq_fit,
+        sq_topk,
+    )
+
+    n_cells = recommended_num_cells(df.count())
+    pq_cb = pq_fit(df, num_subspaces=8, num_codes=16, iters=2,
+                   vec_col=vec_col, id_col=id_col, dim=dim)
+    pq_codes = pq_encode(df, pq_cb, vec_col=vec_col, id_col=id_col).persist()
+    ivf_cb = ivf_fit(df, num_cells=n_cells, iters=2,
+                     vec_col=vec_col, id_col=id_col)
+    pq_idx = ivfpq_index(df, ivf_cb, pq_cb,
+                         vec_col=vec_col, id_col=id_col).persist()
+    bounds = sq_fit(df, vec_col=vec_col, dim=dim)
+    sq_codes = sq_encode(df, bounds, vec_col=vec_col, id_col=id_col).persist()
+    sq_idx = ivfsq_index(df, ivf_cb, bounds,
+                         vec_col=vec_col, id_col=id_col).persist()
+    bq_codes = bq_encode(df, num_planes=dim, dim=dim,
+                         vec_col=vec_col, id_col=id_col).persist()
+    bq_idx = ivfbq_index(df, ivf_cb, num_planes=dim, dim=dim,
+                         vec_col=vec_col, id_col=id_col).persist()
+    families = {
+        "pq_adc": (lambda q: pq_topk(pq_codes, pq_cb, q, k=k,
+                                     id_col=id_col), "l2"),
+        "ivfpq": (lambda q: ivfpq_topk(pq_idx, ivf_cb, pq_cb, q, k=k,
+                                       nprobe=nprobe, id_col=id_col), "l2"),
+        "sq8": (lambda q: sq_topk(sq_codes, bounds, q, k=k,
+                                  id_col=id_col), "l2"),
+        "ivfsq": (lambda q: ivfsq_topk(sq_idx, ivf_cb, bounds, q, k=k,
+                                       nprobe=nprobe, id_col=id_col), "l2"),
+        "bq": (lambda q: bq_topk(bq_codes, q, k=k, num_planes=dim,
+                                 dim=dim, id_col=id_col), "cosine"),
+        "bq_refine": (lambda q: bq_refine_topk(
+            bq_codes, df, q, k=k, refine_factor=4, num_planes=dim,
+            dim=dim, vec_col=vec_col, id_col=id_col), "cosine"),
+        "ivfbq": (lambda q: ivfbq_topk(bq_idx, ivf_cb, q, k=k,
+                                       nprobe=nprobe, num_planes=dim,
+                                       dim=dim, id_col=id_col), "cosine"),
+    }
+    try:
+        return recall_ledger(df, families, k=k, num_queries=num_queries,
+                             vec_col=vec_col, id_col=id_col)
+    finally:
+        for cached in (pq_codes, pq_idx, sq_codes, sq_idx, bq_codes, bq_idx):
+            cached.unpersist()

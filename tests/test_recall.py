@@ -1,0 +1,82 @@
+"""operators/recall.py — the quantizer recall ledger."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from img2dataset_spark.operators.recall import (
+    exact_l2_topk,
+    recall_ledger,
+    sample_query_vectors,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_exact_l2_topk_matches_numpy(spark, emb):
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.collect()}
+    ids = sorted(V)
+    M = np.stack([V[i] for i in ids])
+    q = V[3]
+    want = [ids[i] for i in
+            np.argsort(((M - q) ** 2).sum(axis=1), kind="stable")[:10]]
+    qdf = spark.createDataFrame([([float(x) for x in q],)],
+                                "query_vec array<double>")
+    got = [r["vec_id"] for r in exact_l2_topk(emb, qdf, k=10).collect()]
+    assert got == want
+
+
+def test_sample_query_vectors_deterministic(emb):
+    a = sample_query_vectors(emb, num_queries=5)
+    b = sample_query_vectors(emb, num_queries=5)
+    assert a == b and len(a) == 5
+    assert len({i for i, _ in a}) == 5
+
+
+def test_exact_searcher_ledgers_recall_one(spark, emb):
+    """Self-test of the meter: an EXACT searcher must ledger 1.0 on
+    both metrics — anything less means the probe set, ground truth,
+    or intersection math is broken."""
+    from img2dataset_spark.operators.similarity import cosine_topk
+
+    out = recall_ledger(
+        emb,
+        {
+            "exact_l2": (lambda q: exact_l2_topk(emb, q, k=10), "l2"),
+            "exact_cos": (lambda q: cosine_topk(emb, q, k=10), "cosine"),
+        },
+        k=10,
+        num_queries=3,
+    ).collect()
+    assert {r["family"]: (r["mean_recall"], r["min_recall"]) for r in out} == {
+        "exact_l2": (1.0, 1.0),
+        "exact_cos": (1.0, 1.0),
+    }
+    assert all(r["num_queries"] == 3 and r["k"] == 10 for r in out)
+
+
+def test_quantizer_menu_ledger_floors(spark, emb):
+    """The full menu at production-ish settings on the sf0.001 corpus:
+    ledger values are valid recalls, deterministic across runs, and the
+    family floors match what test_ann_quality pins individually (sq8
+    high, pq better-than-random, refine >= raw bq screen)."""
+    from img2dataset_spark.operators.recall import quantizer_recall_ledger
+
+    got = {r["family"]: r for r in
+           quantizer_recall_ledger(emb, k=10, num_queries=3).collect()}
+    assert set(got) == {"pq_adc", "ivfpq", "sq8", "ivfsq", "bq",
+                        "bq_refine", "ivfbq"}
+    assert all(0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+               for r in got.values())
+    assert got["sq8"]["mean_recall"] >= 0.5
+    assert got["pq_adc"]["mean_recall"] >= 0.1
+    assert got["bq_refine"]["mean_recall"] >= got["bq"]["mean_recall"]
+
+
+def test_recall_ledger_rejects_unknown_metric(emb):
+    with pytest.raises(ValueError, match="unknown metric"):
+        recall_ledger(emb, {"x": (lambda q: None, "hamming")}).collect()
