@@ -67,6 +67,46 @@ def _pack_bits(bits: np.ndarray) -> np.ndarray:
     return words
 
 
+def make_bq_encode_udf(spark, num_planes: int = 64, dim: int = 64):
+    """The sign-bit encode as a reusable Arrow UDF (factory — pandas
+    UDFs need an active session): exact int64 dot over 2^-20
+    fixed-point quantized vectors against the broadcast plane matrix,
+    dot >= 0 -> 1, packed 32 bits per word.  Shared by the batch
+    encode, the IVF+BQ index builder, and the streaming admission
+    pre-screen so every surface mints bit-identical codes."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = _plane_matrix(num_planes, dim)  # d x p
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("array<long>")
+    def encode(vs: pd.Series) -> pd.Series:
+        M = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
+        bits = (QV @ M >= 0).astype(np.int64)
+        return pd.Series(list(_pack_bits(bits)))
+
+    return encode
+
+
+def hamming_between(a, b):
+    """codegen Hamming distance between two packed code COLUMNS:
+    zip_with xor -> bit_count -> sum, all JVM-side.  NULL (not 0) when
+    either side is null or the widths differ — callers guard on null,
+    so a misconfigured pair can never read as distance 0."""
+    return F.when(
+        a.isNotNull() & b.isNotNull() & (F.size(a) == F.size(b)),
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def bq_encode(
     df: DataFrame,
     num_planes: int = 64,
@@ -77,19 +117,7 @@ def bq_encode(
     """(id, codes array<long>) — sign bit per hyperplane (exact int64
     dot over 2^-20 fixed-point quantized vectors; dot >= 0 -> 1, the
     embedding-LSH convention), packed 32 bits per word."""
-    from pyspark.sql.functions import pandas_udf
-
-    C = _plane_matrix(num_planes, dim)  # d x p
-    bc = df.sparkSession.sparkContext.broadcast(C)
-
-    @pandas_udf("array<long>")
-    def encode(vs: pd.Series) -> pd.Series:
-        M = bc.value
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
-        bits = (QV @ M >= 0).astype(np.int64)
-        return pd.Series(list(_pack_bits(bits)))
-
+    encode = make_bq_encode_udf(df.sparkSession, num_planes, dim)
     e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     return e.select(id_col, encode(F.col("_v")).alias("codes"))
 
@@ -223,21 +251,9 @@ def ivfbq_index(
     of bq.py's r9 composability claim).  Write partitioned by cell;
     a query then reads nprobe cells' 8-byte codes.  Flat and
     hierarchical coarse codebooks both work (ivf_assign dispatches)."""
-    from pyspark.sql.functions import pandas_udf
-
     from img2dataset_spark.operators.similarity import ivf_assign
 
-    C = _plane_matrix(num_planes, dim)
-    bc = df.sparkSession.sparkContext.broadcast(C)
-
-    @pandas_udf("array<long>")
-    def encode(vs: pd.Series) -> pd.Series:
-        M = bc.value
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
-        bits = (QV @ M >= 0).astype(np.int64)
-        return pd.Series(list(_pack_bits(bits)))
-
+    encode = make_bq_encode_udf(df.sparkSession, num_planes, dim)
     tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
     return tagged.select(
         F.col(id_col), "cell", encode(F.col("v")).alias("codes")

@@ -354,6 +354,61 @@ def semantic_static_index(
     )
 
 
+def semantic_static_codes_index(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    num_planes: int = 64,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_size: int = 10_000,
+) -> DataFrame:
+    """(cell, _ref_id, _ref_codes) — the BQ-compressed twin of
+    :func:`semantic_static_index` for the admission pre-screen (r9
+    verdict item 4): the per-micro-batch stream-static join side
+    carries ceil(num_planes/32) packed words per corpus vector instead
+    of the d-dim float vector — 8 B vs d×8 B of static state, ~100× at
+    768-dim.  Same quantized-argmin assignment and the same corpus-side
+    cell cap, so the join fan-out rule is unchanged; codes come from
+    the SAME encode the batch bq family uses (make_bq_encode_udf).
+    Pair with a (id, vector) ref frame: only pre-screen SURVIVORS join
+    back to full vectors for the exact-cosine verdict."""
+    from img2dataset_spark.operators.bq import make_bq_encode_udf
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    encode = make_bq_encode_udf(corpus.sparkSession, num_planes, dim)
+    assigned = ivf_assign(corpus, codebook, vec_col, id_col)
+    ok = (
+        assigned.groupBy("cell")
+        .count()
+        .filter(F.col("count") <= max_cell_size)
+        .select("cell")
+    )
+    return assigned.join(ok, "cell").select(
+        "cell",
+        F.col(id_col).alias("_ref_id"),
+        encode(F.col("v")).alias("_ref_codes"),
+    )
+
+
+def default_prescreen_hamming(
+    cosine_threshold: float, num_planes: int = 64
+) -> int:
+    """Pre-screen cutoff from the Charikar bound: a pair AT the cosine
+    threshold differs on an expected ``p·θ/π`` planes (θ = arccos t),
+    and any TRUE match (cosine ≥ t) expects fewer — so cutoff =
+    expected-at-threshold + 3σ of the worst-case binomial
+    (σ = √p/2) keeps the false-negative probability negligible while
+    still discarding the bulk of random pairs (expected Hamming p/2).
+    The screen is PROBABILISTIC, like every LSH band in this repo: a
+    true match past the cutoff is possible in principle; callers
+    needing the exact-verify-everything behavior pass no codes index."""
+    import math
+
+    expected = num_planes * math.acos(max(-1.0, min(1.0, cosine_threshold))) / math.pi
+    return math.ceil(expected + 1.5 * math.sqrt(num_planes))
+
+
 def streaming_semantic_flags(
     stream: DataFrame,
     index: DataFrame,
@@ -517,7 +572,7 @@ def streaming_multimodal_admission(
     stream: DataFrame,
     text_index: DataFrame,
     phash_index: DataFrame,
-    semantic_index: DataFrame,
+    semantic_index: DataFrame | None,
     codebook: DataFrame,
     bloom: bytes | None = None,
     bloom_num_hashes: int = 7,
@@ -536,6 +591,10 @@ def streaming_multimodal_admission(
     cosine_threshold: float = 0.98,
     dim: int = 64,
     max_bucket_size: int = 1000,
+    semantic_codes_index: DataFrame | None = None,
+    ref_vectors: DataFrame | None = None,
+    prescreen_max_hamming: int | None = None,
+    num_planes: int = 64,
 ) -> DataFrame:
     """The WHOLE multimodal ingest-admission story as ONE streaming
     query: canonical-URL dedup within the watermark, optional Bloom
@@ -544,6 +603,20 @@ def streaming_multimodal_admission(
     perceptual pHash pigeonhole+bit_count (streaming_phash_flags),
     and semantic cell+quantized-cosine (streaming_semantic_flags) —
     each verified with the SAME expressions its batch twin uses.
+
+    Semantic state knob (r9 verdict item 4): pass
+    ``semantic_codes_index`` (:func:`semantic_static_codes_index`) +
+    ``ref_vectors`` (the raw (id, vector) corpus) instead of the
+    full-vector ``semantic_index`` and the per-micro-batch
+    stream-static join side shrinks from d×8 B to ceil(p/32)×8 B per
+    corpus vector (~100× at 768-dim): stream vectors are BQ-encoded
+    with the batch family's exact UDF, a codegen popcount Hamming
+    pre-screen (cutoff ``prescreen_max_hamming``, default
+    :func:`default_prescreen_hamming` — expected-at-threshold + 3σ)
+    drops non-candidates, and ONLY survivors join back to full vectors
+    for the same exact-cosine verdict.  The pre-screen is
+    probabilistic in the LSH-band sense; the parity test pins verdict
+    equality with the unscreened query on the synthetic corpus.
 
     Composition shape: the three screens are built as separate
     stream-static left joins off the shared deduped base and then
@@ -579,6 +652,12 @@ def streaming_multimodal_admission(
         raise ValueError(
             "streaming_multimodal_admission requires a FLAT codebook "
             "(streaming_semantic_flags precondition)"
+        )
+    if semantic_index is None and semantic_codes_index is None:
+        raise ValueError(
+            "pass semantic_index (full-vector) or semantic_codes_index "
+            "+ ref_vectors (BQ pre-screen) — the semantic screen needs "
+            "one of the two static shapes"
         )
 
     cu = canonical_url(F.col(url_col))
@@ -667,7 +746,45 @@ def streaming_multimodal_admission(
     # --- semantic screen: cell assign -> index join -> quantized cosine
     s_base = base.select(*keep, _as_double(F.col(vec_col)).alias("_v"))
     s_assigned = _assign_cells(s_base, codebook, "_v", id_col)
-    s_hits = s_assigned.join(semantic_index, "cell", "left")
+    if semantic_codes_index is not None:
+        # BQ pre-screen path: popcount Hamming over 8-byte static codes
+        # gates the expensive exact verify; full vectors join by id for
+        # SURVIVORS only.
+        from img2dataset_spark.operators.bq import (
+            hamming_between,
+            make_bq_encode_udf,
+        )
+
+        if ref_vectors is None:
+            raise ValueError(
+                "semantic_codes_index requires ref_vectors (the raw "
+                "(id, vector) corpus) for the exact re-verify of "
+                "pre-screen survivors"
+            )
+        cutoff = (
+            prescreen_max_hamming
+            if prescreen_max_hamming is not None
+            else default_prescreen_hamming(cosine_threshold, num_planes)
+        )
+        enc = make_bq_encode_udf(stream.sparkSession, num_planes, dim)
+        s_coded = s_assigned.withColumn("_codes", enc(F.col("_v")))
+        cand_hits = s_coded.join(semantic_codes_index, "cell", "left")
+        ham = hamming_between(F.col("_codes"), F.col("_ref_codes"))
+        cand_hits = cand_hits.withColumn(
+            "_cand",
+            F.when(ham.isNotNull() & (ham <= cutoff), F.col("_ref_id")),
+        )
+        rv = ref_vectors.select(
+            F.col(id_col).alias("_rv_id"),
+            _as_double(F.col(vec_col)).alias("_ref_v"),
+        )
+        s_hits = cand_hits.join(
+            rv, cand_hits["_cand"] == rv["_rv_id"], "left"
+        )
+        ref_present = F.col("_rv_id")
+    else:
+        s_hits = s_assigned.join(semantic_index, "cell", "left")
+        ref_present = F.col("_ref_id")
     qcos = make_pair_qcosine_udf(dim)
     zeros = F.array(*[F.lit(0.0)] * dim)
     cos6 = qcos(F.col("_v"), F.coalesce(F.col("_ref_v"), zeros))
@@ -677,10 +794,10 @@ def streaming_multimodal_admission(
         F.when(
             # ~isnan: zero-norm stream vector vs a real neighbor is NaN,
             # and NaN >= t is TRUE in Spark (see streaming_semantic_flags)
-            F.col("_ref_id").isNotNull()
+            ref_present.isNotNull()
             & ~F.isnan(cos6)
             & (cos6 >= cosine_threshold),
-            F.col("_ref_id"),
+            ref_present,
         ).alias("_match_ref"),
     )
 

@@ -524,3 +524,155 @@ def test_streaming_multimodal_admission_matches_batch(spark, tmp_path):
     assert not got[2]["admitted"] and not got[3]["admitted"]
     assert got[6]["admitted"]
     sem_index.unpersist()
+
+
+def test_multimodal_admission_bq_prescreen_parity_and_state_size(
+    spark, tmp_path
+):
+    """r10 (r9 verdict item 4): the BQ popcount pre-screen variant of
+    the semantic screen must emit IDENTICAL verdicts to the unscreened
+    full-vector query on the synthetic corpus, while its per-batch
+    stream-static join side is an order of magnitude smaller on disk
+    (8-byte codes vs d-dim vectors)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.dedup import build_minhash_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        default_prescreen_hamming,
+        semantic_static_codes_index,
+        semantic_static_index,
+        streaming_multimodal_admission,
+    )
+
+    def vec(i, eps=0.0):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        if eps:
+            v[(i + 1) % 64] = eps
+        return v
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "corpus alpha words one two three", 0x1234, vec(10)),
+            (101, "corpus beta words four five six", 0x0F0F, vec(20)),
+            (102, "corpus gamma words seven eight nine", 0x7070, vec(30)),
+        ],
+        "doc_id long, text string, phash long, embedding array<double>",
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    wave = spark.createDataFrame(
+        [
+            (0, "fresh words nothing shared one", 0x5555, vec(30, eps=0.01), "u0"),
+            (1, "fresh words nothing shared two", 0x6666, vec(20, eps=0.02), "u1"),
+            (2, "fresh words nothing shared three", 0x2222, vec(5), "u2"),
+        ],
+        "doc_id long, text string, phash long, embedding array<double>, u string",
+    ).select(
+        "doc_id", "text", "phash", "embedding",
+        F.concat(F.lit("http://synth.local/"), F.col("u")).alias("url"),
+        F.lit(t0).alias("ts"),
+    )
+
+    text_index = build_minhash_index(corpus)
+    cb = ivf_fit(corpus, num_cells=2, iters=1, id_col="doc_id")
+    full_idx = semantic_static_index(corpus, cb, id_col="doc_id").persist()
+    codes_idx = semantic_static_codes_index(
+        corpus, cb, id_col="doc_id"
+    ).persist()
+    full_idx.count(), codes_idx.count()
+
+    # state-size assertion on a corpus big enough that payload beats
+    # parquet framing (sf0.001, 500 x 64-dim): the codes index — the
+    # frame the stream re-reads EVERY micro-batch — is an order of
+    # magnitude smaller than the full-vector index (16 B words vs
+    # 512 B vectors per row; ~100x at 768-dim with 64 planes)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ecb = ivf_fit(emb, num_cells=4, iters=1)
+    full_p = os.path.join(str(tmp_path), "full_idx")
+    codes_p = os.path.join(str(tmp_path), "codes_idx")
+    semantic_static_index(emb, ecb).coalesce(1).write.parquet(full_p)
+    semantic_static_codes_index(emb, ecb).coalesce(1).write.parquet(codes_p)
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    assert psize(full_p) > 10 * psize(codes_p), (psize(full_p), psize(codes_p))
+
+    src = os.path.join(str(tmp_path), "ppsrc")
+    wave.coalesce(1).write.parquet(src)
+    flush = spark.createDataFrame(
+        [(-1, "flush", 0, [0.0] * 64, "http://x/f", t0 + dt.timedelta(hours=2))],
+        wave.schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(wave.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_multimodal_admission(
+                stream, text_index, phash_index=corpus.select("doc_id", "phash"),
+                codebook=cb, watermark="10 minutes",
+                jaccard_threshold=0.3, max_hamming=2, cosine_threshold=0.9,
+                **kw,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(str(tmp_path), name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            r["doc_id"]: (
+                r["n_text_matches"], r["n_image_matches"],
+                r["n_semantic_matches"], r["admitted"],
+            )
+            for r in spark.table(name).collect()
+        }
+
+    plain = run("t_pp_plain", semantic_index=full_idx)
+    screened = run(
+        "t_pp_screened",
+        semantic_index=None,
+        semantic_codes_index=codes_idx,
+        ref_vectors=corpus.select("doc_id", "embedding"),
+    )
+    assert screened == plain, (screened, plain)
+    # the scenario actually exercises the semantic path: rows 0 and 1
+    # are near-dups of corpus vectors, row 2 is clean
+    assert plain[0][2] > 0 and plain[1][2] > 0 and plain[2][2] == 0
+    assert not plain[0][3] and not plain[1][3] and plain[2][3]
+    # the derived cutoff is a real screen: below half the planes
+    assert default_prescreen_hamming(0.9, 64) < 32
+    full_idx.unpersist(), codes_idx.unpersist()
+
+
+def test_multimodal_admission_requires_a_semantic_shape(spark):
+    import pytest as _pytest
+
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        streaming_multimodal_admission,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "t", 0, [0.0] * 64)],
+        "doc_id long, text string, phash long, embedding array<double>",
+    )
+    cb = ivf_fit(corpus, num_cells=1, iters=1, id_col="doc_id")
+    with _pytest.raises(ValueError, match="semantic_codes_index"):
+        streaming_multimodal_admission(
+            corpus, corpus, corpus, semantic_index=None, codebook=cb
+        )
