@@ -49,44 +49,30 @@ def sq_fit(
     dim: int | None = None,
 ) -> DataFrame:
     """Learn per-dimension [lo, hi] bounds: (dim, lo, hi), dim 1-based.
-    ONE no-explode aggregation of 2d min/max expressions over the array
-    elements — zero row inflation (the r9 posexplode path materialized
-    n×d rows through the first stage: 768× at 768-dim), partial agg
-    keeps the shuffle at partitions rows, and min/max are exact (no
-    float-sum fold hazard), so the bounds are bit-identical in any
-    engine and to the explode formulation the SQL twin uses.  ``dim``
-    is peeked from the first row when not given (one limit-1 job —
-    fine for a one-off fit; pass it to stay fully lazy)."""
+    One posexplode + min/max aggregation — partial agg keeps the
+    shuffle at partitions×d rows; min/max are exact (no float-sum
+    fold hazard), so the bounds are bit-identical in any engine.
+
+    The explode formulation is the MEASURED winner, not an accident
+    (r10 same-session A/B at sf0.1, dim=64, fit stage alone): explode
+    0.17 s; a "no-row-inflation" single aggregate of 2d min/max
+    expressions 0.87 s (128 aggregates blow the codegen field budget
+    and fall back to interpreted evaluation — 5× slower); an Arrow
+    mapInPandas per-partition numpy min/max 0.44 s warm (Python worker
+    round-trip).  The explode's n×d rows are PIPELINED through
+    Generate → partial HashAggregate inside one codegen stage — never
+    materialized — so the "row inflation" the alternative avoids was
+    never a cost.  ``dim`` is accepted for signature compatibility and
+    future validation; the plan does not depend on it."""
+    del dim  # bounds shape is derived from the data, not the argument
     from img2dataset_spark.operators.similarity import _as_double
 
-    v = _as_double(F.col(vec_col))
-    if dim is None:
-        head = df.select(F.size(v).alias("_d")).head()
-        if head is None:
-            raise ValueError("sq_fit: empty corpus, cannot infer dim")
-        dim = int(head["_d"])
-    agg = df.agg(
-        *[
-            a
-            for i in range(dim)
-            for a in (
-                F.min(F.element_at(v, i + 1)).alias(f"_lo{i}"),
-                F.max(F.element_at(v, i + 1)).alias(f"_hi{i}"),
-            )
-        ]
-    )
-    # one row of 2d scalars -> the canonical d-row (dim, lo, hi) shape
-    return agg.select(
-        F.posexplode(
-            F.arrays_zip(
-                F.array(*[F.col(f"_lo{i}") for i in range(dim)]).alias("lo"),
-                F.array(*[F.col(f"_hi{i}") for i in range(dim)]).alias("hi"),
-            )
-        ).alias("_p", "_b")
-    ).select(
-        (F.col("_p") + 1).alias("dim"),
-        F.col("_b.lo").alias("lo"),
-        F.col("_b.hi").alias("hi"),
+    return (
+        df.select(
+            F.posexplode(_as_double(F.col(vec_col))).alias("_p", "_x")
+        )
+        .groupBy((F.col("_p") + 1).alias("dim"))
+        .agg(F.min("_x").alias("lo"), F.max("_x").alias("hi"))
     )
 
 

@@ -88,26 +88,26 @@ def test_sq_constant_dimension_codes_zero(spark):
     assert codes[0][0] == 0 and codes[3][0] == 255  # lo -> 0, hi -> 255
 
 
-def test_sq_fit_no_row_inflation(emb, fitted):
-    """r10 (VERDICT nit): fit is ONE aggregate of 2d min/max
-    expressions — the only Generate in the plan is the 1-row reshape
-    posexplode sitting ABOVE the aggregation.  The r9 plan exploded the
-    corpus to n×d rows below the agg (768× inflation at 768-dim);
-    printed top-down, Generate must now come before HashAggregate."""
+def test_sq_fit_explode_is_pipelined_codegen(emb):
+    """The explode fit is the MEASURED winner (see sq_fit docstring:
+    r10 A/B — a 2d-expression aggregate blows the codegen field budget
+    and runs 5× slower interpreted); this pin keeps the Generate and
+    the partial HashAggregate fused in ONE WholeStageCodegen span, the
+    property that makes the n×d explosion pipelined instead of
+    materialized."""
     plan = (
         sq_fit(emb, dim=64)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Generate" in plan and "HashAggregate" in plan, plan
-    assert plan.index("Generate") < plan.index("HashAggregate"), plan
-
-
-def test_sq_fit_dim_inference_matches_explicit(emb):
-    """dim=None peeks the width from the first row; bounds must be
-    bit-identical to the explicit-dim path."""
-    lo_a, hi_a = _collect_bounds(sq_fit(emb))
-    lo_b, hi_b = _collect_bounds(sq_fit(emb, dim=64))
-    np.testing.assert_array_equal(lo_a, lo_b)
-    np.testing.assert_array_equal(hi_a, hi_b)
+    # top-down: final agg -> THE ONE Exchange -> partial agg -> Generate
+    # -> scan.  The explode output never crosses a shuffle: the partial
+    # min/max combine map-side, so the Exchange carries partitions×d
+    # rows, not n×d.
+    assert plan.count("Exchange") == 1, plan
+    assert (
+        plan.index("Exchange")
+        < plan.rindex("HashAggregate")
+        < plan.index("Generate")
+    ), plan
 
 
 def test_collect_bounds_memoized(fitted, monkeypatch):
