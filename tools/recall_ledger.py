@@ -3,7 +3,7 @@ line — the companion to bench.py for QUALITY numbers: SCALE.md records
 (family, mean_recall, min_recall) per sf the same way it records
 wall-times, so recall claims carry measurements instead of adjectives.
 
-Usage: python tools/recall_ledger.py [sf_dir] [num_queries] [k]
+Usage: python tools/recall_ledger.py [sf_dir] [num_queries] [k] [nprobe]
 """
 
 from __future__ import annotations
@@ -21,13 +21,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     num_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     from img2dataset_spark.operators.recall import quantizer_recall_ledger
 
     spark = get_spark(app_name="recall_ledger")
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     rows = quantizer_recall_ledger(
-        emb, k=k, num_queries=num_queries
+        emb, k=k, num_queries=num_queries, nprobe=nprobe
     ).collect()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -36,6 +37,7 @@ def main() -> None:
                 "metric": "quantizer_recall_at_k",
                 "k": k,
                 "num_queries": num_queries,
+                "nprobe": nprobe,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "families": {
                     r["family"]: {
