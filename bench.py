@@ -452,6 +452,7 @@ HEADLINE = [
     "ivfpq_index_full",
     "ivfpq_index_append_wave",
     "ivfpq_index_append",
+    "ann_occupancy_drift",
     "ann_ivf_hier_assign",
     "embedding_dup_pairs_lsh",
     "embedding_dup_pairs_lsh_auto",

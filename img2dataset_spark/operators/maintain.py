@@ -86,8 +86,12 @@ def occupancy_drift(
         .crossJoin(F.broadcast(tot_b))
         .crossJoin(F.broadcast(tot_w))
     )
+    from img2dataset_spark.operators.similarity import round6
+
     # per-cell share now vs share before; unseen-by-base cells get
-    # infinite share growth — represent as null growth + retrain=true
+    # infinite share growth — represent as null growth + retrain=true.
+    # round6 (floor(x*1e6+0.5)/1e6) is the repo-wide half-rounding rule,
+    # so the relation strict-compares against a SQL twin.
     growth = (
         (F.col("new_n") / F.col("tw"))
         / (F.col("base_n") / F.col("tb"))
@@ -96,7 +100,7 @@ def occupancy_drift(
         "cell",
         "base_n",
         "new_n",
-        F.when(F.col("base_n") > 0, F.round(growth, 6)).alias("growth"),
+        F.when(F.col("base_n") > 0, round6(growth)).alias("growth"),
         (
             (F.col("base_n") == 0) & (F.col("new_n") > 0)
             | (F.col("base_n") > 0) & (growth > F.lit(threshold))

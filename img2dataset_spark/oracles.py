@@ -919,6 +919,49 @@ WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
 """
 
+# Occupancy drift (operators/maintain.py): base-slice coarse fit, then
+# the re-train meter between the base index's occupancy and the
+# post-append union's — integer counts, integer-derived share ratios
+# (IEEE-identical division order), round6 growth, boolean retrain.
+ORACLES["ann_occupancy_drift"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE vec_id % 10 < 7),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1 GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw)
+SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell,
+  COALESCE(ab.base_n, 0) AS base_n,
+  COALESCE(aw.new_n, 0) AS new_n,
+  CASE WHEN COALESCE(ab.base_n, 0) > 0 THEN
+    floor(((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb))*1e6 + 0.5)/1e6
+  END AS growth,
+  ((COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+   OR (COALESCE(ab.base_n, 0) > 0
+       AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02))
+  AS retrain
+FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+"""
+
 # Scalar quantization (SQ8): per-dimension min/max bounds (exact aggs,
 # no fold hazard), byte codes floor((x-lo)*255/(hi-lo)+0.5) clamped to
 # [0,255] (constant dims code to 0), symmetric code-domain int64

@@ -1365,6 +1365,36 @@ def q_ivfpq_index_append(spark, sf_dir):
                       k=10, nprobe=2)
 
 
+def q_ann_occupancy_drift(spark, sf_dir):
+    """The OTHER half of the maintenance story (operators/maintain.py):
+    the re-train meter.  Same base/wave hash split as
+    ivfpq_index_append — coarse codebook fit on the 70% base — then the
+    drift relation between the base index's occupancy and the
+    post-append union's: per cell, counts, share-normalized growth
+    (round6), and the retrain flag at a 1.02 threshold.  Everything is
+    integer counts and integer-derived doubles, so the SQL twin
+    (base-slice Lloyd CTEs + two assignment counts + a full outer
+    join) strict-compares."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
+    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
+    return occupancy_drift(base_occ, new_occ, threshold=1.02).select(
+        F.col("cell").cast("long").alias("cell"),
+        "base_n",
+        "new_n",
+        "growth",
+        "retrain",
+    )
+
+
 def q_ivfpq_residual_topk(spark, sf_dir):
     """Residual IVF+PQ (the full FAISS IVFPQ recipe): PQ codebook fit
     on the coarse residuals (v − centroid[cell]), codes quantize
@@ -1944,6 +1974,7 @@ QUERIES.update(
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_fitted_roundtrip": q_ivfpq_fitted_roundtrip,
         "ivfpq_index_append": q_ivfpq_index_append,
+        "ann_occupancy_drift": q_ann_occupancy_drift,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "sq8_topk": q_sq8_topk,
@@ -2117,6 +2148,10 @@ _EXTRA_NAMES = (
     # and the codebook machinery stays in-window via
     # semantic_dedup_sized + every ivf* row
     "ann_ivf_hier_assign",
+    # rotated out round 10 (r9-green) to make room for
+    # ann_occupancy_drift; the raw popcount ranking's formulas stay
+    # in-window twice over (bq_refine_topk's screen stage + ivfbq_topk)
+    "bq_topk",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 10) — first in line
@@ -2124,10 +2159,10 @@ _FLAGSHIP_FIRST = (
     "ivfbq_topk",
     "ivfpq_fitted_roundtrip",
     "ivfpq_index_append",
+    "ann_occupancy_drift",
     # r9-green (NEW round 9)
     "ivfpq_refine_topk",
     "ivfsq_topk",
-    "bq_topk",
     # red in r8 (oracle dtype bug, fixed round 9; r9-green)
     "pq_adc_topk",
     "ivfpq_residual_topk",
