@@ -260,6 +260,48 @@ def ivfbq_index(
     )
 
 
+def ivfbq_refine_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    vectors_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    refine_factor: int = 4,
+    num_planes: int = 64,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full binary composition — coarse probe × popcount screen ×
+    exact re-rank (FAISS IndexBinaryIVF + RefineFlat): stage 1 takes
+    the top ``k·refine_factor`` Hamming candidates from the probed
+    cells' 8-byte words (partition-pruned scan), stage 2 re-ranks ONLY
+    those rows by exact cosine via a broadcast semi-join into the raw
+    vector table.  Completes the IVF × {PQ, SQ8, BQ} × refine matrix.
+    Output (id, cos_sim), cosine_topk's convention."""
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        round6,
+    )
+
+    cand = ivfbq_topk(
+        index_df, ivf_codebook, query_df, k=k * refine_factor,
+        nprobe=nprobe, num_planes=num_planes, dim=dim, id_col=id_col,
+    )
+    e = vectors_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    pruned = e.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+    q = F.broadcast(query_df.select("query_vec"))
+    scored = pruned.crossJoin(q).select(
+        F.col(id_col),
+        round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def ivfbq_topk(
     index_df: DataFrame,
     ivf_codebook: DataFrame,

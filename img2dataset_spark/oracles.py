@@ -1130,6 +1130,22 @@ WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY hamming ASC, codes.vec_id ASC LIMIT 10
 """
 
+# IVF+BQ + refine: the ivfbq candidate chain widened to k·factor, then
+# the exact-cosine re-rank (ann_cosine_topk's formula and convention).
+ORACLES["ivfbq_refine_topk"] = (
+    ORACLES["ivfbq_topk"].rsplit("SELECT codes.vec_id,", 1)[0].rstrip()
+    + f""",
+cand AS (
+  SELECT codes.vec_id, CAST({_BQ_HAMMING} AS BIGINT) AS hamming
+  FROM codes JOIN af ON af.vec_id = codes.vec_id, q
+  WHERE af.cell IN (SELECT cell FROM probe)
+  ORDER BY hamming ASC, codes.vec_id ASC LIMIT 40)
+SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
+FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+"""
+)
+
 # -- random-hyperplane LSH near-dup (label-free) ----------------------------
 # Same md5-seeded integer hyperplanes as operators.similarity
 # .hyperplane_coeffs, inlined as literals; sign bits from an EXACT integer

@@ -1527,6 +1527,25 @@ def q_ivfbq_topk(spark, sf_dir):
                       nprobe=2, num_planes=64, dim=64)
 
 
+def q_ivfbq_refine_topk(spark, sf_dir):
+    """The full binary composition (coarse probe × popcount screen ×
+    exact re-rank — FAISS IndexBinaryIVF + RefineFlat), completing the
+    IVF × {PQ, SQ8, BQ} × refine matrix.  EXTRA from birth
+    (dedup_vs_corpus_indexed precedent): oracle-verified on every
+    pytest run; its two stages hold driver slots separately via
+    ivfbq_topk and bq_refine_topk."""
+    from img2dataset_spark.operators.bq import ivfbq_index, ivfbq_refine_topk
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    idx = ivfbq_index(e, ivf_cb, num_planes=64, dim=64)
+    return ivfbq_refine_topk(
+        idx, ivf_cb, e, _query_vec(spark, sf_dir),
+        k=10, nprobe=2, refine_factor=4, num_planes=64, dim=64,
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     from img2dataset_spark.operators.similarity import embedding_dup_pairs
 
@@ -1982,6 +2001,7 @@ QUERIES.update(
         "bq_topk": q_bq_topk,
         "bq_refine_topk": q_bq_refine_topk,
         "ivfbq_topk": q_ivfbq_topk,
+        "ivfbq_refine_topk": q_ivfbq_refine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "embedding_dup_pairs_lsh_sized": q_embedding_dup_pairs_lsh_sized,
@@ -2152,6 +2172,10 @@ _EXTRA_NAMES = (
     # ann_occupancy_drift; the raw popcount ranking's formulas stay
     # in-window twice over (bq_refine_topk's screen stage + ivfbq_topk)
     "bq_topk",
+    # NEW in round 10, EXTRA from birth (dedup_vs_corpus_indexed
+    # precedent): the probe x screen x refine composition whose two
+    # stages hold driver slots separately (ivfbq_topk, bq_refine_topk)
+    "ivfbq_refine_topk",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 10) — first in line

@@ -195,3 +195,25 @@ def test_ivfbq_index_single_pass_plan(spark, emb):
     assert plan.count("assign(") == 1, plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "Exchange hashpartitioning"):
         assert bad not in plan, bad
+
+
+def test_ivfbq_refine_full_probe_full_budget_equals_exact(spark, emb):
+    """Exactness limit for the full binary composition: every cell
+    probed + whole-corpus candidate budget -> identical to brute-force
+    cosine_topk."""
+    from img2dataset_spark.operators.bq import ivfbq_index, ivfbq_refine_topk
+    from img2dataset_spark.operators.similarity import cosine_topk, ivf_fit
+
+    n = emb.count()
+    ivf_cb = ivf_fit(emb, num_cells=5, iters=1)
+    idx = ivfbq_index(emb, ivf_cb)
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_vec")
+    )
+    want = [(r["vec_id"], r["cos_sim"])
+            for r in cosine_topk(emb, q, k=10).collect()]
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in ivfbq_refine_topk(
+               idx, ivf_cb, emb, q, k=10, nprobe=5,
+               refine_factor=n // 10 + 1).collect()]
+    assert got == want
