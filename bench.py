@@ -440,6 +440,7 @@ HEADLINE = [
     "bq_topk",
     "bq_refine_topk",
     "ivfbq_topk",
+    "ivfbq_refine_topk",
     "pq_adc_topk_fitted",
     "pq_adc_topk_fitted_packed",
     "ivfpq_topk_fitted",
