@@ -39,7 +39,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def append_to_index(index_rows: DataFrame, index_path: str) -> None:
+def append_to_index(
+    index_rows: DataFrame, index_path: str, validate: bool = True
+) -> None:
     """Append freshly-encoded (id, cell, codes, ...) rows — the output
     of ANY family's ``*_index`` builder run on the NEW wave with the
     EXISTING codebooks — to a cell-partitioned parquet index.  New
@@ -47,12 +49,34 @@ def append_to_index(index_rows: DataFrame, index_path: str) -> None:
     existing files are immutable.  The caller keeps the codebooks
     frozen: refitting them would silently skew every OLD code (codes
     are meaningless without the codebook that minted them) — that is
-    a full re-index, not an append."""
+    a full re-index, not an append.
+
+    ``validate`` (default on) compares the wave frame's column set
+    against the existing index's schema (one metadata-only read) and
+    refuses a mismatched append: mixing families or code widths in one
+    index directory would surface later as nulls in a merged-schema
+    scan — the exact NULLS-FIRST top-k hazard the query-side width
+    guards exist for — and failing at WRITE time names the problem
+    where it was made."""
     if "cell" not in index_rows.columns:
         raise ValueError(
             "append_to_index needs a cell-partitioned index row frame "
             f"(id, cell, codes, ...); got columns {index_rows.columns}"
         )
+    if validate:
+        spark = index_rows.sparkSession
+        try:
+            existing = spark.read.parquet(index_path).columns
+        except Exception:
+            existing = None  # first write: nothing to validate against
+        if existing is not None and set(existing) != set(index_rows.columns):
+            raise ValueError(
+                "append_to_index: wave columns "
+                f"{sorted(index_rows.columns)} do not match the existing "
+                f"index's {sorted(existing)} — appending a different "
+                "family/shape into one index directory would read back "
+                "as a merged schema with nulls"
+            )
     index_rows.write.mode("append").partitionBy("cell").parquet(index_path)
 
 

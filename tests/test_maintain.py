@@ -167,3 +167,29 @@ def test_append_job_plan_is_map_only(spark, split):
     assert plan.count("assign(") == 1, plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "Exchange hashpartitioning"):
         assert bad not in plan, bad
+
+
+def test_append_rejects_schema_mismatch(spark, emb, split, tmp_path):
+    """Appending a different family's rows into an existing index
+    directory must fail at WRITE time naming the column mismatch —
+    a merged-schema read would otherwise surface nulls in the scan
+    (the query-side NULLS-FIRST hazard, caught where it's made)."""
+    from img2dataset_spark.operators.bq import ivfbq_index
+    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=4, iters=1)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=1)
+    path = os.path.join(str(tmp_path), "idx")
+    ivfpq_index(base, ivf_cb, pq_cb).write.partitionBy("cell").parquet(path)
+    # same column NAMES (vec_id, cell, codes) but different family/width
+    # is allowed through the name check — the width guard at query time
+    # covers that; a frame with EXTRA columns must be refused here
+    extra = ivfbq_index(wave, ivf_cb).withColumn("family", F.lit("bq"))
+    with pytest.raises(ValueError, match="do not match the existing"):
+        append_to_index(extra, path)
+    # first write to a fresh path validates against nothing
+    fresh = os.path.join(str(tmp_path), "fresh")
+    append_to_index(ivfbq_index(wave, ivf_cb), fresh)
+    assert spark.read.parquet(fresh).count() == wave.count()
