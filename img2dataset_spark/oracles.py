@@ -1034,6 +1034,10 @@ WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY sq_dist ASC, codes.vec_id ASC LIMIT 10
 """
 
+# SQ8 persisted-index roundtrip: shares the retrain-in-query twin —
+# parquet roundtrips the bounds/codes exactly.
+ORACLES["ivfsq_fitted_roundtrip"] = ORACLES["ivfsq_topk"]
+
 # Binary quantization (operators/bq.py): sign bit per md5-seeded
 # hyperplane (the embedding-LSH dot/sign convention), packed 32 bits
 # per word, Hamming = popcount of xor per word summed.  BIGINT-cast

@@ -1365,6 +1365,34 @@ def q_ivfpq_index_append(spark, sf_dir):
                       k=10, nprobe=2)
 
 
+def q_ivfsq_fitted_roundtrip(spark, sf_dir):
+    """The persisted-index search shape for the SQ8 family (EXTRA from
+    birth — ivfpq_fitted_roundtrip holds the driver slot for the
+    pattern): write bounds + cell-partitioned byte-code index to
+    parquet, read back, answer the probe-pruned symmetric scan from
+    the artifacts alone.  Same parameters as q_ivfsq_topk, so the SQL
+    twin is shared (persistence is representation)."""
+    import tempfile
+
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.operators.sq import ivfsq_index, ivfsq_topk, sq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    bounds = sq_fit(e, dim=64)
+    tmp = tempfile.mkdtemp(prefix="graft_ivfsq_rt_")
+    ivf_cb.write.parquet(f"{tmp}/ivf_cb")
+    bounds.write.parquet(f"{tmp}/bounds")
+    ivf_rd = spark.read.parquet(f"{tmp}/ivf_cb")
+    b_rd = spark.read.parquet(f"{tmp}/bounds")
+    ivfsq_index(e, ivf_rd, b_rd).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfsq_topk(idx_rd, ivf_rd, b_rd, _query_vec(spark, sf_dir),
+                      k=10, nprobe=2)
+
+
 def q_ann_occupancy_drift(spark, sf_dir):
     """The OTHER half of the maintenance story (operators/maintain.py):
     the re-train meter.  Same base/wave hash split as
@@ -1992,6 +2020,7 @@ QUERIES.update(
         "ann_ivf_hier_assign": q_ann_ivf_hier_assign,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_fitted_roundtrip": q_ivfpq_fitted_roundtrip,
+        "ivfsq_fitted_roundtrip": q_ivfsq_fitted_roundtrip,
         "ivfpq_index_append": q_ivfpq_index_append,
         "ann_occupancy_drift": q_ann_occupancy_drift,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
@@ -2176,6 +2205,10 @@ _EXTRA_NAMES = (
     # precedent): the probe x screen x refine composition whose two
     # stages hold driver slots separately (ivfbq_topk, bq_refine_topk)
     "ivfbq_refine_topk",
+    # NEW in round 10, EXTRA from birth: the SQ8 persisted-index
+    # roundtrip (ivfpq_fitted_roundtrip holds the pattern's driver
+    # slot; shares ivfsq_topk's twin — persistence is representation)
+    "ivfsq_fitted_roundtrip",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 10) — first in line
