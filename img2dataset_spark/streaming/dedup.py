@@ -411,7 +411,7 @@ def default_prescreen_hamming(
 
 def streaming_semantic_flags(
     stream: DataFrame,
-    index: DataFrame,
+    index: DataFrame | None,
     codebook: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -419,6 +419,10 @@ def streaming_semantic_flags(
     watermark: str = "1 hour",
     threshold: float = 0.98,
     dim: int = 64,
+    codes_index: DataFrame | None = None,
+    ref_vectors: DataFrame | None = None,
+    prescreen_max_hamming: int | None = None,
+    num_planes: int = 64,
 ) -> DataFrame:
     """Ingestion-time SEMANTIC screening — the embedding twin that
     completes the batch/stream screening triple (minhash:
@@ -446,7 +450,14 @@ def streaming_semantic_flags(
     semantic_dedup_vs (the lambda split in the module header).
     Unmatched cells (corpus has nothing there) produce n_matches = 0;
     rows must carry a non-NULL ``dim``-length vector (they come from
-    an embedder)."""
+    an embedder).
+
+    State knob (mirrors streaming_multimodal_admission): pass
+    ``codes_index`` (:func:`semantic_static_codes_index`) +
+    ``ref_vectors`` instead of the full-vector ``index`` and the
+    per-micro-batch static join side carries 8-byte codes; a codegen
+    popcount pre-screen gates the exact verify, which then runs only
+    on survivors (probabilistic in the LSH-band sense)."""
     from img2dataset_spark.operators.similarity import (
         _as_double,
         _assign_cells,
@@ -459,26 +470,64 @@ def streaming_semantic_flags(
             "centroid); the hierarchical cogroup hop is not a streaming "
             "shape"
         )
+    if index is None and codes_index is None:
+        raise ValueError(
+            "pass index (full-vector) or codes_index + ref_vectors "
+            "(BQ pre-screen)"
+        )
     e = stream.select(
         F.col(id_col), F.col(ts_col), _as_double(F.col(vec_col)).alias("_v")
     )
     assigned = _assign_cells(e, codebook, "_v", id_col)
-    hits = ensure_event_time(assigned.join(index, "cell", "left"), ts_col)
+    if codes_index is not None:
+        from img2dataset_spark.operators.bq import (
+            hamming_between,
+            make_bq_encode_udf,
+        )
+
+        if ref_vectors is None:
+            raise ValueError(
+                "codes_index requires ref_vectors (the raw (id, vector) "
+                "corpus) for the exact re-verify of pre-screen survivors"
+            )
+        cutoff = (
+            prescreen_max_hamming
+            if prescreen_max_hamming is not None
+            else default_prescreen_hamming(threshold, num_planes)
+        )
+        enc = make_bq_encode_udf(stream.sparkSession, num_planes, dim)
+        coded = assigned.withColumn("_codes", enc(F.col("_v")))
+        cand = coded.join(codes_index, "cell", "left")
+        ham = hamming_between(F.col("_codes"), F.col("_ref_codes"))
+        cand = cand.withColumn(
+            "_cand",
+            F.when(ham.isNotNull() & (ham <= cutoff), F.col("_ref_id")),
+        )
+        rv = ref_vectors.select(
+            F.col(id_col).alias("_rv_id"),
+            _as_double(F.col(vec_col)).alias("_ref_v"),
+        )
+        joined = cand.join(rv, cand["_cand"] == rv["_rv_id"], "left")
+        ref_present = F.col("_rv_id")
+    else:
+        joined = assigned.join(index, "cell", "left")
+        ref_present = F.col("_ref_id")
+    hits = ensure_event_time(joined, ts_col)
     qcos = make_pair_qcosine_udf(dim)
     # NULL ref rows (empty/capped corpus cell) ride a zero-vector into
     # the Arrow verifier so the UDF never sees a None (np.stack would
     # throw); their cos is NaN, and although Spark orders NaN ABOVE all
-    # numbers the _ref_id null-guard below keeps them from flagging
+    # numbers the ref null-guard below keeps them from flagging
     zeros = F.array(*[F.lit(0.0)] * dim)
     cos6 = qcos(F.col("_v"), F.coalesce(F.col("_ref_v"), zeros))
     # ~isnan guard: a zero-NORM STREAM vector against a real corpus
     # neighbor also yields NaN, and Spark orders NaN above every number
-    # (NaN >= t is TRUE) with _ref_id non-null — without the guard such
+    # (NaN >= t is TRUE) with the ref non-null — without the guard such
     # a row would be wrongly flagged.  The batch twin's numpy compare
     # treats NaN >= t as False, so the guard is also batch parity.
     matched = F.when(
-        F.col("_ref_id").isNotNull() & ~F.isnan(cos6) & (cos6 >= threshold),
-        F.col("_ref_id"),
+        ref_present.isNotNull() & ~F.isnan(cos6) & (cos6 >= threshold),
+        ref_present,
     )
     return (
         hits.withColumn("_m", matched)

@@ -676,3 +676,71 @@ def test_multimodal_admission_requires_a_semantic_shape(spark):
         streaming_multimodal_admission(
             corpus, corpus, corpus, semantic_index=None, codebook=cb
         )
+
+
+def test_streaming_semantic_flags_prescreen_parity(spark, tmp_path):
+    """The standalone semantic screen with the BQ codes index must emit
+    the same (n_matches, is_semantic_dup) as the full-vector index on
+    the sf0.001 split — the admission's state knob, surfaced on the
+    flags API too."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        semantic_static_codes_index,
+        semantic_static_index,
+        streaming_semantic_flags,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    wave = e.filter(F.col("vec_id") % 5 == 0)
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    cb = ivf_fit(corpus, num_cells=4, iters=2)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = os.path.join(str(tmp_path), "ppfsrc")
+    batch = wave.select("vec_id", F.lit(t0).alias("ts"), "embedding")
+    batch.coalesce(1).write.parquet(src)
+    flush = spark.createDataFrame(
+        [(-1, t0 + dt.timedelta(hours=2), [0.5] * 64)],
+        "vec_id long, ts timestamp, embedding array<float>",
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    full_idx = semantic_static_index(corpus, cb).persist()
+    codes_idx = semantic_static_codes_index(corpus, cb).persist()
+    full_idx.count(), codes_idx.count()
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_semantic_flags(
+                stream, codebook=cb, threshold=0.3,
+                watermark="10 minutes", **kw,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(str(tmp_path), name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {r["vec_id"]: (r["n_matches"], r["is_semantic_dup"])
+                for r in spark.table(name).collect()}
+
+    plain = run("t_sf_plain", index=full_idx)
+    screened = run(
+        "t_sf_screened", index=None, codes_index=codes_idx,
+        ref_vectors=corpus.select("vec_id", "embedding"),
+    )
+    assert screened == plain
+    assert any(v[1] for v in plain.values())  # the path is exercised
+    full_idx.unpersist(), codes_idx.unpersist()
