@@ -149,15 +149,23 @@ def _hamming_expr(qw: np.ndarray, num_planes: int):
             F.col("codes")[w].bitwiseXOR(F.lit(int(val)).cast("long"))
         ).cast("long")
         dist = term if dist is None else dist + term
+    # NULL codes must hit the error branch too: size(NULL) is NULL under
+    # default sizeOfNull=false, the != predicate would evaluate NULL, the
+    # when() would fall through, and the NULL hamming would rank top-k
+    # under asc NULLS FIRST — the exact hazard this guard exists for.
     return F.when(
-        F.size(F.col("codes")) != len(qw),
+        F.col("codes").isNull() | (F.size(F.col("codes")) != len(qw)),
         F.raise_error(
             F.concat(
                 F.lit(
                     f"bq: codes width != {len(qw)} words "
                     f"(num_planes={num_planes}) — got "
                 ),
-                F.size(F.col("codes")).cast("string"),
+                # coalesce: concat(NULL) would null the whole message
+                # and raise_error(NULL) reports nothing useful
+                F.coalesce(
+                    F.size(F.col("codes")).cast("string"), F.lit("NULL")
+                ),
             )
         ).cast("long"),
     ).otherwise(dist)

@@ -51,13 +51,18 @@ def append_to_index(
     are meaningless without the codebook that minted them) — that is
     a full re-index, not an append.
 
-    ``validate`` (default on) compares the wave frame's column set
-    against the existing index's schema (one metadata-only read) and
-    refuses a mismatched append: mixing families or code widths in one
-    index directory would surface later as nulls in a merged-schema
-    scan — the exact NULLS-FIRST top-k hazard the query-side width
-    guards exist for — and failing at WRITE time names the problem
-    where it was made."""
+    ``validate`` (default on) compares the wave frame's column NAMES
+    AND TYPES against the existing index's schema (one metadata-only
+    read) and refuses a mismatched append: mixing families — or
+    array<int> vs array<long> codes — in one index directory would
+    surface later as nulls in a merged-schema scan — the exact
+    NULLS-FIRST top-k hazard the query-side width guards exist for —
+    and failing at WRITE time names the problem where it was made.
+    The ``cell`` partition column is compared by name only (partition
+    type inference may widen/narrow it on read); same-dtype width
+    mixing (two BQ indexes with different num_planes are both
+    array<long>) is NOT detectable from the schema and is caught by
+    the query-side raise_error width guards instead."""
     if "cell" not in index_rows.columns:
         raise ValueError(
             "append_to_index needs a cell-partitioned index row frame "
@@ -66,17 +71,30 @@ def append_to_index(
     if validate:
         spark = index_rows.sparkSession
         try:
-            existing = spark.read.parquet(index_path).columns
+            existing = dict(spark.read.parquet(index_path).dtypes)
         except Exception:
             existing = None  # first write: nothing to validate against
-        if existing is not None and set(existing) != set(index_rows.columns):
-            raise ValueError(
-                "append_to_index: wave columns "
-                f"{sorted(index_rows.columns)} do not match the existing "
-                f"index's {sorted(existing)} — appending a different "
-                "family/shape into one index directory would read back "
-                "as a merged schema with nulls"
-            )
+        if existing is not None:
+            wave = dict(index_rows.dtypes)
+            if set(existing) != set(wave):
+                raise ValueError(
+                    "append_to_index: wave columns "
+                    f"{sorted(wave)} do not match the existing "
+                    f"index's {sorted(existing)} — appending a different "
+                    "family/shape into one index directory would read back "
+                    "as a merged schema with nulls"
+                )
+            mismatched = {
+                c: (wave[c], existing[c])
+                for c in wave
+                if c != "cell" and wave[c] != existing[c]
+            }
+            if mismatched:
+                raise ValueError(
+                    "append_to_index: wave column dtypes differ from the "
+                    f"existing index's: {mismatched} (wave, existing) — "
+                    "mixed types read back as a merged schema with nulls"
+                )
     index_rows.write.mode("append").partitionBy("cell").parquet(index_path)
 
 
@@ -125,8 +143,12 @@ def occupancy_drift(
         "base_n",
         "new_n",
         F.when(F.col("base_n") > 0, round6(growth)).alias("growth"),
-        (
+        # coalesce: an empty side makes sum() NULL -> growth NULL, and a
+        # NULL retrain would silently drop rows from downstream boolean
+        # filters; the flag must be two-valued.
+        F.coalesce(
             (F.col("base_n") == 0) & (F.col("new_n") > 0)
-            | (F.col("base_n") > 0) & (growth > F.lit(threshold))
+            | (F.col("base_n") > 0) & (growth > F.lit(threshold)),
+            F.lit(False),
         ).alias("retrain"),
     )

@@ -187,13 +187,19 @@ def sq_topk(
         lambda acc, x: acc + x,
     )
     # width guard: zip_with null-pads a short codes array -> null dist,
-    # and NULLS-FIRST asc would silently rank misencoded rows top-k
+    # and NULLS-FIRST asc would silently rank misencoded rows top-k.
+    # NULL codes must hit this branch too: size(NULL) is NULL, the !=
+    # predicate evaluates NULL, and the when() would otherwise fall
+    # through to a NULL dist — the same hazard, different spelling.
     dist = F.when(
-        F.size(F.col("codes")) != len(qc),
+        F.col("codes").isNull() | (F.size(F.col("codes")) != len(qc)),
         F.raise_error(
             F.concat(
                 F.lit(f"sq_topk: codes width != bounds dim {len(qc)} — got "),
-                F.size(F.col("codes")).cast("string"),
+                # coalesce: concat(NULL) nulls the whole message
+                F.coalesce(
+                    F.size(F.col("codes")).cast("string"), F.lit("NULL")
+                ),
             )
         ).cast("long"),
     ).otherwise(dist)

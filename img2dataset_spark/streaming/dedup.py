@@ -495,6 +495,24 @@ def streaming_semantic_flags(
             if prescreen_max_hamming is not None
             else default_prescreen_hamming(threshold, num_planes)
         )
+        # width check at WIRING time: hamming_between returns NULL on a
+        # width mismatch, so a codes_index built with a different
+        # num_planes would silently disable the whole screen (every
+        # _cand NULL -> every duplicate admitted).  One static-side row
+        # names the misconfiguration loudly instead, matching the batch
+        # raise_error width guards.
+        expected_words = (num_planes + 31) // 32
+        probe = codes_index.select(
+            F.size("_ref_codes").alias("_w")
+        ).first()
+        if probe is not None and probe["_w"] != expected_words:
+            raise ValueError(
+                f"streaming_semantic_flags: codes_index width {probe['_w']} "
+                f"words != ceil(num_planes/32) = {expected_words} "
+                f"(num_planes={num_planes}) — the index was encoded with a "
+                "different plane count; the pre-screen would silently admit "
+                "all duplicates"
+            )
         enc = make_bq_encode_udf(stream.sparkSession, num_planes, dim)
         coded = assigned.withColumn("_codes", enc(F.col("_v")))
         cand = coded.join(codes_index, "cell", "left")

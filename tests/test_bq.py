@@ -217,3 +217,18 @@ def test_ivfbq_refine_full_probe_full_budget_equals_exact(spark, emb):
                idx, ivf_cb, emb, q, k=10, nprobe=5,
                refine_factor=n // 10 + 1).collect()]
     assert got == want
+
+
+def test_bq_topk_rejects_null_codes(spark, emb):
+    """A NULL codes row must hit the width guard, not slip through:
+    size(NULL) is NULL under default sizeOfNull=false, so without the
+    isNull term the when() falls through, hamming is NULL, and asc
+    NULLS-FIRST ranks the row top-k (r10 ADVICE)."""
+    nulled = spark.createDataFrame(
+        [(1, [0] * 2), (2, None)], "vec_id long, codes array<long>"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(Exception, match="codes width"):
+        bq_topk(nulled, q, k=5, num_planes=64, dim=64).collect()

@@ -193,3 +193,42 @@ def test_append_rejects_schema_mismatch(spark, emb, split, tmp_path):
     fresh = os.path.join(str(tmp_path), "fresh")
     append_to_index(ivfbq_index(wave, ivf_cb), fresh)
     assert spark.read.parquet(fresh).count() == wave.count()
+
+
+def test_append_rejects_dtype_mismatch(spark, emb, split, tmp_path):
+    """Same column NAMES but a different codes element type (array<int>
+    vs array<long>) must also fail at WRITE time — a merged-schema read
+    upcasts/nulls and defers the failure to query time (r10 ADVICE)."""
+    from img2dataset_spark.operators.bq import ivfbq_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=4, iters=1)
+    path = os.path.join(str(tmp_path), "idx_dtype")
+    ivfbq_index(base, ivf_cb).write.partitionBy("cell").parquet(path)
+    narrow = spark.createDataFrame(
+        [(1, 0, [0, 0])], "vec_id long, cell bigint, codes array<int>"
+    )
+    with pytest.raises(ValueError, match="dtypes differ"):
+        append_to_index(narrow, path)
+
+
+def test_occupancy_drift_retrain_never_null(spark, emb, split):
+    """retrain is a two-valued flag even when one side is empty: an
+    empty new_occupancy makes sum(new_n) NULL -> growth NULL, and an
+    un-coalesced flag would silently drop rows from boolean filters
+    (r10 ADVICE)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+    )
+    from img2dataset_spark.operators.bq import ivfbq_index
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=4, iters=1)
+    occ = index_occupancy(ivfbq_index(base, ivf_cb))
+    empty = spark.createDataFrame([], "cell bigint, n long")
+    rows = occupancy_drift(occ, empty).collect()
+    assert rows, "base cells must survive the outer join"
+    assert all(r["retrain"] is False for r in rows), rows

@@ -215,3 +215,18 @@ def test_sq_plan_is_pure_codegen(spark, emb, fitted, tmp_path):
     assert "TakeOrderedAndProject" in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "Join", "Exchange"):
         assert bad not in plan, bad
+
+
+def test_sq_topk_rejects_null_codes(spark, emb, fitted):
+    """A NULL codes row must hit the width guard: size(NULL) is NULL,
+    the != predicate evaluates NULL, and without the isNull term the
+    NULL distance would sort NULLS-FIRST into the top-k (r10 ADVICE)."""
+    bounds, _ = fitted
+    nulled = spark.createDataFrame(
+        [(1, [0] * 64), (2, None)], "vec_id long, codes array<long>"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(Exception, match="codes width"):
+        sq_topk(nulled, bounds, q, k=5).collect()

@@ -744,3 +744,34 @@ def test_streaming_semantic_flags_prescreen_parity(spark, tmp_path):
     assert screened == plain
     assert any(v[1] for v in plain.values())  # the path is exercised
     full_idx.unpersist(), codes_idx.unpersist()
+
+
+def test_streaming_semantic_flags_rejects_prescreen_width_mismatch(spark):
+    """A codes_index encoded with a different num_planes must fail at
+    WIRING time: hamming_between returns NULL on a width mismatch, so
+    the pre-screen would otherwise silently admit every duplicate
+    (r10 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        semantic_static_codes_index,
+        streaming_semantic_flags,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    cb = ivf_fit(corpus, num_cells=4, iters=1)
+    # index minted at 32 planes (1 word), screen configured for 64 (2)
+    narrow_idx = semantic_static_codes_index(corpus, cb, num_planes=32)
+    stream = corpus.select(
+        "vec_id", F.current_timestamp().alias("ts"), "embedding"
+    )
+    with pytest.raises(ValueError, match="codes_index width"):
+        streaming_semantic_flags(
+            stream, index=None, codebook=cb,
+            codes_index=narrow_idx,
+            ref_vectors=corpus.select("vec_id", "embedding"),
+            num_planes=64,
+        )
