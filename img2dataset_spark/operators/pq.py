@@ -125,6 +125,8 @@ def _collect_codebook(
     Memoized per codebook-DataFrame object."""
     hit = _CODEBOOK_MEMO.get(id(codebook))
     if hit is not None and hit[0] is codebook:
+        # LRU refresh: re-insert so the hot model outlives cap eviction
+        _CODEBOOK_MEMO[id(codebook)] = _CODEBOOK_MEMO.pop(id(codebook))
         return hit[1]
     rows = codebook.select("subspace", "cell", "centroid").collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
@@ -145,8 +147,11 @@ def _collect_codebook(
         cells.append(ids)
         QC.append(Q)
         nc.append((Q * Q).sum(axis=1))
-    if len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_CAP:
-        _CODEBOOK_MEMO.clear()
+    while len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_CAP:
+        # evict least-recently-used (insertion-ordered dict), not the
+        # whole memo — a long session cycling many models keeps its
+        # hot codebooks collected-once (r10 verdict nit)
+        _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
     _CODEBOOK_MEMO[id(codebook)] = (codebook, (cells, QC, nc))
     return cells, QC, nc
 

@@ -91,6 +91,8 @@ def _collect_bounds(bounds: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     Memoized per bounds-DataFrame object."""
     hit = _BOUNDS_MEMO.get(id(bounds))
     if hit is not None and hit[0] is bounds:
+        # LRU refresh: re-insert so the hot model outlives cap eviction
+        _BOUNDS_MEMO[id(bounds)] = _BOUNDS_MEMO.pop(id(bounds))
         return hit[1]
     rows = bounds.select("dim", "lo", "hi").collect()
     dims = sorted(r["dim"] for r in rows)
@@ -100,8 +102,9 @@ def _collect_bounds(bounds: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     for r in rows:
         lo[r["dim"] - 1] = float(r["lo"])
         hi[r["dim"] - 1] = float(r["hi"])
-    if len(_BOUNDS_MEMO) >= _BOUNDS_MEMO_CAP:
-        _BOUNDS_MEMO.clear()
+    while len(_BOUNDS_MEMO) >= _BOUNDS_MEMO_CAP:
+        # evict least-recently-used, not the whole memo (r10 nit)
+        _BOUNDS_MEMO.pop(next(iter(_BOUNDS_MEMO)))
     _BOUNDS_MEMO[id(bounds)] = (bounds, (lo, hi))
     return lo, hi
 

@@ -28,6 +28,34 @@ from img2dataset_spark.operators.sharding import with_key, with_shard_id
 # either encoding to the session-zoned TIMESTAMP the operators expect.
 _EVENT_TS_COLUMNS = ("ts", "l_shipdate", "o_orderdate")
 
+# Scratch dirs minted by the roundtrip/index registry queries.  The
+# returned frames READ these files lazily, so the dirs cannot be removed
+# before the caller collects — but repeated bench reps at sf10/sf30 were
+# accumulating index copies in /tmp (r10 verdict nit).  Every mkdtemp
+# below registers here and one atexit sweep reclaims them (bench.py's
+# fitted-artifact recipe).
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(path)
+    return path
+
+
+def _sweep_scratch_dirs() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_sweep_scratch_dirs)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -756,7 +784,6 @@ def q_dedup_vs_corpus_indexed(spark, sf_dir):
     roundtrip preserves pair semantics exactly.  Lives in
     EXTRA_QUERIES (pytest-oracle evidence; dedup_vs_corpus carries the
     driver row)."""
-    import tempfile
 
     from img2dataset_spark.operators.dedup import (
         build_minhash_index,
@@ -764,7 +791,7 @@ def q_dedup_vs_corpus_indexed(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="graft_mhidx_")
+    tmp = _scratch_dir("graft_mhidx_")
     build_minhash_index(d.filter(F.col("doc_id") % 3 != 0)).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/idx")
@@ -865,9 +892,9 @@ def q_compact_roundtrip(spark, sf_dir):
     plus files_ok, computed Spark-side as "output file count equals the
     planned ceil(bytes/target) and collapsed from 64".  The oracle
     computes the same aggregates straight off `documents` and expects
-    files_ok = TRUE.  The scratch dir is left for the OS tmp reaper
-    (the returned frame lazily reads the compacted files)."""
-    import tempfile
+    files_ok = TRUE.  The scratch dir is atexit-swept (_scratch_dir —
+    the frame lazily reads the compacted files, so removal must wait
+    for process exit)."""
 
     from img2dataset_spark.functions.text import hex_to_int32
     from img2dataset_spark.operators.compact import (
@@ -877,7 +904,7 @@ def q_compact_roundtrip(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    tmp = tempfile.mkdtemp(prefix="graft_compact_")
+    tmp = _scratch_dir("graft_compact_")
     frag, out = f"{tmp}/frag", f"{tmp}/out"
     d.repartition(64).write.mode("overwrite").parquet(frag)
     planned = plan_target_files(dataset_bytes(frag), target_file_mb=1)
@@ -1308,9 +1335,8 @@ def q_ivfpq_fitted_roundtrip(spark, sf_dir):
     vectors.  Identical fit/probe parameters to q_ivfpq_topk, so the
     SQL twin (which recomputes the index relationally) is shared:
     persistence is a storage representation, not math.  The scratch
-    dir is left for the OS tmp reaper (the returned frame lazily reads
-    the roundtripped files)."""
-    import tempfile
+    dir is atexit-swept (_scratch_dir — the frame lazily reads the
+    roundtripped files, so removal must wait for process exit)."""
 
     from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
     from img2dataset_spark.operators.similarity import ivf_fit
@@ -1318,7 +1344,7 @@ def q_ivfpq_fitted_roundtrip(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     ivf_cb = ivf_fit(e, num_cells=10, iters=2)
     pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
-    tmp = tempfile.mkdtemp(prefix="graft_ivfpq_rt_")
+    tmp = _scratch_dir("graft_ivfpq_rt_")
     ivf_cb.write.parquet(f"{tmp}/ivf_cb")
     pq_cb.write.parquet(f"{tmp}/pq_cb")
     ivf_rd = spark.read.parquet(f"{tmp}/ivf_cb")
@@ -1344,7 +1370,6 @@ def q_ivfpq_index_append(spark, sf_dir):
     restricted to the base slice, code assignment over base + wave
     alike (the append ≡ full-re-index-with-same-codebooks identity,
     also pinned row-for-row in test_maintain.py)."""
-    import tempfile
 
     from img2dataset_spark.operators.maintain import append_to_index
     from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
@@ -1355,7 +1380,7 @@ def q_ivfpq_index_append(spark, sf_dir):
     wave = e.filter(F.col("vec_id") % 10 >= 7)
     ivf_cb = ivf_fit(base, num_cells=10, iters=2)
     pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
-    tmp = tempfile.mkdtemp(prefix="graft_ivfpq_append_")
+    tmp = _scratch_dir("graft_ivfpq_append_")
     ivfpq_index(base, ivf_cb, pq_cb).write.partitionBy("cell").parquet(
         f"{tmp}/index"
     )
@@ -1372,7 +1397,6 @@ def q_ivfsq_fitted_roundtrip(spark, sf_dir):
     parquet, read back, answer the probe-pruned symmetric scan from
     the artifacts alone.  Same parameters as q_ivfsq_topk, so the SQL
     twin is shared (persistence is representation)."""
-    import tempfile
 
     from img2dataset_spark.operators.similarity import ivf_fit
     from img2dataset_spark.operators.sq import ivfsq_index, ivfsq_topk, sq_fit
@@ -1380,7 +1404,7 @@ def q_ivfsq_fitted_roundtrip(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     ivf_cb = ivf_fit(e, num_cells=10, iters=2)
     bounds = sq_fit(e, dim=64)
-    tmp = tempfile.mkdtemp(prefix="graft_ivfsq_rt_")
+    tmp = _scratch_dir("graft_ivfsq_rt_")
     ivf_cb.write.parquet(f"{tmp}/ivf_cb")
     bounds.write.parquet(f"{tmp}/bounds")
     ivf_rd = spark.read.parquet(f"{tmp}/ivf_cb")

@@ -232,3 +232,38 @@ def test_occupancy_drift_retrain_never_null(spark, emb, split):
     rows = occupancy_drift(occ, empty).collect()
     assert rows, "base cells must survive the outer join"
     assert all(r["retrain"] is False for r in rows), rows
+
+
+def test_scratch_dirs_swept_at_exit(tmp_path):
+    """Registry roundtrip queries mkdtemp through _scratch_dir; the
+    atexit sweep must reclaim every registered dir (r10 verdict nit:
+    bench reps at sf10/sf30 were accumulating index copies in /tmp)."""
+    from img2dataset_spark import queries as q
+
+    d = q._scratch_dir("graft_test_sweep_")
+    assert os.path.isdir(d) and d in q._SCRATCH_DIRS
+    q._sweep_scratch_dirs()
+    assert not os.path.exists(d) and not q._SCRATCH_DIRS
+
+
+def test_scratch_dirs_swept_subprocess_exit(tmp_path):
+    """End-to-end: a process that runs a scratch-dir registry query
+    leaves zero graft_* dirs behind after interpreter exit."""
+    import subprocess
+    import sys
+    import tempfile
+
+    code = """
+import glob, sys
+sys.path.insert(0, "/root/repo")
+from img2dataset_spark import queries as q
+d = q._scratch_dir("graft_subproc_")
+print(d)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        check=True,
+    )
+    path = out.stdout.strip().splitlines()[-1]
+    assert path.startswith(tempfile.gettempdir())
+    assert not os.path.exists(path), path

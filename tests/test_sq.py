@@ -230,3 +230,33 @@ def test_sq_topk_rejects_null_codes(spark, emb, fitted):
     )
     with pytest.raises(Exception, match="codes width"):
         sq_topk(nulled, bounds, q, k=5).collect()
+
+
+def test_bounds_memo_lru_keeps_hot_model(spark, emb, fitted, monkeypatch):
+    """Cycling past the memo cap evicts the LEAST-recently-used entry,
+    not the whole memo: a hot model touched between insertions must
+    survive and still serve from cache (r10 verdict nit — the old
+    clear-all forced a cold re-collect)."""
+    from pyspark.sql import DataFrame
+
+    from img2dataset_spark.operators import sq as sqmod
+
+    bounds, _ = fitted
+    monkeypatch.setattr(sqmod, "_BOUNDS_MEMO_CAP", 3)
+    monkeypatch.setattr(sqmod, "_BOUNDS_MEMO", {})
+    hot = _collect_bounds(bounds)
+    # churn: two fresh bounds frames fill the cap alongside the hot one
+    fillers = [sq_fit(emb.limit(5 + i)) for i in range(2)]
+    for f in fillers:
+        _collect_bounds(f)
+    _collect_bounds(bounds)  # LRU refresh
+    _collect_bounds(sq_fit(emb.limit(9)))  # evicts the oldest filler
+    assert id(bounds) in sqmod._BOUNDS_MEMO
+    assert id(fillers[0]) not in sqmod._BOUNDS_MEMO
+
+    def boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("collect ran despite LRU-refreshed memo")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    again = _collect_bounds(bounds)
+    assert again[0] is hot[0] and again[1] is hot[1]
