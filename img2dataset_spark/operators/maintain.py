@@ -31,10 +31,32 @@ Append ≡ full re-index on the union corpus GIVEN the same codebooks
 (encode is row-wise — pinned by test_maintain.py); what the append
 does NOT give you is codebooks refit on the union, which is precisely
 what occupancy_drift meters the need for.
+
+Round 11 closes the loop with the ACTUATOR the meter was missing
+(r10 verdict item 1): :func:`pq_refit_cells` /
+:func:`pq_reencode_cells` / :func:`rewrite_index_cells` perform a
+SELECTIVE refit — only the drift-flagged cells get new PQ codebooks
+(fit per cell inside ``groupBy(cell).applyInPandas``, the
+hierarchical-fine-fit machinery), only their rows are re-encoded (one
+map-only Arrow pass over the flagged subset), and only their partition
+directories are rewritten (dynamic partition overwrite) — every other
+cell's files stay byte-identical.  The per-cell codebooks are the
+standard locally-optimized PQ idea (Kalantidis & Avrithis, "Locally
+Optimized Product Quantization for Approximate Nearest Neighbor
+Search", CVPR 2014 — per-cell codebooks fit each cell's own
+distribution far better than one global book); search composes them
+through :func:`operators.pq.ivfpq_topk_versioned`, which CASEs each
+probed cell between its override table and the global one.  The
+override relation (cell, subspace, code, centroid) IS the versioned
+codebook: version 0 = the global book, version 1 = the per-cell rows,
+and a cell's presence in the relation says which version minted its
+codes.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +118,9 @@ def append_to_index(
                     "mixed types read back as a merged schema with nulls"
                 )
     index_rows.write.mode("append").partitionBy("cell").parquet(index_path)
+    # a pre-append read of this path (validate does one) may have cached
+    # a listing without the new files — refresh so re-reads see them
+    index_rows.sparkSession.catalog.refreshByPath(index_path)
 
 
 def index_occupancy(index_df: DataFrame) -> DataFrame:
@@ -152,3 +177,201 @@ def occupancy_drift(
             F.lit(False),
         ).alias("retrain"),
     )
+
+
+def pq_refit_cells(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    flagged_cells: DataFrame,
+    num_subspaces: int = 2,
+    num_codes: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Fit PER-CELL PQ codebooks for the drift-flagged cells only —
+    the selective-refit actuator for :func:`occupancy_drift`'s
+    ``retrain`` flag (LOPQ-style: each flagged cell's codebook is fit
+    on that cell's OWN rows, so a drifted cell recovers quantizer
+    resolution without touching the rest of the index).
+
+    Returns (cell, subspace, code, centroid) — rows only for flagged
+    cells; this is the version-1 override relation
+    :func:`operators.pq.ivfpq_topk_versioned` composes with the frozen
+    global book.
+
+    Shape: one map-only assignment pass over the corpus (ivf_assign —
+    the same Arrow matmul every index build runs), a broadcast-join
+    filter down to the flagged cells, then ONE
+    ``groupBy(cell).applyInPandas`` whose task fits all m subspace
+    Lloyds for its cell locally (:func:`similarity._local_lloyd` per
+    slice — md5-ordered seeds, quantized argmin, smallest-code ties;
+    float64 means vs the SQL twin's decimal(28,12) agree after the
+    2^-20 centroid quantization, the ann_ivf_hier_assign precedent).
+    Fit-task memory is bounded by cell occupancy, exactly like the
+    hierarchical fine fit.  Nothing corpus-sized ever reaches the
+    driver."""
+    from img2dataset_spark.operators.pq import _check_geometry
+    from img2dataset_spark.operators.similarity import _local_lloyd, ivf_assign
+
+    sub_dim = _check_geometry(dim, num_subspaces)
+    flagged = flagged_cells.select("cell").distinct()
+    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    rows = assigned.join(F.broadcast(flagged), "cell").select(
+        "cell", F.col(id_col).alias("_id"), "v"
+    )
+
+    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        cell = int(pdf["cell"].iloc[0])
+        out_cell, out_sub, out_code, out_cent = [], [], [], []
+        for j in range(num_subspaces):
+            S = V[:, j * sub_dim : (j + 1) * sub_dim]
+            local_ids, C = _local_lloyd(ids, S, num_codes, iters)
+            for code, cent in zip(local_ids, C):
+                out_cell.append(cell)
+                out_sub.append(j)
+                out_code.append(int(code))
+                out_cent.append([float(x) for x in cent])
+        return pd.DataFrame(
+            {
+                "cell": out_cell,
+                "subspace": out_sub,
+                "code": out_code,
+                "centroid": out_cent,
+            }
+        )
+
+    return rows.groupBy("cell").applyInPandas(
+        fit_cell,
+        schema="cell long, subspace long, code long, centroid array<double>",
+    )
+
+
+def pq_reencode_cells(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    overrides: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, codes) for the override cells only — each row encoded
+    with ITS cell's refit codebook (nearest refit centroid per
+    subspace, exact int64 quantized squared-L2, smallest-code ties —
+    the pq_encode rules against the per-cell book).  ONE Arrow pass:
+    the override books are collected once (bounded by flagged-cells ×
+    m × k rows — the flat-codebook ceiling applies to the flagged cell
+    count exactly as it does to the codebook itself) and broadcast;
+    rows outside the override cells never enter the pass (broadcast
+    semi-filter on cell).  Feed the result to
+    :func:`rewrite_index_cells`."""
+    from pyspark.sql.functions import pandas_udf
+
+    from img2dataset_spark.operators.pq import _collect_overrides
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    books = _collect_overrides(overrides)
+    if not books:
+        raise ValueError("pq_reencode_cells: overrides relation is empty")
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+    cells_df = spark.createDataFrame(
+        [(int(c),) for c in sorted(books)], "cell bigint"
+    )
+    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    rows = assigned.join(F.broadcast(cells_df), "cell")
+
+    @pandas_udf("array<long>")
+    def encode(cells: pd.Series, vs: pd.Series) -> pd.Series:
+        b = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        from img2dataset_spark.operators.similarity import _QUANT
+
+        QV = np.floor(V * _QUANT + 0.5).astype(np.int64)
+        carr = cells.to_numpy()
+        m = len(next(iter(b.values()))[0])
+        out = np.empty((len(V), m), dtype=np.int64)
+        for cell in np.unique(carr):
+            sel = carr == cell
+            code_ids, QC, nc = b[int(cell)]
+            S_all = QV[sel]
+            sub_dim = QC[0].shape[1]
+            for j in range(m):
+                S = S_all[:, j * sub_dim : (j + 1) * sub_dim]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    + nc[j][None, :]
+                    - 2 * (S @ QC[j].T)
+                )
+                # books sorted ascending by code id: first-minimum
+                # argmin = smallest code on exact ties
+                out[np.ix_(sel, [j])] = code_ids[j][
+                    np.argmin(d2, axis=1)
+                ][:, None]
+        return pd.Series(list(out))
+
+    return rows.select(
+        F.col(id_col), "cell", encode(F.col("cell"), F.col("v")).alias("codes")
+    )
+
+
+def rewrite_index_cells(
+    index_rows: DataFrame, index_path: str, validate: bool = True
+) -> None:
+    """Dynamic-partition-overwrite the refit cells' directories with
+    their re-encoded rows: ``partitionOverwriteMode=dynamic`` replaces
+    ONLY the partitions present in ``index_rows`` — every other cell's
+    files stay byte-identical (pinned by test_maintain.py), which is
+    the whole point of a selective refit.  Schema is validated against
+    the existing index exactly like :func:`append_to_index` (same
+    hazard: a mixed write surfaces as merged-schema nulls at query
+    time).  The session's overwrite mode is restored afterwards."""
+    if "cell" not in index_rows.columns:
+        raise ValueError(
+            "rewrite_index_cells needs a cell-partitioned index row frame "
+            f"(id, cell, codes, ...); got columns {index_rows.columns}"
+        )
+    spark = index_rows.sparkSession
+    if validate:
+        try:
+            existing = dict(spark.read.parquet(index_path).dtypes)
+        except Exception:
+            raise ValueError(
+                f"rewrite_index_cells: no existing index at {index_path} — "
+                "a selective rewrite needs an index to rewrite into "
+                "(use a partitioned write or append_to_index to create one)"
+            )
+        wave = dict(index_rows.dtypes)
+        if set(existing) != set(wave):
+            raise ValueError(
+                f"rewrite_index_cells: columns {sorted(wave)} do not match "
+                f"the existing index's {sorted(existing)}"
+            )
+        mismatched = {
+            c: (wave[c], existing[c])
+            for c in wave
+            if c != "cell" and wave[c] != existing[c]
+        }
+        if mismatched:
+            raise ValueError(
+                "rewrite_index_cells: dtypes differ from the existing "
+                f"index's: {mismatched} (new, existing)"
+            )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf, None)
+    spark.conf.set(conf, "dynamic")
+    try:
+        index_rows.write.mode("overwrite").partitionBy("cell").parquet(
+            index_path
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prior)
+    # the overwrite DELETED files a prior read of this path may still
+    # hold in the session file-status cache — a later re-read would
+    # fail FILE_NOT_EXIST on the stale listing
+    spark.catalog.refreshByPath(index_path)

@@ -538,3 +538,117 @@ def ivfpq_topk(
             F.col(id_col), _adc_expr(cb_cells, dt, packed=packed).alias("adc_dist")
         )
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+
+
+def _collect_overrides(
+    overrides: DataFrame,
+) -> dict[int, tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]]:
+    """{cell: (code_ids, QC, nc)} from a per-cell override codebook
+    relation (cell, subspace, code, centroid) — the _collect_codebook
+    artifact keyed by cell.  Bounded by flagged-cells × m × k rows; the
+    flat-codebook ceiling (similarity.FLAT_CODEBOOK_MAX_CELLS) gates
+    the flagged cell count so this collect can never grow corpus-
+    shaped.  Gap-safe exactly like the global book: codes are actual
+    surviving Lloyd ids per (cell, subspace), kept ascending so
+    first-minimum argmin ties resolve to the smallest code."""
+    from img2dataset_spark.operators.similarity import (
+        FLAT_CODEBOOK_MAX_CELLS,
+    )
+
+    rows = overrides.select("cell", "subspace", "code", "centroid").collect()
+    by_cell: dict[int, dict[int, dict[int, list[float]]]] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cell"]), {}).setdefault(
+            int(r["subspace"]), {}
+        )[int(r["code"])] = r["centroid"]
+    if len(by_cell) > FLAT_CODEBOOK_MAX_CELLS:
+        raise ValueError(
+            f"{len(by_cell)} override cells exceed "
+            f"FLAT_CODEBOOK_MAX_CELLS={FLAT_CODEBOOK_MAX_CELLS}; refit in "
+            "bounded batches (the flagged set is a schedule, not one job)"
+        )
+    out = {}
+    for cell, by_sub in by_cell.items():
+        if sorted(by_sub) != list(range(len(by_sub))):
+            raise ValueError(
+                f"override cell {cell} missing subspaces: {sorted(by_sub)}"
+            )
+        code_ids, QC, nc = [], [], []
+        for j in range(len(by_sub)):
+            ids = np.array(sorted(by_sub[j]), dtype=np.int64)
+            C = np.stack(
+                [np.asarray(by_sub[j][int(c)], dtype=np.float64) for c in ids]
+            )
+            Q = np.floor(C * _QUANT + 0.5).astype(np.int64)
+            code_ids.append(ids)
+            QC.append(Q)
+            nc.append((Q * Q).sum(axis=1))
+        out[cell] = (code_ids, QC, nc)
+    return out
+
+
+def ivfpq_topk_versioned(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    overrides: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    packed: bool = False,
+) -> DataFrame:
+    """IVF+PQ search over a SELECTIVELY-REFIT index — the versioned-
+    codebook composition that makes :func:`maintain.pq_refit_cells`
+    usable: cells present in ``overrides`` were re-encoded with their
+    own per-cell books (version 1), every other cell still carries
+    global-book codes (version 0), and the scan must score each row
+    against the book that MINTED its codes.
+
+    Same probe rule and scan shape as :func:`ivfpq_topk`; the distance
+    expression is an nprobe-way CASE (the residual-path machinery):
+    probed cells with an override get an ADC table computed from their
+    per-cell book, the rest share the global table — still pure
+    codegen, nprobe·m·k literal longs in the plan.  Bounded collects
+    only: the nprobe probe rows and the override books for the PROBED
+    cells (nprobe × m × k rows via a broadcast semi-join — never the
+    whole override relation)."""
+    from img2dataset_spark.operators.similarity import cosine, round6
+
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    q = F.broadcast(query_df.select("query_vec"))
+    probed = (
+        ivf_codebook.crossJoin(q)
+        .select(
+            "cell",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    qrow = query_df.select("query_vec").collect()
+    if len(qrow) != 1:
+        raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
+    qvec = [float(x) for x in qrow[0]["query_vec"]]
+    # two bounded collects: the probed-cell override books + the global
+    # table (memoized); the CASE dispatches per probed cell
+    probed_books = _collect_overrides(
+        overrides.join(F.broadcast(probed), "cell")
+    )
+    g_cells, g_dt = pq_adc_distances(pq_codebook, qvec)
+    dist = None
+    for cell in sorted(probed_books):
+        code_ids, QC, nc = probed_books[cell]
+        dt = _adc_table(QC, nc, qvec)
+        cond = F.col("cell") == int(cell)
+        expr = _adc_expr(code_ids, dt, packed=packed)
+        dist = (
+            F.when(cond, expr) if dist is None else dist.when(cond, expr)
+        )
+    g_expr = _adc_expr(g_cells, g_dt, packed=packed)
+    dist = g_expr if dist is None else dist.otherwise(g_expr)
+    scored = pruned.select(F.col(id_col), dist.alias("adc_dist"))
+    return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

@@ -267,3 +267,188 @@ print(d)
     path = out.stdout.strip().splitlines()[-1]
     assert path.startswith(tempfile.gettempdir())
     assert not os.path.exists(path), path
+
+
+@pytest.fixture(scope="module")
+def refit_setup(spark, emb, split, tmp_path_factory):
+    """base-fit codebooks, written+appended index, drift relation —
+    the shared stage for the selective-refit tests."""
+    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    base, wave = split
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+    path = str(tmp_path_factory.mktemp("refit") / "idx")
+    idx_b = ivfpq_index(base, ivf_cb, pq_cb)
+    idx_b.write.partitionBy("cell").parquet(path)
+    append_to_index(ivfpq_index(wave, ivf_cb, pq_cb), path)
+    drift = occupancy_drift(
+        index_occupancy(idx_b),
+        index_occupancy(spark.read.parquet(path)),
+        threshold=1.02,
+    )
+    flagged = spark.createDataFrame(
+        [(int(r["cell"]),) for r in drift.filter("retrain").collect()],
+        "cell bigint",
+    )
+    return ivf_cb, pq_cb, path, flagged
+
+
+def _file_digests(path):
+    import glob
+    import hashlib
+
+    return {
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in sorted(glob.glob(os.path.join(path, "cell=*", "*.parquet")))
+    }
+
+
+def test_refit_rewrites_only_flagged_cells(spark, emb, refit_setup):
+    """The selective-refit contract: after refit+reencode+rewrite,
+    every NON-flagged cell's files are byte-identical, every flagged
+    cell's directory is rewritten, and the index still holds exactly
+    one row per corpus vector."""
+    from img2dataset_spark.operators.maintain import (
+        pq_refit_cells,
+        pq_reencode_cells,
+        rewrite_index_cells,
+    )
+
+    ivf_cb, pq_cb, path, flagged = refit_setup
+    fl = {r["cell"] for r in flagged.collect()}
+    assert fl, "fixture must flag at least one cell"
+    before = _file_digests(path)
+    ovr = pq_refit_cells(emb, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2)
+    rewrite_index_cells(pq_reencode_cells(emb, ivf_cb, ovr), path)
+    after = _file_digests(path)
+
+    def cell_of(f):
+        return int(f.split("cell=")[1].split(os.sep)[0])
+
+    untouched = [f for f in before if cell_of(f) not in fl]
+    assert untouched, "some cells must stay unflagged"
+    for f in untouched:
+        assert after.get(f) == before[f], f
+    rewritten = {cell_of(f) for f in after if f not in before}
+    assert rewritten == fl
+    assert spark.read.parquet(path).count() == emb.count()
+    # every flagged cell's rows now carry codes from ITS override book:
+    # each code must be a valid code id of that (cell, subspace)
+    got = spark.read.parquet(path).filter(F.col("cell").isin([int(c) for c in fl]))
+    books = {(r["cell"], r["subspace"]): set() for r in ovr.collect()}
+    for r in ovr.collect():
+        books[(r["cell"], r["subspace"])].add(r["code"])
+    for r in got.collect():
+        for j, code in enumerate(r["codes"]):
+            assert code in books[(int(r["cell"]), j)]
+
+
+def test_refit_single_cell_matches_global_fit_on_that_cell(
+    spark, emb, refit_setup
+):
+    """Parity anchor for the per-cell trainer: refitting ONE cell must
+    produce (after the 2^-20 quantization every consumer applies) the
+    same codebook as pq_fit run on just that cell's rows — the
+    _local_lloyd float64-means vs ivf_fit decimal-means divergence is
+    absorbed by quantization on this data (the ann_ivf_hier_assign
+    precedent)."""
+    import numpy as np
+
+    from img2dataset_spark.operators.maintain import pq_refit_cells
+    from img2dataset_spark.operators.pq import pq_fit
+    from img2dataset_spark.operators.similarity import _QUANT, ivf_assign
+
+    ivf_cb, pq_cb, path, flagged = refit_setup
+    cell = int(flagged.orderBy("cell").first()["cell"])
+    one = spark.createDataFrame([(cell,)], "cell bigint")
+    ovr = pq_refit_cells(emb, ivf_cb, one, num_subspaces=2,
+                         num_codes=4, iters=2)
+    rows_in_cell = ivf_assign(emb, ivf_cb).filter(
+        F.col("cell") == cell
+    ).select("vec_id", F.col("v").alias("embedding"))
+    want = pq_fit(rows_in_cell, num_subspaces=2, num_codes=4, iters=2)
+
+    def quantized(df, cell_col, sub_col):
+        out = {}
+        for r in df.collect():
+            q = tuple(
+                int(np.floor(x * _QUANT + 0.5)) for x in r["centroid"]
+            )
+            out[(r[sub_col], r[cell_col])] = q
+        return out
+
+    got = quantized(ovr, "code", "subspace")
+    exp = quantized(want, "cell", "subspace")
+    assert got == exp
+
+
+def test_versioned_search_unflagged_probe_equals_plain(
+    spark, emb, refit_setup
+):
+    """A probe that touches NO override cell must answer identically
+    through ivfpq_topk_versioned and plain ivfpq_topk — version 0 is
+    the global book, untouched by the refit."""
+    from img2dataset_spark.operators.maintain import (
+        pq_refit_cells,
+        pq_reencode_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import ivfpq_topk, ivfpq_topk_versioned
+
+    ivf_cb, pq_cb, path, flagged = refit_setup
+    fl = {r["cell"] for r in flagged.collect()}
+    ovr = pq_refit_cells(emb, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2)
+    ovr_rows = ovr.collect()
+    ovr_lit = spark.createDataFrame(ovr_rows, ovr.schema)
+    rewrite_index_cells(pq_reencode_cells(emb, ivf_cb, ovr_lit), path)
+    idx = spark.read.parquet(path)
+    # find a query whose top-2 probed cells are all unflagged
+    from img2dataset_spark.operators.similarity import cosine, round6
+
+    qvec = None
+    for cand in range(50):
+        q = emb.filter(F.col("vec_id") == cand).select(
+            F.col("embedding").alias("query_vec")
+        )
+        if q.count() == 0:
+            continue
+        probed = {
+            r["cell"]
+            for r in ivf_cb.crossJoin(F.broadcast(q))
+            .select(
+                "cell",
+                round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("cell"))
+            .limit(2)
+            .collect()
+        }
+        if not (probed & fl):
+            qvec = q
+            break
+    assert qvec is not None, "no all-unflagged probe found in 50 queries"
+    got = [(r["vec_id"], r["adc_dist"]) for r in ivfpq_topk_versioned(
+        idx, ivf_cb, pq_cb, ovr_lit, qvec, k=10, nprobe=2).collect()]
+    want = [(r["vec_id"], r["adc_dist"]) for r in ivfpq_topk(
+        idx, ivf_cb, pq_cb, qvec, k=10, nprobe=2).collect()]
+    assert got == want
+
+
+def test_rewrite_rejects_missing_index_and_restores_conf(spark, emb, tmp_path):
+    """rewrite into a path with no index refuses loudly (a selective
+    rewrite of nothing is a fresh write, a different intent), and the
+    session's partitionOverwriteMode is restored either way."""
+    from img2dataset_spark.operators.maintain import rewrite_index_cells
+
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf, "STATIC")
+    rows = spark.createDataFrame(
+        [(1, 0, [0, 0])], "vec_id long, cell bigint, codes array<long>"
+    )
+    with pytest.raises(ValueError, match="no existing index"):
+        rewrite_index_cells(rows, os.path.join(str(tmp_path), "nope"))
+    assert spark.conf.get(conf, "STATIC") == prior
