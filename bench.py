@@ -432,7 +432,9 @@ HEADLINE = [
     "pq_adc_topk",
     "pq_adc_topk_packed",
     "ivfpq_topk",
+    "ivfpq_topk_sized",
     "ivfpq_fitted_roundtrip",
+    "ivfpq_refit_versioned",
     "ivfpq_residual_topk",
     "ivfpq_refine_topk",
     "sq8_topk",

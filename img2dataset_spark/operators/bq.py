@@ -274,7 +274,7 @@ def ivfbq_refine_topk(
     vectors_df: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     refine_factor: int = 4,
     num_planes: int = 64,
     dim: int = 64,
@@ -315,7 +315,7 @@ def ivfbq_topk(
     ivf_codebook: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     num_planes: int = 64,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -326,11 +326,19 @@ def ivfbq_topk(
     packed words.  The cell filter is a broadcast join that becomes
     partition pruning over a cell-partitioned index; the scan is
     ceil(p/32) JVM popcounts in whole-stage codegen.  Returns
-    (id, hamming), (asc, id asc), top k."""
-    from img2dataset_spark.operators.similarity import cosine, round6
+    (id, hamming), (asc, id asc), top k.  ``nprobe=None`` auto-sizes
+    ceil(sqrt(num_cells)) via similarity.recommended_nprobe (the
+    measured sf1 probe-loss fix, SCALE.md §10)."""
+    from img2dataset_spark.operators.similarity import (
+        cosine,
+        recommended_nprobe,
+        round6,
+    )
 
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    if nprobe is None:
+        nprobe = recommended_nprobe(ivf_codebook.count())
     q = F.broadcast(query_df.select("query_vec"))
     probed = (
         ivf_codebook.crossJoin(q)

@@ -475,7 +475,7 @@ def ivfpq_topk(
     pq_codebook: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     residual: bool = False,
     packed: bool = False,
@@ -489,16 +489,29 @@ def ivfpq_topk(
     m-byte codes, not vectors.  Returns (id, adc_dist), exact int64
     sums, (adc_dist asc, id asc) top-k.
 
+    ``nprobe=None`` (the default) sizes the probe count from the
+    codebook's cell count via :func:`similarity.recommended_nprobe`
+    (ceil(sqrt(k)) — one cell-domain-sized count job), so recall holds
+    as recommended_num_cells grows cells with the corpus (the measured
+    sf1 probe-loss recovery, SCALE.md §10); pass an explicit nprobe
+    for a fully static configuration (the oracle registry does).
+
     ``residual=True`` (index built with residual codes): the query's
     residual — and therefore its ADC table — differs per probed cell,
     so the scan expression is an nprobe-way CASE over per-cell literal
     tables: still pure codegen, nprobe·m·k literal longs in the plan
     (a few hundred KB at FAISS-like settings — plan-sized)."""
-    from img2dataset_spark.operators.similarity import cosine, round6
+    from img2dataset_spark.operators.similarity import (
+        cosine,
+        recommended_nprobe,
+        round6,
+    )
 
     if "level" in ivf_codebook.columns:
         # hierarchical coarse codebook: assignment cells are FINE ids
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    if nprobe is None:
+        nprobe = recommended_nprobe(ivf_codebook.count())
     q = F.broadcast(query_df.select("query_vec"))
     probed = (
         ivf_codebook.crossJoin(q)
@@ -594,7 +607,7 @@ def ivfpq_topk_versioned(
     overrides: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     packed: bool = False,
 ) -> DataFrame:
@@ -612,11 +625,19 @@ def ivfpq_topk_versioned(
     codegen, nprobe·m·k literal longs in the plan.  Bounded collects
     only: the nprobe probe rows and the override books for the PROBED
     cells (nprobe × m × k rows via a broadcast semi-join — never the
-    whole override relation)."""
-    from img2dataset_spark.operators.similarity import cosine, round6
+    whole override relation).  ``nprobe=None`` auto-sizes like
+    :func:`ivfpq_topk` (ceil(sqrt(num_cells)),
+    similarity.recommended_nprobe)."""
+    from img2dataset_spark.operators.similarity import (
+        cosine,
+        recommended_nprobe,
+        round6,
+    )
 
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    if nprobe is None:
+        nprobe = recommended_nprobe(ivf_codebook.count())
     q = F.broadcast(query_df.select("query_vec"))
     probed = (
         ivf_codebook.crossJoin(q)

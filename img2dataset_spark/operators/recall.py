@@ -137,7 +137,7 @@ def quantizer_recall_ledger(
     df: DataFrame,
     k: int = 10,
     num_queries: int = 4,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
@@ -147,7 +147,9 @@ def quantizer_recall_ledger(
     64-plane BQ, occupancy-pinned coarse cells): one fit per model,
     then one ledger relation covering pq_adc / ivfpq / sq8 / ivfsq /
     bq / bq_refine / ivfbq.  This is what tools/recall_ledger.py runs
-    per scale point for SCALE.md."""
+    per scale point for SCALE.md.  ``nprobe=None`` routes the IVF
+    variants through the corpus-aware recommended_nprobe default
+    (ceil(sqrt(num_cells)))."""
     from img2dataset_spark.operators.bq import (
         bq_encode,
         bq_refine_topk,

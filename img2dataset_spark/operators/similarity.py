@@ -619,6 +619,28 @@ def recommended_num_cells(
     return max(1, math.ceil(n_vectors / target_cell_size))
 
 
+def recommended_nprobe(num_cells: int, min_nprobe: int = 1) -> int:
+    """Probe count that grows with the cell count —
+    ceil(sqrt(num_cells)), FAISS's standard nprobe starting heuristic
+    for IVF indexes — so search recall survives the corpus-aware cell
+    sizing instead of silently decaying as :func:`recommended_num_cells`
+    grows k with n.  The recall ledger measured the failure mode this
+    exists to close (SCALE.md §10): at sf1 the occupancy-pinned cell
+    count (586) outgrew a fixed nprobe=4 and ivfsq recall fell
+    0.9 → 0.55, while nprobe=16 recovered 0.85 — pure probe loss, the
+    quantizer untouched.  ceil(sqrt(.)) lands at-or-above every
+    measured recovery point (10 cells → 4, 59 → 8, 586 → 25) and keeps
+    probed-row work ~sqrt(k)·occupancy, i.e. O(n / sqrt(k)) of the
+    corpus — sublinear in n under occupancy pinning.  Passing
+    ``nprobe=None`` to ivfpq_topk / ivfsq_topk / ivfbq_topk /
+    ivfbq_refine_topk routes through this."""
+    import math
+
+    if num_cells <= 0:
+        return max(1, min_nprobe)
+    return max(min_nprobe, math.isqrt(num_cells - 1) + 1)
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     num_cells: int | None = None,

@@ -242,7 +242,7 @@ def ivfsq_topk(
     bounds: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF-pruned symmetric SQ8 search: rank coarse cells by
@@ -251,11 +251,20 @@ def ivfsq_topk(
     cells' byte codes against the query's own codes.  The cell filter
     is a broadcast join that becomes partition pruning over a
     cell-partitioned index; the scan is exact int64 arithmetic in
-    whole-stage codegen.  Returns (id, sq_dist), (asc, id asc), top k."""
-    from img2dataset_spark.operators.similarity import cosine, round6
+    whole-stage codegen.  Returns (id, sq_dist), (asc, id asc), top k.
+    ``nprobe=None`` auto-sizes ceil(sqrt(num_cells)) via
+    similarity.recommended_nprobe — the measured sf1 probe-loss fix
+    (ivfsq 0.55 → 0.85, SCALE.md §10) made the default."""
+    from img2dataset_spark.operators.similarity import (
+        cosine,
+        recommended_nprobe,
+        round6,
+    )
 
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    if nprobe is None:
+        nprobe = recommended_nprobe(ivf_codebook.count())
     q = F.broadcast(query_df.select("query_vec"))
     probed = (
         ivf_codebook.crossJoin(q)

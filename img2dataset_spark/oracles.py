@@ -778,7 +778,13 @@ SELECT vec_id, cell FROM (
 # the ADC scan to the top-nprobe cells' codes.  Reuses _kmeans_iter_sql
 # (coarse, names c0/c1/c2) and _pq_sub_sql (subspaces, names c{j}x{i})
 # — distinct CTE namespaces by construction.
-_IVFPQ_CTES = f"""
+
+
+def _ivfpq_ctes(nprobe: int = 2) -> str:
+    """The shared IVF+PQ CTE chain with a parameterized probe LIMIT —
+    the sized twin (ivfpq_topk_sized) pins recommended_nprobe(10)=4
+    statically here, everything else identical."""
+    return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
@@ -799,10 +805,13 @@ qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 probe AS (
   SELECT cell FROM (
     SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
-  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+  ORDER BY c_sim DESC, cell ASC LIMIT {nprobe}),
 e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2)},
 {_pq_sub_sql(1, 33, 64, 4, 2)}"""
+
+
+_IVFPQ_CTES = _ivfpq_ctes(2)
 
 _IVFPQ_SELECT = """
 SELECT e.vec_id, CAST(qd0.d + qd1.d AS BIGINT) AS adc_dist
@@ -816,6 +825,12 @@ WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY adc_dist ASC, e.vec_id ASC LIMIT {limit}"""
 
 ORACLES["ivfpq_topk"] = _IVFPQ_CTES + _IVFPQ_SELECT.format(limit=10)
+
+# The nprobe=None production-sizing path (recommended_nprobe —
+# ceil(sqrt(num_cells))): the engine counts the codebook's 10 cells at
+# query time and probes 4; the twin pins the same 4 statically.  The
+# rest of the chain is ivfpq_topk's verbatim.
+ORACLES["ivfpq_topk_sized"] = _ivfpq_ctes(4) + _IVFPQ_SELECT.format(limit=10)
 
 # Persisted-index roundtrip: write codebooks + cell-partitioned index
 # to parquet, read back, search — a STORAGE representation of the same
@@ -960,6 +975,135 @@ SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell,
        AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02))
   AS retrain
 FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+"""
+
+
+def _pq_percell_sql(j: int, lo: int, hi: int, k: int, iters: int) -> str:
+    """Per-cell PQ Lloyd CTE chain for subspace ``j`` over the FLAGGED
+    cells' rows (the refit twin — maintain.pq_refit_cells run
+    relationally): seeds are each cell's first k rows in
+    (md5(id), id) order (PARTITION BY cell row_number), assignment is
+    quantized-argmin with smallest-code ties WITHIN the row's cell,
+    means are exact-decimal per (cell, code) — _local_lloyd's rules
+    with a cell dimension.  Emits pcode{j} (per-cell code assignment
+    for flagged rows) and pqd{j} (per-(cell, code) query ADC table
+    from qs{j}, the _pq_sub_sql query subvector).  _local_lloyd's
+    float64 means vs the decimal(28,12) here agree after the 2^-20
+    centroid quantization (the ann_ivf_hier_assign precedent)."""
+    n = hi - lo + 1
+    d = _QL2_N.format(n=n, a="q.qv", b="c.qc")
+    parts = [
+        f"""fr{j} AS (SELECT f.cell, e0.vec_id, e0.v[{lo}:{hi}] AS v,
+         {_QUANTIZE.format(v=f'e0.v[{lo}:{hi}]')} AS qv
+  FROM e0 JOIN af ON af.vec_id = e0.vec_id
+  JOIN flagged f ON f.cell = af.cell),
+pse{j} AS (SELECT cell, vec_id, v,
+  row_number() OVER (PARTITION BY cell
+                     ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+  FROM fr{j}),
+pc{j}x0 AS (SELECT cell, rn - 1 AS code, v AS centroid
+  FROM pse{j} WHERE rn <= {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pcq{j}x{i} AS (SELECT cell, code,
+    {_QUANTIZE.format(v='centroid')} AS qc FROM pc{j}x{i - 1}),
+pa{j}x{i} AS (SELECT cell, vec_id, v, code FROM (
+  SELECT q.cell, q.vec_id, q.v, c.code,
+         row_number() OVER (PARTITION BY q.cell, q.vec_id
+                            ORDER BY {d}, c.code) AS rn
+  FROM fr{j} q JOIN pcq{j}x{i} c ON c.cell = q.cell) WHERE rn = 1),
+pd{j}x{i} AS (SELECT cell, code, i,
+    CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
+  FROM pa{j}x{i}, (SELECT unnest(generate_series(1, {n})) AS i)
+  GROUP BY cell, code, i),
+pc{j}x{i} AS (SELECT cell, code, list(cv ORDER BY i) AS centroid
+  FROM pd{j}x{i} GROUP BY cell, code)"""
+        )
+    parts.append(
+        f"""pcqf{j} AS (SELECT cell, code,
+    {_QUANTIZE.format(v='centroid')} AS qc FROM pc{j}x{iters}),
+pcode{j} AS (SELECT cell, vec_id, code FROM (
+  SELECT q.cell, q.vec_id, c.code,
+         row_number() OVER (PARTITION BY q.cell, q.vec_id
+                            ORDER BY {d}, c.code) AS rn
+  FROM fr{j} q JOIN pcqf{j} c ON c.cell = q.cell) WHERE rn = 1),
+pqd{j} AS (SELECT c.cell, c.code, {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
+  FROM pcqf{j} c, qs{j} q)"""
+    )
+    return ",\n".join(parts)
+
+
+# The closed maintenance loop (maintain.pq_refit_cells /
+# pq_reencode_cells / rewrite_index_cells + pq.ivfpq_topk_versioned)
+# recomputed relationally: frozen books fit on the base slice, drift
+# flags from the occupancy relation (raw-ratio > 1.02, the
+# ann_occupancy_drift math), per-cell Lloyd refits for flagged cells,
+# and a search whose probed rows score against the book that MINTED
+# their codes — flagged cells' rows via pcode{j}/pqd{j} (version 1),
+# the rest via code{j}/qd{j} (version 0, base-slice global fit).
+# nprobe=4 so the probe straddles both versions.
+ORACLES["ivfpq_refit_versioned"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
+  ORDER BY c_sim DESC, cell ASC LIMIT 4),
+e0 AS (SELECT vec_id, v FROM e),
+{_pq_sub_sql(0, 1, 32, 4, 2, fit_where=_APPEND_FIT)},
+{_pq_sub_sql(1, 33, 64, 4, 2, fit_where=_APPEND_FIT)},
+{_pq_percell_sql(0, 1, 32, 4, 2)},
+{_pq_percell_sql(1, 33, 64, 4, 2)}
+SELECT vec_id, adc_dist FROM (
+  SELECT e0.vec_id, CAST(qd0.d + qd1.d AS BIGINT) AS adc_dist
+  FROM e0
+  JOIN af ON af.vec_id = e0.vec_id
+  JOIN code0 ON code0.vec_id = e0.vec_id
+  JOIN code1 ON code1.vec_id = e0.vec_id
+  JOIN qd0 ON qd0.cell = code0.cell
+  JOIN qd1 ON qd1.cell = code1.cell
+  WHERE af.cell IN (SELECT cell FROM probe)
+    AND af.cell NOT IN (SELECT cell FROM flagged)
+  UNION ALL
+  SELECT p0.vec_id, CAST(d0.d + d1.d AS BIGINT) AS adc_dist
+  FROM pcode0 p0
+  JOIN pcode1 p1 ON p1.vec_id = p0.vec_id
+  JOIN pqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
+  JOIN pqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
+  WHERE p0.cell IN (SELECT cell FROM probe)
+)
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
 """
 
 # Scalar quantization (SQ8): per-dimension min/max bounds (exact aggs,

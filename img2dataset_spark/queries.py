@@ -1322,6 +1322,28 @@ def q_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir), k=10, nprobe=2)
 
 
+def q_ivfpq_topk_sized(spark, sf_dir):
+    """ivfpq_topk through the PRODUCTION nprobe=None sizing path
+    (similarity.recommended_nprobe — ceil(sqrt(num_cells)), the
+    embedding_dup_pairs_lsh_sized / semantic_dedup_sized precedent
+    applied to the probe knob): the recall ledger measured fixed
+    nprobe silently decaying as recommended_num_cells grows cells with
+    the corpus (ivfsq 0.9 → 0.55 at sf1; nprobe=16 recovered 0.85 —
+    SCALE.md §10), so the searchers now size the probe count from the
+    codebook at query time.  Here num_cells=10 → nprobe=4; the SQL
+    twin pins the same 4 statically (probe LIMIT 4), everything else
+    ivfpq_topk's verbatim."""
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(e, ivf_cb, pq_cb)
+    return ivfpq_topk(idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir),
+                      k=10, nprobe=None)
+
+
 def q_ivfpq_fitted_roundtrip(spark, sf_dir):
     """DRIVER-oracle evidence for the PERSISTED-INDEX search shape —
     the actual production query the 100 TB claim rests on (r9 verdict
@@ -1445,6 +1467,65 @@ def q_ann_occupancy_drift(spark, sf_dir):
         "growth",
         "retrain",
     )
+
+
+def q_ivfpq_refit_versioned(spark, sf_dir):
+    """The CLOSED maintenance loop end-to-end (operators/maintain.py,
+    r10 verdict item 1): the meter's retrain flag now drives an
+    actuator cheaper than the full re-index.  Inside one query: fit
+    frozen books on the 70% base slice, index the post-append union
+    corpus cell-partitioned, run occupancy_drift (threshold 1.02) to
+    FLAG the drifted cells, selectively refit ONLY those cells' PQ
+    codebooks per-cell (pq_refit_cells — LOPQ-style, one
+    groupBy(cell).applyInPandas), re-encode only their rows
+    (pq_reencode_cells), dynamic-partition-overwrite only their
+    directories (rewrite_index_cells — every other cell's files stay
+    byte-identical, pinned in test_maintain.py), persist the override
+    relation (the version-1 codebook artifact), and answer the search
+    from the read-back MIXED index via ivfpq_topk_versioned: probed
+    flagged cells CASE to their own ADC table, the rest share the
+    global one.  The SQL twin recomputes everything relationally —
+    including the per-cell Lloyd fits (partitioned seeds + per-cell
+    assignment/means CTEs) and the drift flags.  nprobe=4 so the
+    probe straddles flagged and unflagged cells (both CASE branches
+    land in the hashed result).  Scratch dir atexit-swept."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk_versioned,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+    tmp = _scratch_dir("graft_ivfpq_refit_")
+    ivfpq_index(e, ivf_cb, pq_cb).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
+    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
+    flagged = (
+        occupancy_drift(base_occ, new_occ, threshold=1.02)
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    rewrite_index_cells(pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfpq_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd,
+                                _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
 def q_ivfpq_residual_topk(spark, sf_dir):
@@ -2043,10 +2124,12 @@ QUERIES.update(
         "pq_adc_topk_packed": q_pq_adc_topk_packed,
         "ann_ivf_hier_assign": q_ann_ivf_hier_assign,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_topk_sized": q_ivfpq_topk_sized,
         "ivfpq_fitted_roundtrip": q_ivfpq_fitted_roundtrip,
         "ivfsq_fitted_roundtrip": q_ivfsq_fitted_roundtrip,
         "ivfpq_index_append": q_ivfpq_index_append,
         "ann_occupancy_drift": q_ann_occupancy_drift,
+        "ivfpq_refit_versioned": q_ivfpq_refit_versioned,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "sq8_topk": q_sq8_topk,
@@ -2233,8 +2316,21 @@ _EXTRA_NAMES = (
     # roundtrip (ivfpq_fitted_roundtrip holds the pattern's driver
     # slot; shares ivfsq_topk's twin — persistence is representation)
     "ivfsq_fitted_roundtrip",
+    # rotated out round 11 (r9 AND r10 green) to make room for
+    # ivfpq_topk_sized: the flat ADC scan's formulas stay in-window
+    # inside every ivfpq row, and the packed storage twin
+    # (pq_adc_topk_packed) shares this oracle here in EXTRA
+    "pq_adc_topk",
+    # rotated out round 11 (r10-green) to make room for
+    # ivfpq_refit_versioned, which exercises the SAME per-cell-CASE
+    # ADC plan shape (per-probed-cell literal tables) plus the
+    # refit/rewrite actuator on top
+    "ivfpq_residual_topk",
 )
 _FLAGSHIP_FIRST = (
+    # never-before-driver-verified (NEW round 11) — first in line
+    "ivfpq_refit_versioned",
+    "ivfpq_topk_sized",
     # never-before-driver-verified (NEW round 10) — first in line
     "bq_refine_topk",
     "ivfbq_topk",
@@ -2244,9 +2340,6 @@ _FLAGSHIP_FIRST = (
     # r9-green (NEW round 9)
     "ivfpq_refine_topk",
     "ivfsq_topk",
-    # red in r8 (oracle dtype bug, fixed round 9; r9-green)
-    "pq_adc_topk",
-    "ivfpq_residual_topk",
     # NEW round 8, r8-green
     "semantic_dedup_sized",
     "bm25_multi_topk",

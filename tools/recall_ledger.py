@@ -4,6 +4,8 @@ line — the companion to bench.py for QUALITY numbers: SCALE.md records
 wall-times, so recall claims carry measurements instead of adjectives.
 
 Usage: python tools/recall_ledger.py [sf_dir] [num_queries] [k] [nprobe]
+(nprobe may be the literal ``auto`` to route the IVF families through
+similarity.recommended_nprobe — the production default)
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     num_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    nprobe_arg = sys.argv[4] if len(sys.argv) > 4 else "4"
+    nprobe = None if nprobe_arg == "auto" else int(nprobe_arg)
 
     from img2dataset_spark.operators.recall import quantizer_recall_ledger
 
@@ -37,7 +40,7 @@ def main() -> None:
                 "metric": "quantizer_recall_at_k",
                 "k": k,
                 "num_queries": num_queries,
-                "nprobe": nprobe,
+                "nprobe": "auto" if nprobe is None else nprobe,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "families": {
                     r["family"]: {
