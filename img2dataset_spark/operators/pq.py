@@ -318,7 +318,7 @@ def ivfpq_refine_topk(
     vectors_df: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     refine_factor: int = 4,
     residual: bool = False,
     packed: bool = False,

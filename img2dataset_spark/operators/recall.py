@@ -141,15 +141,26 @@ def quantizer_recall_ledger(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    pq_subspaces: int = 8,
+    pq_codes: int = 16,
 ) -> DataFrame:
     """The standard menu ledgered at production-ish settings (the
-    bench's fitted-artifact parameters: m=8/k=16 PQ, SQ8 bounds,
-    64-plane BQ, occupancy-pinned coarse cells): one fit per model,
-    then one ledger relation covering pq_adc / ivfpq / sq8 / ivfsq /
-    bq / bq_refine / ivfbq.  This is what tools/recall_ledger.py runs
-    per scale point for SCALE.md.  ``nprobe=None`` routes the IVF
-    variants through the corpus-aware recommended_nprobe default
-    (ceil(sqrt(num_cells)))."""
+    bench's fitted-artifact parameters: m=8/k=16 PQ by default, SQ8
+    bounds, 64-plane BQ, occupancy-pinned coarse cells): one fit per
+    model, then one ledger relation covering pq_adc / ivfpq /
+    ivfpq_residual / sq8 / ivfsq / bq / bq_refine / ivfbq.  This is
+    what tools/recall_ledger.py runs per scale point for SCALE.md.
+    ``nprobe=None`` routes the IVF variants through the corpus-aware
+    recommended_nprobe default (ceil(sqrt(num_cells))).
+
+    ``pq_subspaces``/``pq_codes`` size the PQ codebook (item-4 sweep:
+    FAISS's production default is k=256 codes/subspace; 16 is the toy
+    setting the oracle registry pins).  ``ivfpq_residual`` is in the
+    menu because the clustered-corpus ledger showed WHY FAISS
+    quantizes residuals: on mixture-of-Gaussians data every
+    same-cluster point shares a raw-vector code word, so non-residual
+    PQ ties the whole cluster (recall 0.025 at 60k/64 clusters) while
+    residual codes resolve within-cluster structure."""
     from img2dataset_spark.operators.bq import (
         bq_encode,
         bq_refine_topk,
@@ -159,6 +170,7 @@ def quantizer_recall_ledger(
     )
     from img2dataset_spark.operators.pq import (
         ivfpq_index,
+        ivfpq_refine_topk,
         ivfpq_topk,
         pq_encode,
         pq_fit,
@@ -177,13 +189,26 @@ def quantizer_recall_ledger(
     )
 
     n_cells = recommended_num_cells(df.count())
-    pq_cb = pq_fit(df, num_subspaces=8, num_codes=16, iters=2,
-                   vec_col=vec_col, id_col=id_col, dim=dim)
-    pq_codes = pq_encode(df, pq_cb, vec_col=vec_col, id_col=id_col).persist()
+    pq_cb = pq_fit(df, num_subspaces=pq_subspaces, num_codes=pq_codes,
+                   iters=2, vec_col=vec_col, id_col=id_col, dim=dim)
+    pq_codes_df = pq_encode(df, pq_cb, vec_col=vec_col,
+                            id_col=id_col).persist()
     ivf_cb = ivf_fit(df, num_cells=n_cells, iters=2,
                      vec_col=vec_col, id_col=id_col)
     pq_idx = ivfpq_index(df, ivf_cb, pq_cb,
                          vec_col=vec_col, id_col=id_col).persist()
+    # residual IVF+PQ (the FAISS IVFPQ recipe): reuse the SAME coarse
+    # codebook (ivfpq_fit would refit it identically — md5-seeded
+    # Lloyd is deterministic); fit the residual book separately
+    from img2dataset_spark.operators.pq import residual_vectors
+
+    res_cb = pq_fit(
+        residual_vectors(df, ivf_cb, vec_col, id_col),
+        num_subspaces=pq_subspaces, num_codes=pq_codes, iters=2,
+        vec_col="rvec", id_col=id_col, dim=dim,
+    )
+    res_idx = ivfpq_index(df, ivf_cb, res_cb, vec_col=vec_col,
+                          id_col=id_col, residual=True).persist()
     bounds = sq_fit(df, vec_col=vec_col, dim=dim)
     sq_codes = sq_encode(df, bounds, vec_col=vec_col, id_col=id_col).persist()
     sq_idx = ivfsq_index(df, ivf_cb, bounds,
@@ -193,10 +218,19 @@ def quantizer_recall_ledger(
     bq_idx = ivfbq_index(df, ivf_cb, num_planes=dim, dim=dim,
                          vec_col=vec_col, id_col=id_col).persist()
     families = {
-        "pq_adc": (lambda q: pq_topk(pq_codes, pq_cb, q, k=k,
+        "pq_adc": (lambda q: pq_topk(pq_codes_df, pq_cb, q, k=k,
                                      id_col=id_col), "l2"),
         "ivfpq": (lambda q: ivfpq_topk(pq_idx, ivf_cb, pq_cb, q, k=k,
                                        nprobe=nprobe, id_col=id_col), "l2"),
+        "ivfpq_residual": (lambda q: ivfpq_topk(
+            res_idx, ivf_cb, res_cb, q, k=k, nprobe=nprobe,
+            id_col=id_col, residual=True), "l2"),
+        # the full production composition: residual codes screen,
+        # exact re-rank of the k*refine_factor survivors
+        "ivfpq_res_refine": (lambda q: ivfpq_refine_topk(
+            res_idx, ivf_cb, res_cb, df, q, k=k, nprobe=nprobe,
+            refine_factor=4, residual=True, vec_col=vec_col,
+            id_col=id_col), "cosine"),
         "sq8": (lambda q: sq_topk(sq_codes, bounds, q, k=k,
                                   id_col=id_col), "l2"),
         "ivfsq": (lambda q: ivfsq_topk(sq_idx, ivf_cb, bounds, q, k=k,
@@ -214,5 +248,6 @@ def quantizer_recall_ledger(
         return recall_ledger(df, families, k=k, num_queries=num_queries,
                              vec_col=vec_col, id_col=id_col)
     finally:
-        for cached in (pq_codes, pq_idx, sq_codes, sq_idx, bq_codes, bq_idx):
+        for cached in (pq_codes_df, pq_idx, res_idx, sq_codes, sq_idx,
+                       bq_codes, bq_idx):
             cached.unpersist()

@@ -391,6 +391,72 @@ def semantic_static_codes_index(
     )
 
 
+def append_semantic_codes_index(
+    wave: DataFrame,
+    codebook: DataFrame,
+    index_path: str,
+    num_planes: int = 64,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_size: int = 10_000,
+) -> DataFrame:
+    """Append an ADMITTED wave's (cell, _ref_id, _ref_codes) rows to a
+    cell-partitioned persisted codes index — the corpus-accumulation
+    loop between micro-batch epochs (r10 verdict item 6): survivors of
+    this wave's admission screen become static-side state for the NEXT
+    wave without rebuilding the index from the full corpus.  The wave
+    is encoded with the SAME frozen codebook and encode the index was
+    built with (one map-only assignment+encode pass over the wave —
+    maintain.append_to_index's economics applied to the screen state),
+    and new files land only in the wave's cells' partition directories.
+
+    The corpus-side ``max_cell_size`` cap is enforced on the UNION
+    occupancy (existing index count + wave count, both cell-domain
+    aggregations): cells that would CROSS the cap have their wave rows
+    SKIPPED, never silently over-filled.  Returns the cap ledger —
+    (cell, existing_n, wave_n, appended) — per the no-silent-caps
+    discipline.  Two documented divergences from a from-scratch
+    rebuild on the union corpus (which the pairing pytest pins equal
+    in the common no-cap-interaction regime): a cell that crosses the
+    cap keeps its EXISTING rows here but would be dropped whole by a
+    rebuild, and a cell the original build capped out reads as
+    existing_n=0 here so wave rows can re-open it.  Both are screen-
+    recall-only effects (the screen is probabilistic by design, like
+    every LSH band in this repo); schedule the periodic full rebuild
+    off maintain.occupancy_drift when the ledger shows cap pressure."""
+    from img2dataset_spark.operators.maintain import append_to_index
+
+    spark = wave.sparkSession
+    rows = semantic_static_codes_index(
+        wave, codebook, num_planes, dim, vec_col, id_col,
+        max_cell_size=1 << 62,
+    )
+    existing = (
+        spark.read.parquet(index_path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("existing_n"))
+    )
+    ledger = (
+        rows.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("wave_n"))
+        .join(existing, "cell", "left")
+        .na.fill({"existing_n": 0})
+        .select(
+            "cell",
+            "existing_n",
+            "wave_n",
+            (
+                (F.col("existing_n") + F.col("wave_n"))
+                <= F.lit(max_cell_size)
+            ).alias("appended"),
+        )
+    )
+    ok = ledger.filter(F.col("appended")).select("cell")
+    append_to_index(rows.join(F.broadcast(ok), "cell"), index_path)
+    return ledger
+
+
 def default_prescreen_hamming(
     cosine_threshold: float, num_planes: int = 64
 ) -> int:

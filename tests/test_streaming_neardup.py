@@ -775,3 +775,126 @@ def test_streaming_semantic_flags_rejects_prescreen_width_mismatch(spark):
             ref_vectors=corpus.select("vec_id", "embedding"),
             num_planes=64,
         )
+
+
+def _run_semantic_flags(spark, tmp_path, name, wave, cb, codes_index, refs):
+    """availableNow semantic-flags run: (vec_id -> (n_matches, is_dup))."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = os.path.join(str(tmp_path), f"src_{name}")
+    batch = wave.select("vec_id", F.lit(t0).alias("ts"), "embedding")
+    batch.coalesce(1).write.parquet(src)
+    flush = spark.createDataFrame(
+        [(-1, t0 + dt.timedelta(hours=2), [0.5] * 64)],
+        "vec_id long, ts timestamp, embedding array<float>",
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    from img2dataset_spark.streaming.dedup import streaming_semantic_flags
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_semantic_flags(
+            stream, index=None, codebook=cb, threshold=0.3,
+            watermark="10 minutes", codes_index=codes_index,
+            ref_vectors=refs.select("vec_id", "embedding"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(str(tmp_path), name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        r["vec_id"]: (r["n_matches"], r["is_semantic_dup"])
+        for r in spark.table(name).collect()
+        if r["vec_id"] >= 0
+    }
+
+
+def test_codes_index_append_between_waves(spark, tmp_path):
+    """r10 verdict item 6 — the corpus-accumulation loop: wave-1
+    admission survivors append their 8-byte codes to the persisted
+    codes index (append_semantic_codes_index, one map-only pass over
+    the wave), and wave-2 verdicts from the appended index match a
+    from-scratch rebuild on the union corpus row-for-row."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        append_semantic_codes_index,
+        semantic_static_codes_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 5 > 1)
+    wave1 = e.filter(F.col("vec_id") % 5 == 0)
+    wave2 = e.filter(F.col("vec_id") % 5 == 1)
+    cb = ivf_fit(corpus, num_cells=4, iters=1)
+    path = os.path.join(str(tmp_path), "codes_idx")
+    semantic_static_codes_index(corpus, cb).write.partitionBy(
+        "cell"
+    ).parquet(path)
+
+    idx1 = spark.read.parquet(path)
+    w1 = _run_semantic_flags(spark, tmp_path, "aw_w1", wave1, cb, idx1,
+                             corpus)
+    dup_ids = [i for i, v in w1.items() if v[1]]
+    survivors = wave1.filter(~F.col("vec_id").isin(dup_ids))
+    ledger = append_semantic_codes_index(survivors, cb, path)
+    rows = ledger.collect()
+    assert rows and all(r["appended"] for r in rows)
+
+    refs2 = corpus.unionByName(survivors)
+    idx2 = spark.read.parquet(path)
+    got = _run_semantic_flags(spark, tmp_path, "aw_w2a", wave2, cb, idx2,
+                              refs2)
+    rebuilt = semantic_static_codes_index(
+        corpus.unionByName(survivors), cb
+    ).persist()
+    rebuilt.count()
+    want = _run_semantic_flags(spark, tmp_path, "aw_w2b", wave2, cb,
+                               rebuilt, refs2)
+    rebuilt.unpersist()
+    assert got == want
+    # the appended state is load-bearing: some wave-2 verdict changed
+    # vs the pre-append index (a wave-2 row matching a wave-1 survivor)
+    pre = _run_semantic_flags(spark, tmp_path, "aw_w2pre", wave2, cb,
+                              idx1, corpus)
+    assert got != pre
+
+
+def test_codes_index_append_cap_ledger(spark, tmp_path):
+    """Cells that would CROSS max_cell_size on append are skipped, the
+    ledger says so, and the index gains exactly the appended cells'
+    rows — never a silent over-fill."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        append_semantic_codes_index,
+        semantic_static_codes_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 5 > 1)
+    wave = e.filter(F.col("vec_id") % 5 == 0)
+    cb = ivf_fit(corpus, num_cells=4, iters=1)
+    path = os.path.join(str(tmp_path), "codes_idx_cap")
+    semantic_static_codes_index(corpus, cb).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    before = spark.read.parquet(path).count()
+
+    # every corpus cell holds >1 rows, so a cap of 1 skips them all
+    ledger = append_semantic_codes_index(wave, cb, path, max_cell_size=1)
+    rows = ledger.collect()
+    assert rows and not any(r["appended"] for r in rows)
+    assert spark.read.parquet(path).count() == before
+
+    # a generous cap appends the full wave
+    ledger2 = append_semantic_codes_index(wave, cb, path)
+    appended_n = sum(r["wave_n"] for r in ledger2.collect()
+                     if r["appended"])
+    assert appended_n == wave.count()
+    assert spark.read.parquet(path).count() == before + appended_n

@@ -4,8 +4,11 @@ line — the companion to bench.py for QUALITY numbers: SCALE.md records
 wall-times, so recall claims carry measurements instead of adjectives.
 
 Usage: python tools/recall_ledger.py [sf_dir] [num_queries] [k] [nprobe]
+                                     [pq_codes] [pq_subspaces]
 (nprobe may be the literal ``auto`` to route the IVF families through
-similarity.recommended_nprobe — the production default)
+similarity.recommended_nprobe — the production default; sf_dir may be
+a direct parquet path, e.g. tools/make_clustered.py output; pq_codes
+defaults 16, pq_subspaces 8 — pass 256 for the FAISS-default sweep)
 """
 
 from __future__ import annotations
@@ -25,13 +28,23 @@ def main() -> None:
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     nprobe_arg = sys.argv[4] if len(sys.argv) > 4 else "4"
     nprobe = None if nprobe_arg == "auto" else int(nprobe_arg)
+    pq_codes = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    pq_subspaces = int(sys.argv[6]) if len(sys.argv) > 6 else 8
 
     from img2dataset_spark.operators.recall import quantizer_recall_ledger
 
     spark = get_spark(app_name="recall_ledger")
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # sf_dir may be a scale dir (read its embeddings table) or a direct
+    # parquet path (e.g. tools/make_clustered.py output)
+    src = (
+        sf_dir
+        if sf_dir.endswith(".parquet")
+        else os.path.join(sf_dir, "embeddings.parquet")
+    )
+    emb = spark.read.parquet(src)
     rows = quantizer_recall_ledger(
-        emb, k=k, num_queries=num_queries, nprobe=nprobe
+        emb, k=k, num_queries=num_queries, nprobe=nprobe,
+        pq_codes=pq_codes, pq_subspaces=pq_subspaces,
     ).collect()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -41,6 +54,8 @@ def main() -> None:
                 "k": k,
                 "num_queries": num_queries,
                 "nprobe": "auto" if nprobe is None else nprobe,
+                "pq_codes": pq_codes,
+                "pq_subspaces": pq_subspaces,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "families": {
                     r["family"]: {
