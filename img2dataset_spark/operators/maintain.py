@@ -317,6 +317,100 @@ def pq_reencode_cells(
     )
 
 
+def pq_distortion_ledger(
+    df: DataFrame,
+    index_df: DataFrame,
+    pq_codebook: DataFrame,
+    overrides: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(cell, n, mse) — mean squared PQ reconstruction error per coarse
+    cell: ``||v − concat_j(book[code_j])||²`` averaged over the cell's
+    rows.  This is the QUALITY meter the maintenance loop closes on:
+    :func:`occupancy_drift` says a cell's mass outgrew its share, this
+    relation says what that did to the quantizer (a drifted cell's
+    rows encode against centroids fit on data that no longer looks
+    like them — measured 45.4 → 2.5 MSE on the clustered drift
+    scenario after :func:`pq_refit_cells`, SCALE.md §11), and the
+    LOPQ-style selective refit is the actuator that brings it back.
+
+    ``overrides`` (the pq_refit_cells relation) reconstructs each
+    override cell's rows with ITS book — pass the same relation you
+    re-encoded with, or None to meter a pure global-book index.
+
+    Shape: one broadcast of the books (model-sized collects — the
+    codebook ceiling applies), one Arrow pass over (vector ⋈ codes)
+    batches with per-cell vectorized gather/matmul, then a
+    cell-domain-sized mean.  Nothing corpus-shaped on the driver."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from img2dataset_spark.operators.similarity import _as_double, round6
+
+    spark = df.sparkSession
+
+    def dense_book(rows, code_key):
+        # subspace -> (max_code+1, sub_dim) table (gap codes never
+        # referenced: codes in the index were minted by this book)
+        by_sub: dict[int, dict[int, list[float]]] = {}
+        for r in rows:
+            by_sub.setdefault(int(r["subspace"]), {})[int(r[code_key])] = (
+                r["centroid"]
+            )
+        out = []
+        for j in range(len(by_sub)):
+            codes = by_sub[j]
+            table = np.zeros((max(codes) + 1, len(next(iter(codes.values())))))
+            for cid, cent in codes.items():
+                table[cid] = np.asarray(cent, dtype=np.float64)
+            out.append(table)
+        return out
+
+    # the global pq_fit relation names its code column "cell"
+    # (subspace, cell, centroid); the override relation is
+    # (cell, subspace, code, centroid)
+    gb = dense_book(
+        pq_codebook.select("subspace", "cell", "centroid").collect(), "cell"
+    )
+    ob: dict[int, list[np.ndarray]] = {}
+    if overrides is not None:
+        per_cell: dict[int, list] = {}
+        for r in overrides.select(
+            "cell", "subspace", "code", "centroid"
+        ).collect():
+            per_cell.setdefault(int(r["cell"]), []).append(r)
+        ob = {c: dense_book(rows, "code") for c, rows in per_cell.items()}
+    bc = spark.sparkContext.broadcast((gb, ob))
+
+    joined = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).join(index_df.select(F.col(id_col), "cell", "codes"), id_col)
+
+    @pandas_udf("double")
+    def err(cells: pd.Series, codes: pd.Series, vs: pd.Series) -> pd.Series:
+        g, o = bc.value
+        Vm = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Cm = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        carr = cells.to_numpy()
+        out = np.empty(len(Vm))
+        for cell in np.unique(carr):
+            sel = carr == cell
+            book = o.get(int(cell), g)
+            rec = np.concatenate(
+                [book[j][Cm[sel][:, j]] for j in range(len(book))], axis=1
+            )
+            out[sel] = ((Vm[sel] - rec) ** 2).sum(axis=1)
+        return pd.Series(out)
+
+    return (
+        joined.select("cell", err(F.col("cell"), F.col("codes"),
+                                  F.col("_v")).alias("_e"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), round6(F.avg("_e")).alias("mse"))
+    )
+
+
 def rewrite_index_cells(
     index_rows: DataFrame, index_path: str, validate: bool = True
 ) -> None:

@@ -324,6 +324,7 @@ def ivfpq_refine_topk(
     packed: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_metric: str = "cosine",
 ) -> DataFrame:
     """Two-stage refine search — the standard FAISS ``IndexRefineFlat``
     composition that recovers exact ranking from a lossy index: stage 1
@@ -346,6 +347,7 @@ def ivfpq_refine_topk(
         index_df, ivf_codebook, pq_codebook, query_df,
         k=k * refine_factor, nprobe=nprobe,
         id_col=id_col, residual=residual, packed=packed,
+        probe_metric=probe_metric,
     )
     e = vectors_df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
@@ -479,6 +481,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     residual: bool = False,
     packed: bool = False,
+    probe_metric: str = "cosine",
 ) -> DataFrame:
     """IVF-pruned ADC search — the standard large-corpus composition:
     rank coarse cells by cosine(query, centroid) (the ivf_topk_fitted
@@ -500,11 +503,15 @@ def ivfpq_topk(
     residual — and therefore its ADC table — differs per probed cell,
     so the scan expression is an nprobe-way CASE over per-cell literal
     tables: still pure codegen, nprobe·m·k literal longs in the plan
-    (a few hundred KB at FAISS-like settings — plan-sized)."""
+    (a few hundred KB at FAISS-like settings — plan-sized).
+
+    ``probe_metric="l2"`` ranks cells by the ASSIGNMENT metric
+    (exact quantized squared-L2) instead of the oracle-pinned cosine
+    rule — the right probe for this L2-metric family on clustered
+    corpora (similarity.probe_cells documents the measured failure)."""
     from img2dataset_spark.operators.similarity import (
-        cosine,
+        probe_cells,
         recommended_nprobe,
-        round6,
     )
 
     if "level" in ivf_codebook.columns:
@@ -512,17 +519,7 @@ def ivfpq_topk(
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     if nprobe is None:
         nprobe = recommended_nprobe(ivf_codebook.count())
-    q = F.broadcast(query_df.select("query_vec"))
-    probed = (
-        ivf_codebook.crossJoin(q)
-        .select(
-            "cell",
-            F.col("centroid"),
-            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
-        )
-        .orderBy(F.desc("c_sim"), F.asc("cell"))
-        .limit(nprobe)
-    )
+    probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
     pruned = index_df.join(F.broadcast(probed.select("cell")), "cell")
     qrow = query_df.select("query_vec").collect()
     if len(qrow) != 1:
@@ -610,6 +607,7 @@ def ivfpq_topk_versioned(
     nprobe: int | None = None,
     id_col: str = "vec_id",
     packed: bool = False,
+    probe_metric: str = "cosine",
 ) -> DataFrame:
     """IVF+PQ search over a SELECTIVELY-REFIT index — the versioned-
     codebook composition that makes :func:`maintain.pq_refit_cells`
@@ -627,28 +625,22 @@ def ivfpq_topk_versioned(
     cells (nprobe × m × k rows via a broadcast semi-join — never the
     whole override relation).  ``nprobe=None`` auto-sizes like
     :func:`ivfpq_topk` (ceil(sqrt(num_cells)),
-    similarity.recommended_nprobe)."""
+    similarity.recommended_nprobe); ``probe_metric="l2"`` probes by
+    the assignment metric (similarity.probe_cells) — the rule the
+    refit-recovery measurement needs, since a DRIFTED cell is exactly
+    the one whose centroid direction stops tracking its mass."""
     from img2dataset_spark.operators.similarity import (
-        cosine,
+        probe_cells,
         recommended_nprobe,
-        round6,
     )
 
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     if nprobe is None:
         nprobe = recommended_nprobe(ivf_codebook.count())
-    q = F.broadcast(query_df.select("query_vec"))
-    probed = (
-        ivf_codebook.crossJoin(q)
-        .select(
-            "cell",
-            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
-        )
-        .orderBy(F.desc("c_sim"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
-    )
+    probed = probe_cells(
+        ivf_codebook, query_df, nprobe, probe_metric
+    ).select("cell")
     pruned = index_df.join(F.broadcast(probed), "cell")
     qrow = query_df.select("query_vec").collect()
     if len(qrow) != 1:

@@ -619,6 +619,67 @@ def recommended_num_cells(
     return max(1, math.ceil(n_vectors / target_cell_size))
 
 
+def probe_cells(
+    ivf_codebook: DataFrame,
+    query_df: DataFrame,
+    nprobe: int,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Rank coarse cells for an IVF probe and keep the top ``nprobe``
+    — returns (cell, centroid) so residual searchers can reuse the
+    probed centroids.  Two rules:
+
+    - ``"cosine"``: 6-dp-rounded cosine desc, cell-ascending ties —
+      the original probe rule every oracle twin pins.  Correct for
+      angle-metric families (BQ) and near-equivalent to L2 on
+      centered corpora (iid noise: norms concentrate, so cosine and
+      L2 rank cells identically — measured, the r10 ledger's IVF
+      variants matched their flat siblings exactly at sf≤0.1).
+    - ``"l2"``: exact int64 squared-L2 over 2^-20 quantized vectors
+      asc, cell-ascending ties — the ASSIGNMENT metric (ivf_assign's
+      rule).  MEASURED why this exists (SCALE.md §11): on a clustered
+      corpus with off-center clusters, a drifted cell's centroid can
+      point away from the query direction even though the query is
+      L2-ASSIGNED to that very cell — the cosine probe ranked the
+      query's own cell 4th-of-7 with NEGATIVE similarity and the scan
+      never read the true neighbors.  L2-metric families (PQ ADC,
+      SQ8) should probe with l2 on real (clustered) data; the cosine
+      default stands for oracle-twin compatibility."""
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    q = F.broadcast(query_df.select("query_vec"))
+    j = ivf_codebook.crossJoin(q)
+    if metric == "cosine":
+        ordered = j.select(
+            "cell",
+            "centroid",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("_s"),
+        ).orderBy(F.desc("_s"), F.asc("cell"))
+    elif metric == "l2":
+
+        def quant(c: Column) -> Column:
+            return F.transform(
+                _as_double(c),
+                lambda x: F.floor(x * F.lit(float(_QUANT)) + 0.5).cast("long"),
+            )
+
+        d = F.aggregate(
+            F.zip_with(
+                quant(F.col("centroid")),
+                quant(F.col("query_vec")),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        ordered = j.select("cell", "centroid", d.alias("_s")).orderBy(
+            F.asc("_s"), F.asc("cell")
+        )
+    else:
+        raise ValueError(f"probe_cells: unknown metric {metric!r}")
+    return ordered.limit(nprobe).select("cell", "centroid")
+
+
 def recommended_nprobe(num_cells: int, min_nprobe: int = 1) -> int:
     """Probe count that grows with the cell count —
     ceil(sqrt(num_cells)), FAISS's standard nprobe starting heuristic

@@ -244,6 +244,7 @@ def ivfsq_topk(
     k: int = 10,
     nprobe: int | None = None,
     id_col: str = "vec_id",
+    probe_metric: str = "cosine",
 ) -> DataFrame:
     """IVF-pruned symmetric SQ8 search: rank coarse cells by
     cosine(query, centroid) (the shared probe rule — 6-dp rounded,
@@ -254,27 +255,21 @@ def ivfsq_topk(
     whole-stage codegen.  Returns (id, sq_dist), (asc, id asc), top k.
     ``nprobe=None`` auto-sizes ceil(sqrt(num_cells)) via
     similarity.recommended_nprobe — the measured sf1 probe-loss fix
-    (ivfsq 0.55 → 0.85, SCALE.md §10) made the default."""
+    (ivfsq 0.55 → 0.85, SCALE.md §10) made the default.
+    ``probe_metric="l2"`` probes by the assignment metric
+    (similarity.probe_cells) — the right rule for this L2-metric
+    family on clustered corpora."""
     from img2dataset_spark.operators.similarity import (
-        cosine,
+        probe_cells,
         recommended_nprobe,
-        round6,
     )
 
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     if nprobe is None:
         nprobe = recommended_nprobe(ivf_codebook.count())
-    q = F.broadcast(query_df.select("query_vec"))
-    probed = (
-        ivf_codebook.crossJoin(q)
-        .select(
-            "cell",
-            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
-        )
-        .orderBy(F.desc("c_sim"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
-    )
+    probed = probe_cells(
+        ivf_codebook, query_df, nprobe, probe_metric
+    ).select("cell")
     pruned = index_df.join(F.broadcast(probed), "cell")
     return sq_topk(pruned, bounds, query_df, k=k, id_col=id_col)

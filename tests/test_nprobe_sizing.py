@@ -82,3 +82,68 @@ def test_ivfbq_auto_nprobe_equals_explicit(emb, qdf, ivf_cb):
             ivfbq_topk(idx, ivf_cb, qdf, k=10, nprobe=4, num_planes=64,
                        dim=64).collect()]
     assert auto == want and len(auto) == 10
+
+
+def test_probe_cells_l2_finds_assignment_cell(spark):
+    """The measured probe-metric failure (SCALE.md §11): on a clustered
+    corpus, a query L2-ASSIGNED to a drifted cell gets that cell ranked
+    with NEGATIVE cosine (missed at nprobe=2), while the l2 probe —
+    the assignment metric — ranks it first."""
+    from tools.make_clustered import clustered_embeddings
+
+    from img2dataset_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        probe_cells,
+    )
+
+    V = clustered_embeddings(2000, dim=64, clusters=8, sigma_point=0.2,
+                             seed=11)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 8 < 6)
+    cb = ivf_fit(base, num_cells=8, iters=2)
+
+    # wave-cluster query vec_id=7: assigned cell is its true home
+    home = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(
+            df.filter(F.col("vec_id").isin([7, 15])), cb
+        ).select("vec_id", "cell").collect()
+    }
+    for qid in (7, 15):
+        q = spark.createDataFrame(
+            [([float(x) for x in V[qid]],)], "query_vec array<double>"
+        )
+        l2 = [r["cell"] for r in probe_cells(cb, q, 2, "l2").collect()]
+        cos = [r["cell"] for r in probe_cells(cb, q, 2, "cosine").collect()]
+        assert home[qid] in l2, (qid, home[qid], l2)
+        assert home[qid] not in cos, (qid, home[qid], cos)
+
+
+def test_probe_metric_rejects_unknown(spark):
+    import pytest as _pytest
+
+    from img2dataset_spark.operators.similarity import ivf_fit, probe_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = ivf_fit(emb, num_cells=4, iters=1)
+    q = spark.createDataFrame([([0.0] * 64,)], "query_vec array<double>")
+    with _pytest.raises(ValueError, match="unknown metric"):
+        probe_cells(cb, q, 2, "dot")
+
+
+def test_cosine_probe_metric_unchanged(spark, emb, qdf, ivf_cb):
+    """probe_cells('cosine') through the searchers reproduces the
+    pre-refactor inline probe bit-for-bit — the oracle rows pin this
+    at the driver too, but the unit identity localizes a break."""
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
+
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    cos = [tuple(r) for r in
+           ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2).collect()]
+    explicit = [tuple(r) for r in
+                ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2,
+                           probe_metric="cosine").collect()]
+    assert cos == explicit and len(cos) == 10
