@@ -146,6 +146,15 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     pq_cb_rd = spark.read.parquet(base + "/pq_cb")
     pq_encode(e, pq_cb_rd).write.parquet(base + "/codes")
     pq_encode(e, pq_cb_rd, packed=True).write.parquet(base + "/codes_packed")
+    # FAISS-default codebook width (k=256/subspace): the ADC scan's
+    # literal map grows to m*256 longs — the k256 bench row measures
+    # whether that stays inside the codegen budget (the sq_fit lesson:
+    # measure, don't assume)
+    pq_cb256 = pq_fit(e, num_subspaces=8, num_codes=256, iters=2)
+    pq_cb256.write.parquet(base + "/pq_cb256")
+    pq_encode(e, spark.read.parquet(base + "/pq_cb256")).write.parquet(
+        base + "/codes256"
+    )
     ivf_cb = ivf_fit(e, num_cells=k_coarse, iters=2)
     ivf_cb.write.parquet(base + "/ivf_cb")
     ivfpq_index(
@@ -214,6 +223,22 @@ def _q_pq_adc_topk_fitted_packed(spark, sf_dir):
         _fitted_query_vec(spark, sf_dir),
         k=10,
         packed=True,
+    )
+
+
+def _q_pq_adc_topk_fitted_k256(spark, sf_dir):
+    """SEARCH-ONLY PQ at the FAISS-default k=256 codes/subspace: the
+    literal-map ADC expression carries m*256 = 2048 longs in the plan
+    — this row is the codegen-budget stress test (r10 verdict item 4).
+    Same scan shape as pq_adc_topk_fitted, 16x the table constant."""
+    from img2dataset_spark.operators.pq import pq_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return pq_topk(
+        spark.read.parquet(base + "/codes256"),
+        spark.read.parquet(base + "/pq_cb256"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
     )
 
 
@@ -384,6 +409,7 @@ BENCH_ONLY = {
     "semantic_dedup_hier": _q_semantic_dedup_hier,
     "pq_adc_topk_fitted": _q_pq_adc_topk_fitted,
     "pq_adc_topk_fitted_packed": _q_pq_adc_topk_fitted_packed,
+    "pq_adc_topk_fitted_k256": _q_pq_adc_topk_fitted_k256,
     "ivfpq_topk_fitted": _q_ivfpq_topk_fitted,
     "ivfpq_refine_topk_fitted": _q_ivfpq_refine_topk_fitted,
     "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
@@ -401,6 +427,7 @@ RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 PREPARE = {
     "pq_adc_topk_fitted": _pq_fitted_artifacts,
     "pq_adc_topk_fitted_packed": _pq_fitted_artifacts,
+    "pq_adc_topk_fitted_k256": _pq_fitted_artifacts,
     "ivfpq_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_refine_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
@@ -445,6 +472,7 @@ HEADLINE = [
     "ivfbq_refine_topk",
     "pq_adc_topk_fitted",
     "pq_adc_topk_fitted_packed",
+    "pq_adc_topk_fitted_k256",
     "ivfpq_topk_fitted",
     "ivfpq_refine_topk_fitted",
     "ivfpq_residual_topk_fitted",

@@ -680,26 +680,51 @@ def probe_cells(
     return ordered.limit(nprobe).select("cell", "centroid")
 
 
-def recommended_nprobe(num_cells: int, min_nprobe: int = 1) -> int:
+def recommended_nprobe(
+    num_cells: int,
+    min_nprobe: int = 1,
+    worst_case_recall: float | None = None,
+) -> int:
     """Probe count that grows with the cell count —
     ceil(sqrt(num_cells)), FAISS's standard nprobe starting heuristic
     for IVF indexes — so search recall survives the corpus-aware cell
     sizing instead of silently decaying as :func:`recommended_num_cells`
-    grows k with n.  The recall ledger measured the failure mode this
-    exists to close (SCALE.md §10): at sf1 the occupancy-pinned cell
-    count (586) outgrew a fixed nprobe=4 and ivfsq recall fell
-    0.9 → 0.55, while nprobe=16 recovered 0.85 — pure probe loss, the
-    quantizer untouched.  ceil(sqrt(.)) lands at-or-above every
-    measured recovery point (10 cells → 4, 59 → 8, 586 → 25) and keeps
-    probed-row work ~sqrt(k)·occupancy, i.e. O(n / sqrt(k)) of the
-    corpus — sublinear in n under occupancy pinning.  Passing
-    ``nprobe=None`` to ivfpq_topk / ivfsq_topk / ivfbq_topk /
-    ivfbq_refine_topk routes through this."""
+    grows k with n.  Passing ``nprobe=None`` to ivfpq_topk /
+    ivfsq_topk / ivfbq_topk / ivfbq_refine_topk routes through this.
+
+    What the recall ledger measured about this knob (SCALE.md §10-11):
+
+    - On CLUSTERED corpora — the corpus shape IVF exists for — probe
+      loss is small at any tested scale: at 600k rows / 586 cells the
+      IVF variants matched their flat siblings at nprobe=4 (ivfsq 0.8
+      = flat sq8 0.8).  ceil(sqrt(.)) is pure headroom there, and
+      probed-row work stays ~sqrt(k)·occupancy = O(n/sqrt(k)).
+    - On IID-NOISE corpora the exact neighbors are uniform over cells
+      (distance concentration), so expected recall ≈ nprobe/num_cells
+      and NO sublinear rule can hold recall — measured: 20k rows / 20
+      cells read 0.55 at nprobe=4 and 0.85 at nprobe=16 (=80% of
+      cells); 600k rows / 586 cells read 0.325 even at the sqrt rule's
+      25 probes.  That is the corpus telling you IVF pruning has
+      nothing to prune on — not a knob mis-set.
+
+    ``worst_case_recall`` makes the uniform-cell bound explicit:
+    nprobe is raised to ceil(worst_case_recall · num_cells), the probe
+    count that achieves the target recall even on the iid adversary
+    (0.8 · 20 = 16 — exactly the measured recovery point).  Leave it
+    None for structured corpora; setting it trades away sublinearity
+    by construction, which is the honest price of noise."""
     import math
 
     if num_cells <= 0:
         return max(1, min_nprobe)
-    return max(min_nprobe, math.isqrt(num_cells - 1) + 1)
+    base = math.isqrt(num_cells - 1) + 1  # ceil(sqrt(num_cells))
+    if worst_case_recall is not None:
+        if not 0.0 < worst_case_recall <= 1.0:
+            raise ValueError(
+                f"worst_case_recall must be in (0, 1], got {worst_case_recall}"
+            )
+        base = max(base, math.ceil(worst_case_recall * num_cells))
+    return max(min_nprobe, min(base, num_cells))
 
 
 def semantic_dedup_pairs(

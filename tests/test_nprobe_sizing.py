@@ -44,6 +44,15 @@ def test_recommended_nprobe_formula():
     assert recommended_nprobe(586) == 25  # >= the measured 16 recovery
     assert recommended_nprobe(0) == 1
     assert recommended_nprobe(2, min_nprobe=3) == 3
+    # the uniform-cell worst-case bound (iid adversary: expected
+    # recall ~ nprobe/num_cells): 0.8*20 = 16 — the measured recovery
+    # point on the 20k iid corpus (SCALE.md §11)
+    assert recommended_nprobe(20, worst_case_recall=0.8) == 16
+    assert recommended_nprobe(586, worst_case_recall=0.5) == 293
+    assert recommended_nprobe(10, worst_case_recall=0.1) == 4  # sqrt wins
+    assert recommended_nprobe(20, worst_case_recall=1.0) == 20
+    with pytest.raises(ValueError, match="worst_case_recall"):
+        recommended_nprobe(20, worst_case_recall=1.5)
 
 
 def test_ivfpq_auto_nprobe_equals_explicit(emb, qdf, ivf_cb):
