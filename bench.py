@@ -462,6 +462,7 @@ HEADLINE = [
     "ivfpq_topk_sized",
     "ivfpq_fitted_roundtrip",
     "ivfpq_refit_versioned",
+    "ivfpq_refit_distortion",
     "ivfpq_residual_topk",
     "ivfpq_refine_topk",
     "sq8_topk",

@@ -339,14 +339,26 @@ def pq_distortion_ledger(
     override cell's rows with ITS book — pass the same relation you
     re-encoded with, or None to meter a pure global-book index.
 
+    Exactness: the per-row error is an int64 SSE over 2^-20 fixed-point
+    quantized vectors AND centroids (the repo-wide quantized-exactness
+    rule — similarity._QUANT), summed per cell as exact longs (bounded
+    by occupancy × dim × 2^40 ≪ 2^63 under occupancy pinning) and
+    divided once — so the relation is order-independent and
+    strict-compares against a SQL twin; ``mse`` is 6-dp rounded in
+    vector units.
+
     Shape: one broadcast of the books (model-sized collects — the
     codebook ceiling applies), one Arrow pass over (vector ⋈ codes)
     batches with per-cell vectorized gather/matmul, then a
-    cell-domain-sized mean.  Nothing corpus-shaped on the driver."""
+    cell-domain-sized sum.  Nothing corpus-shaped on the driver."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from img2dataset_spark.operators.similarity import _as_double, round6
+    from img2dataset_spark.operators.similarity import (
+        _QUANT,
+        _as_double,
+        round6,
+    )
 
     spark = df.sparkSession
 
@@ -361,9 +373,13 @@ def pq_distortion_ledger(
         out = []
         for j in range(len(by_sub)):
             codes = by_sub[j]
-            table = np.zeros((max(codes) + 1, len(next(iter(codes.values())))))
+            table = np.zeros(
+                (max(codes) + 1, len(next(iter(codes.values())))),
+                dtype=np.int64,
+            )
             for cid, cent in codes.items():
-                table[cid] = np.asarray(cent, dtype=np.float64)
+                c = np.asarray(cent, dtype=np.float64)
+                table[cid] = np.floor(c * _QUANT + 0.5).astype(np.int64)
             out.append(table)
         return out
 
@@ -387,27 +403,36 @@ def pq_distortion_ledger(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
     ).join(index_df.select(F.col(id_col), "cell", "codes"), id_col)
 
-    @pandas_udf("double")
+    @pandas_udf("long")
     def err(cells: pd.Series, codes: pd.Series, vs: pd.Series) -> pd.Series:
         g, o = bc.value
         Vm = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        QV = np.floor(Vm * _QUANT + 0.5).astype(np.int64)
         Cm = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
         carr = cells.to_numpy()
-        out = np.empty(len(Vm))
+        out = np.empty(len(QV), dtype=np.int64)
         for cell in np.unique(carr):
             sel = carr == cell
             book = o.get(int(cell), g)
             rec = np.concatenate(
                 [book[j][Cm[sel][:, j]] for j in range(len(book))], axis=1
             )
-            out[sel] = ((Vm[sel] - rec) ** 2).sum(axis=1)
+            out[sel] = ((QV[sel] - rec) ** 2).sum(axis=1)
         return pd.Series(out)
 
+    scale = float(_QUANT) * float(_QUANT)
     return (
         joined.select("cell", err(F.col("cell"), F.col("codes"),
                                   F.col("_v")).alias("_e"))
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"), round6(F.avg("_e")).alias("mse"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_e").alias("_se"))
+        .select(
+            "cell",
+            "n",
+            round6(
+                (F.col("_se").cast("double") / F.col("n")) / F.lit(scale)
+            ).alias("mse"),
+        )
     )
 
 

@@ -1042,8 +1042,9 @@ pqd{j} AS (SELECT c.cell, c.code, {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
 # and a search whose probed rows score against the book that MINTED
 # their codes — flagged cells' rows via pcode{j}/pqd{j} (version 1),
 # the rest via code{j}/qd{j} (version 0, base-slice global fit).
-# nprobe=4 so the probe straddles both versions.
-ORACLES["ivfpq_refit_versioned"] = f"""
+# nprobe=4 so the probe straddles both versions.  The CTE body is
+# shared with the distortion-ledger twin below.
+_REFIT_CTES = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
@@ -1084,7 +1085,9 @@ e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2, fit_where=_APPEND_FIT)},
 {_pq_sub_sql(1, 33, 64, 4, 2, fit_where=_APPEND_FIT)},
 {_pq_percell_sql(0, 1, 32, 4, 2)},
-{_pq_percell_sql(1, 33, 64, 4, 2)}
+{_pq_percell_sql(1, 33, 64, 4, 2)}"""
+
+ORACLES["ivfpq_refit_versioned"] = _REFIT_CTES + """
 SELECT vec_id, adc_dist FROM (
   SELECT e0.vec_id, CAST(qd0.d + qd1.d AS BIGINT) AS adc_dist
   FROM e0
@@ -1104,6 +1107,41 @@ SELECT vec_id, adc_dist FROM (
   WHERE p0.cell IN (SELECT cell FROM probe)
 )
 ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
+# The distortion twin (maintain.pq_distortion_ledger over the mixed
+# refit index): per-row exact int64 SSE between the row's quantized
+# subvectors and its minting book's quantized centroids — flagged
+# cells' rows reconstruct through pcode{j}/pcqf{j} (version 1), the
+# rest through code{j}/cqf{j} (version 0) — summed per cell as exact
+# integers and divided once (mse in vector units = /2^40, 6-dp
+# rounded), mirroring the engine expression order exactly.
+ORACLES["ivfpq_refit_distortion"] = _REFIT_CTES + f""",
+gerr0 AS (SELECT c.vec_id, {_QL2_N.format(n=32, a='s.qv', b='b.qc')} AS e
+  FROM code0 c JOIN es0 s ON s.vec_id = c.vec_id
+  JOIN cqf0 b ON b.cell = c.cell),
+gerr1 AS (SELECT c.vec_id, {_QL2_N.format(n=32, a='s.qv', b='b.qc')} AS e
+  FROM code1 c JOIN es1 s ON s.vec_id = c.vec_id
+  JOIN cqf1 b ON b.cell = c.cell),
+perr0 AS (SELECT p.cell, p.vec_id, {_QL2_N.format(n=32, a='s.qv', b='b.qc')} AS e
+  FROM pcode0 p JOIN es0 s ON s.vec_id = p.vec_id
+  JOIN pcqf0 b ON b.cell = p.cell AND b.code = p.code),
+perr1 AS (SELECT p.cell, p.vec_id, {_QL2_N.format(n=32, a='s.qv', b='b.qc')} AS e
+  FROM pcode1 p JOIN es1 s ON s.vec_id = p.vec_id
+  JOIN pcqf1 b ON b.cell = p.cell AND b.code = p.code),
+all_err AS (
+  SELECT af.cell AS cell, g0.e + g1.e AS err
+  FROM gerr0 g0 JOIN gerr1 g1 ON g1.vec_id = g0.vec_id
+  JOIN af ON af.vec_id = g0.vec_id
+  WHERE af.cell NOT IN (SELECT cell FROM flagged)
+  UNION ALL
+  SELECT p0.cell AS cell, p0.e + p1.e AS err
+  FROM perr0 p0 JOIN perr1 p1 ON p1.vec_id = p0.vec_id
+                              AND p1.cell = p0.cell)
+SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n,
+  floor(((CAST(SUM(err) AS DOUBLE) / COUNT(*)) / 1099511627776.0)
+        * 1e6 + 0.5) / 1e6 AS mse
+FROM all_err GROUP BY cell
 """
 
 # Scalar quantization (SQ8): per-dimension min/max bounds (exact aggs,

@@ -1528,6 +1528,56 @@ def q_ivfpq_refit_versioned(spark, sf_dir):
                                 _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def q_ivfpq_refit_distortion(spark, sf_dir):
+    """The maintenance loop's QUALITY meter under the oracle
+    (maintain.pq_distortion_ledger): the same drift → selective-refit
+    pipeline as q_ivfpq_refit_versioned, but the returned relation is
+    (cell, n, mse) — per-cell mean quantization error of the MIXED
+    read-back index, flagged cells reconstructing through their
+    version-1 per-cell books and everything else through the frozen
+    global book.  This is the number that says what drift cost and
+    what the refit recovered (45.4 → 2.5 on the clustered drift
+    scenario, SCALE.md §11).  Exact int64 SSE over 2^-20 fixed-point
+    vectors and centroids, per-cell integer sums, one division —
+    order-independent, so the SQL twin (shared refit CTEs + per-row
+    reconstruction joins) strict-compares."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_distortion_ledger,
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+    tmp = _scratch_dir("graft_ivfpq_dist_")
+    ivfpq_index(e, ivf_cb, pq_cb).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
+    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
+    flagged = (
+        occupancy_drift(base_occ, new_occ, threshold=1.02)
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    rewrite_index_cells(pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return pq_distortion_ledger(e, idx_rd, pq_cb, ovr_rd).select(
+        F.col("cell").cast("long").alias("cell"), "n", "mse"
+    )
+
+
 def q_ivfpq_residual_topk(spark, sf_dir):
     """Residual IVF+PQ (the full FAISS IVFPQ recipe): PQ codebook fit
     on the coarse residuals (v − centroid[cell]), codes quantize
@@ -2130,6 +2180,7 @@ QUERIES.update(
         "ivfpq_index_append": q_ivfpq_index_append,
         "ann_occupancy_drift": q_ann_occupancy_drift,
         "ivfpq_refit_versioned": q_ivfpq_refit_versioned,
+        "ivfpq_refit_distortion": q_ivfpq_refit_distortion,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "sq8_topk": q_sq8_topk,
@@ -2326,10 +2377,16 @@ _EXTRA_NAMES = (
     # ADC plan shape (per-probed-cell literal tables) plus the
     # refit/rewrite actuator on top
     "ivfpq_residual_topk",
+    # rotated out round 11 (r10-green) to make room for
+    # ivfpq_refit_distortion; the two-stage refine shape stays
+    # in-window via bq_refine_topk and live in the recall ledger's
+    # ivfpq_res_refine family
+    "ivfpq_refine_topk",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 11) — first in line
     "ivfpq_refit_versioned",
+    "ivfpq_refit_distortion",
     "ivfpq_topk_sized",
     # never-before-driver-verified (NEW round 10) — first in line
     "bq_refine_topk",
@@ -2338,7 +2395,6 @@ _FLAGSHIP_FIRST = (
     "ivfpq_index_append",
     "ann_occupancy_drift",
     # r9-green (NEW round 9)
-    "ivfpq_refine_topk",
     "ivfsq_topk",
     # NEW round 8, r8-green
     "semantic_dedup_sized",
