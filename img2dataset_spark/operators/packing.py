@@ -67,15 +67,18 @@ def with_global_cumsum(
         .collect()
     )
     sums: dict[int, int] = {r[_BUCKET_COL]: int(r["_t"]) for r in totals}
-    kv: list[Column] = []
+    nbuckets = max(1, len(boundaries) + 1)
+    # dense literal ARRAY indexed by bucket id (the _adc_expr lesson:
+    # Catalyst folds CreateArray of literals, never CreateMap — the
+    # map was rebuilt per row); empty buckets keep offset 0, never read
+    offsets = [0] * nbuckets
     acc = 0
     for b in sorted(sums):
-        kv.extend([F.lit(b), F.lit(acc)])
+        offsets[b] = acc
         acc += sums[b]
-    offset_of_bucket = (
-        F.element_at(F.create_map(*kv), F.col(_BUCKET_COL)) if kv else F.lit(0)
+    offset_of_bucket = F.element_at(
+        F.lit(offsets), F.col(_BUCKET_COL).cast("int") + F.lit(1)
     )
-    nbuckets = max(1, len(boundaries) + 1)
     part = bucketed.repartition(nbuckets, F.col(_BUCKET_COL))
     w = (
         Window.partitionBy(_BUCKET_COL)

@@ -26,9 +26,9 @@ Spark-first shape:
   m bytes/row — with the scan still pure codegen (shift+mask slices).
 - **search** is pure codegen: the m×k distance table is EXACT int64
   (2^-20 fixed-point, same quantization as everything else in this
-  repo), small enough to inline as literal (cell -> distance) maps,
-  so the ADC scan is `element_at(lit_map_j, code_j)` summed across
-  subspaces —
+  repo), small enough to inline as constant-folded literal arrays
+  indexed by code id (sentinel-filled gaps), so the ADC scan is
+  `element_at(lit_array_j, code_j + 1)` summed across subspaces —
   whole-stage codegen over the codes table, no Python, no UDF, no
   vector column read.  Top-k is a TakeOrdered.
 
@@ -283,30 +283,46 @@ def pq_topk(
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
+# Sentinel distance for code ids the book never minted (Lloyd gap ids,
+# or a foreign/corrupt code): large enough to rank the row LAST —
+# never silently into the top-k, unlike a NULL under NULLS-FIRST asc —
+# and small enough that m terms cannot overflow int64
+# (8 · 2^55 = 2^58; real quantized sub-distances top out ~2^47).
+_ADC_SENTINEL = 1 << 55
+
+
 def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray], packed: bool = False):
-    """The ADC scan expression: sum over subspaces of a literal
-    (cell id -> distance) MAP lookup on the j-th code — pure codegen
-    (GetMapValue), and gap-safe: codes are actual cell ids, so an
-    indexed-array lookup would break the moment Lloyd drops a cell.
+    """The ADC scan expression: sum over subspaces of a dense literal
+    ARRAY lookup on the j-th code.  ARRAY, not map — measured why
+    (SCALE.md §11): Catalyst constant-folds a CreateArray of literals
+    into one Literal, but does NOT fold CreateMap, so the previous
+    ``map_from_arrays`` was rebuilt PER ROW and scan cost grew with k
+    (7.6 s vs 0.8 s at k=256 vs 16 on the same 2k-row corpus); the
+    folded array is materialized once and the lookup is O(1)
+    regardless of k.  Gap-safe: Lloyd-dropped ids hold
+    :data:`_ADC_SENTINEL` (rank-last, not silently-top via NULL), and
+    an out-of-range code coalesces to the same sentinel.
     With ``packed`` codes the j-th code is a byte slice of word
     j div 8: ``shiftright(word, 8·(j mod 8)) & 255`` — the arithmetic
     shift's sign-extension only touches bits the mask drops, so byte 7
     of a negative word still reads correctly."""
     dist = None
     for j in range(len(dt)):
-        # explicit long literals: quantized sub-distances reach ~2^47,
-        # past int32, and map values need one type
-        table = F.map_from_arrays(
-            F.array(*[F.lit(int(c)).cast("long") for c in cells[j]]),
-            F.array(*[F.lit(int(v)).cast("long") for v in dt[j]]),
-        )
+        dense = np.full(int(cells[j].max()) + 1, _ADC_SENTINEL,
+                        dtype=np.int64)
+        dense[cells[j]] = dt[j]
+        table = F.lit([int(v) for v in dense])
         if packed:
             code_j = F.shiftright(
                 F.col("codes")[j // 8], 8 * (j % 8)
             ).bitwiseAND(F.lit(255))
         else:
             code_j = F.col("codes")[j]
-        term = F.element_at(table, code_j.cast("long"))
+        # element_at is 1-based; out-of-bounds yields NULL -> sentinel
+        term = F.coalesce(
+            F.element_at(table, code_j.cast("int") + F.lit(1)),
+            F.lit(_ADC_SENTINEL),
+        )
         dist = term if dist is None else dist + term
     return dist
 

@@ -161,17 +161,21 @@ def with_global_index(
     # literals, same answer.
     counts = bucketed.groupBy(_BUCKET_COL).count().collect()
     sizes: dict[int, int] = {r[_BUCKET_COL]: r["count"] for r in counts}
-    kv: list[F.Column] = []
+    nbuckets = max(1, len(boundaries) + 1)
+    # dense literal ARRAY indexed by bucket id — NOT a CreateMap of
+    # literal columns: Catalyst constant-folds CreateArray of literals
+    # into one Literal but rebuilds CreateMap PER ROW, so the map grew
+    # the corpus-sized pass with the bucket count (the _adc_expr
+    # lesson, SCALE.md §11).  Empty buckets keep offset 0: no row
+    # carries their id, so the filler is never read.
+    offsets = [0] * nbuckets
     acc = 0
     for b in sorted(sizes):
-        kv.extend([F.lit(b), F.lit(acc)])
+        offsets[b] = acc
         acc += sizes[b]
-    offset_of_bucket = (
-        F.element_at(F.create_map(*kv), F.col(_BUCKET_COL))
-        if kv
-        else F.lit(0)
+    offset_of_bucket = F.element_at(
+        F.lit(offsets), F.col(_BUCKET_COL).cast("int") + F.lit(1)
     )
-    nbuckets = max(1, len(boundaries) + 1)
     part = bucketed.repartition(nbuckets, F.col(_BUCKET_COL))
     w = Window.partitionBy(_BUCKET_COL).orderBy(F.col(order_col))
     indexed = part.withColumn(
