@@ -460,6 +460,7 @@ HEADLINE = [
     "pq_adc_topk_packed",
     "ivfpq_topk",
     "ivfpq_topk_sized",
+    "ivfpq_multi_topk",
     "ivfpq_fitted_roundtrip",
     "ivfpq_refit_versioned",
     "ivfpq_refit_distortion",

@@ -566,6 +566,114 @@ def ivfpq_topk(
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
+def ivfpq_multi_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    packed: bool = False,
+) -> DataFrame:
+    """Batch IVF+PQ search — EVERY probe vector answered from ONE pass
+    over the codes (bm25_multi_topk's shape applied to ANN; the r10
+    'batch probes into one multi-query scan' advice).  Running q
+    single-query searches costs q scans of the probed cells; at 100 TB
+    the scan is the cost, so a probe BATCH (a recall ledger's probe
+    set, a dedup screen's query block) should amortize it.
+
+    Stages:
+    - probe: codebook × queries crossJoin (cells × q rows, both
+      bounded), per-qid cosine ranking (round6 desc, cell-asc ties —
+      the shared probe rule), row_number ≤ nprobe;
+    - scan: index ⋈ broadcast (qid, cell) pairs — a row probed by two
+      queries is scored once per query, the per-query semantics — with
+      the distance a 2-level constant-folded literal array lookup
+      ``lit[qid][code]`` per subspace (q·m·k longs riding the plan
+      once; CreateArray folds, the _adc_expr lesson), sentinel-filled
+      exactly like the single-query scan;
+    - top-k: one row_number window per qid.
+
+    ``queries_df`` is (qid, query_vec) with qid DENSE 0..q-1 — a
+    bounded probe set (collected once), not a corpus.  Returns
+    (qid, id, adc_dist), per-qid (adc_dist asc, id asc) top-k."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        cosine,
+        recommended_nprobe,
+        round6,
+    )
+
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    if nprobe is None:
+        nprobe = recommended_nprobe(ivf_codebook.count())
+    qrows = queries_df.select(qid_col, "query_vec").collect()
+    if not qrows:
+        raise ValueError("ivfpq_multi_topk: queries_df is empty")
+    qids = sorted(int(r[qid_col]) for r in qrows)
+    if qids != list(range(len(qids))):
+        raise ValueError(
+            f"ivfpq_multi_topk: {qid_col} must be dense 0..q-1, got {qids}"
+        )
+    q = F.broadcast(queries_df.select(qid_col, "query_vec"))
+    wp = Window.partitionBy(qid_col).orderBy(F.desc("_s"), F.asc("cell"))
+    probed = (
+        ivf_codebook.crossJoin(q)
+        .select(
+            qid_col,
+            "cell",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("_s"),
+        )
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, "cell")
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    cells, QC, nc = _collect_codebook(pq_codebook)
+    by_qid = {
+        int(r[qid_col]): _adc_table(
+            QC, nc, [float(x) for x in r["query_vec"]]
+        )
+        for r in qrows
+    }
+    dist = None
+    for j in range(len(cells)):
+        size = int(cells[j].max()) + 1
+        tables = []
+        for qi in range(len(qids)):
+            dense = np.full(size, _ADC_SENTINEL, dtype=np.int64)
+            dense[cells[j]] = by_qid[qi][j]
+            tables.append([int(v) for v in dense])
+        lit2d = F.lit(tables)
+        if packed:
+            code_j = F.shiftright(
+                F.col("codes")[j // 8], 8 * (j % 8)
+            ).bitwiseAND(F.lit(255))
+        else:
+            code_j = F.col("codes")[j]
+        term = F.coalesce(
+            F.element_at(
+                F.element_at(lit2d, F.col(qid_col).cast("int") + F.lit(1)),
+                code_j.cast("int") + F.lit(1),
+            ),
+            F.lit(_ADC_SENTINEL),
+        )
+        dist = term if dist is None else dist + term
+    scored = pruned.select(qid_col, F.col(id_col), dist.alias("adc_dist"))
+    wk = Window.partitionBy(qid_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def _collect_overrides(
     overrides: DataFrame,
 ) -> dict[int, tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]]:

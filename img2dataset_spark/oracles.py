@@ -826,6 +826,60 @@ ORDER BY adc_dist ASC, e.vec_id ASC LIMIT {limit}"""
 
 ORACLES["ivfpq_topk"] = _IVFPQ_CTES + _IVFPQ_SELECT.format(limit=10)
 
+# Batch ANN (pq.ivfpq_multi_topk): three probes (vec_id 0, 1, 2 as
+# dense qids) through ONE scan — per-qid probe ranking (same rounded-
+# cosine rule, row_number <= 2 per qid), per-(qid, cell) ADC tables,
+# per-qid top-10.  Reuses the coarse chain + the query=False subspace
+# chains (codes without the single-query qs/qd CTEs).
+ORACLES["ivfpq_multi_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qm AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+probe AS (SELECT qid, cell FROM (
+  SELECT q.qid, c.cell,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_R6.format(x=_cos('c.centroid', 'q.qv'))} DESC,
+                                     c.cell ASC) AS rn
+  FROM c2 c, qm q) WHERE rn <= 2),
+e0 AS (SELECT vec_id, v FROM e),
+{_pq_sub_sql(0, 1, 32, 4, 2, query=False)},
+{_pq_sub_sql(1, 33, 64, 4, 2, query=False)},
+qs0m AS (SELECT qid, {_QUANTIZE.format(v='qv[1:32]')} AS qv FROM qm),
+qd0m AS (SELECT q.qid, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf0 c, qs0m q),
+qs1m AS (SELECT qid, {_QUANTIZE.format(v='qv[33:64]')} AS qv FROM qm),
+qd1m AS (SELECT q.qid, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf1 c, qs1m q)
+SELECT qid, vec_id, adc_dist FROM (
+  SELECT p.qid, e0.vec_id,
+         CAST(qd0m.d + qd1m.d AS BIGINT) AS adc_dist,
+         row_number() OVER (PARTITION BY p.qid
+                            ORDER BY CAST(qd0m.d + qd1m.d AS BIGINT) ASC,
+                                     e0.vec_id ASC) AS rk
+  FROM e0
+  JOIN af ON af.vec_id = e0.vec_id
+  JOIN probe p ON p.cell = af.cell
+  JOIN code0 ON code0.vec_id = e0.vec_id
+  JOIN code1 ON code1.vec_id = e0.vec_id
+  JOIN qd0m ON qd0m.cell = code0.cell AND qd0m.qid = p.qid
+  JOIN qd1m ON qd1m.cell = code1.cell AND qd1m.qid = p.qid
+) WHERE rk <= 10
+"""
+
 # The nprobe=None production-sizing path (recommended_nprobe —
 # ceil(sqrt(num_cells))): the engine counts the codebook's 10 cells at
 # query time and probes 4; the twin pins the same 4 statically.  The

@@ -480,3 +480,39 @@ def test_ivfpq_fitted_roundtrip_plan_dynamic_prunes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), plan
     assert df.count() == 10
+
+
+def test_ivfpq_multi_topk_matches_single(spark, emb):
+    """The batch search is q single searches in one scan: per-qid
+    results equal ivfpq_topk run per query, and a non-dense qid set
+    is refused (the 2-level table is indexed by position)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk,
+        ivfpq_topk,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=10, iters=2)
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    multi = {}
+    for r in ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=5,
+                              nprobe=2).collect():
+        multi.setdefault(r["qid"], []).append((r["vec_id"], r["adc_dist"]))
+    assert set(multi) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q1 = qs.filter(F.col("qid") == qid).select("query_vec")
+        single = [(r["vec_id"], r["adc_dist"]) for r in
+                  ivfpq_topk(idx, ivf_cb, pq_cb, q1, k=5,
+                             nprobe=2).collect()]
+        assert multi[qid] == single, qid
+
+    sparse = qs.withColumn("qid", F.col("qid") * 2)
+    with pytest.raises(ValueError, match="dense"):
+        ivfpq_multi_topk(idx, ivf_cb, pq_cb, sparse, k=5, nprobe=2)
