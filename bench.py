@@ -185,6 +185,52 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     ivfbq_index(
         e, spark.read.parquet(base + "/ivf_cb"), num_planes=64, dim=64
     ).write.partitionBy("cell").parquet(base + "/bq_index")
+    # versioned-index artifacts (the selective-refit search shape): a
+    # SEPARATE index dir (rewrite mutates partitions — the shared
+    # /index must stay pristine for the other fitted rows), drift
+    # flags from a 70/30 hash split, per-cell refit books, flagged
+    # cells rewritten
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    ivf_rd = spark.read.parquet(base + "/ivf_cb")
+    pq_rd = spark.read.parquet(base + "/pq_cb")
+    ivfpq_index(e, ivf_rd, pq_rd).write.partitionBy("cell").parquet(
+        base + "/vindex"
+    )
+    vbase = e.filter(F.col("vec_id") % 10 < 7)
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(vbase, ivf_rd)),
+            index_occupancy(ivf_assign(e, ivf_rd)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    if flagged.limit(1).count() > 0:
+        pq_refit_cells(e, ivf_rd, flagged, num_subspaces=8, num_codes=16,
+                       iters=2).write.parquet(base + "/overrides")
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_rd,
+                              spark.read.parquet(base + "/overrides")),
+            base + "/vindex",
+        )
+    else:
+        # no drift at this scale point: version 1 is empty and the
+        # versioned search degrades to the global book (still timed —
+        # the CASE machinery's zero-override cost)
+        spark.createDataFrame(
+            [], "cell long, subspace long, code long, centroid array<double>"
+        ).write.parquet(base + "/overrides")
     _PQ_ARTIFACTS[sf_dir] = base
     return base
 
@@ -239,6 +285,52 @@ def _q_pq_adc_topk_fitted_k256(spark, sf_dir):
         spark.read.parquet(base + "/pq_cb256"),
         _fitted_query_vec(spark, sf_dir),
         k=10,
+    )
+
+
+def _q_ivfpq_topk_versioned_fitted(spark, sf_dir):
+    """SEARCH-ONLY versioned search: mixed index (drift-flagged cells
+    rewritten with per-cell books) + override relation read from
+    parquet; timed region is probe-rank -> pruned per-cell-CASE ADC
+    scan -> TakeOrdered — zero fits, zero refits."""
+    from img2dataset_spark.operators.pq import ivfpq_topk_versioned
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return ivfpq_topk_versioned(
+        spark.read.parquet(base + "/vindex"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+        spark.read.parquet(base + "/overrides"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+    )
+
+
+def _q_ivfpq_multi_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY batch search: three probes through ONE pass over
+    the pre-built cell-partitioned index — the amortization the batch
+    shape exists for (vs 3x the single-query scan)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.pq import ivfpq_multi_topk
+    from img2dataset_spark.operators.similarity import _as_double
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfpq_multi_topk(
+        spark.read.parquet(base + "/index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+        qs,
+        k=10,
+        nprobe=4,
     )
 
 
@@ -411,6 +503,8 @@ BENCH_ONLY = {
     "pq_adc_topk_fitted_packed": _q_pq_adc_topk_fitted_packed,
     "pq_adc_topk_fitted_k256": _q_pq_adc_topk_fitted_k256,
     "ivfpq_topk_fitted": _q_ivfpq_topk_fitted,
+    "ivfpq_topk_versioned_fitted": _q_ivfpq_topk_versioned_fitted,
+    "ivfpq_multi_topk_fitted": _q_ivfpq_multi_topk_fitted,
     "ivfpq_refine_topk_fitted": _q_ivfpq_refine_topk_fitted,
     "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
     "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
@@ -429,6 +523,8 @@ PREPARE = {
     "pq_adc_topk_fitted_packed": _pq_fitted_artifacts,
     "pq_adc_topk_fitted_k256": _pq_fitted_artifacts,
     "ivfpq_topk_fitted": _pq_fitted_artifacts,
+    "ivfpq_topk_versioned_fitted": _pq_fitted_artifacts,
+    "ivfpq_multi_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_refine_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
     "ivfsq_topk_fitted": _pq_fitted_artifacts,
@@ -476,6 +572,8 @@ HEADLINE = [
     "pq_adc_topk_fitted_packed",
     "pq_adc_topk_fitted_k256",
     "ivfpq_topk_fitted",
+    "ivfpq_topk_versioned_fitted",
+    "ivfpq_multi_topk_fitted",
     "ivfpq_refine_topk_fitted",
     "ivfpq_residual_topk_fitted",
     "ivfsq_topk_fitted",
