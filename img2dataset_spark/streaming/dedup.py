@@ -437,7 +437,7 @@ def append_semantic_codes_index(
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("existing_n"))
     )
-    ledger = (
+    ledger_rows = (
         rows.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("wave_n"))
         .join(existing, "cell", "left")
@@ -451,10 +451,20 @@ def append_semantic_codes_index(
                 <= F.lit(max_cell_size)
             ).alias("appended"),
         )
+        # MATERIALIZE the decision before writing: the relation is
+        # lazy, and after the append (+ refreshByPath) a re-read of
+        # the index would recompute existing_n INCLUDING the rows just
+        # appended — flipping near-cap cells' flag and misreporting
+        # what actually happened.  Cell-domain-sized collect.
+        .collect()
     )
-    ok = ledger.filter(F.col("appended")).select("cell")
+    ok_cells = [int(r["cell"]) for r in ledger_rows if r["appended"]]
+    ok = spark.createDataFrame([(c,) for c in ok_cells], "cell bigint")
     append_to_index(rows.join(F.broadcast(ok), "cell"), index_path)
-    return ledger
+    return spark.createDataFrame(
+        ledger_rows,
+        "cell bigint, existing_n bigint, wave_n bigint, appended boolean",
+    )
 
 
 def default_prescreen_hamming(

@@ -892,9 +892,17 @@ def test_codes_index_append_cap_ledger(spark, tmp_path):
     assert rows and not any(r["appended"] for r in rows)
     assert spark.read.parquet(path).count() == before
 
-    # a generous cap appends the full wave
+    # a generous cap appends the full wave; the returned ledger is the
+    # PRE-append decision (materialized before the write — a lazy
+    # re-read after refreshByPath would recount existing_n including
+    # the rows just appended and flip near-cap flags)
     ledger2 = append_semantic_codes_index(wave, cb, path)
-    appended_n = sum(r["wave_n"] for r in ledger2.collect()
-                     if r["appended"])
+    rows2 = ledger2.collect()
+    appended_n = sum(r["wave_n"] for r in rows2 if r["appended"])
     assert appended_n == wave.count()
     assert spark.read.parquet(path).count() == before + appended_n
+    occ = {r["cell"]: r["count"] for r in
+           spark.read.parquet(path).groupBy("cell").count().collect()}
+    for r in rows2:
+        # existing_n reflects the index BEFORE this append
+        assert r["existing_n"] == occ[r["cell"]] - r["wave_n"], r
