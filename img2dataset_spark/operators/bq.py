@@ -330,15 +330,16 @@ def ivfbq_topk(
     ceil(sqrt(num_cells)) via similarity.recommended_nprobe (the
     measured sf1 probe-loss fix, SCALE.md §10)."""
     from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
         cosine,
         recommended_nprobe,
         round6,
     )
 
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    if nprobe is None:
-        nprobe = recommended_nprobe(ivf_codebook.count())
     q = F.broadcast(query_df.select("query_vec"))
     probed = (
         ivf_codebook.crossJoin(q)

@@ -189,6 +189,7 @@ def pq_refit_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    residual: bool = False,
 ) -> DataFrame:
     """Fit PER-CELL PQ codebooks for the drift-flagged cells only —
     the selective-refit actuator for :func:`occupancy_drift`'s
@@ -201,9 +202,21 @@ def pq_refit_cells(
     :func:`operators.pq.ivfpq_topk_versioned` composes with the frozen
     global book.
 
+    ``residual=True`` is TRUE LOPQ (Kalantidis & Avrithis, CVPR 2014):
+    the per-cell books fit each flagged cell's coarse RESIDUALS
+    (v − centroid[cell], :func:`operators.pq.residual_vectors`) — the
+    variant to use when the index itself is residual-coded
+    (``ivfpq_fit``/``ivfpq_index(residual=True)``), which the clustered
+    recall matrix (SCALE.md §11) endorses over raw coding (0.4-0.675
+    vs 0.2: non-residual codes all-tie within a tight cluster).  Pair
+    with ``pq_reencode_cells(residual=True)`` and
+    ``ivfpq_topk_versioned(residual=True)``; the flag only changes
+    WHAT the per-cell Lloyd sees, the relation shape is identical.
+
     Shape: one map-only assignment pass over the corpus (ivf_assign —
-    the same Arrow matmul every index build runs), a broadcast-join
-    filter down to the flagged cells, then ONE
+    the same Arrow matmul every index build runs; the residual path
+    adds the broadcast centroid subtraction, still map-only), a
+    broadcast-join filter down to the flagged cells, then ONE
     ``groupBy(cell).applyInPandas`` whose task fits all m subspace
     Lloyds for its cell locally (:func:`similarity._local_lloyd` per
     slice — md5-ordered seeds, quantized argmin, smallest-code ties;
@@ -212,12 +225,20 @@ def pq_refit_cells(
     Fit-task memory is bounded by cell occupancy, exactly like the
     hierarchical fine fit.  Nothing corpus-sized ever reaches the
     driver."""
-    from img2dataset_spark.operators.pq import _check_geometry
+    from img2dataset_spark.operators.pq import (
+        _check_geometry,
+        residual_vectors,
+    )
     from img2dataset_spark.operators.similarity import _local_lloyd, ivf_assign
 
     sub_dim = _check_geometry(dim, num_subspaces)
     flagged = flagged_cells.select("cell").distinct()
-    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    if residual:
+        assigned = residual_vectors(df, ivf_codebook, vec_col, id_col).select(
+            "cell", F.col(id_col), F.col("rvec").alias("v")
+        )
+    else:
+        assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
     rows = assigned.join(F.broadcast(flagged), "cell").select(
         "cell", F.col(id_col).alias("_id"), "v"
     )
@@ -256,6 +277,7 @@ def pq_reencode_cells(
     overrides: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
     """(id, cell, codes) for the override cells only — each row encoded
     with ITS cell's refit codebook (nearest refit centroid per
@@ -265,11 +287,16 @@ def pq_reencode_cells(
     m × k rows — the flat-codebook ceiling applies to the flagged cell
     count exactly as it does to the codebook itself) and broadcast;
     rows outside the override cells never enter the pass (broadcast
-    semi-filter on cell).  Feed the result to
-    :func:`rewrite_index_cells`."""
+    semi-filter on cell).  ``residual=True`` encodes the coarse
+    RESIDUALS against per-cell residual books (pass overrides from
+    ``pq_refit_cells(residual=True)`` — the true-LOPQ pairing).  Feed
+    the result to :func:`rewrite_index_cells`."""
     from pyspark.sql.functions import pandas_udf
 
-    from img2dataset_spark.operators.pq import _collect_overrides
+    from img2dataset_spark.operators.pq import (
+        _collect_overrides,
+        residual_vectors,
+    )
     from img2dataset_spark.operators.similarity import ivf_assign
 
     books = _collect_overrides(overrides)
@@ -280,7 +307,12 @@ def pq_reencode_cells(
     cells_df = spark.createDataFrame(
         [(int(c),) for c in sorted(books)], "cell bigint"
     )
-    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    if residual:
+        assigned = residual_vectors(df, ivf_codebook, vec_col, id_col).select(
+            F.col(id_col), "cell", F.col("rvec").alias("v")
+        )
+    else:
+        assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
     rows = assigned.join(F.broadcast(cells_df), "cell")
 
     @pandas_udf("array<long>")
@@ -391,12 +423,24 @@ def pq_distortion_ledger(
     )
     ob: dict[int, list[np.ndarray]] = {}
     if overrides is not None:
-        per_cell: dict[int, list] = {}
-        for r in overrides.select(
-            "cell", "subspace", "code", "centroid"
-        ).collect():
-            per_cell.setdefault(int(r["cell"]), []).append(r)
-        ob = {c: dense_book(rows, "code") for c, rows in per_cell.items()}
+        # route through the GUARDED collect (_collect_overrides raises
+        # past FLAT_CODEBOOK_MAX_CELLS cells), so "bounded by flagged
+        # cells × m × k" is enforced here, not assumed (r11 verdict
+        # nit); its quantization rule is dense_book's exactly
+        from img2dataset_spark.operators.pq import _collect_overrides
+
+        for cell, (code_ids, QC, _nc) in _collect_overrides(
+            overrides
+        ).items():
+            tables = []
+            for j in range(len(QC)):
+                dense = np.zeros(
+                    (int(code_ids[j].max()) + 1, QC[j].shape[1]),
+                    dtype=np.int64,
+                )
+                dense[code_ids[j]] = QC[j]
+                tables.append(dense)
+            ob[cell] = tables
     bc = spark.sparkContext.broadcast((gb, ob))
 
     joined = df.select(
@@ -414,6 +458,15 @@ def pq_distortion_ledger(
         for cell in np.unique(carr):
             sel = carr == cell
             book = o.get(int(cell), g)
+            if Cm.shape[1] != len(book):
+                raise ValueError(
+                    f"pq_distortion_ledger: index rows carry "
+                    f"{Cm.shape[1]} codes but the minting codebook has "
+                    f"{len(book)} subspaces — a packed=True index stores "
+                    "ceil(m/8) byte-packed WORDS, not m codes, and this "
+                    "ledger needs unpacked codes (rebuild or re-encode "
+                    "the metered rows with packed=False)"
+                )
             rec = np.concatenate(
                 [book[j][Cm[sel][:, j]] for j in range(len(book))], axis=1
             )

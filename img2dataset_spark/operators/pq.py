@@ -301,7 +301,12 @@ def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray], packed: bool = Fals
     folded array is materialized once and the lookup is O(1)
     regardless of k.  Gap-safe: Lloyd-dropped ids hold
     :data:`_ADC_SENTINEL` (rank-last, not silently-top via NULL), and
-    an out-of-range code coalesces to the same sentinel.
+    ANY out-of-range code reads the same sentinel — over-range codes
+    fall off the array and coalesce, NEGATIVE codes are caught by an
+    explicit branch (they must not reach ``element_at``, whose negative
+    indices legally read from the array's END — a corrupt code of −2
+    would silently score as a real distance — and whose index 0 raises
+    instead of returning NULL).
     With ``packed`` codes the j-th code is a byte slice of word
     j div 8: ``shiftright(word, 8·(j mod 8)) & 255`` — the arithmetic
     shift's sign-extension only touches bits the mask drops, so byte 7
@@ -318,10 +323,14 @@ def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray], packed: bool = Fals
             ).bitwiseAND(F.lit(255))
         else:
             code_j = F.col("codes")[j]
-        # element_at is 1-based; out-of-bounds yields NULL -> sentinel
-        term = F.coalesce(
-            F.element_at(table, code_j.cast("int") + F.lit(1)),
-            F.lit(_ADC_SENTINEL),
+        # element_at is 1-based; over-range yields NULL -> sentinel,
+        # and the explicit branch keeps negative codes away from
+        # element_at's from-the-end indexing / index-0 error
+        term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
+            F.coalesce(
+                F.element_at(table, code_j.cast("int") + F.lit(1)),
+                F.lit(_ADC_SENTINEL),
+            )
         )
         dist = term if dist is None else dist + term
     return dist
@@ -526,15 +535,19 @@ def ivfpq_topk(
     rule — the right probe for this L2-metric family on clustered
     corpora (similarity.probe_cells documents the measured failure)."""
     from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
         probe_cells,
         recommended_nprobe,
     )
 
+    if nprobe is None:
+        # memoized cell count (codebook_num_cells): repeated searches
+        # over one fitted codebook size the probe without a fresh
+        # count() job per call (r11 advice)
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         # hierarchical coarse codebook: assignment cells are FINE ids
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    if nprobe is None:
-        nprobe = recommended_nprobe(ivf_codebook.count())
     probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
     pruned = index_df.join(F.broadcast(probed.select("cell")), "cell")
     qrow = query_df.select("query_vec").collect()
@@ -602,15 +615,16 @@ def ivfpq_multi_topk(
     from pyspark.sql import Window
 
     from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
         cosine,
         recommended_nprobe,
         round6,
     )
 
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    if nprobe is None:
-        nprobe = recommended_nprobe(ivf_codebook.count())
     qrows = queries_df.select(qid_col, "query_vec").collect()
     if not qrows:
         raise ValueError("ivfpq_multi_topk: queries_df is empty")
@@ -655,12 +669,19 @@ def ivfpq_multi_topk(
             ).bitwiseAND(F.lit(255))
         else:
             code_j = F.col("codes")[j]
-        term = F.coalesce(
-            F.element_at(
-                F.element_at(lit2d, F.col(qid_col).cast("int") + F.lit(1)),
-                code_j.cast("int") + F.lit(1),
-            ),
-            F.lit(_ADC_SENTINEL),
+        # qid is validated dense upstream; codes come from the index,
+        # so negative codes get the same explicit-branch sentinel as
+        # _adc_expr (element_at would read from the array's END)
+        term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
+            F.coalesce(
+                F.element_at(
+                    F.element_at(
+                        lit2d, F.col(qid_col).cast("int") + F.lit(1)
+                    ),
+                    code_j.cast("int") + F.lit(1),
+                ),
+                F.lit(_ADC_SENTINEL),
+            )
         )
         dist = term if dist is None else dist + term
     scored = pruned.select(qid_col, F.col(id_col), dist.alias("adc_dist"))
@@ -732,6 +753,7 @@ def ivfpq_topk_versioned(
     id_col: str = "vec_id",
     packed: bool = False,
     probe_metric: str = "cosine",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF+PQ search over a SELECTIVELY-REFIT index — the versioned-
     codebook composition that makes :func:`maintain.pq_refit_cells`
@@ -752,40 +774,80 @@ def ivfpq_topk_versioned(
     similarity.recommended_nprobe); ``probe_metric="l2"`` probes by
     the assignment metric (similarity.probe_cells) — the rule the
     refit-recovery measurement needs, since a DRIFTED cell is exactly
-    the one whose centroid direction stops tracking its mass."""
+    the one whose centroid direction stops tracking its mass.
+
+    ``residual=True`` serves a RESIDUAL-coded index maintained by the
+    true-LOPQ refit (``pq_refit_cells(residual=True)`` — the family
+    the clustered recall matrix endorses, SCALE.md §11): every probed
+    cell's ADC table is computed from the QUERY'S RESIDUAL against
+    that cell's centroid — override cells through their per-cell
+    residual book, the rest through the global residual book — so the
+    CASE covers every probed cell (nprobe branches) instead of
+    defaulting unflagged cells to one shared table.  Same plan size
+    as :func:`ivfpq_topk`'s residual path plus the override CASE."""
     from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
         probe_cells,
         recommended_nprobe,
     )
 
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    if nprobe is None:
-        nprobe = recommended_nprobe(ivf_codebook.count())
-    probed = probe_cells(
-        ivf_codebook, query_df, nprobe, probe_metric
-    ).select("cell")
-    pruned = index_df.join(F.broadcast(probed), "cell")
+    probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
+    probed_cells = probed.select("cell")
+    pruned = index_df.join(F.broadcast(probed_cells), "cell")
     qrow = query_df.select("query_vec").collect()
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     qvec = [float(x) for x in qrow[0]["query_vec"]]
-    # two bounded collects: the probed-cell override books + the global
-    # table (memoized); the CASE dispatches per probed cell
+    # bounded collects only: the probed-cell override books (broadcast
+    # semi-join — never the whole override relation), the global book
+    # (memoized), and for the residual path the nprobe probe rows; the
+    # CASE dispatches per probed cell
     probed_books = _collect_overrides(
-        overrides.join(F.broadcast(probed), "cell")
+        overrides.join(F.broadcast(probed_cells), "cell")
     )
-    g_cells, g_dt = pq_adc_distances(pq_codebook, qvec)
-    dist = None
-    for cell in sorted(probed_books):
-        code_ids, QC, nc = probed_books[cell]
-        dt = _adc_table(QC, nc, qvec)
-        cond = F.col("cell") == int(cell)
-        expr = _adc_expr(code_ids, dt, packed=packed)
-        dist = (
-            F.when(cond, expr) if dist is None else dist.when(cond, expr)
-        )
-    g_expr = _adc_expr(g_cells, g_dt, packed=packed)
-    dist = g_expr if dist is None else dist.otherwise(g_expr)
+    if residual:
+        qv = np.asarray(qvec, dtype=np.float64)
+        g_cells, g_QC, g_nc = _collect_codebook(pq_codebook)
+        dist = None
+        for r in sorted(
+            probed.select("cell", "centroid").collect(),
+            key=lambda r: int(r["cell"]),
+        ):
+            cell = int(r["cell"])
+            qres = qv - np.asarray(r["centroid"], dtype=np.float64)
+            if cell in probed_books:
+                code_ids, QC, nc = probed_books[cell]
+                expr = _adc_expr(
+                    code_ids, _adc_table(QC, nc, qres), packed=packed
+                )
+            else:
+                expr = _adc_expr(
+                    g_cells, _adc_table(g_QC, g_nc, qres), packed=packed
+                )
+            cond = F.col("cell") == cell
+            dist = (
+                F.when(cond, expr) if dist is None else dist.when(cond, expr)
+            )
+        # pruned holds only probed cells, so every row matches a branch;
+        # the sentinel otherwise keeps a race-appended unknown cell
+        # rank-last instead of NULL (NULLS-FIRST asc would top-rank it)
+        dist = dist.otherwise(F.lit(len(g_cells) * _ADC_SENTINEL))
+    else:
+        g_cells, g_dt = pq_adc_distances(pq_codebook, qvec)
+        dist = None
+        for cell in sorted(probed_books):
+            code_ids, QC, nc = probed_books[cell]
+            dt = _adc_table(QC, nc, qvec)
+            cond = F.col("cell") == int(cell)
+            expr = _adc_expr(code_ids, dt, packed=packed)
+            dist = (
+                F.when(cond, expr) if dist is None else dist.when(cond, expr)
+            )
+        g_expr = _adc_expr(g_cells, g_dt, packed=packed)
+        dist = g_expr if dist is None else dist.otherwise(g_expr)
     scored = pruned.select(F.col(id_col), dist.alias("adc_dist"))
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

@@ -680,6 +680,38 @@ def probe_cells(
     return ordered.limit(nprobe).select("cell", "centroid")
 
 
+# (id(codebook) -> (codebook, fine-cell count)) memo, LRU-capped like
+# pq._CODEBOOK_MEMO: every nprobe=None search sizes its probe from the
+# codebook's cell count, and without the memo each repeated
+# single-query search over an UNCACHED fitted codebook (a plain
+# parquet read) pays a fresh count() scan job just to size the probe
+# (r11 advice).  The DataFrame reference is retained so the id cannot
+# be recycled.
+_CELL_COUNT_MEMO: dict[int, tuple[DataFrame, int]] = {}
+_CELL_COUNT_MEMO_CAP = 64
+
+
+def codebook_num_cells(codebook: DataFrame) -> int:
+    """Number of (fine) cells in a coarse IVF codebook — hierarchical
+    codebooks count only their ``level == "fine"`` rows, since those
+    are the assignment/probe domain.  Memoized per codebook DataFrame
+    OBJECT (key on the frame you reuse across searches), so a session
+    answering many nprobe=None queries against one fitted codebook
+    runs the sizing count once, not once per query."""
+    hit = _CELL_COUNT_MEMO.get(id(codebook))
+    if hit is not None and hit[0] is codebook:
+        _CELL_COUNT_MEMO[id(codebook)] = _CELL_COUNT_MEMO.pop(id(codebook))
+        return hit[1]
+    cb = codebook
+    if "level" in cb.columns:
+        cb = cb.filter(F.col("level") == "fine")
+    n = cb.count()
+    while len(_CELL_COUNT_MEMO) >= _CELL_COUNT_MEMO_CAP:
+        _CELL_COUNT_MEMO.pop(next(iter(_CELL_COUNT_MEMO)))
+    _CELL_COUNT_MEMO[id(codebook)] = (codebook, n)
+    return n
+
+
 def recommended_nprobe(
     num_cells: int,
     min_nprobe: int = 1,

@@ -260,14 +260,15 @@ def ivfsq_topk(
     (similarity.probe_cells) — the right rule for this L2-metric
     family on clustered corpora."""
     from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
         probe_cells,
         recommended_nprobe,
     )
 
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    if nprobe is None:
-        nprobe = recommended_nprobe(ivf_codebook.count())
     probed = probe_cells(
         ivf_codebook, query_df, nprobe, probe_metric
     ).select("cell")

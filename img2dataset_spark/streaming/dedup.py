@@ -424,7 +424,16 @@ def append_semantic_codes_index(
     existing_n=0 here so wave rows can re-open it.  Both are screen-
     recall-only effects (the screen is probabilistic by design, like
     every LSH band in this repo); schedule the periodic full rebuild
-    off maintain.occupancy_drift when the ledger shows cap pressure."""
+    off maintain.occupancy_drift when the ledger shows cap pressure.
+
+    The index must already EXIST (build epoch 0 with
+    :func:`semantic_static_codes_index` + a ``partitionBy("cell")``
+    write) — a missing path raises a named ValueError rather than a
+    raw AnalysisException.  Concurrent appenders to one ``index_path``
+    are UNSUPPORTED: the cap decision is a read-then-write (existing_n
+    is read before the append lands), so two racing waves could both
+    admit rows into a near-cap cell; serialize appends per index (the
+    micro-batch epoch loop this exists for is already serial)."""
     from img2dataset_spark.operators.maintain import append_to_index
 
     spark = wave.sparkSession
@@ -432,10 +441,17 @@ def append_semantic_codes_index(
         wave, codebook, num_planes, dim, vec_col, id_col,
         max_cell_size=1 << 62,
     )
-    existing = (
-        spark.read.parquet(index_path)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("existing_n"))
+    try:
+        existing_idx = spark.read.parquet(index_path)
+    except Exception as exc:
+        raise ValueError(
+            f"append_semantic_codes_index: no existing index at "
+            f"{index_path} — build the first epoch's index with "
+            "semantic_static_codes_index + a partitionBy('cell') write, "
+            "then append subsequent waves"
+        ) from exc
+    existing = existing_idx.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("existing_n")
     )
     ledger_rows = (
         rows.groupBy("cell")

@@ -156,3 +156,23 @@ def test_cosine_probe_metric_unchanged(spark, emb, qdf, ivf_cb):
                 ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2,
                            probe_metric="cosine").collect()]
     assert cos == explicit and len(cos) == 10
+
+
+def test_codebook_num_cells_memoized(spark, monkeypatch):
+    """nprobe=None sizing counts the codebook ONCE per DataFrame object
+    (r11 advice: the fitted path paid a fresh count() scan per search):
+    the second call must come from the memo, pinned by making a second
+    count() impossible."""
+    from img2dataset_spark.operators import similarity as sim
+
+    cb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(7)],
+        "cell long, centroid array<double>",
+    )
+    assert sim.codebook_num_cells(cb) == 7
+    monkeypatch.setattr(
+        type(cb), "count", lambda self: (_ for _ in ()).throw(
+            AssertionError("count() re-ran for a memoized codebook")
+        )
+    )
+    assert sim.codebook_num_cells(cb) == 7

@@ -516,3 +516,22 @@ def test_ivfpq_multi_topk_matches_single(spark, emb):
     sparse = qs.withColumn("qid", F.col("qid") * 2)
     with pytest.raises(ValueError, match="dense"):
         ivfpq_multi_topk(idx, ivf_cb, pq_cb, sparse, k=5, nprobe=2)
+
+
+def test_adc_negative_code_ranks_last(spark, emb, fitted):
+    """A corrupt NEGATIVE code must read the rank-last sentinel, not
+    element_at's semantics: index 0 (code −1) raises in Spark, and a
+    from-the-end index (code −2 → −1) would silently score another
+    centroid's real distance into the ranking (r11 advice)."""
+    cb, codes = fitted
+    corrupt = spark.createDataFrame(
+        [(100001, [-1, 0, 0, 0]), (100002, [-2, 0, 0, 0])],
+        "vec_id long, codes array<bigint>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    n = codes.count()
+    got = pq_topk(codes.unionByName(corrupt), cb, q, k=n + 2).collect()
+    assert [r["vec_id"] for r in got[-2:]] == [100001, 100002]
+    assert all(r["adc_dist"] >= (1 << 55) for r in got[-2:])

@@ -4,6 +4,7 @@ the batch band-collision semantics."""
 import datetime as dt
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from img2dataset_spark.streaming.dedup import (
@@ -906,3 +907,23 @@ def test_codes_index_append_cap_ledger(spark, tmp_path):
     for r in rows2:
         # existing_n reflects the index BEFORE this append
         assert r["existing_n"] == occ[r["cell"]] - r["wave_n"], r
+
+
+def test_codes_index_append_missing_index_named_error(spark, tmp_path):
+    """A first-wave append against a path with no index raises a named
+    ValueError telling the caller to build epoch 0 with
+    semantic_static_codes_index, not a raw AnalysisException (r11
+    advice)."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        append_semantic_codes_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = ivf_fit(e.filter(F.col("vec_id") % 5 > 1), num_cells=4, iters=1)
+    with pytest.raises(ValueError, match="no existing index"):
+        append_semantic_codes_index(
+            e.filter(F.col("vec_id") % 5 == 0),
+            cb,
+            os.path.join(str(tmp_path), "never_written"),
+        )
