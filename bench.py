@@ -231,6 +231,39 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
         spark.createDataFrame(
             [], "cell long, subspace long, code long, centroid array<double>"
         ).write.parquet(base + "/overrides")
+    # residual-versioned artifacts (true LOPQ, r12): the same selective
+    # refit composed with the RESIDUAL family — per-cell books fit on
+    # coarse residuals of the flagged cells, flagged rows residual-
+    # re-encoded, separate index dir (rewrite mutates partitions)
+    rivf_rd = spark.read.parquet(base + "/rivf_cb")
+    rpq_rd = spark.read.parquet(base + "/rpq_cb")
+    ivfpq_index(e, rivf_rd, rpq_rd, residual=True).write.partitionBy(
+        "cell"
+    ).parquet(base + "/rvindex")
+    rflagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(vbase, rivf_rd)),
+            index_occupancy(ivf_assign(e, rivf_rd)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    if rflagged.limit(1).count() > 0:
+        pq_refit_cells(e, rivf_rd, rflagged, num_subspaces=8, num_codes=16,
+                       iters=2, residual=True).write.parquet(
+            base + "/roverrides"
+        )
+        rewrite_index_cells(
+            pq_reencode_cells(e, rivf_rd,
+                              spark.read.parquet(base + "/roverrides"),
+                              residual=True),
+            base + "/rvindex",
+        )
+    else:
+        spark.createDataFrame(
+            [], "cell long, subspace long, code long, centroid array<double>"
+        ).write.parquet(base + "/roverrides")
     _PQ_ARTIFACTS[sf_dir] = base
     return base
 
@@ -331,6 +364,104 @@ def _q_ivfpq_multi_topk_fitted(spark, sf_dir):
         qs,
         k=10,
         nprobe=4,
+    )
+
+
+def _q_ivfpq_refit_residual_fitted(spark, sf_dir):
+    """SEARCH-ONLY versioned RESIDUAL search (true LOPQ, r12): mixed
+    residual index + residual per-cell override books from parquet;
+    timed region is probe-rank -> per-probed-cell query-RESIDUAL ADC
+    CASE scan -> TakeOrdered — zero fits, zero refits."""
+    from img2dataset_spark.operators.pq import ivfpq_topk_versioned
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    return ivfpq_topk_versioned(
+        spark.read.parquet(base + "/rvindex"),
+        spark.read.parquet(base + "/rivf_cb"),
+        spark.read.parquet(base + "/rpq_cb"),
+        spark.read.parquet(base + "/roverrides"),
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+        residual=True,
+    )
+
+
+def _q_ivfsq_multi_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY batch SQ8: three probes through ONE pass over the
+    pre-built byte-code index (the ivfpq_multi_topk amortization for
+    the SQ family, r11 verdict item 7)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import ivfsq_multi_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfsq_multi_topk(
+        spark.read.parquet(base + "/sq_index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/sq_bounds"),
+        qs,
+        k=10,
+        nprobe=4,
+    )
+
+
+def _q_ivfbq_multi_topk_fitted(spark, sf_dir):
+    """SEARCH-ONLY batch BQ: three probes through ONE pass over the
+    pre-built packed-word index (the popcount family's batch
+    amortization)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.bq import ivfbq_multi_topk
+    from img2dataset_spark.operators.similarity import _as_double
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfbq_multi_topk(
+        spark.read.parquet(base + "/bq_index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        qs,
+        k=10,
+        nprobe=4,
+        num_planes=64,
+        dim=64,
+    )
+
+
+def _q_ivfpq_refine_auto_fitted(spark, sf_dir):
+    """SEARCH-ONLY refine with the r12 refine_factor=None sizing: the
+    candidate pool grows as ceil(sqrt(occupancy overshoot)) — this row
+    measures what the auto-sized exact re-rank costs vs the fixed
+    rf=4 twin (ivfpq_refine_topk_fitted)."""
+    import os as _os
+
+    from img2dataset_spark.operators.pq import ivfpq_refine_topk
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    return ivfpq_refine_topk(
+        spark.read.parquet(base + "/index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+        e,
+        _fitted_query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+        refine_target_occupancy=64,
     )
 
 
@@ -507,6 +638,10 @@ BENCH_ONLY = {
     "ivfpq_multi_topk_fitted": _q_ivfpq_multi_topk_fitted,
     "ivfpq_refine_topk_fitted": _q_ivfpq_refine_topk_fitted,
     "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
+    "ivfpq_refit_residual_fitted": _q_ivfpq_refit_residual_fitted,
+    "ivfsq_multi_topk_fitted": _q_ivfsq_multi_topk_fitted,
+    "ivfbq_multi_topk_fitted": _q_ivfbq_multi_topk_fitted,
+    "ivfpq_refine_auto_fitted": _q_ivfpq_refine_auto_fitted,
     "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
     "bq_topk_fitted": _q_bq_topk_fitted,
     "ivfbq_topk_fitted": _q_ivfbq_topk_fitted,
@@ -527,6 +662,10 @@ PREPARE = {
     "ivfpq_multi_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_refine_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
+    "ivfpq_refit_residual_fitted": _pq_fitted_artifacts,
+    "ivfsq_multi_topk_fitted": _pq_fitted_artifacts,
+    "ivfbq_multi_topk_fitted": _pq_fitted_artifacts,
+    "ivfpq_refine_auto_fitted": _pq_fitted_artifacts,
     "ivfsq_topk_fitted": _pq_fitted_artifacts,
     "bq_topk_fitted": _pq_fitted_artifacts,
     "ivfbq_topk_fitted": _pq_fitted_artifacts,
@@ -560,10 +699,14 @@ HEADLINE = [
     "ivfpq_fitted_roundtrip",
     "ivfpq_refit_versioned",
     "ivfpq_refit_distortion",
+    "ivfpq_refit_residual",
+    "ivfpq_refine_topk_sized",
     "ivfpq_residual_topk",
     "ivfpq_refine_topk",
     "sq8_topk",
     "ivfsq_topk",
+    "ivfsq_multi_topk",
+    "ivfbq_multi_topk",
     "bq_topk",
     "bq_refine_topk",
     "ivfbq_topk",
@@ -576,6 +719,10 @@ HEADLINE = [
     "ivfpq_multi_topk_fitted",
     "ivfpq_refine_topk_fitted",
     "ivfpq_residual_topk_fitted",
+    "ivfpq_refit_residual_fitted",
+    "ivfsq_multi_topk_fitted",
+    "ivfbq_multi_topk_fitted",
+    "ivfpq_refine_auto_fitted",
     "ivfsq_topk_fitted",
     "bq_topk_fitted",
     "ivfbq_topk_fitted",

@@ -275,11 +275,12 @@ def ivfbq_refine_topk(
     query_df: DataFrame,
     k: int = 10,
     nprobe: int | None = None,
-    refine_factor: int = 4,
+    refine_factor: int | None = None,
     num_planes: int = 64,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_target_occupancy: int = 1024,
 ) -> DataFrame:
     """The full binary composition — coarse probe × popcount screen ×
     exact re-rank (FAISS IndexBinaryIVF + RefineFlat): stage 1 takes
@@ -287,13 +288,26 @@ def ivfbq_refine_topk(
     cells' 8-byte words (partition-pruned scan), stage 2 re-ranks ONLY
     those rows by exact cosine via a broadcast semi-join into the raw
     vector table.  Completes the IVF × {PQ, SQ8, BQ} × refine matrix.
-    Output (id, cos_sim), cosine_topk's convention."""
+    Output (id, cos_sim), cosine_topk's convention.
+    ``refine_factor=None`` sizes the candidate multiplier from cell
+    occupancy (similarity.recommended_refine_factor — the r12
+    production default; two memoized counts, no extra jobs on reused
+    frames)."""
     from img2dataset_spark.operators.similarity import (
         _as_double,
+        codebook_num_cells,
         cosine,
+        memoized_count,
+        recommended_refine_factor,
         round6,
     )
 
+    if refine_factor is None:
+        refine_factor = recommended_refine_factor(
+            memoized_count(index_df),
+            codebook_num_cells(ivf_codebook),
+            target_occupancy=refine_target_occupancy,
+        )
     cand = ivfbq_topk(
         index_df, ivf_codebook, query_df, k=k * refine_factor,
         nprobe=nprobe, num_planes=num_planes, dim=dim, id_col=id_col,
@@ -354,3 +368,87 @@ def ivfbq_topk(
     pruned = index_df.join(F.broadcast(probed), "cell")
     return bq_topk(pruned, query_df, k=k, num_planes=num_planes,
                    dim=dim, id_col=id_col)
+
+
+def ivfbq_multi_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    num_planes: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    probe_metric: str = "cosine",
+) -> DataFrame:
+    """Batch IVF+BQ search — every probe vector answered from ONE pass
+    over the packed words (pq.ivfpq_multi_topk's one-scan shape for
+    the binary family; the popcount scan amortizes identically, r11
+    verdict item 7):
+
+    - probe: :func:`similarity.multi_probe_cells` per qid —
+      ``"cosine"`` is the DEFAULT here, unlike the L2 families: BQ's
+      Hamming estimates the ANGLE, so the angle probe is this
+      family's assignment-consistent rule;
+    - scan: index ⋈ broadcast (qid, cell) pairs, distance = ceil(p/32)
+      JVM popcounts of ``codes[w] XOR lit[qid][w]`` — per-word
+      constant-folded literal arrays indexed by qid (q longs each);
+      the bq width/NULL raise_error guard applies per row;
+    - top-k: one row_number window per qid.
+
+    ``queries_df`` is (qid, query_vec) with qid DENSE 0..q-1.
+    Returns (qid, id, hamming), per-qid (hamming asc, id asc) top-k."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
+        collect_dense_qids,
+        multi_probe_cells,
+        recommended_nprobe,
+    )
+
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
+    qrows = collect_dense_qids(queries_df, qid_col)
+    qwords = {
+        int(r[qid_col]): encode_query_bits(
+            [float(x) for x in r["query_vec"]], num_planes, dim
+        )
+        for r in qrows
+    }
+    n_words = len(next(iter(qwords.values())))
+    probed = multi_probe_cells(
+        ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    dist = None
+    for w in range(n_words):
+        lit_w = F.lit([int(qwords[qi][w]) for qi in range(len(qrows))])
+        term = F.bit_count(
+            F.col("codes")[w].bitwiseXOR(
+                F.element_at(lit_w, F.col(qid_col).cast("int") + F.lit(1))
+            )
+        ).cast("long")
+        dist = term if dist is None else dist + term
+    dist = F.when(
+        F.col("codes").isNull() | (F.size(F.col("codes")) != n_words),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ivfbq_multi_topk: codes width != {n_words} words "
+                    f"(num_planes={num_planes}) — got "
+                ),
+                F.coalesce(
+                    F.size(F.col("codes")).cast("string"), F.lit("NULL")
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(dist)
+    scored = pruned.select(qid_col, F.col(id_col), dist.alias("hamming"))
+    wk = Window.partitionBy(qid_col).orderBy(F.asc("hamming"), F.asc(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

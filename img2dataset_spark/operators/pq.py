@@ -283,6 +283,25 @@ def pq_topk(
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
+# Practical ceiling on the q·m·k literal longs a multi-query scan may
+# inline into ONE plan (the 2-level folded ADC tables): past it, plan
+# serialization/codegen cost dominates the scan it was amortizing.
+# ~250 queries at FAISS-like m=16, k=256.
+_MULTI_TOPK_MAX_LITERALS = 1_000_000
+
+
+def _check_multi_literals(num_queries: int, pq_codebook: DataFrame) -> None:
+    cells, _, _ = _collect_codebook(pq_codebook)
+    n = num_queries * sum(int(c.max()) + 1 for c in cells)
+    if n > _MULTI_TOPK_MAX_LITERALS:
+        raise ValueError(
+            f"ivfpq_multi_topk: {num_queries} queries x this codebook "
+            f"= {n} plan literals > {_MULTI_TOPK_MAX_LITERALS} — chunk "
+            "the probe set into smaller batches (each chunk is still "
+            "answered from one scan)"
+        )
+
+
 # Sentinel distance for code ids the book never minted (Lloyd gap ids,
 # or a foreign/corrupt code): large enough to rank the row LAST —
 # never silently into the top-k, unlike a NULL under NULLS-FIRST asc —
@@ -344,12 +363,13 @@ def ivfpq_refine_topk(
     query_df: DataFrame,
     k: int = 10,
     nprobe: int | None = None,
-    refine_factor: int = 4,
+    refine_factor: int | None = None,
     residual: bool = False,
     packed: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    probe_metric: str = "cosine",
+    probe_metric: str | None = None,
+    refine_target_occupancy: int = 1024,
 ) -> DataFrame:
     """Two-stage refine search — the standard FAISS ``IndexRefineFlat``
     composition that recovers exact ranking from a lossy index: stage 1
@@ -357,6 +377,16 @@ def ivfpq_refine_topk(
     (:func:`ivfpq_topk` — probe-pruned, codes-only scan), stage 2
     re-ranks ONLY those candidates by exact cosine against their raw
     vectors and returns the top ``k``.
+
+    ``refine_factor=None`` (the production default since round 12)
+    sizes the multiplier from cell occupancy via
+    :func:`similarity.recommended_refine_factor` — base 4 up to
+    ``refine_target_occupancy`` rows/cell, then growing as
+    ceil(sqrt(occupancy overshoot)): the measured clustered decay
+    (residual recall 0.4 → 0.175 at 10× occupancy with the POOL fixed,
+    SCALE.md §11) is the fixed knob silently shrinking relative to the
+    ADC tie mass.  Two memoized counts (index rows, codebook cells),
+    zero extra jobs on reused frames.
 
     100 TB shape: the corpus-sized pass stays compressed (nprobe cells'
     code files); the exact pass touches k·refine_factor rows via a
@@ -366,8 +396,20 @@ def ivfpq_refine_topk(
     (id, cos_sim) follows cosine_topk's convention (round6 quantized
     cosine, desc, id-asc ties), so refine results are directly
     comparable to the brute-force baseline's."""
-    from img2dataset_spark.operators.similarity import cosine, round6
+    from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
+        cosine,
+        memoized_count,
+        recommended_refine_factor,
+        round6,
+    )
 
+    if refine_factor is None:
+        refine_factor = recommended_refine_factor(
+            memoized_count(index_df),
+            codebook_num_cells(ivf_codebook),
+            target_occupancy=refine_target_occupancy,
+        )
     cand = ivfpq_topk(
         index_df, ivf_codebook, pq_codebook, query_df,
         k=k * refine_factor, nprobe=nprobe,
@@ -506,16 +548,15 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     residual: bool = False,
     packed: bool = False,
-    probe_metric: str = "cosine",
+    probe_metric: str | None = None,
 ) -> DataFrame:
     """IVF-pruned ADC search — the standard large-corpus composition:
-    rank coarse cells by cosine(query, centroid) (the ivf_topk_fitted
-    probe rule, 6-dp rounded, cell-ascending ties), keep the top
-    ``nprobe``, and ADC-scan ONLY those cells' PQ codes.  The cell
-    filter is a broadcast join that becomes partition pruning when the
-    index is written partitioned by cell; the scan itself reads
-    m-byte codes, not vectors.  Returns (id, adc_dist), exact int64
-    sums, (adc_dist asc, id asc) top-k.
+    rank coarse cells by the probe metric, keep the top ``nprobe``,
+    and ADC-scan ONLY those cells' PQ codes.  The cell filter is a
+    broadcast join that becomes partition pruning when the index is
+    written partitioned by cell; the scan itself reads m-byte codes,
+    not vectors.  Returns (id, adc_dist), exact int64 sums,
+    (adc_dist asc, id asc) top-k.
 
     ``nprobe=None`` (the default) sizes the probe count from the
     codebook's cell count via :func:`similarity.recommended_nprobe`
@@ -530,16 +571,23 @@ def ivfpq_topk(
     tables: still pure codegen, nprobe·m·k literal longs in the plan
     (a few hundred KB at FAISS-like settings — plan-sized).
 
-    ``probe_metric="l2"`` ranks cells by the ASSIGNMENT metric
-    (exact quantized squared-L2) instead of the oracle-pinned cosine
-    rule — the right probe for this L2-metric family on clustered
-    corpora (similarity.probe_cells documents the measured failure)."""
+    ``probe_metric=None`` (the PRODUCTION default since round 12)
+    resolves to ``"l2"`` — the ASSIGNMENT metric, which is this
+    family's ranking metric too: on clustered corpora a drifted
+    cell's centroid can point away from the query direction even
+    though the query is L2-assigned to that very cell (the cosine
+    probe read recall 0.05 where l2 read 0.20 on the measured drift
+    scenario — similarity.probe_cells, SCALE.md §11), so the right
+    rule must be reachable without reading SCALE.md.  Pass
+    ``"cosine"`` explicitly for the pre-r12 angle probe."""
     from img2dataset_spark.operators.similarity import (
         codebook_num_cells,
         probe_cells,
         recommended_nprobe,
     )
 
+    if probe_metric is None:
+        probe_metric = "l2"
     if nprobe is None:
         # memoized cell count (codebook_num_cells): repeated searches
         # over one fitted codebook size the probe without a fresh
@@ -589,6 +637,7 @@ def ivfpq_multi_topk(
     id_col: str = "vec_id",
     qid_col: str = "qid",
     packed: bool = False,
+    probe_metric: str | None = None,
 ) -> DataFrame:
     """Batch IVF+PQ search — EVERY probe vector answered from ONE pass
     over the codes (bm25_multi_topk's shape applied to ANN; the r10
@@ -599,8 +648,11 @@ def ivfpq_multi_topk(
 
     Stages:
     - probe: codebook × queries crossJoin (cells × q rows, both
-      bounded), per-qid cosine ranking (round6 desc, cell-asc ties —
-      the shared probe rule), row_number ≤ nprobe;
+      bounded), per-qid ranking by the probe metric
+      (``probe_metric=None`` resolves to ``"l2"``, the assignment
+      metric — the L2-family production default since round 12;
+      ``"cosine"`` is the pre-r12 round6-desc rule), row_number ≤
+      nprobe;
     - scan: index ⋈ broadcast (qid, cell) pairs — a row probed by two
       queries is scored once per query, the per-query semantics — with
       the distance a 2-level constant-folded literal array lookup
@@ -610,43 +662,34 @@ def ivfpq_multi_topk(
     - top-k: one row_number window per qid.
 
     ``queries_df`` is (qid, query_vec) with qid DENSE 0..q-1 — a
-    bounded probe set (collected once), not a corpus.  Returns
-    (qid, id, adc_dist), per-qid (adc_dist asc, id asc) top-k."""
+    bounded probe set (collected once), not a corpus.  The 2-level
+    tables ride the plan as q·m·k longs, so the PRACTICAL q ceiling is
+    :data:`_MULTI_TOPK_MAX_LITERALS` / (m·k) — ~250 queries at
+    FAISS-like m=16, k=256 — enforced with a named error telling the
+    caller to CHUNK the probe set (each chunk is still one scan; the
+    amortization story degrades gracefully, the plan does not).
+    Returns (qid, id, adc_dist), per-qid (adc_dist asc, id asc)
+    top-k."""
     from pyspark.sql import Window
 
     from img2dataset_spark.operators.similarity import (
         codebook_num_cells,
-        cosine,
+        collect_dense_qids,
+        multi_probe_cells,
         recommended_nprobe,
-        round6,
     )
 
     if nprobe is None:
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
-    if "level" in ivf_codebook.columns:
-        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    qrows = queries_df.select(qid_col, "query_vec").collect()
-    if not qrows:
-        raise ValueError("ivfpq_multi_topk: queries_df is empty")
-    qids = sorted(int(r[qid_col]) for r in qrows)
-    if qids != list(range(len(qids))):
-        raise ValueError(
-            f"ivfpq_multi_topk: {qid_col} must be dense 0..q-1, got {qids}"
-        )
-    q = F.broadcast(queries_df.select(qid_col, "query_vec"))
-    wp = Window.partitionBy(qid_col).orderBy(F.desc("_s"), F.asc("cell"))
-    probed = (
-        ivf_codebook.crossJoin(q)
-        .select(
-            qid_col,
-            "cell",
-            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("_s"),
-        )
-        .withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= nprobe)
-        .select(qid_col, "cell")
+    qrows = collect_dense_qids(queries_df, qid_col)
+    qids = list(range(len(qrows)))
+    if probe_metric is None:
+        probe_metric = "l2"
+    probed = multi_probe_cells(
+        ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )
     pruned = index_df.join(F.broadcast(probed), "cell")
+    _check_multi_literals(len(qrows), pq_codebook)
     cells, QC, nc = _collect_codebook(pq_codebook)
     by_qid = {
         int(r[qid_col]): _adc_table(
@@ -752,7 +795,7 @@ def ivfpq_topk_versioned(
     nprobe: int | None = None,
     id_col: str = "vec_id",
     packed: bool = False,
-    probe_metric: str = "cosine",
+    probe_metric: str | None = None,
     residual: bool = False,
 ) -> DataFrame:
     """IVF+PQ search over a SELECTIVELY-REFIT index — the versioned-
@@ -771,10 +814,11 @@ def ivfpq_topk_versioned(
     cells (nprobe × m × k rows via a broadcast semi-join — never the
     whole override relation).  ``nprobe=None`` auto-sizes like
     :func:`ivfpq_topk` (ceil(sqrt(num_cells)),
-    similarity.recommended_nprobe); ``probe_metric="l2"`` probes by
-    the assignment metric (similarity.probe_cells) — the rule the
-    refit-recovery measurement needs, since a DRIFTED cell is exactly
-    the one whose centroid direction stops tracking its mass.
+    similarity.recommended_nprobe); ``probe_metric=None`` resolves to
+    ``"l2"`` — the assignment metric (similarity.probe_cells), the
+    production default since round 12 and the rule the refit-recovery
+    measurement needs: a DRIFTED cell is exactly the one whose
+    centroid direction stops tracking its mass.
 
     ``residual=True`` serves a RESIDUAL-coded index maintained by the
     true-LOPQ refit (``pq_refit_cells(residual=True)`` — the family
@@ -791,6 +835,8 @@ def ivfpq_topk_versioned(
         recommended_nprobe,
     )
 
+    if probe_metric is None:
+        probe_metric = "l2"
     if nprobe is None:
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:

@@ -680,6 +680,77 @@ def probe_cells(
     return ordered.limit(nprobe).select("cell", "centroid")
 
 
+def multi_probe_cells(
+    ivf_codebook: DataFrame,
+    queries_df: DataFrame,
+    nprobe: int,
+    metric: str = "l2",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """(qid, cell) — :func:`probe_cells` batched over a bounded probe
+    set: ONE codebook × queries crossJoin (cells × q rows, both
+    bounded), per-qid ranking by the metric, ``row_number ≤ nprobe``.
+    The shared probe stage of every ``*_multi_topk`` searcher (PQ, SQ,
+    BQ) — one relation instead of q probe jobs.  Metrics mirror
+    probe_cells exactly: ``"l2"`` = exact quantized squared-L2 asc
+    (the assignment metric, the L2-family production default),
+    ``"cosine"`` = round6 cosine desc; cell-ascending ties both."""
+    from pyspark.sql import Window
+
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    q = F.broadcast(queries_df.select(qid_col, "query_vec"))
+    joined = ivf_codebook.crossJoin(q)
+    if metric == "cosine":
+        scored = joined.select(
+            qid_col,
+            "cell",
+            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("_s"),
+        )
+        wp = Window.partitionBy(qid_col).orderBy(F.desc("_s"), F.asc("cell"))
+    elif metric == "l2":
+
+        def _quant(c: Column) -> Column:
+            return F.transform(
+                _as_double(c),
+                lambda x: F.floor(x * F.lit(float(_QUANT)) + 0.5).cast("long"),
+            )
+
+        d = F.aggregate(
+            F.zip_with(
+                _quant(F.col("centroid")),
+                _quant(F.col("query_vec")),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = joined.select(qid_col, "cell", d.alias("_s"))
+        wp = Window.partitionBy(qid_col).orderBy(F.asc("_s"), F.asc("cell"))
+    else:
+        raise ValueError(f"multi_probe_cells: unknown metric {metric!r}")
+    return (
+        scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, "cell")
+    )
+
+
+def collect_dense_qids(queries_df: DataFrame, qid_col: str = "qid"):
+    """Collect a bounded (qid, query_vec) probe set and validate qids
+    are DENSE 0..q-1 (literal probe tables are indexed by qid) —
+    the shared head of every ``*_multi_topk`` searcher."""
+    qrows = queries_df.select(qid_col, "query_vec").collect()
+    if not qrows:
+        raise ValueError("multi_topk: queries_df is empty")
+    qids = sorted(int(r[qid_col]) for r in qrows)
+    if qids != list(range(len(qids))):
+        raise ValueError(
+            f"multi_topk: {qid_col} must be dense 0..q-1, got {qids}"
+        )
+    return qrows
+
+
 # (id(codebook) -> (codebook, fine-cell count)) memo, LRU-capped like
 # pq._CODEBOOK_MEMO: every nprobe=None search sizes its probe from the
 # codebook's cell count, and without the memo each repeated
@@ -709,6 +780,27 @@ def codebook_num_cells(codebook: DataFrame) -> int:
     while len(_CELL_COUNT_MEMO) >= _CELL_COUNT_MEMO_CAP:
         _CELL_COUNT_MEMO.pop(next(iter(_CELL_COUNT_MEMO)))
     _CELL_COUNT_MEMO[id(codebook)] = (codebook, n)
+    return n
+
+
+_COUNT_MEMO: dict[int, tuple[DataFrame, int]] = {}
+
+
+def memoized_count(df: DataFrame) -> int:
+    """Memoized ``df.count()`` keyed on the DataFrame OBJECT — the
+    codebook_num_cells pattern for arbitrary relations: sizing knobs
+    that need a row count once per reused frame (refine-factor sizing
+    counts the index) shouldn't pay a fresh count job per search.
+    Separate store from the codebook memo (that one counts FINE rows
+    only, so the same object could legally carry two counts)."""
+    hit = _COUNT_MEMO.get(id(df))
+    if hit is not None and hit[0] is df:
+        _COUNT_MEMO[id(df)] = _COUNT_MEMO.pop(id(df))
+        return hit[1]
+    n = df.count()
+    while len(_COUNT_MEMO) >= _CELL_COUNT_MEMO_CAP:
+        _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
+    _COUNT_MEMO[id(df)] = (df, n)
     return n
 
 
@@ -757,6 +849,47 @@ def recommended_nprobe(
             )
         base = max(base, math.ceil(worst_case_recall * num_cells))
     return max(min_nprobe, min(base, num_cells))
+
+
+def recommended_refine_factor(
+    n_vectors: int,
+    num_cells: int,
+    base: int = 4,
+    target_occupancy: int = 1024,
+    max_factor: int = 256,
+) -> int:
+    """Refine-stage candidate multiplier that GROWS with cell
+    occupancy — the fourth application of the corpus-aware sizing
+    precedent (band_bits, num_cells, nprobe).  The refine stage
+    re-ranks the top ``k·rf`` ADC candidates exactly; for the true
+    top-k to survive the compressed stage, the candidate pool must
+    scale with the number of ADC-indistinguishable rows, which grows
+    with occupancy at a fixed code budget.  MEASURED why (SCALE.md
+    §11): clustered residual recall fell 0.4 → 0.175 as occupancy grew
+    937 → 9,375 rows while a fixed rf=4 refine held the composition at
+    0.525 — a fixed rf is borrowed time, the pool it buys shrinks
+    relative to the tie mass.
+
+    Rule: ``rf = base`` up to ``target_occupancy`` (the
+    recommended_num_cells design point, where base is known-good),
+    then ``base · ceil(sqrt(occupancy / target_occupancy))`` — the
+    square-root compromise (exact-rerank cost grows as sqrt of the
+    occupancy overshoot, not linearly), capped at ``max_factor``.
+    Exact recall is monotone in rf (the re-rank is exact over a
+    superset), so auto-sizing can only match or beat the fixed knob.
+    ``refine_factor=None`` in ivfpq_refine_topk / ivfbq_refine_topk
+    routes through this."""
+    import math
+
+    if n_vectors <= 0 or num_cells <= 0:
+        return base
+    occ = n_vectors / num_cells
+    grow = (
+        math.ceil(math.sqrt(occ / target_occupancy))
+        if occ > target_occupancy
+        else 1
+    )
+    return max(base, min(base * grow, max_factor))
 
 
 def semantic_dedup_pairs(

@@ -244,27 +244,30 @@ def ivfsq_topk(
     k: int = 10,
     nprobe: int | None = None,
     id_col: str = "vec_id",
-    probe_metric: str = "cosine",
+    probe_metric: str | None = None,
 ) -> DataFrame:
-    """IVF-pruned symmetric SQ8 search: rank coarse cells by
-    cosine(query, centroid) (the shared probe rule — 6-dp rounded,
-    cell-ascending ties), keep the top ``nprobe``, and scan ONLY those
-    cells' byte codes against the query's own codes.  The cell filter
-    is a broadcast join that becomes partition pruning over a
+    """IVF-pruned symmetric SQ8 search: rank coarse cells by the probe
+    metric, keep the top ``nprobe``, and scan ONLY those cells' byte
+    codes against the query's own codes.  The cell filter is a
+    broadcast join that becomes partition pruning over a
     cell-partitioned index; the scan is exact int64 arithmetic in
     whole-stage codegen.  Returns (id, sq_dist), (asc, id asc), top k.
     ``nprobe=None`` auto-sizes ceil(sqrt(num_cells)) via
     similarity.recommended_nprobe — the measured sf1 probe-loss fix
     (ivfsq 0.55 → 0.85, SCALE.md §10) made the default.
-    ``probe_metric="l2"`` probes by the assignment metric
-    (similarity.probe_cells) — the right rule for this L2-metric
-    family on clustered corpora."""
+    ``probe_metric=None`` resolves to ``"l2"`` — the assignment
+    metric (similarity.probe_cells), the L2-family production default
+    since round 12 (the cosine probe mis-ranked a drifted query's own
+    cell on the measured clustered scenario); pass ``"cosine"`` for
+    the pre-r12 angle probe."""
     from img2dataset_spark.operators.similarity import (
         codebook_num_cells,
         probe_cells,
         recommended_nprobe,
     )
 
+    if probe_metric is None:
+        probe_metric = "l2"
     if nprobe is None:
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
@@ -274,3 +277,92 @@ def ivfsq_topk(
     ).select("cell")
     pruned = index_df.join(F.broadcast(probed), "cell")
     return sq_topk(pruned, bounds, query_df, k=k, id_col=id_col)
+
+
+def ivfsq_multi_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    probe_metric: str | None = None,
+) -> DataFrame:
+    """Batch IVF+SQ8 search — every probe vector answered from ONE
+    pass over the byte codes (pq.ivfpq_multi_topk's one-scan shape for
+    the SQ family; the byte scan amortizes identically to the ADC
+    scan, r11 verdict item 7):
+
+    - probe: :func:`similarity.multi_probe_cells` — per-qid ranking in
+      one codebook × queries crossJoin (``probe_metric=None`` → "l2",
+      the L2-family production default), row_number ≤ nprobe;
+    - scan: index ⋈ broadcast (qid, cell) pairs, each row's distance
+      the exact int64 code-domain squared-L2 against ITS query's byte
+      codes, read from a constant-folded 2-level literal
+      ``lit[qid]`` (q·d longs riding the plan once — CreateArray
+      folds, the _adc_expr lesson) via one ``zip_with`` aggregate;
+      the sq_topk width/NULL raise_error guard applies per row;
+    - top-k: one row_number window per qid.
+
+    ``queries_df`` is (qid, query_vec) with qid DENSE 0..q-1 — a
+    bounded probe set.  Returns (qid, id, sq_dist), per-qid
+    (sq_dist asc, id asc) top-k."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
+        collect_dense_qids,
+        multi_probe_cells,
+        recommended_nprobe,
+    )
+
+    if probe_metric is None:
+        probe_metric = "l2"
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
+    qrows = collect_dense_qids(queries_df, qid_col)
+    lo, hi = _collect_bounds(bounds)
+    qcodes = {
+        int(r[qid_col]): encode_query(
+            lo, hi, [float(x) for x in r["query_vec"]]
+        )
+        for r in qrows
+    }
+    d = len(lo)
+    lit2d = F.lit([[int(c) for c in qcodes[qi]]
+                   for qi in range(len(qrows))])
+    probed = multi_probe_cells(
+        ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    q_arr = F.element_at(lit2d, F.col(qid_col).cast("int") + F.lit(1))
+    dist = F.aggregate(
+        F.zip_with(F.col("codes"), q_arr, lambda c, q: (c - q) * (c - q)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # sq_topk's width guard, per-qid: zip_with null-pads a short codes
+    # array -> null dist -> NULLS-FIRST top-k hazard
+    dist = F.when(
+        F.col("codes").isNull() | (F.size(F.col("codes")) != d),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ivfsq_multi_topk: codes width != bounds dim {d} "
+                    "— got "
+                ),
+                F.coalesce(
+                    F.size(F.col("codes")).cast("string"), F.lit("NULL")
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(dist)
+    scored = pruned.select(qid_col, F.col(id_col), dist.alias("sq_dist"))
+    wk = Window.partitionBy(qid_col).orderBy(F.asc("sq_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

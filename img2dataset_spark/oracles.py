@@ -780,6 +780,22 @@ SELECT vec_id, cell FROM (
 # — distinct CTE namespaces by construction.
 
 
+def _l2_probe_sql(nprobe: int) -> str:
+    """The L2-family probe rule (the production default since round
+    12): exact int64 squared-L2 between the 2^-20 quantized query and
+    quantized centroids, ascending, cell-ascending ties — mirroring
+    similarity.probe_cells(metric="l2"), the ASSIGNMENT metric.  qq
+    keeps ``qv`` = the RAW query vector (residual CTEs subtract it
+    from raw centroids) and adds ``qvq`` = the quantized one the
+    probe ranks with."""
+    return f"""qq AS (SELECT v AS qv, qv AS qvq FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, {_QL2.format(a='q.qvq', b='c.qc')} AS pd
+    FROM cqf c, qq q)
+  ORDER BY pd ASC, cell ASC LIMIT {nprobe})"""
+
+
 def _ivfpq_ctes(nprobe: int = 2) -> str:
     """The shared IVF+PQ CTE chain with a parameterized probe LIMIT —
     the sized twin (ivfpq_topk_sized) pins recommended_nprobe(10)=4
@@ -801,11 +817,7 @@ af AS (SELECT vec_id, cell FROM (
                             ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
                                      c.cell) AS rn
   FROM e q, cqf c) WHERE rn = 1),
-qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-probe AS (
-  SELECT cell FROM (
-    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
-  ORDER BY c_sim DESC, cell ASC LIMIT {nprobe}),
+{_l2_probe_sql(nprobe)},
 e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2)},
 {_pq_sub_sql(1, 33, 64, 4, 2)}"""
@@ -827,10 +839,11 @@ ORDER BY adc_dist ASC, e.vec_id ASC LIMIT {limit}"""
 ORACLES["ivfpq_topk"] = _IVFPQ_CTES + _IVFPQ_SELECT.format(limit=10)
 
 # Batch ANN (pq.ivfpq_multi_topk): three probes (vec_id 0, 1, 2 as
-# dense qids) through ONE scan — per-qid probe ranking (same rounded-
-# cosine rule, row_number <= 2 per qid), per-(qid, cell) ADC tables,
-# per-qid top-10.  Reuses the coarse chain + the query=False subspace
-# chains (codes without the single-query qs/qd CTEs).
+# dense qids) through ONE scan — per-qid probe ranking (the l2
+# assignment-metric rule, the r12 production default; row_number <= 2
+# per qid), per-(qid, cell) ADC tables, per-qid top-10.  Reuses the
+# coarse chain + the query=False subspace chains (codes without the
+# single-query qs/qd CTEs).
 ORACLES["ivfpq_multi_topk"] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
@@ -848,13 +861,14 @@ af AS (SELECT vec_id, cell FROM (
                             ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
                                      c.cell) AS rn
   FROM e q, cqf c) WHERE rn = 1),
-qm AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+qm AS (SELECT vec_id AS qid, v AS qv, qv AS qvq FROM e
+       WHERE vec_id IN (0, 1, 2)),
 probe AS (SELECT qid, cell FROM (
   SELECT q.qid, c.cell,
          row_number() OVER (PARTITION BY q.qid
-                            ORDER BY {_R6.format(x=_cos('c.centroid', 'q.qv'))} DESC,
+                            ORDER BY {_QL2.format(a='q.qvq', b='c.qc')} ASC,
                                      c.cell ASC) AS rn
-  FROM c2 c, qm q) WHERE rn <= 2),
+  FROM cqf c, qm q) WHERE rn <= 2),
 e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2, query=False)},
 {_pq_sub_sql(1, 33, 64, 4, 2, query=False)},
@@ -915,11 +929,12 @@ af AS (SELECT vec_id, cell FROM (
                             ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
                                      c.cell) AS rn
   FROM e q, cqf c) WHERE rn = 1),
-qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qq AS (SELECT v AS qv, qv AS qvq FROM e WHERE vec_id = 0),
 probe AS (
   SELECT cell FROM (
-    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
-  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+    SELECT c.cell, {_QL2.format(a='q.qvq', b='c.qc')} AS pd
+    FROM cqf c, qq q)
+  ORDER BY pd ASC, cell ASC LIMIT 2),
 e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2, fit_where=_APPEND_FIT)},
 {_pq_sub_sql(1, 33, 64, 4, 2, fit_where=_APPEND_FIT)}
@@ -932,6 +947,41 @@ ORACLES["ivfpq_refine_topk"] = (
     _IVFPQ_CTES
     + f""",
 cand AS ({_IVFPQ_SELECT.format(limit=40)})
+SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
+FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
+)
+
+# The refine_factor=None production-sizing path
+# (similarity.recommended_refine_factor): rf computed RELATIONALLY —
+# base 4 up to 16 rows/cell, then 4·ceil(sqrt(occupancy/16)), capped
+# 256 — and applied as a row_number cut (not a static LIMIT), so ONE
+# twin strict-compares at every sf (sf0.001: occ 20 → rf 8 → 80
+# candidates; sf0.01: occ 200 → rf 16 → 160).  Occupancy divides by
+# the SURVIVING cell count (COUNT(*) FROM c2), mirroring
+# codebook_num_cells.  Chain otherwise ivfpq_refine_topk's.
+ORACLES["ivfpq_refine_topk_sized"] = (
+    _IVFPQ_CTES
+    + f""",
+rfq AS (SELECT CASE WHEN (e_n.n / c_n.k) > 16.0
+                    THEN GREATEST(4, LEAST(256,
+                      4 * CAST(ceil(sqrt((e_n.n / c_n.k) / 16.0)) AS BIGINT)))
+                    ELSE 4 END AS rf
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e) e_n,
+             (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM c2) c_n),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY CAST(qd0.d + qd1.d AS BIGINT) ASC,
+                              e.vec_id ASC) AS rn
+    FROM e
+    JOIN af ON af.vec_id = e.vec_id
+    JOIN code0 ON code0.vec_id = e.vec_id
+    JOIN code1 ON code1.vec_id = e.vec_id
+    JOIN qd0 ON qd0.cell = code0.cell
+    JOIN qd1 ON qd1.cell = code1.cell
+    WHERE af.cell IN (SELECT cell FROM probe)), rfq
+  WHERE rn <= 10 * rfq.rf)
 SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
 FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"""
@@ -958,11 +1008,12 @@ af AS (SELECT vec_id, cell FROM (
                             ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
                                      c.cell) AS rn
   FROM e q, cqf c) WHERE rn = 1),
-qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qq AS (SELECT v AS qv, qv AS qvq FROM e WHERE vec_id = 0),
 probe AS (
   SELECT cell FROM (
-    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
-  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+    SELECT c.cell, {_QL2.format(a='q.qvq', b='c.qc')} AS pd
+    FROM cqf c, qq q)
+  ORDER BY pd ASC, cell ASC LIMIT 2),
 e0 AS (SELECT e.vec_id,
          list_transform(generate_series(1, 64), i -> e.v[i] - c.centroid[i]) AS v
        FROM e JOIN af ON af.vec_id = e.vec_id JOIN c2 c ON c.cell = af.cell),
@@ -1032,7 +1083,9 @@ FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
 """
 
 
-def _pq_percell_sql(j: int, lo: int, hi: int, k: int, iters: int) -> str:
+def _pq_percell_sql(
+    j: int, lo: int, hi: int, k: int, iters: int, residual: bool = False
+) -> str:
     """Per-cell PQ Lloyd CTE chain for subspace ``j`` over the FLAGGED
     cells' rows (the refit twin — maintain.pq_refit_cells run
     relationally): seeds are each cell's first k rows in
@@ -1043,7 +1096,14 @@ def _pq_percell_sql(j: int, lo: int, hi: int, k: int, iters: int) -> str:
     for flagged rows) and pqd{j} (per-(cell, code) query ADC table
     from qs{j}, the _pq_sub_sql query subvector).  _local_lloyd's
     float64 means vs the decimal(28,12) here agree after the 2^-20
-    centroid quantization (the ann_ivf_hier_assign precedent)."""
+    centroid quantization (the ann_ivf_hier_assign precedent).
+
+    ``residual=True`` is the true-LOPQ twin
+    (pq_refit_cells(residual=True)): e0 is then the RESIDUAL relation,
+    so the per-cell Lloyd fits residual slices unchanged, and the only
+    structural difference is the query table — pqd{j} joins the
+    per-cell query RESIDUAL subvectors (qs{j}r, keyed by pcell) to
+    that same cell's book instead of sharing one raw query vector."""
     n = hi - lo + 1
     d = _QL2_N.format(n=n, a="q.qv", b="c.qc")
     parts = [
@@ -1074,6 +1134,14 @@ pd{j}x{i} AS (SELECT cell, code, i,
 pc{j}x{i} AS (SELECT cell, code, list(cv ORDER BY i) AS centroid
   FROM pd{j}x{i} GROUP BY cell, code)"""
         )
+    if residual:
+        qd = f"""pqd{j} AS (SELECT c.cell, c.code,
+    {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
+  FROM pcqf{j} c JOIN qs{j}r q ON q.pcell = c.cell)"""
+    else:
+        qd = f"""pqd{j} AS (SELECT c.cell, c.code,
+    {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
+  FROM pcqf{j} c, qs{j} q)"""
     parts.append(
         f"""pcqf{j} AS (SELECT cell, code,
     {_QUANTIZE.format(v='centroid')} AS qc FROM pc{j}x{iters}),
@@ -1082,8 +1150,7 @@ pcode{j} AS (SELECT cell, vec_id, code FROM (
          row_number() OVER (PARTITION BY q.cell, q.vec_id
                             ORDER BY {d}, c.code) AS rn
   FROM fr{j} q JOIN pcqf{j} c ON c.cell = q.cell) WHERE rn = 1),
-pqd{j} AS (SELECT c.cell, c.code, {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
-  FROM pcqf{j} c, qs{j} q)"""
+{qd}"""
     )
     return ",\n".join(parts)
 
@@ -1130,11 +1197,12 @@ flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
   WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
      OR (COALESCE(ab.base_n, 0) > 0
          AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
-qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qq AS (SELECT v AS qv, qv AS qvq FROM e WHERE vec_id = 0),
 probe AS (
   SELECT cell FROM (
-    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
-  ORDER BY c_sim DESC, cell ASC LIMIT 4),
+    SELECT c.cell, {_QL2.format(a='q.qvq', b='c.qc')} AS pd
+    FROM cqf c, qq q)
+  ORDER BY pd ASC, cell ASC LIMIT 4),
 e0 AS (SELECT vec_id, v FROM e),
 {_pq_sub_sql(0, 1, 32, 4, 2, fit_where=_APPEND_FIT)},
 {_pq_sub_sql(1, 33, 64, 4, 2, fit_where=_APPEND_FIT)},
@@ -1198,6 +1266,94 @@ SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n,
 FROM all_err GROUP BY cell
 """
 
+# True LOPQ (Kalantidis & Avrithis 2014) — the refit loop composed
+# with the RESIDUAL PQ family (r11 verdict item 1: the family the
+# clustered recall matrix endorses).  Differences vs _REFIT_CTES:
+# e0 is the residual relation (v − centroid[assigned cell]), the
+# frozen global book is fit on BASE-slice residuals
+# (_pq_sub_sql(fit_where=...) over residual e0), per-cell refit books
+# fit flagged cells' residual slices (_pq_percell_sql(residual=True)),
+# and EVERY probed cell's query table comes from the QUERY'S RESIDUAL
+# against that cell's centroid — flagged cells through their per-cell
+# book (pqd{j} ⋈ qs{j}r on pcell), the rest through the global book
+# (qd{j}r, the ivfpq_residual_topk machinery at probe LIMIT 4).
+_REFIT_RESIDUAL_CTES = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+qq AS (SELECT v AS qv, qv AS qvq FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, {_QL2.format(a='q.qvq', b='c.qc')} AS pd
+    FROM cqf c, qq q)
+  ORDER BY pd ASC, cell ASC LIMIT 4),
+e0 AS (SELECT e.vec_id,
+         list_transform(generate_series(1, 64), i -> e.v[i] - c.centroid[i]) AS v
+       FROM e JOIN af ON af.vec_id = e.vec_id JOIN c2 c ON c.cell = af.cell),
+{_pq_sub_sql(0, 1, 32, 4, 2, query=False, fit_where=_APPEND_FIT)},
+{_pq_sub_sql(1, 33, 64, 4, 2, query=False, fit_where=_APPEND_FIT)},
+qres AS (SELECT p.cell AS pcell,
+           list_transform(generate_series(1, 64), i -> q.qv[i] - c.centroid[i]) AS v
+         FROM probe p JOIN c2 c ON c.cell = p.cell, qq q),
+qs0r AS (SELECT pcell, {_QUANTIZE.format(v='v[1:32]')} AS qv FROM qres),
+qd0r AS (SELECT q.pcell, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf0 c, qs0r q),
+qs1r AS (SELECT pcell, {_QUANTIZE.format(v='v[33:64]')} AS qv FROM qres),
+qd1r AS (SELECT q.pcell, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf1 c, qs1r q),
+{_pq_percell_sql(0, 1, 32, 4, 2, residual=True)},
+{_pq_percell_sql(1, 33, 64, 4, 2, residual=True)}"""
+
+ORACLES["ivfpq_refit_residual"] = _REFIT_RESIDUAL_CTES + """
+SELECT vec_id, adc_dist FROM (
+  SELECT e0.vec_id, CAST(qd0r.d + qd1r.d AS BIGINT) AS adc_dist
+  FROM e0
+  JOIN af ON af.vec_id = e0.vec_id
+  JOIN code0 ON code0.vec_id = e0.vec_id
+  JOIN code1 ON code1.vec_id = e0.vec_id
+  JOIN qd0r ON qd0r.cell = code0.cell AND qd0r.pcell = af.cell
+  JOIN qd1r ON qd1r.cell = code1.cell AND qd1r.pcell = af.cell
+  WHERE af.cell IN (SELECT cell FROM probe)
+    AND af.cell NOT IN (SELECT cell FROM flagged)
+  UNION ALL
+  SELECT p0.vec_id, CAST(d0.d + d1.d AS BIGINT) AS adc_dist
+  FROM pcode0 p0
+  JOIN pcode1 p1 ON p1.vec_id = p0.vec_id
+  JOIN pqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
+  JOIN pqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
+  WHERE p0.cell IN (SELECT cell FROM probe)
+)
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
 # Scalar quantization (SQ8): per-dimension min/max bounds (exact aggs,
 # no fold hazard), byte codes floor((x-lo)*255/(hi-lo)+0.5) clamped to
 # [0,255] (constant dims code to 0), symmetric code-domain int64
@@ -1244,11 +1400,12 @@ af AS (SELECT vec_id, cell FROM (
                             ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
                                      c.cell) AS rn
   FROM e q, cqf c) WHERE rn = 1),
-qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qq AS (SELECT v AS qv, qv AS qvq FROM e WHERE vec_id = 0),
 probe AS (
   SELECT cell FROM (
-    SELECT cell, {_R6.format(x=_cos('centroid', 'qv'))} AS c_sim FROM c2, qq)
-  ORDER BY c_sim DESC, cell ASC LIMIT 2),
+    SELECT c.cell, {_QL2.format(a='q.qvq', b='c.qc')} AS pd
+    FROM cqf c, qq q)
+  ORDER BY pd ASC, cell ASC LIMIT 2),
 b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
       FROM e, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
 bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
@@ -1273,6 +1430,63 @@ ORDER BY sq_dist ASC, codes.vec_id ASC LIMIT 10
 # SQ8 persisted-index roundtrip: shares the retrain-in-query twin —
 # parquet roundtrips the bounds/codes exactly.
 ORACLES["ivfsq_fitted_roundtrip"] = ORACLES["ivfsq_topk"]
+
+# Batch IVF+SQ8 (sq.ivfsq_multi_topk): three probes (vec_id 0, 1, 2 as
+# dense qids) through ONE byte scan — per-qid l2 probe ranking (the
+# L2-family production rule), per-qid query codes from the SAME codes
+# relation (symmetric quantization: a corpus vector's query codes ARE
+# its corpus codes), per-qid top-10.
+ORACLES["ivfsq_multi_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qm AS (SELECT vec_id AS qid, qv AS qvq FROM e WHERE vec_id IN (0, 1, 2)),
+probe AS (SELECT qid, cell FROM (
+  SELECT q.qid, c.cell,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_QL2.format(a='q.qvq', b='c.qc')} ASC,
+                                     c.cell ASC) AS rn
+  FROM cqf c, qm q) WHERE rn <= 2),
+b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
+bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+codes AS (SELECT vec_id,
+  list_transform(generate_series(1, 64), i ->
+    CASE WHEN bl.hi[i] = bl.lo[i] THEN 0
+         ELSE GREATEST(0, LEAST(255,
+           CAST(floor((e.v[i] - bl.lo[i]) * 255.0 / (bl.hi[i] - bl.lo[i]) + 0.5)
+                AS BIGINT)))
+    END) AS c
+  FROM e, bl),
+qcm AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id IN (0, 1, 2))
+SELECT qid, vec_id, sq_dist FROM (
+  SELECT p.qid, codes.vec_id,
+    CAST(list_sum(list_transform(generate_series(1, 64),
+      i -> (codes.c[i] - qcm.qc[i]) * (codes.c[i] - qcm.qc[i])))
+      AS BIGINT) AS sq_dist,
+    row_number() OVER (PARTITION BY p.qid
+      ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> (codes.c[i] - qcm.qc[i]) * (codes.c[i] - qcm.qc[i])))
+        AS BIGINT) ASC, codes.vec_id ASC) AS rk
+  FROM codes
+  JOIN af ON af.vec_id = codes.vec_id
+  JOIN probe p ON p.cell = af.cell
+  JOIN qcm ON qcm.qid = p.qid
+) WHERE rk <= 10
+"""
 
 # Binary quantization (operators/bq.py): sign bit per md5-seeded
 # hyperplane (the embedding-LSH dot/sign convention), packed 32 bits
@@ -1368,6 +1582,51 @@ SELECT codes.vec_id, CAST({_BQ_HAMMING} AS BIGINT) AS hamming
 FROM codes JOIN af ON af.vec_id = codes.vec_id, q
 WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY hamming ASC, codes.vec_id ASC LIMIT 10
+"""
+
+# Batch IVF+BQ (bq.ivfbq_multi_topk): three probes through ONE
+# popcount scan — per-qid COSINE probe (the angle family's rule),
+# per-qid query words from the SAME codes relation, per-qid top-10.
+_BQ_HAMMING_M = " + ".join(
+    f"bit_count(xor(codes.c[{w + 1}], qcm.qc[{w + 1}]))" for w in range(2)
+)
+ORACLES["ivfbq_multi_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qm AS (SELECT vec_id AS qid, v AS qvr FROM e WHERE vec_id IN (0, 1, 2)),
+probe AS (SELECT qid, cell FROM (
+  SELECT q.qid, c.cell,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_R6.format(x=_cos('c.centroid', 'q.qvr'))} DESC,
+                                     c.cell ASC) AS rn
+  FROM c2 c, qm q) WHERE rn <= 2),
+codes AS (SELECT vec_id, {_bq_words_sql(64, 64)} AS c FROM e),
+qcm AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id IN (0, 1, 2))
+SELECT qid, vec_id, hamming FROM (
+  SELECT p.qid, codes.vec_id,
+         CAST({_BQ_HAMMING_M} AS BIGINT) AS hamming,
+         row_number() OVER (PARTITION BY p.qid
+           ORDER BY CAST({_BQ_HAMMING_M} AS BIGINT) ASC,
+                    codes.vec_id ASC) AS rk
+  FROM codes
+  JOIN af ON af.vec_id = codes.vec_id
+  JOIN probe p ON p.cell = af.cell
+  JOIN qcm ON qcm.qid = p.qid
+) WHERE rk <= 10
 """
 
 # IVF+BQ + refine: the ivfbq candidate chain widened to k·factor, then

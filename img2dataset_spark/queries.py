@@ -1308,7 +1308,8 @@ def q_ivfpq_topk(spark, sf_dir):
     """The FAISS-style IVF+PQ composition end-to-end: 10-cell coarse
     codebook (ann_ivf_fit_topk's fit), 2×4 PQ codebook, one indexing
     pass to (id, cell, codes), then a query that probes the top-2
-    cells by centroid cosine and ADC-scans ONLY their codes — the
+    cells by the ASSIGNMENT metric (quantized L2 — the L2-family
+    production default since r12) and ADC-scans ONLY their codes — the
     full 100 TB vector-search shape (partition pruning + compressed
     scan) verified against a SQL twin that recomputes both codebooks,
     the probe, and the int64 ADC sums."""
@@ -1604,6 +1605,68 @@ def q_ivfpq_refit_distortion(spark, sf_dir):
     )
 
 
+def q_ivfpq_refit_residual(spark, sf_dir):
+    """TRUE LOPQ end-to-end (r11 verdict item 1) — the selective-refit
+    loop serving the RESIDUAL PQ family, the variant the clustered
+    recall matrix endorses (SCALE.md §11: residual(+refine) 0.4-0.675
+    vs 0.2 for raw coding; Kalantidis & Avrithis, CVPR 2014 fit
+    per-cell RESIDUAL books for exactly this reason).  Same pipeline
+    as q_ivfpq_refit_versioned with residual=True at every stage:
+    frozen coarse + residual-PQ books fit on the 70% base slice, the
+    union corpus residual-indexed cell-partitioned, drift flags from
+    occupancy_drift (1.02), per-cell books refit on the flagged cells'
+    RESIDUAL slices (pq_refit_cells(residual=True)), only their rows
+    residual-re-encoded and only their directories rewritten, and the
+    search dispatches EVERY probed cell through a query-residual ADC
+    table — override cells via their per-cell book, the rest via the
+    frozen global book (ivfpq_topk_versioned(residual=True)).  The
+    SQL twin recomputes the per-cell residual Lloyds and the
+    per-probed-cell query residual tables relationally.  nprobe=4
+    straddles flagged and unflagged cells."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
+                   num_codes=4, iters=2, vec_col="rvec")
+    tmp = _scratch_dir("graft_ivfpq_refit_res_")
+    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
+        "cell"
+    ).parquet(f"{tmp}/index")
+    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
+    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
+    flagged = (
+        occupancy_drift(base_occ, new_occ, threshold=1.02)
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2, residual=True)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    rewrite_index_cells(
+        pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True), f"{tmp}/index"
+    )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfpq_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd,
+                                _query_vec(spark, sf_dir), k=10, nprobe=4,
+                                residual=True)
+
+
 def q_ivfpq_residual_topk(spark, sf_dir):
     """Residual IVF+PQ (the full FAISS IVFPQ recipe): PQ codebook fit
     on the coarse residuals (v − centroid[cell]), codes quantize
@@ -1653,6 +1716,36 @@ def q_ivfpq_refine_topk(spark, sf_dir):
     )
 
 
+def q_ivfpq_refine_topk_sized(spark, sf_dir):
+    """ivfpq_refine_topk through the PRODUCTION refine_factor=None
+    sizing path (similarity.recommended_refine_factor — the fourth
+    corpus-aware knob after band_bits/num_cells/nprobe): the candidate
+    pool grows as base·ceil(sqrt(occupancy / target)) because the
+    measured clustered decay (residual recall 0.4 → 0.175 at 10×
+    occupancy under a FIXED pool, SCALE.md §11) is the fixed knob
+    shrinking relative to the ADC tie mass.  target_occupancy=16 here
+    so the sizing is LIVE at driver scale (sf0.001: occ 20 → rf 8;
+    sf0.01: occ 200 → rf 16); the SQL twin computes the same rf
+    RELATIONALLY from COUNT(*) (a row_number cut, not a static LIMIT),
+    so one twin strict-compares at every sf.  Probe/scan identical to
+    ivfpq_refine_topk (nprobe=2, l2 probe default)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_refine_topk,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(e, ivf_cb, pq_cb)
+    return ivfpq_refine_topk(
+        idx, ivf_cb, pq_cb, e, _query_vec(spark, sf_dir),
+        k=10, nprobe=2, refine_factor=None, refine_target_occupancy=16,
+    )
+
+
 def q_sq8_topk(spark, sf_dir):
     """Scalar quantization end-to-end (operators/sq.py — the FAISS
     IndexScalarQuantizer QT_8bit family): per-dimension min/max bounds
@@ -1684,6 +1777,54 @@ def q_ivfsq_topk(spark, sf_dir):
     idx = ivfsq_index(e, ivf_cb, bounds)
     return ivfsq_topk(idx, ivf_cb, bounds, _query_vec(spark, sf_dir),
                       k=10, nprobe=2)
+
+
+def q_ivfsq_multi_topk(spark, sf_dir):
+    """Batch SQ8 search (sq.ivfsq_multi_topk — ivfpq_multi_topk's
+    one-scan shape applied to the byte-code family, r11 verdict item
+    7): three probe vectors (vec_id 0, 1, 2 — dense qids), per-qid l2
+    probe ranking in one crossJoin (multi_probe_cells), one pruned
+    byte scan whose per-row distance reads ITS query's codes from a
+    folded 2-level literal, one window top-10 per qid.  The SQL twin
+    recomputes the same relation with per-qid probe/code CTEs."""
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_topk,
+        sq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    bounds = sq_fit(e, dim=64)
+    idx = ivfsq_index(e, ivf_cb, bounds)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfsq_multi_topk(idx, ivf_cb, bounds, qs, k=10, nprobe=2)
+
+
+def q_ivfbq_multi_topk(spark, sf_dir):
+    """Batch binary search (bq.ivfbq_multi_topk): the one-scan
+    multi-query shape for the popcount family — per-qid COSINE probe
+    (the angle family's assignment-consistent rule), one pruned
+    packed-word scan with per-word qid-indexed literal XOR masks, one
+    window top-10 per qid.  EXTRA from birth (ivfsq_multi_topk holds
+    the pattern's driver slot; the scan formulas are bq_topk's,
+    oracle-pinned since r10)."""
+    from img2dataset_spark.operators.bq import ivfbq_index, ivfbq_multi_topk
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    idx = ivfbq_index(e, ivf_cb, num_planes=64, dim=64)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfbq_multi_topk(idx, ivf_cb, qs, k=10, nprobe=2,
+                            num_planes=64, dim=64)
 
 
 def q_bq_topk(spark, sf_dir):
@@ -2208,10 +2349,14 @@ QUERIES.update(
         "ann_occupancy_drift": q_ann_occupancy_drift,
         "ivfpq_refit_versioned": q_ivfpq_refit_versioned,
         "ivfpq_refit_distortion": q_ivfpq_refit_distortion,
+        "ivfpq_refit_residual": q_ivfpq_refit_residual,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
+        "ivfpq_refine_topk_sized": q_ivfpq_refine_topk_sized,
         "sq8_topk": q_sq8_topk,
         "ivfsq_topk": q_ivfsq_topk,
+        "ivfsq_multi_topk": q_ivfsq_multi_topk,
+        "ivfbq_multi_topk": q_ivfbq_multi_topk,
         "bq_topk": q_bq_topk,
         "bq_refine_topk": q_bq_refine_topk,
         "ivfbq_topk": q_ivfbq_topk,
@@ -2412,10 +2557,36 @@ _EXTRA_NAMES = (
     # rotated out round 11 (r10-green) to make room for
     # ivfpq_multi_topk; the BQ family keeps bq_refine_topk in-window
     # (popcount screen + exact re-rank) and the IVF+BQ composition
-    # stays oracle-checked here via ivfbq_refine_topk
+    # stays oracle-checked here via ivfbq_topk
     "ivfbq_topk",
+    # rotated out round 12 (r10 AND r11 green) to make room for
+    # ivfpq_refit_residual: the frozen-codebook wave-append machinery
+    # stays in-window inside all three refit rows (they index the
+    # post-append union and rewrite cells through the same
+    # append/rewrite path), and append's plan shape stays pinned in
+    # test_maintain
+    "ivfpq_index_append",
+    # rotated out round 12 (r10 AND r11 green) to make room for
+    # ivfpq_refine_topk_sized: the drift meter's math stays in-window
+    # INSIDE all three refit rows (their flagged-cells CTE is the
+    # drift relation), and the meter alone keeps its own oracle here
+    "ann_occupancy_drift",
+    # rotated out round 12 (r9, r10 AND r11 green) to make room for
+    # ivfsq_multi_topk, which carries the same byte-scan formulas
+    # through the batched shape (plus ivfsq_fitted_roundtrip shares
+    # this twin here in EXTRA)
+    "ivfsq_topk",
+    # NEW in round 12, EXTRA from birth (ivfsq_fitted_roundtrip
+    # precedent): the binary family's batched scan — ivfsq_multi_topk
+    # holds the pattern's driver slot, the popcount formulas are
+    # bq_topk's (oracle-pinned since r10)
+    "ivfbq_multi_topk",
 )
 _FLAGSHIP_FIRST = (
+    # never-before-driver-verified (NEW round 12) — first in line
+    "ivfpq_refit_residual",
+    "ivfpq_refine_topk_sized",
+    "ivfsq_multi_topk",
     # never-before-driver-verified (NEW round 11) — first in line
     "ivfpq_refit_versioned",
     "ivfpq_refit_distortion",
@@ -2424,10 +2595,6 @@ _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 10) — first in line
     "bq_refine_topk",
     "ivfpq_fitted_roundtrip",
-    "ivfpq_index_append",
-    "ann_occupancy_drift",
-    # r9-green (NEW round 9)
-    "ivfsq_topk",
     # NEW round 8, r8-green
     "semantic_dedup_sized",
     "bm25_multi_topk",

@@ -232,3 +232,37 @@ def test_bq_topk_rejects_null_codes(spark, emb):
     )
     with pytest.raises(Exception, match="codes width"):
         bq_topk(nulled, q, k=5, num_planes=64, dim=64).collect()
+
+
+def test_ivfbq_multi_topk_matches_single(spark, emb):
+    """The batch popcount scan is q single searches in one pass:
+    per-qid results equal ivfbq_topk run per query (cosine probe —
+    the angle family's rule), and a non-dense qid set is refused."""
+    from img2dataset_spark.operators.bq import (
+        ivfbq_index,
+        ivfbq_multi_topk,
+        ivfbq_topk,
+    )
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=10, iters=2)
+    idx = ivfbq_index(emb, ivf_cb, num_planes=64, dim=64)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    multi = {}
+    for r in ivfbq_multi_topk(idx, ivf_cb, qs, k=5, nprobe=2,
+                              num_planes=64, dim=64).collect():
+        multi.setdefault(r["qid"], []).append((r["vec_id"], r["hamming"]))
+    assert set(multi) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q1 = qs.filter(F.col("qid") == qid).select("query_vec")
+        single = [(r["vec_id"], r["hamming"]) for r in
+                  ivfbq_topk(idx, ivf_cb, q1, k=5, nprobe=2,
+                             num_planes=64, dim=64).collect()]
+        assert multi[qid] == single, qid
+
+    sparse = qs.withColumn("qid", F.col("qid") * 2)
+    with pytest.raises(ValueError, match="dense"):
+        ivfbq_multi_topk(idx, ivf_cb, sparse, k=5, nprobe=2)

@@ -525,3 +525,168 @@ def test_refit_recovers_distortion(spark, clustered_drift):
     for c in set(before) - fcells:
         assert after[c] == before[c], (c, before[c], after[c])
     ovr.unpersist()
+
+
+def test_distortion_ledger_override_collect_is_guarded(
+    spark, clustered_drift, monkeypatch
+):
+    """pq_distortion_ledger routes its overrides collect through the
+    FLAT_CODEBOOK_MAX_CELLS-guarded _collect_overrides, so 'bounded by
+    flagged cells x m x k' is enforced, not assumed (r11 verdict nit):
+    with the ceiling monkeypatched to 0 the ledger refuses instead of
+    collecting."""
+    import pytest
+
+    from img2dataset_spark.operators.maintain import (
+        pq_distortion_ledger,
+        pq_refit_cells,
+    )
+
+    df, ivf_cb, pq_cb, idx, flagged = clustered_drift
+    ovr = pq_refit_cells(df, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=8, iters=1)
+    monkeypatch.setattr(
+        "img2dataset_spark.operators.similarity.FLAT_CODEBOOK_MAX_CELLS", 0
+    )
+    with pytest.raises(ValueError, match="FLAT_CODEBOOK_MAX_CELLS"):
+        pq_distortion_ledger(df, idx, pq_cb, overrides=ovr)
+
+
+def test_distortion_ledger_rejects_packed_codes(spark, clustered_drift):
+    """A packed=True index stores ceil(m/8) words, not m codes — the
+    ledger must name the problem instead of gathering with a packed
+    word as a subspace index (r11 advice)."""
+    import pytest
+
+    from img2dataset_spark.operators.maintain import pq_distortion_ledger
+    from img2dataset_spark.operators.pq import ivfpq_index
+
+    df, ivf_cb, pq_cb, idx, flagged = clustered_drift
+    packed_idx = ivfpq_index(df, ivf_cb, pq_cb, packed=True)
+    with pytest.raises(Exception, match="packed"):
+        pq_distortion_ledger(df, packed_idx, pq_cb).collect()
+
+
+def test_residual_refit_loop_on_clustered_drift(spark, clustered_drift):
+    """True LOPQ (r11 verdict item 1): per-cell RESIDUAL books
+    (pq_refit_cells(residual=True)) composed with the residual
+    re-encode and the versioned residual search.  On the clustered
+    drift scenario, at a realistic code budget (m=8, k=16 — the m=2
+    fixture budget cannot resolve within-cluster neighbors for EITHER
+    family), the residual family must (a) carry less total
+    reconstruction error than the raw family after both refit (within
+    a flagged cell the two per-cell books are translation-equivalent;
+    the win is the UNFLAGGED cells' global book, where raw codes
+    all-tie within clusters), and (b) read search recall >= the raw
+    refit's per query against exact-L2 ground truth, strictly better
+    summed over the probe set, in both the pure-ADC and the
+    refine-style exact-re-rank readings (measured: unrefined mean
+    0.14 raw vs 0.20 res, refined 0.36 vs 0.48)."""
+    from img2dataset_spark.operators.maintain import (
+        pq_distortion_ledger,
+        pq_reencode_cells,
+        pq_refit_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.recall import exact_l2_topk
+    from img2dataset_spark.operators.similarity import _as_double
+
+    df, ivf_cb, _fixture_pq_cb, _fixture_idx, flagged = clustered_drift
+    base = df.filter(F.col("vec_id") % 8 < 6)
+    m, k = 8, 16
+    pq_cb_raw = pq_fit(base, num_subspaces=m, num_codes=k, iters=2)
+    idx_raw = ivfpq_index(df, ivf_cb, pq_cb_raw).persist()
+    idx_raw.count()
+    res_base = residual_vectors(base, ivf_cb)
+    pq_cb_res = pq_fit(res_base, num_subspaces=m, num_codes=k, iters=2,
+                       vec_col="rvec")
+    idx_res = ivfpq_index(df, ivf_cb, pq_cb_res, residual=True).persist()
+    idx_res.count()
+
+    def mixed(idx, re_rows):
+        return (
+            idx.join(F.broadcast(flagged), "cell", "left_anti")
+            .select("vec_id", "cell", "codes")
+            .unionByName(re_rows.select("vec_id", "cell", "codes"))
+        )
+
+    ovr_raw = pq_refit_cells(df, ivf_cb, flagged, num_subspaces=m,
+                             num_codes=k, iters=2).persist()
+    ovr_raw.count()
+    mixed_raw = mixed(idx_raw, pq_reencode_cells(df, ivf_cb, ovr_raw))
+    mixed_raw = mixed_raw.persist()
+    mixed_raw.count()
+    ovr_res = pq_refit_cells(df, ivf_cb, flagged, num_subspaces=m,
+                             num_codes=k, iters=2, residual=True).persist()
+    ovr_res.count()
+    mixed_res = mixed(
+        idx_res, pq_reencode_cells(df, ivf_cb, ovr_res, residual=True)
+    ).persist()
+    mixed_res.count()
+
+    # (a) total reconstruction error: the residual-space ledger IS the
+    # vector reconstruction error (v_hat = centroid + rec_res, so
+    # ||v - v_hat|| = ||rvec - rec_res||) — directly comparable
+    res_all = residual_vectors(df, ivf_cb).persist()
+    res_all.count()
+    led_raw = pq_distortion_ledger(df, mixed_raw, pq_cb_raw,
+                                   overrides=ovr_raw).collect()
+    led_res = pq_distortion_ledger(res_all, mixed_res, pq_cb_res,
+                                   overrides=ovr_res,
+                                   vec_col="rvec").collect()
+    sse_raw = sum(r["n"] * r["mse"] for r in led_raw)
+    sse_res = sum(r["n"] * r["mse"] for r in led_res)
+    assert sse_res < sse_raw, (sse_res, sse_raw)
+
+    # (b) recall vs exact L2 over drifted-cluster queries (6, 7, 14 —
+    # flagged-cell residents) and base-cluster queries (1, 2); l2
+    # probe metric (the production default) for both families
+    def recall(qid, index_df, cb, ovr, residual, refine):
+        q = df.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_vec")
+        )
+        truth = {r["vec_id"] for r in exact_l2_topk(df, q, k=10).collect()}
+        cand = ivfpq_topk_versioned(
+            index_df, ivf_cb, cb, ovr, q, k=40 if refine else 10,
+            nprobe=3, probe_metric="l2", residual=residual,
+        )
+        if refine:
+            e = df.select(
+                "vec_id", _as_double(F.col("embedding")).alias("_v")
+            )
+            pruned = e.join(F.broadcast(cand.select("vec_id")), "vec_id",
+                            "left_semi")
+            got_rows = (
+                pruned.crossJoin(F.broadcast(q))
+                .select(
+                    "vec_id",
+                    F.aggregate(
+                        F.zip_with(F.col("_v"), F.col("query_vec"),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, x: a + x,
+                    ).alias("d"),
+                )
+                .orderBy(F.asc("d"), F.asc("vec_id")).limit(10).collect()
+            )
+            got = {r["vec_id"] for r in got_rows}
+        else:
+            got = {r["vec_id"] for r in cand.collect()}
+        return len(truth & got) / 10.0
+
+    for refine in (False, True):
+        raws, ress = [], []
+        for qid in (6, 7, 14, 1, 2):
+            r_raw = recall(qid, mixed_raw, pq_cb_raw, ovr_raw, False, refine)
+            r_res = recall(qid, mixed_res, pq_cb_res, ovr_res, True, refine)
+            assert r_res >= r_raw, (qid, refine, r_res, r_raw)
+            raws.append(r_raw)
+            ress.append(r_res)
+        assert sum(ress) > sum(raws), (refine, ress, raws)
+    for p in (idx_raw, idx_res, ovr_raw, ovr_res, res_all, mixed_raw,
+              mixed_res):
+        p.unpersist()

@@ -142,20 +142,26 @@ def test_probe_metric_rejects_unknown(spark):
         probe_cells(cb, q, 2, "dot")
 
 
-def test_cosine_probe_metric_unchanged(spark, emb, qdf, ivf_cb):
-    """probe_cells('cosine') through the searchers reproduces the
-    pre-refactor inline probe bit-for-bit — the oracle rows pin this
-    at the driver too, but the unit identity localizes a break."""
+def test_default_probe_metric_is_l2(spark, emb, qdf, ivf_cb):
+    """The round-12 production default: probe_metric=None resolves to
+    the ASSIGNMENT metric for the L2 families (the measured drift-
+    scenario fix, SCALE.md §11) — the default call is bit-identical
+    to an explicit "l2", and the pre-r12 "cosine" rule stays
+    reachable as an explicit opt-out."""
     from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk, pq_fit
 
     pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
     idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    default = [tuple(r) for r in
+               ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2).collect()]
+    l2 = [tuple(r) for r in
+          ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2,
+                     probe_metric="l2").collect()]
+    assert default == l2 and len(default) == 10
     cos = [tuple(r) for r in
-           ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2).collect()]
-    explicit = [tuple(r) for r in
-                ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2,
-                           probe_metric="cosine").collect()]
-    assert cos == explicit and len(cos) == 10
+           ivfpq_topk(idx, ivf_cb, pq_cb, qdf, k=10, nprobe=2,
+                      probe_metric="cosine").collect()]
+    assert len(cos) == 10
 
 
 def test_codebook_num_cells_memoized(spark, monkeypatch):
@@ -176,3 +182,45 @@ def test_codebook_num_cells_memoized(spark, monkeypatch):
         )
     )
     assert sim.codebook_num_cells(cb) == 7
+
+
+def test_recommended_refine_factor_rule():
+    """base up to target occupancy, then base*ceil(sqrt(overshoot)),
+    capped; degenerate inputs return base."""
+    from img2dataset_spark.operators.similarity import (
+        recommended_refine_factor as rf,
+    )
+
+    assert rf(1000, 10) == 4                      # occ 100 <= 1024
+    assert rf(200, 10, target_occupancy=16) == 8  # occ 20 -> ceil(sqrt(1.25))=2
+    assert rf(2000, 10, target_occupancy=16) == 16
+    assert rf(20000, 10, target_occupancy=16) == 48
+    assert rf(10**9, 10, target_occupancy=16) == 256  # max_factor cap
+    assert rf(0, 10) == 4 and rf(100, 0) == 4
+
+
+def test_ivfpq_refine_auto_rf_equals_explicit(spark, emb, qdf, ivf_cb):
+    """refine_factor=None routes through recommended_refine_factor:
+    identical to passing the computed value explicitly (and monotone —
+    the exact re-rank over a superset can only match or improve)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_refine_topk,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import (
+        recommended_refine_factor,
+    )
+
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    n = emb.count()
+    want_rf = recommended_refine_factor(n, 10, target_occupancy=16)
+    auto = [tuple(r) for r in
+            ivfpq_refine_topk(idx, ivf_cb, pq_cb, emb, qdf, k=10, nprobe=2,
+                              refine_target_occupancy=16).collect()]
+    explicit = [tuple(r) for r in
+                ivfpq_refine_topk(idx, ivf_cb, pq_cb, emb, qdf, k=10,
+                                  nprobe=2,
+                                  refine_factor=want_rf).collect()]
+    assert auto == explicit and len(auto) == 10

@@ -535,3 +535,22 @@ def test_adc_negative_code_ranks_last(spark, emb, fitted):
     got = pq_topk(codes.unionByName(corrupt), cb, q, k=n + 2).collect()
     assert [r["vec_id"] for r in got[-2:]] == [100001, 100002]
     assert all(r["adc_dist"] >= (1 << 55) for r in got[-2:])
+
+
+def test_multi_topk_literal_ceiling(spark, emb, fitted, monkeypatch):
+    """The plan-literal q ceiling is ENFORCED, not just documented
+    (r11 verdict nit): past _MULTI_TOPK_MAX_LITERALS the searcher
+    names the problem and tells the caller to chunk."""
+    from img2dataset_spark.operators import pq as pqmod
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    cb, codes = fitted
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    idx = pqmod.ivfpq_index(emb, ivf_cb, cb)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    monkeypatch.setattr(pqmod, "_MULTI_TOPK_MAX_LITERALS", 10)
+    with pytest.raises(ValueError, match="chunk"):
+        pqmod.ivfpq_multi_topk(idx, ivf_cb, cb, qs, k=5, nprobe=2)

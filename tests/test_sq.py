@@ -260,3 +260,40 @@ def test_bounds_memo_lru_keeps_hot_model(spark, emb, fitted, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", boom)
     again = _collect_bounds(bounds)
     assert again[0] is hot[0] and again[1] is hot[1]
+
+
+def test_ivfsq_multi_topk_matches_single(spark, emb):
+    """The batch byte scan is q single searches in one pass: per-qid
+    results equal ivfsq_topk run per query (same l2 probe default),
+    and a non-dense qid set is refused (the literal code table is
+    indexed by position)."""
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_topk,
+        ivfsq_topk,
+        sq_fit,
+    )
+
+    ivf_cb = ivf_fit(emb, num_cells=10, iters=2)
+    bounds = sq_fit(emb, dim=64)
+    idx = ivfsq_index(emb, ivf_cb, bounds)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    multi = {}
+    for r in ivfsq_multi_topk(idx, ivf_cb, bounds, qs, k=5,
+                              nprobe=2).collect():
+        multi.setdefault(r["qid"], []).append((r["vec_id"], r["sq_dist"]))
+    assert set(multi) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q1 = qs.filter(F.col("qid") == qid).select("query_vec")
+        single = [(r["vec_id"], r["sq_dist"]) for r in
+                  ivfsq_topk(idx, ivf_cb, bounds, q1, k=5,
+                             nprobe=2).collect()]
+        assert multi[qid] == single, qid
+
+    sparse = qs.withColumn("qid", F.col("qid") * 2)
+    with pytest.raises(ValueError, match="dense"):
+        ivfsq_multi_topk(idx, ivf_cb, bounds, sparse, k=5, nprobe=2)
