@@ -263,9 +263,10 @@ def pq_topk(
     packed: bool = False,
 ) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: the query's m×k distance
-    table rides the PLAN as literal (cell -> distance) maps and each
-    row's approximate distance is m map lookups summed — whole-stage codegen,
-    no UDF, no join, no vector column.  Returns (id, adc_dist) with
+    table rides the PLAN as constant-folded literal ARRAYS (dense,
+    sentinel-filled — _adc_expr) and each row's approximate distance
+    is m array lookups summed — whole-stage codegen, no UDF, no join,
+    no vector column.  Returns (id, adc_dist) with
     adc_dist the exact int64 sum of quantized subspace distances,
     ranked (adc_dist asc, id asc), limit ``k``.  The query side is a
     1-row frame with a `query_vec` column (cosine_topk convention);

@@ -690,3 +690,37 @@ def test_residual_refit_loop_on_clustered_drift(spark, clustered_drift):
     for p in (idx_raw, idx_res, ovr_raw, ovr_res, res_all, mixed_raw,
               mixed_res):
         p.unpersist()
+
+
+def test_default_probe_recovers_drift_recall(spark, clustered_drift):
+    """The l2 probe is reachable WITHOUT a kwarg (r11 verdict item 2's
+    done-criterion): on the clustered drift scenario a drifted-cluster
+    query's DEFAULT ivfpq_topk search must find at least as many true
+    neighbors as the explicit pre-r12 cosine probe — the cosine probe
+    measurably misses the query's own (L2-assigned) cell here
+    (test_nprobe_sizing pins the probe sets; this pins the recall
+    consequence through the production call)."""
+    from img2dataset_spark.operators.pq import ivfpq_topk
+    from img2dataset_spark.operators.recall import exact_l2_topk
+
+    df, ivf_cb, pq_cb, idx, flagged = clustered_drift
+    got_any_gain = False
+    for qid in (6, 7, 14, 15):  # wave-cluster residents (drifted cells)
+        q = df.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_vec")
+        )
+        truth = {r["vec_id"] for r in exact_l2_topk(df, q, k=10).collect()}
+        default = {
+            r["vec_id"]
+            for r in ivfpq_topk(idx, ivf_cb, pq_cb, q, k=10,
+                                nprobe=2).collect()
+        }
+        cos = {
+            r["vec_id"]
+            for r in ivfpq_topk(idx, ivf_cb, pq_cb, q, k=10, nprobe=2,
+                                probe_metric="cosine").collect()
+        }
+        assert len(default & truth) >= len(cos & truth), qid
+        if len(default & truth) > len(cos & truth):
+            got_any_gain = True
+    assert got_any_gain  # the default is load-bearing, not a tie
