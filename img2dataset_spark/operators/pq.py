@@ -639,6 +639,7 @@ def ivfpq_multi_topk(
     qid_col: str = "qid",
     packed: bool = False,
     probe_metric: str | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Batch IVF+PQ search — EVERY probe vector answered from ONE pass
     over the codes (bm25_multi_topk's shape applied to ANN; the r10
@@ -670,7 +671,16 @@ def ivfpq_multi_topk(
     caller to CHUNK the probe set (each chunk is still one scan; the
     amortization story degrades gracefully, the plan does not).
     Returns (qid, id, adc_dist), per-qid (adc_dist asc, id asc)
-    top-k."""
+    top-k.
+
+    ``residual=True`` (index built with residual codes — the family
+    the clustered recall matrix endorses): each query's ADC table
+    differs per probed CELL (the query residual is per-cell), so the
+    scan becomes a CASE over the distinct probed cells whose branches
+    are 2-level ``lit[qid][code]`` tables from each query's residual
+    against that cell — probed_cells·q·m·k literal longs, counted
+    against the same ceiling.  Bounded collects: the probe pairs
+    (q·nprobe rows) and the probed cells' centroids."""
     from pyspark.sql import Window
 
     from img2dataset_spark.operators.similarity import (
@@ -690,44 +700,85 @@ def ivfpq_multi_topk(
         ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )
     pruned = index_df.join(F.broadcast(probed), "cell")
-    _check_multi_literals(len(qrows), pq_codebook)
     cells, QC, nc = _collect_codebook(pq_codebook)
-    by_qid = {
-        int(r[qid_col]): _adc_table(
-            QC, nc, [float(x) for x in r["query_vec"]]
+    qvecs = {
+        int(r[qid_col]): np.asarray(
+            [float(x) for x in r["query_vec"]], dtype=np.float64
         )
         for r in qrows
     }
-    dist = None
-    for j in range(len(cells)):
-        size = int(cells[j].max()) + 1
-        tables = []
-        for qi in range(len(qids)):
-            dense = np.full(size, _ADC_SENTINEL, dtype=np.int64)
-            dense[cells[j]] = by_qid[qi][j]
-            tables.append([int(v) for v in dense])
-        lit2d = F.lit(tables)
-        if packed:
-            code_j = F.shiftright(
-                F.col("codes")[j // 8], 8 * (j % 8)
-            ).bitwiseAND(F.lit(255))
-        else:
-            code_j = F.col("codes")[j]
-        # qid is validated dense upstream; codes come from the index,
-        # so negative codes get the same explicit-branch sentinel as
-        # _adc_expr (element_at would read from the array's END)
-        term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
-            F.coalesce(
-                F.element_at(
+
+    def _sum_terms(by_qid):
+        # sum over subspaces of the 2-level lit[qid][code] lookup,
+        # sentinel-filled: qid is validated dense upstream; codes come
+        # from the index, so negative codes get the same explicit-
+        # branch sentinel as _adc_expr (element_at would read from the
+        # array's END)
+        dist = None
+        for j in range(len(cells)):
+            size = int(cells[j].max()) + 1
+            tables = []
+            for qi in range(len(qids)):
+                dense = np.full(size, _ADC_SENTINEL, dtype=np.int64)
+                dense[cells[j]] = by_qid[qi][j]
+                tables.append([int(v) for v in dense])
+            lit2d = F.lit(tables)
+            if packed:
+                code_j = F.shiftright(
+                    F.col("codes")[j // 8], 8 * (j % 8)
+                ).bitwiseAND(F.lit(255))
+            else:
+                code_j = F.col("codes")[j]
+            term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
+                F.coalesce(
                     F.element_at(
-                        lit2d, F.col(qid_col).cast("int") + F.lit(1)
+                        F.element_at(
+                            lit2d, F.col(qid_col).cast("int") + F.lit(1)
+                        ),
+                        code_j.cast("int") + F.lit(1),
                     ),
-                    code_j.cast("int") + F.lit(1),
-                ),
-                F.lit(_ADC_SENTINEL),
+                    F.lit(_ADC_SENTINEL),
+                )
             )
+            dist = term if dist is None else dist + term
+        return dist
+
+    if residual:
+        # bounded collects: the probe pairs (q·nprobe) name the
+        # distinct probed cells, whose centroids come via a broadcast
+        # cell filter — never the whole codebook relation driver-side
+        pcells = sorted(
+            {int(r["cell"]) for r in probed.select("cell").collect()}
         )
-        dist = term if dist is None else dist + term
+        _check_multi_literals(
+            len(qrows) * max(len(pcells), 1), pq_codebook
+        )
+        cents = {
+            int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64)
+            for r in ivf_codebook.filter(
+                F.col("cell").isin([int(c) for c in pcells])
+            ).select("cell", "centroid").collect()
+        }
+        dist = None
+        for cell in pcells:
+            by_qid = {
+                qi: _adc_table(QC, nc, qvecs[qi] - cents[cell])
+                for qi in range(len(qids))
+            }
+            cond = F.col("cell") == cell
+            expr = _sum_terms(by_qid)
+            dist = (
+                F.when(cond, expr) if dist is None else dist.when(cond, expr)
+            )
+        # pruned holds only probed cells; sentinel otherwise keeps an
+        # unknown cell rank-last instead of NULL-first
+        dist = dist.otherwise(F.lit(len(cells) * _ADC_SENTINEL))
+    else:
+        _check_multi_literals(len(qrows), pq_codebook)
+        by_qid = {
+            qi: _adc_table(QC, nc, qvecs[qi]) for qi in range(len(qids))
+        }
+        dist = _sum_terms(by_qid)
     scored = pruned.select(qid_col, F.col(id_col), dist.alias("adc_dist"))
     wk = Window.partitionBy(qid_col).orderBy(
         F.asc("adc_dist"), F.asc(id_col)

@@ -1039,6 +1039,67 @@ WHERE af.cell IN (SELECT cell FROM probe)
 ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
 """
 
+# Batch × residual (pq.ivfpq_multi_topk residual=True): per-qid l2
+# probe, residual codes, and query tables keyed by (qid, pcell) — the
+# query's residual differs per probed cell AND per query.
+ORACLES["ivfpq_multi_topk_residual"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+seeds AS (SELECT vec_id, v FROM e
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+qm AS (SELECT vec_id AS qid, v AS qv, qv AS qvq FROM e
+       WHERE vec_id IN (0, 1, 2)),
+probe AS (SELECT qid, cell FROM (
+  SELECT q.qid, c.cell,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_QL2.format(a='q.qvq', b='c.qc')} ASC,
+                                     c.cell ASC) AS rn
+  FROM cqf c, qm q) WHERE rn <= 2),
+e0 AS (SELECT e.vec_id,
+         list_transform(generate_series(1, 64), i -> e.v[i] - c.centroid[i]) AS v
+       FROM e JOIN af ON af.vec_id = e.vec_id JOIN c2 c ON c.cell = af.cell),
+{_pq_sub_sql(0, 1, 32, 4, 2, query=False)},
+{_pq_sub_sql(1, 33, 64, 4, 2, query=False)},
+qresm AS (SELECT q.qid, p.cell AS pcell,
+    list_transform(generate_series(1, 64), i -> q.qv[i] - c.centroid[i]) AS v
+  FROM probe p JOIN c2 c ON c.cell = p.cell JOIN qm q ON q.qid = p.qid),
+qs0rm AS (SELECT qid, pcell, {_QUANTIZE.format(v='v[1:32]')} AS qv FROM qresm),
+qd0rm AS (SELECT q.qid, q.pcell, c.cell,
+    {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf0 c, qs0rm q),
+qs1rm AS (SELECT qid, pcell, {_QUANTIZE.format(v='v[33:64]')} AS qv FROM qresm),
+qd1rm AS (SELECT q.qid, q.pcell, c.cell,
+    {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf1 c, qs1rm q)
+SELECT qid, vec_id, adc_dist FROM (
+  SELECT p.qid, e0.vec_id,
+         CAST(d0.d + d1.d AS BIGINT) AS adc_dist,
+         row_number() OVER (PARTITION BY p.qid
+           ORDER BY CAST(d0.d + d1.d AS BIGINT) ASC, e0.vec_id ASC) AS rk
+  FROM e0
+  JOIN af ON af.vec_id = e0.vec_id
+  JOIN probe p ON p.cell = af.cell
+  JOIN code0 ON code0.vec_id = e0.vec_id
+  JOIN code1 ON code1.vec_id = e0.vec_id
+  JOIN qd0rm d0 ON d0.cell = code0.cell AND d0.pcell = af.cell
+               AND d0.qid = p.qid
+  JOIN qd1rm d1 ON d1.cell = code1.cell AND d1.pcell = af.cell
+               AND d1.qid = p.qid
+) WHERE rk <= 10
+"""
+
 # Occupancy drift (operators/maintain.py): base-slice coarse fit, then
 # the re-train meter between the base index's occupancy and the
 # post-append union's — integer counts, integer-derived share ratios

@@ -1371,6 +1371,35 @@ def q_ivfpq_multi_topk(spark, sf_dir):
     return ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=10, nprobe=2)
 
 
+def q_ivfpq_multi_topk_residual(spark, sf_dir):
+    """Batch × RESIDUAL search (pq.ivfpq_multi_topk residual=True —
+    the one-scan batch shape composed with the family the clustered
+    recall matrix endorses): per-qid l2 probe ranking, then a scan
+    whose CASE branches per probed cell carry 2-level lit[qid][code]
+    tables computed from each query's residual against that cell.
+    EXTRA from birth (ivfpq_multi_topk holds the batch driver slot,
+    ivfpq_refit_residual the residual one); the SQL twin keys the
+    residual query tables by (qid, pcell)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_fit,
+        ivfpq_index,
+        ivfpq_multi_topk,
+    )
+    from img2dataset_spark.operators.similarity import _as_double
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb, pq_cb = ivfpq_fit(
+        e, num_cells=10, num_subspaces=2, num_codes=4, iters=2
+    )
+    idx = ivfpq_index(e, ivf_cb, pq_cb, residual=True)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=10, nprobe=2,
+                            residual=True)
+
+
 def q_ivfpq_fitted_roundtrip(spark, sf_dir):
     """DRIVER-oracle evidence for the PERSISTED-INDEX search shape —
     the actual production query the 100 TB claim rests on (r9 verdict
@@ -2343,6 +2372,7 @@ QUERIES.update(
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_topk_sized": q_ivfpq_topk_sized,
         "ivfpq_multi_topk": q_ivfpq_multi_topk,
+        "ivfpq_multi_topk_residual": q_ivfpq_multi_topk_residual,
         "ivfpq_fitted_roundtrip": q_ivfpq_fitted_roundtrip,
         "ivfsq_fitted_roundtrip": q_ivfsq_fitted_roundtrip,
         "ivfpq_index_append": q_ivfpq_index_append,
@@ -2581,6 +2611,11 @@ _EXTRA_NAMES = (
     # holds the pattern's driver slot, the popcount formulas are
     # bq_topk's (oracle-pinned since r10)
     "ivfbq_multi_topk",
+    # NEW in round 12, EXTRA from birth: batch x residual — the
+    # one-scan batch shape composed with the residual family
+    # (ivfpq_multi_topk and ivfpq_refit_residual hold the two driver
+    # slots; the per-(qid, pcell) residual tables are this row's own)
+    "ivfpq_multi_topk_residual",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 12) — first in line

@@ -554,3 +554,36 @@ def test_multi_topk_literal_ceiling(spark, emb, fitted, monkeypatch):
     monkeypatch.setattr(pqmod, "_MULTI_TOPK_MAX_LITERALS", 10)
     with pytest.raises(ValueError, match="chunk"):
         pqmod.ivfpq_multi_topk(idx, ivf_cb, cb, qs, k=5, nprobe=2)
+
+
+def test_ivfpq_multi_topk_residual_matches_single(spark, emb):
+    """Batch × residual (the family the recall matrix endorses): the
+    per-probed-cell residual CASE of 2-level tables reproduces q
+    single residual searches exactly, same l2 probe default."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_fit,
+        ivfpq_index,
+        ivfpq_multi_topk,
+        ivfpq_topk,
+    )
+    from img2dataset_spark.operators.similarity import _as_double
+
+    ivf_cb, pq_cb = ivfpq_fit(
+        emb, num_cells=10, num_subspaces=2, num_codes=4, iters=2
+    )
+    idx = ivfpq_index(emb, ivf_cb, pq_cb, residual=True)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    multi = {}
+    for r in ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=5, nprobe=2,
+                              residual=True).collect():
+        multi.setdefault(r["qid"], []).append((r["vec_id"], r["adc_dist"]))
+    assert set(multi) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q1 = qs.filter(F.col("qid") == qid).select("query_vec")
+        single = [(r["vec_id"], r["adc_dist"]) for r in
+                  ivfpq_topk(idx, ivf_cb, pq_cb, q1, k=5, nprobe=2,
+                             residual=True).collect()]
+        assert multi[qid] == single, qid
