@@ -442,6 +442,35 @@ def _q_ivfbq_multi_topk_fitted(spark, sf_dir):
     )
 
 
+def _q_ivfpq_multi_refine_fitted(spark, sf_dir):
+    """SEARCH-ONLY batch refine: one codes pass for three queries'
+    candidates + ONE vector pass re-ranking all (qid, id) pairs — vs
+    3x (scan + semi-join) as single refines."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.pq import ivfpq_multi_refine_topk
+    from img2dataset_spark.operators.similarity import _as_double
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfpq_multi_refine_topk(
+        spark.read.parquet(base + "/index"),
+        spark.read.parquet(base + "/ivf_cb"),
+        spark.read.parquet(base + "/pq_cb"),
+        e,
+        qs,
+        k=10,
+        nprobe=4,
+        refine_factor=4,
+    )
+
+
 def _q_ivfpq_refine_auto_fitted(spark, sf_dir):
     """SEARCH-ONLY refine with the r12 refine_factor=None sizing: the
     candidate pool grows as ceil(sqrt(occupancy overshoot)) — this row
@@ -642,6 +671,7 @@ BENCH_ONLY = {
     "ivfsq_multi_topk_fitted": _q_ivfsq_multi_topk_fitted,
     "ivfbq_multi_topk_fitted": _q_ivfbq_multi_topk_fitted,
     "ivfpq_refine_auto_fitted": _q_ivfpq_refine_auto_fitted,
+    "ivfpq_multi_refine_fitted": _q_ivfpq_multi_refine_fitted,
     "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
     "bq_topk_fitted": _q_bq_topk_fitted,
     "ivfbq_topk_fitted": _q_ivfbq_topk_fitted,
@@ -666,6 +696,7 @@ PREPARE = {
     "ivfsq_multi_topk_fitted": _pq_fitted_artifacts,
     "ivfbq_multi_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_refine_auto_fitted": _pq_fitted_artifacts,
+    "ivfpq_multi_refine_fitted": _pq_fitted_artifacts,
     "ivfsq_topk_fitted": _pq_fitted_artifacts,
     "bq_topk_fitted": _pq_fitted_artifacts,
     "ivfbq_topk_fitted": _pq_fitted_artifacts,
@@ -723,6 +754,7 @@ HEADLINE = [
     "ivfsq_multi_topk_fitted",
     "ivfbq_multi_topk_fitted",
     "ivfpq_refine_auto_fitted",
+    "ivfpq_multi_refine_fitted",
     "ivfsq_topk_fitted",
     "bq_topk_fitted",
     "ivfbq_topk_fitted",

@@ -790,6 +790,135 @@ def ivfpq_multi_topk(
     )
 
 
+def ivfpq_multi_topk_chunked(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    max_queries_per_scan: int | None = None,
+    qid_col: str = "qid",
+    **kw,
+) -> DataFrame:
+    """The sanctioned route past :data:`_MULTI_TOPK_MAX_LITERALS`:
+    split the probe set into dense-qid chunks, answer each chunk from
+    ONE scan (:func:`ivfpq_multi_topk`), and union with the original
+    qids restored.  Each chunk still amortizes its scan; what is NOT
+    amortized across chunks is the scan count itself — q/chunk_size
+    passes instead of one — which is exactly the plan-size-vs-scans
+    trade the ceiling prices.
+
+    ``max_queries_per_scan=None`` sizes chunks from the ceiling and
+    the codebook (non-residual mode); the residual CASE multiplies
+    literals by the probed-cell count, which depends on the probe —
+    pass an explicit chunk size there (the sizing refuses to guess)."""
+    from img2dataset_spark.operators.similarity import collect_dense_qids
+
+    spark = queries_df.sparkSession
+    qrows = collect_dense_qids(queries_df, qid_col)
+    if max_queries_per_scan is None:
+        if kw.get("residual"):
+            raise ValueError(
+                "ivfpq_multi_topk_chunked: residual mode multiplies "
+                "plan literals by the probed-cell count — pass an "
+                "explicit max_queries_per_scan"
+            )
+        cells, _, _ = _collect_codebook(pq_codebook)
+        per_q = sum(int(c.max()) + 1 for c in cells)
+        max_queries_per_scan = max(1, _MULTI_TOPK_MAX_LITERALS // per_q)
+    out = None
+    schema = "qid long, query_vec array<double>"
+    for lo in range(0, len(qrows), max_queries_per_scan):
+        chunk = qrows[lo : lo + max_queries_per_scan]
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in r["query_vec"]])
+             for i, r in enumerate(chunk)],
+            schema,
+        ).withColumnRenamed("qid", qid_col)
+        res = ivfpq_multi_topk(
+            index_df, ivf_codebook, pq_codebook, cdf, k=k,
+            qid_col=qid_col, **kw,
+        ).withColumn(qid_col, F.col(qid_col) + F.lit(lo))
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+def ivfpq_multi_refine_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    refine_factor: int | None = None,
+    residual: bool = False,
+    packed: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    probe_metric: str | None = None,
+    refine_target_occupancy: int = 1024,
+) -> DataFrame:
+    """Batch two-stage refine — the full production composition at
+    batch shape: stage 1 answers EVERY query's top ``k·refine_factor``
+    compressed candidates from ONE codes pass
+    (:func:`ivfpq_multi_topk`, residual or raw), stage 2 re-ranks all
+    queries' candidates in ONE pass over the vector table — the
+    (qid, id) candidate pairs broadcast into an id-join (a row fetched
+    by two queries is read once and scored once per query), exact
+    round6 cosine per pair, one window top-k per qid.  Running q
+    single refines costs q compressed scans AND q vector-table
+    semi-joins; both stages amortize here.
+
+    ``refine_factor=None`` sizes the pool from occupancy
+    (similarity.recommended_refine_factor), ``nprobe=None`` from the
+    cell count, ``probe_metric=None`` probes by the assignment metric
+    — the three corpus-aware defaults compose.  Returns
+    (qid, id, cos_sim), per-qid (cos_sim desc, id asc) top-k —
+    directly comparable to cosine_topk / ivfpq_refine_topk."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
+        cosine,
+        memoized_count,
+        recommended_refine_factor,
+        round6,
+    )
+
+    if refine_factor is None:
+        refine_factor = recommended_refine_factor(
+            memoized_count(index_df),
+            codebook_num_cells(ivf_codebook),
+            target_occupancy=refine_target_occupancy,
+        )
+    cand = ivfpq_multi_topk(
+        index_df, ivf_codebook, pq_codebook, queries_df,
+        k=k * refine_factor, nprobe=nprobe, id_col=id_col,
+        qid_col=qid_col, packed=packed, probe_metric=probe_metric,
+        residual=residual,
+    )
+    e = vectors_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    paired = e.join(F.broadcast(cand.select(qid_col, id_col)), id_col)
+    q = F.broadcast(queries_df.select(qid_col, "query_vec"))
+    scored = paired.join(q, qid_col).select(
+        qid_col,
+        F.col(id_col),
+        round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
+    )
+    wk = Window.partitionBy(qid_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def _collect_overrides(
     overrides: DataFrame,
 ) -> dict[int, tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]]:

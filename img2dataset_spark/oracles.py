@@ -900,6 +900,30 @@ SELECT qid, vec_id, adc_dist FROM (
 # rest of the chain is ivfpq_topk's verbatim.
 ORACLES["ivfpq_topk_sized"] = _ivfpq_ctes(4) + _IVFPQ_SELECT.format(limit=10)
 
+# Batch refine (pq.ivfpq_multi_refine_topk): the multi-topk chain's
+# inner ranking widened to rk <= 40 candidates per qid (rf=4 — the
+# production sizing resolves to base at these occupancies), then ONE
+# exact round6-cosine re-rank of all (qid, vec_id) pairs.  Assembled
+# from the ivfpq_multi_topk twin by string surgery so the two chains
+# can never drift apart.
+_MM_HEAD, _MM_TAIL = ORACLES["ivfpq_multi_topk"].rsplit(
+    "SELECT qid, vec_id, adc_dist FROM (", 1
+)
+_MM_INNER = _MM_TAIL.rsplit(") WHERE rk <= 10", 1)[0]
+ORACLES["ivfpq_multi_refine_topk"] = (
+    _MM_HEAD.rstrip().rstrip(",")
+    + f""",
+cand AS (SELECT qid, vec_id FROM ({_MM_INNER}) WHERE rk <= 40)
+SELECT qid, vec_id, cos_sim FROM (
+  SELECT c.qid, e.vec_id,
+         {_R6.format(x=_cos('e.v', 'q.qv'))} AS cos_sim,
+         row_number() OVER (PARTITION BY c.qid
+           ORDER BY {_R6.format(x=_cos('e.v', 'q.qv'))} DESC,
+                    e.vec_id ASC) AS rk2
+  FROM e JOIN cand c ON c.vec_id = e.vec_id JOIN qm q ON q.qid = c.qid
+) WHERE rk2 <= 10"""
+)
+
 # Persisted-index roundtrip: write codebooks + cell-partitioned index
 # to parquet, read back, search — a STORAGE representation of the same
 # relation (parquet roundtrips doubles/longs exactly), so the twin that

@@ -1371,6 +1371,34 @@ def q_ivfpq_multi_topk(spark, sf_dir):
     return ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=10, nprobe=2)
 
 
+def q_ivfpq_multi_refine_topk(spark, sf_dir):
+    """Batch two-stage refine (pq.ivfpq_multi_refine_topk): one codes
+    pass answers every query's compressed candidates, one vector pass
+    re-ranks ALL queries' (qid, id) candidate pairs exactly — the
+    production composition at batch shape.  refine_factor=None runs
+    the production sizing (occupancy ≤ target at both driver scales →
+    rf 4, so the static rk ≤ 40 twin holds); EXTRA from birth
+    (ivfpq_multi_topk + ivfpq_refine_topk_sized hold the driver
+    slots)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_refine_topk,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(e, ivf_cb, pq_cb)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfpq_multi_refine_topk(idx, ivf_cb, pq_cb, e, qs, k=10,
+                                   nprobe=2)
+
+
 def q_ivfpq_multi_topk_residual(spark, sf_dir):
     """Batch × RESIDUAL search (pq.ivfpq_multi_topk residual=True —
     the one-scan batch shape composed with the family the clustered
@@ -2373,6 +2401,7 @@ QUERIES.update(
         "ivfpq_topk_sized": q_ivfpq_topk_sized,
         "ivfpq_multi_topk": q_ivfpq_multi_topk,
         "ivfpq_multi_topk_residual": q_ivfpq_multi_topk_residual,
+        "ivfpq_multi_refine_topk": q_ivfpq_multi_refine_topk,
         "ivfpq_fitted_roundtrip": q_ivfpq_fitted_roundtrip,
         "ivfsq_fitted_roundtrip": q_ivfsq_fitted_roundtrip,
         "ivfpq_index_append": q_ivfpq_index_append,
@@ -2616,6 +2645,11 @@ _EXTRA_NAMES = (
     # (ivfpq_multi_topk and ivfpq_refit_residual hold the two driver
     # slots; the per-(qid, pcell) residual tables are this row's own)
     "ivfpq_multi_topk_residual",
+    # NEW in round 12, EXTRA from birth: batch x refine — one codes
+    # pass for every query's candidates, one vector pass for every
+    # query's exact re-rank (ivfpq_refine_topk_sized holds the refine
+    # driver slot, ivfpq_multi_topk the batch one)
+    "ivfpq_multi_refine_topk",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 12) — first in line

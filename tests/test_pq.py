@@ -587,3 +587,74 @@ def test_ivfpq_multi_topk_residual_matches_single(spark, emb):
                   ivfpq_topk(idx, ivf_cb, pq_cb, q1, k=5, nprobe=2,
                              residual=True).collect()]
         assert multi[qid] == single, qid
+
+
+def test_ivfpq_multi_refine_matches_single(spark, emb):
+    """Batch refine == q single refines: the one-vector-pass re-rank
+    of all queries' candidate pairs reproduces ivfpq_refine_topk per
+    qid exactly (same rf, nprobe, probe default)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_refine_topk,
+        ivfpq_refine_topk,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=10, iters=2)
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    multi = {}
+    for r in ivfpq_multi_refine_topk(idx, ivf_cb, pq_cb, emb, qs, k=5,
+                                     nprobe=2,
+                                     refine_factor=4).collect():
+        multi.setdefault(r["qid"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(multi) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q1 = qs.filter(F.col("qid") == qid).select("query_vec")
+        single = [(r["vec_id"], r["cos_sim"]) for r in
+                  ivfpq_refine_topk(idx, ivf_cb, pq_cb, emb, q1, k=5,
+                                    nprobe=2, refine_factor=4).collect()]
+        assert multi[qid] == single, qid
+
+
+def test_ivfpq_multi_topk_chunked_equals_unchunked(spark, emb):
+    """The chunked route returns the SAME relation as one scan — qids
+    restored across chunk offsets — at any chunk size; residual mode
+    refuses to auto-size (plan literals depend on the probe)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk,
+        ivfpq_multi_topk_chunked,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=10, iters=2)
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=5,
+                                  nprobe=2).collect()
+    )
+    for chunk in (1, 2, None):
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_multi_topk_chunked(
+                idx, ivf_cb, pq_cb, qs, k=5, nprobe=2,
+                max_queries_per_scan=chunk,
+            ).collect()
+        )
+        assert got == want, chunk
+    with pytest.raises(ValueError, match="max_queries_per_scan"):
+        ivfpq_multi_topk_chunked(idx, ivf_cb, pq_cb, qs, k=5,
+                                 residual=True)
