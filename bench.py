@@ -727,6 +727,8 @@ HEADLINE = [
     "ivfpq_topk",
     "ivfpq_topk_sized",
     "ivfpq_multi_topk",
+    "ivfpq_multi_topk_residual",
+    "ivfpq_multi_refine_topk",
     "ivfpq_fitted_roundtrip",
     "ivfpq_refit_versioned",
     "ivfpq_refit_distortion",
