@@ -709,39 +709,9 @@ def ivfpq_multi_topk(
     }
 
     def _sum_terms(by_qid):
-        # sum over subspaces of the 2-level lit[qid][code] lookup,
-        # sentinel-filled: qid is validated dense upstream; codes come
-        # from the index, so negative codes get the same explicit-
-        # branch sentinel as _adc_expr (element_at would read from the
-        # array's END)
-        dist = None
-        for j in range(len(cells)):
-            size = int(cells[j].max()) + 1
-            tables = []
-            for qi in range(len(qids)):
-                dense = np.full(size, _ADC_SENTINEL, dtype=np.int64)
-                dense[cells[j]] = by_qid[qi][j]
-                tables.append([int(v) for v in dense])
-            lit2d = F.lit(tables)
-            if packed:
-                code_j = F.shiftright(
-                    F.col("codes")[j // 8], 8 * (j % 8)
-                ).bitwiseAND(F.lit(255))
-            else:
-                code_j = F.col("codes")[j]
-            term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
-                F.coalesce(
-                    F.element_at(
-                        F.element_at(
-                            lit2d, F.col(qid_col).cast("int") + F.lit(1)
-                        ),
-                        code_j.cast("int") + F.lit(1),
-                    ),
-                    F.lit(_ADC_SENTINEL),
-                )
-            )
-            dist = term if dist is None else dist + term
-        return dist
+        return _multi_adc_expr(
+            cells, [by_qid[qi] for qi in range(len(qids))], qid_col, packed
+        )
 
     if residual:
         # bounded collects: the probe pairs (q·nprobe) name the
@@ -783,6 +753,132 @@ def ivfpq_multi_topk(
     wk = Window.partitionBy(qid_col).orderBy(
         F.asc("adc_dist"), F.asc(id_col)
     )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _multi_adc_expr(code_ids, tables_by_qid, qid_col: str, packed: bool):
+    """Sum over subspaces of the 2-level ``lit[qid][code]`` lookup for
+    ONE book: ``code_ids`` = per-subspace ascending code-id arrays,
+    ``tables_by_qid[qi][j]`` = distance arrays aligned with
+    ``code_ids[j]``.  Sentinel-filled gaps; qid is validated dense
+    upstream; NEGATIVE codes get the explicit-branch sentinel
+    (element_at would read from the array's END).  The batch-shape
+    sibling of :func:`_adc_expr`, shared by the raw, residual and
+    versioned multi-query scans."""
+    dist = None
+    for j in range(len(code_ids)):
+        size = int(code_ids[j].max()) + 1
+        tables = []
+        for by_sub in tables_by_qid:
+            dense = np.full(size, _ADC_SENTINEL, dtype=np.int64)
+            dense[code_ids[j]] = by_sub[j]
+            tables.append([int(v) for v in dense])
+        lit2d = F.lit(tables)
+        if packed:
+            code_j = F.shiftright(
+                F.col("codes")[j // 8], 8 * (j % 8)
+            ).bitwiseAND(F.lit(255))
+        else:
+            code_j = F.col("codes")[j]
+        term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
+            F.coalesce(
+                F.element_at(
+                    F.element_at(
+                        lit2d, F.col(qid_col).cast("int") + F.lit(1)
+                    ),
+                    code_j.cast("int") + F.lit(1),
+                ),
+                F.lit(_ADC_SENTINEL),
+            )
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def ivfpq_multi_topk_versioned(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_codebook: DataFrame,
+    overrides: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    packed: bool = False,
+    probe_metric: str | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """Batch search over a SELECTIVELY-REFIT index — the maintained
+    index (:func:`maintain.pq_refit_cells` + rewrite) served at batch
+    shape: every probe vector answered from ONE pass over the mixed
+    codes, each probed cell CASE-dispatched to the book that MINTED
+    its codes (override cells → their per-cell book, the rest → the
+    frozen global one), each branch a 2-level ``lit[qid][code]`` table.
+    ``residual=True`` serves the true-LOPQ variant (per-cell residual
+    books; every branch's tables derive from each query's residual
+    against that cell).  Bounded collects: the probe pairs, the
+    probed cells' centroids (residual), and the PROBED cells'
+    override books (broadcast semi-join).  Literals =
+    probed_cells·q·m·k, counted against the enforced ceiling.
+    Returns (qid, id, adc_dist), per-qid (adc_dist asc, id asc)
+    top-k."""
+    from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
+        collect_dense_qids,
+        multi_probe_cells,
+        recommended_nprobe,
+    )
+
+    if probe_metric is None:
+        probe_metric = "l2"
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    qrows = collect_dense_qids(queries_df, qid_col)
+    qvecs = [
+        np.asarray([float(x) for x in r["query_vec"]], dtype=np.float64)
+        for r in sorted(qrows, key=lambda r: int(r[qid_col]))
+    ]
+    probed = multi_probe_cells(
+        ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    pcells_df = probed.select("cell").distinct()
+    pcells = sorted(int(r["cell"]) for r in pcells_df.collect())
+    _check_multi_literals(len(qrows) * max(len(pcells), 1), pq_codebook)
+    probed_books = _collect_overrides(
+        overrides.join(F.broadcast(pcells_df), "cell")
+    )
+    g_cells, g_QC, g_nc = _collect_codebook(pq_codebook)
+    cents: dict[int, np.ndarray] = {}
+    if residual:
+        cents = {
+            int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64)
+            for r in ivf_codebook.filter(
+                F.col("cell").isin(pcells)
+            ).select("cell", "centroid").collect()
+        }
+    dist = None
+    for cell in pcells:
+        code_ids, QC, nc = probed_books.get(cell, (g_cells, g_QC, g_nc))
+        tables_by_qid = [
+            _adc_table(QC, nc, qv - cents[cell] if residual else qv)
+            for qv in qvecs
+        ]
+        cond = F.col("cell") == cell
+        expr = _multi_adc_expr(code_ids, tables_by_qid, qid_col, packed)
+        dist = F.when(cond, expr) if dist is None else dist.when(cond, expr)
+    dist = dist.otherwise(F.lit(len(g_cells) * _ADC_SENTINEL))
+    scored = pruned.select(qid_col, F.col(id_col), dist.alias("adc_dist"))
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return (
         scored.withColumn("_rk", F.row_number().over(wk))
         .filter(F.col("_rk") <= k)

@@ -1169,7 +1169,13 @@ FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
 
 
 def _pq_percell_sql(
-    j: int, lo: int, hi: int, k: int, iters: int, residual: bool = False
+    j: int,
+    lo: int,
+    hi: int,
+    k: int,
+    iters: int,
+    residual: bool = False,
+    multi: bool = False,
 ) -> str:
     """Per-cell PQ Lloyd CTE chain for subspace ``j`` over the FLAGGED
     cells' rows (the refit twin — maintain.pq_refit_cells run
@@ -1219,7 +1225,13 @@ pd{j}x{i} AS (SELECT cell, code, i,
 pc{j}x{i} AS (SELECT cell, code, list(cv ORDER BY i) AS centroid
   FROM pd{j}x{i} GROUP BY cell, code)"""
         )
-    if residual:
+    if residual and multi:
+        # batch true-LOPQ: the per-cell query table differs per qid AND
+        # per cell (qs{j}rm = per-(qid, probed-cell) query residual)
+        qd = f"""pqd{j} AS (SELECT q.qid, c.cell, c.code,
+    {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
+  FROM pcqf{j} c JOIN qs{j}rm q ON q.pcell = c.cell)"""
+    elif residual:
         qd = f"""pqd{j} AS (SELECT c.cell, c.code,
     {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
   FROM pcqf{j} c JOIN qs{j}r q ON q.pcell = c.cell)"""
@@ -1416,6 +1428,100 @@ qd1r AS (SELECT q.pcell, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
   FROM cqf1 c, qs1r q),
 {_pq_percell_sql(0, 1, 32, 4, 2, residual=True)},
 {_pq_percell_sql(1, 33, 64, 4, 2, residual=True)}"""
+
+# The flagship composition at batch shape: the true-LOPQ maintained
+# index (residual selective refit) answering THREE probes from one
+# mixed-codes pass (pq.ivfpq_multi_topk_versioned residual=True).
+# Per-qid l2 probe, per-(qid, probed-cell) query-residual tables for
+# BOTH books (global qd{j}rm; per-cell pqd{j} via qs{j}rm).
+_REFIT_RESIDUAL_MULTI_CTES = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+qm AS (SELECT vec_id AS qid, v AS qv, qv AS qvq FROM e
+       WHERE vec_id IN (0, 1, 2)),
+probe AS (SELECT qid, cell FROM (
+  SELECT q.qid, c.cell,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_QL2.format(a='q.qvq', b='c.qc')} ASC,
+                                     c.cell ASC) AS rn
+  FROM cqf c, qm q) WHERE rn <= 4),
+e0 AS (SELECT e.vec_id,
+         list_transform(generate_series(1, 64), i -> e.v[i] - c.centroid[i]) AS v
+       FROM e JOIN af ON af.vec_id = e.vec_id JOIN c2 c ON c.cell = af.cell),
+{_pq_sub_sql(0, 1, 32, 4, 2, query=False, fit_where=_APPEND_FIT)},
+{_pq_sub_sql(1, 33, 64, 4, 2, query=False, fit_where=_APPEND_FIT)},
+qresm AS (SELECT q.qid, p.cell AS pcell,
+    list_transform(generate_series(1, 64), i -> q.qv[i] - c.centroid[i]) AS v
+  FROM probe p JOIN c2 c ON c.cell = p.cell JOIN qm q ON q.qid = p.qid),
+qs0rm AS (SELECT qid, pcell, {_QUANTIZE.format(v='v[1:32]')} AS qv FROM qresm),
+qd0rm AS (SELECT q.qid, q.pcell, c.cell,
+    {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf0 c, qs0rm q),
+qs1rm AS (SELECT qid, pcell, {_QUANTIZE.format(v='v[33:64]')} AS qv FROM qresm),
+qd1rm AS (SELECT q.qid, q.pcell, c.cell,
+    {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf1 c, qs1rm q),
+{_pq_percell_sql(0, 1, 32, 4, 2, residual=True, multi=True)},
+{_pq_percell_sql(1, 33, 64, 4, 2, residual=True, multi=True)}"""
+
+ORACLES["ivfpq_refit_residual_multi"] = _REFIT_RESIDUAL_MULTI_CTES + """
+SELECT qid, vec_id, adc_dist FROM (
+  SELECT qid, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY adc_dist ASC, vec_id ASC) AS rk
+  FROM (
+    SELECT p.qid, e0.vec_id, CAST(g0.d + g1.d AS BIGINT) AS adc_dist
+    FROM e0
+    JOIN af ON af.vec_id = e0.vec_id
+    JOIN probe p ON p.cell = af.cell
+    JOIN code0 ON code0.vec_id = e0.vec_id
+    JOIN code1 ON code1.vec_id = e0.vec_id
+    JOIN qd0rm g0 ON g0.cell = code0.cell AND g0.pcell = af.cell
+                 AND g0.qid = p.qid
+    JOIN qd1rm g1 ON g1.cell = code1.cell AND g1.pcell = af.cell
+                 AND g1.qid = p.qid
+    WHERE af.cell NOT IN (SELECT cell FROM flagged)
+    UNION ALL
+    SELECT p.qid, p0.vec_id, CAST(d0.d + d1.d AS BIGINT) AS adc_dist
+    FROM pcode0 p0
+    JOIN pcode1 p1 ON p1.vec_id = p0.vec_id
+    JOIN probe p ON p.cell = p0.cell
+    JOIN pqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
+                AND d0.qid = p.qid
+    JOIN pqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
+                AND d1.qid = p.qid
+  )
+) WHERE rk <= 10
+"""
 
 ORACLES["ivfpq_refit_residual"] = _REFIT_RESIDUAL_CTES + """
 SELECT vec_id, adc_dist FROM (

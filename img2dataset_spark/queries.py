@@ -1724,6 +1724,69 @@ def q_ivfpq_refit_residual(spark, sf_dir):
                                 residual=True)
 
 
+def q_ivfpq_refit_residual_multi(spark, sf_dir):
+    """The flagship composition at BATCH shape: the true-LOPQ
+    maintained index (q_ivfpq_refit_residual's pipeline verbatim)
+    answering THREE probe vectors from ONE pass over the mixed codes
+    (pq.ivfpq_multi_topk_versioned residual=True) — per-qid l2 probe,
+    each probed cell CASE-dispatched to the book that minted its codes
+    with per-(qid, cell) query-residual tables.  EXTRA from birth
+    (ivfpq_refit_residual and ivfpq_multi_topk hold the driver slots);
+    the SQL twin recomputes the per-cell residual Lloyds and the
+    (qid, pcell)-keyed tables relationally."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        ivf_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
+                   num_codes=4, iters=2, vec_col="rvec")
+    tmp = _scratch_dir("graft_ivfpq_refit_resm_")
+    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
+        "cell"
+    ).parquet(f"{tmp}/index")
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2, residual=True)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    rewrite_index_cells(
+        pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True), f"{tmp}/index"
+    )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfpq_multi_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd, qs,
+                                      k=10, nprobe=4, residual=True)
+
+
 def q_ivfpq_residual_topk(spark, sf_dir):
     """Residual IVF+PQ (the full FAISS IVFPQ recipe): PQ codebook fit
     on the coarse residuals (v − centroid[cell]), codes quantize
@@ -2409,6 +2472,7 @@ QUERIES.update(
         "ivfpq_refit_versioned": q_ivfpq_refit_versioned,
         "ivfpq_refit_distortion": q_ivfpq_refit_distortion,
         "ivfpq_refit_residual": q_ivfpq_refit_residual,
+        "ivfpq_refit_residual_multi": q_ivfpq_refit_residual_multi,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
         "ivfpq_refine_topk_sized": q_ivfpq_refine_topk_sized,
@@ -2650,6 +2714,11 @@ _EXTRA_NAMES = (
     # query's exact re-rank (ivfpq_refine_topk_sized holds the refine
     # driver slot, ivfpq_multi_topk the batch one)
     "ivfpq_multi_refine_topk",
+    # NEW in round 12, EXTRA from birth: the flagship composition at
+    # batch shape — the true-LOPQ maintained index answering three
+    # probes from one mixed-codes pass (ivfpq_refit_residual holds the
+    # maintained-index driver slot)
+    "ivfpq_refit_residual_multi",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 12) — first in line

@@ -724,3 +724,88 @@ def test_default_probe_recovers_drift_recall(spark, clustered_drift):
         if len(default & truth) > len(cos & truth):
             got_any_gain = True
     assert got_any_gain  # the default is load-bearing, not a tie
+
+
+def test_multi_versioned_matches_single(spark):
+    """The maintained index at batch shape: ivfpq_multi_topk_versioned
+    reproduces per-qid ivfpq_topk_versioned exactly — raw AND residual
+    families, same l2 probe default, probed cells CASE-dispatched to
+    the book that minted their codes."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk_versioned,
+        ivfpq_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        ivf_fit,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+        .persist()
+    )
+    assert flagged.count() > 0
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    for residual in (False, True):
+        if residual:
+            pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
+                           num_codes=4, iters=2, vec_col="rvec")
+        else:
+            pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+        idx = ivfpq_index(e, ivf_cb, pq_cb, residual=residual)
+        ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                             num_codes=4, iters=2,
+                             residual=residual).persist()
+        ovr.count()
+        re_rows = pq_reencode_cells(e, ivf_cb, ovr, residual=residual)
+        mixed = (
+            idx.join(F.broadcast(flagged), "cell", "left_anti")
+            .select("vec_id", "cell", "codes")
+            .unionByName(re_rows.select("vec_id", "cell", "codes"))
+            .persist()
+        )
+        mixed.count()
+        multi = {}
+        for r in ivfpq_multi_topk_versioned(
+            mixed, ivf_cb, pq_cb, ovr, qs, k=5, nprobe=4,
+            residual=residual,
+        ).collect():
+            multi.setdefault(r["qid"], []).append(
+                (r["vec_id"], r["adc_dist"])
+            )
+        assert set(multi) == {0, 1, 2}, residual
+        for qid in (0, 1, 2):
+            q1 = qs.filter(F.col("qid") == qid).select("query_vec")
+            single = [
+                (r["vec_id"], r["adc_dist"])
+                for r in ivfpq_topk_versioned(
+                    mixed, ivf_cb, pq_cb, ovr, q1, k=5, nprobe=4,
+                    residual=residual,
+                ).collect()
+            ]
+            assert multi[qid] == single, (residual, qid)
+        ovr.unpersist()
+        mixed.unpersist()
+    flagged.unpersist()
