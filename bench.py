@@ -471,6 +471,36 @@ def _q_ivfpq_multi_refine_fitted(spark, sf_dir):
     )
 
 
+def _q_ivfpq_multi_versioned_fitted(spark, sf_dir):
+    """SEARCH-ONLY batch over the MAINTAINED residual index (true
+    LOPQ): three probes through one mixed-codes pass, probed cells
+    CASE-dispatched between per-cell residual books and the global
+    one — the refit loop's search economics at batch shape."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from img2dataset_spark.operators.pq import ivfpq_multi_topk_versioned
+    from img2dataset_spark.operators.similarity import _as_double
+
+    base = _pq_fitted_artifacts(spark, sf_dir)
+    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfpq_multi_topk_versioned(
+        spark.read.parquet(base + "/rvindex"),
+        spark.read.parquet(base + "/rivf_cb"),
+        spark.read.parquet(base + "/rpq_cb"),
+        spark.read.parquet(base + "/roverrides"),
+        qs,
+        k=10,
+        nprobe=4,
+        residual=True,
+    )
+
+
 def _q_ivfpq_refine_auto_fitted(spark, sf_dir):
     """SEARCH-ONLY refine with the r12 refine_factor=None sizing: the
     candidate pool grows as ceil(sqrt(occupancy overshoot)) — this row
@@ -672,6 +702,7 @@ BENCH_ONLY = {
     "ivfbq_multi_topk_fitted": _q_ivfbq_multi_topk_fitted,
     "ivfpq_refine_auto_fitted": _q_ivfpq_refine_auto_fitted,
     "ivfpq_multi_refine_fitted": _q_ivfpq_multi_refine_fitted,
+    "ivfpq_multi_versioned_fitted": _q_ivfpq_multi_versioned_fitted,
     "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
     "bq_topk_fitted": _q_bq_topk_fitted,
     "ivfbq_topk_fitted": _q_ivfbq_topk_fitted,
@@ -697,6 +728,7 @@ PREPARE = {
     "ivfbq_multi_topk_fitted": _pq_fitted_artifacts,
     "ivfpq_refine_auto_fitted": _pq_fitted_artifacts,
     "ivfpq_multi_refine_fitted": _pq_fitted_artifacts,
+    "ivfpq_multi_versioned_fitted": _pq_fitted_artifacts,
     "ivfsq_topk_fitted": _pq_fitted_artifacts,
     "bq_topk_fitted": _pq_fitted_artifacts,
     "ivfbq_topk_fitted": _pq_fitted_artifacts,
@@ -757,6 +789,7 @@ HEADLINE = [
     "ivfbq_multi_topk_fitted",
     "ivfpq_refine_auto_fitted",
     "ivfpq_multi_refine_fitted",
+    "ivfpq_multi_versioned_fitted",
     "ivfsq_topk_fitted",
     "bq_topk_fitted",
     "ivfbq_topk_fitted",
