@@ -607,6 +607,11 @@ def ivfpq_topk(
         # two bounded collects: nprobe probe rows + the codebook ONCE
         # (per-cell tables are then local numpy, not per-cell jobs)
         probe_rows = probed.select("cell", "centroid").collect()
+        if not probe_rows:
+            raise ValueError(
+                "ivfpq_topk: probe returned no cells — is the "
+                "ivf_codebook empty (or all-coarse)?"
+            )
         cb_cells, QC, nc = _collect_codebook(pq_codebook)
         dist = None
         for r in probe_rows:
@@ -692,6 +697,12 @@ def ivfpq_multi_topk(
 
     if nprobe is None:
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
+    # hierarchical codebooks union coarse rows whose cell ids collide
+    # with fine global ids — the residual centroid collect below must
+    # never pick up a coarse row (multi_probe_cells filters internally,
+    # this body's collect did not — r12 advice, medium)
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     qrows = collect_dense_qids(queries_df, qid_col)
     qids = list(range(len(qrows)))
     if probe_metric is None:
@@ -720,9 +731,12 @@ def ivfpq_multi_topk(
         pcells = sorted(
             {int(r["cell"]) for r in probed.select("cell").collect()}
         )
-        _check_multi_literals(
-            len(qrows) * max(len(pcells), 1), pq_codebook
-        )
+        if not pcells:
+            raise ValueError(
+                "ivfpq_multi_topk: probe returned no cells — is the "
+                "ivf_codebook empty (or all-coarse)?"
+            )
+        _check_multi_literals(len(qrows) * len(pcells), pq_codebook)
         cents = {
             int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64)
             for r in ivf_codebook.filter(
@@ -851,7 +865,12 @@ def ivfpq_multi_topk_versioned(
     pruned = index_df.join(F.broadcast(probed), "cell")
     pcells_df = probed.select("cell").distinct()
     pcells = sorted(int(r["cell"]) for r in pcells_df.collect())
-    _check_multi_literals(len(qrows) * max(len(pcells), 1), pq_codebook)
+    if not pcells:
+        raise ValueError(
+            "ivfpq_multi_topk_versioned: probe returned no cells — is "
+            "the ivf_codebook empty (or all-coarse)?"
+        )
+    _check_multi_literals(len(qrows) * len(pcells), pq_codebook)
     probed_books = _collect_overrides(
         overrides.join(F.broadcast(pcells_df), "cell")
     )
@@ -911,7 +930,14 @@ def ivfpq_multi_topk_chunked(
     from img2dataset_spark.operators.similarity import collect_dense_qids
 
     spark = queries_df.sparkSession
-    qrows = collect_dense_qids(queries_df, qid_col)
+    # collect() returns partition order, NOT qid order — the versioned
+    # searcher sorts for the same reason; without this a multi-partition
+    # queries_df would hand each chunk the wrong query under qid lo+i
+    # (r12 advice, high)
+    qrows = sorted(
+        collect_dense_qids(queries_df, qid_col),
+        key=lambda r: int(r[qid_col]),
+    )
     if max_queries_per_scan is None:
         if kw.get("residual"):
             raise ValueError(
@@ -1135,11 +1161,17 @@ def ivfpq_topk_versioned(
     if residual:
         qv = np.asarray(qvec, dtype=np.float64)
         g_cells, g_QC, g_nc = _collect_codebook(pq_codebook)
-        dist = None
-        for r in sorted(
+        probe_rows = sorted(
             probed.select("cell", "centroid").collect(),
             key=lambda r: int(r["cell"]),
-        ):
+        )
+        if not probe_rows:
+            raise ValueError(
+                "ivfpq_topk_versioned: probe returned no cells — is "
+                "the ivf_codebook empty (or all-coarse)?"
+            )
+        dist = None
+        for r in probe_rows:
             cell = int(r["cell"])
             qres = qv - np.asarray(r["centroid"], dtype=np.float64)
             if cell in probed_books:

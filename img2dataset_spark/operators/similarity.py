@@ -768,7 +768,14 @@ def codebook_num_cells(codebook: DataFrame) -> int:
     are the assignment/probe domain.  Memoized per codebook DataFrame
     OBJECT (key on the frame you reuse across searches), so a session
     answering many nprobe=None queries against one fitted codebook
-    runs the sizing count once, not once per query."""
+    runs the sizing count once, not once per query.
+
+    STALENESS CONTRACT: the memo keys on the DataFrame object, not on
+    the data underneath it.  If the frame's backing path is mutated in
+    place (rewrite_index_cells, append_to_index, a streaming append),
+    either re-read the path into a NEW DataFrame — the maintained-index
+    examples all do — or call :func:`invalidate_memoized_counts` on the
+    reused frame before the next auto-sized search (r12 advice)."""
     hit = _CELL_COUNT_MEMO.get(id(codebook))
     if hit is not None and hit[0] is codebook:
         _CELL_COUNT_MEMO[id(codebook)] = _CELL_COUNT_MEMO.pop(id(codebook))
@@ -802,6 +809,24 @@ def memoized_count(df: DataFrame) -> int:
         _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
     _COUNT_MEMO[id(df)] = (df, n)
     return n
+
+
+def invalidate_memoized_counts(df: DataFrame | None = None) -> None:
+    """Evict ``df`` from both sizing memos (codebook_num_cells,
+    memoized_count), or clear them entirely when ``df`` is None — the
+    escape hatch for callers that mutate a frame's backing path in
+    place (rewrite_index_cells, append_to_index, streaming appends) and
+    then REUSE the same DataFrame object for an auto-sized search.
+    Without this, nprobe / refine-factor sizing would silently use the
+    pre-mutation count (r12 advice).  Re-reading the path into a fresh
+    DataFrame makes this unnecessary; the helper exists for the reuse
+    pattern."""
+    if df is None:
+        _CELL_COUNT_MEMO.clear()
+        _COUNT_MEMO.clear()
+        return
+    _CELL_COUNT_MEMO.pop(id(df), None)
+    _COUNT_MEMO.pop(id(df), None)
 
 
 def recommended_nprobe(

@@ -658,3 +658,150 @@ def test_ivfpq_multi_topk_chunked_equals_unchunked(spark, emb):
     with pytest.raises(ValueError, match="max_queries_per_scan"):
         ivfpq_multi_topk_chunked(idx, ivf_cb, pq_cb, qs, k=5,
                                  residual=True)
+
+
+def test_ivfpq_multi_topk_chunked_unordered_queries(spark, emb):
+    """REGRESSION (r12 advice, high): collect() returns partition
+    order, not qid order — a queries_df built in REVERSE qid order
+    must still restore each query's results under ITS OWN qid through
+    the positional chunking (the fix sorts qrows before chunking;
+    without it qid 0 silently received qid 2's neighbors)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk,
+        ivfpq_multi_topk_chunked,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=10, iters=2)
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb)
+    base = {
+        int(r["vec_id"]): [float(x) for x in r["query_vec"]]
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", _as_double(F.col("embedding")).alias("query_vec"))
+        .collect()
+    }
+    # reverse insertion order AND multiple partitions: collect order
+    # disagrees with qid order both ways
+    qs = spark.createDataFrame(
+        [(qid, base[qid]) for qid in (2, 1, 0)],
+        "qid long, query_vec array<double>",
+    ).repartition(3)
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=5,
+                                  nprobe=2).collect()
+    )
+    for chunk in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_multi_topk_chunked(
+                idx, ivf_cb, pq_cb, qs, k=5, nprobe=2,
+                max_queries_per_scan=chunk,
+            ).collect()
+        )
+        assert got == want, chunk
+
+
+def test_ivfpq_multi_topk_residual_hierarchical_codebook(spark, emb):
+    """REGRESSION (r12 advice, medium): hierarchical codebooks union
+    coarse rows whose cell ids (0..k1-1) collide with fine global ids;
+    the residual multi scan's centroid collect must see FINE rows only
+    or low-numbered probed cells get coarse centroids in their
+    query-residual ADC tables.  Pin batch == q singles (the single
+    path probes through probe_cells, which always filtered)."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk,
+        ivfpq_topk,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_fit_hierarchical,
+    )
+
+    ivf_cb = ivf_fit_hierarchical(emb, num_cells=9, iters=1, coarse_cells=3)
+    assert ivf_cb.filter(F.col("level") == "coarse").count() > 0
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb, residual=True)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    multi = {}
+    for r in ivfpq_multi_topk(idx, ivf_cb, pq_cb, qs, k=5, nprobe=2,
+                              residual=True).collect():
+        multi.setdefault(r["qid"], []).append((r["vec_id"], r["adc_dist"]))
+    assert set(multi) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q1 = qs.filter(F.col("qid") == qid).select("query_vec")
+        single = [(r["vec_id"], r["adc_dist"]) for r in
+                  ivfpq_topk(idx, ivf_cb, pq_cb, q1, k=5, nprobe=2,
+                             residual=True).collect()]
+        assert multi[qid] == single, qid
+
+
+def test_empty_probe_raises_named_error(spark, emb):
+    """REGRESSION (r12 advice, low): an empty ivf_codebook used to
+    leave the residual CASE's dist=None and die with an opaque
+    AttributeError on .otherwise — now every searcher raises a named
+    ValueError pointing at the codebook."""
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk,
+        ivfpq_multi_topk_versioned,
+        ivfpq_topk,
+        ivfpq_topk_versioned,
+        pq_fit,
+    )
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    pq_cb = pq_fit(emb, num_subspaces=2, num_codes=4, iters=1)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb, residual=True)
+    empty_cb = spark.createDataFrame(
+        [], "cell int, centroid array<double>"
+    )
+    empty_ovr = spark.createDataFrame(
+        [], "cell int, subspace int, code int, centroid array<double>"
+    )
+    q1 = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("query_vec")
+    )
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="probe returned no cells"):
+        ivfpq_topk(idx, empty_cb, pq_cb, q1, k=5, nprobe=2, residual=True)
+    with pytest.raises(ValueError, match="probe returned no cells"):
+        ivfpq_multi_topk(idx, empty_cb, pq_cb, qs, k=5, nprobe=2,
+                         residual=True)
+    with pytest.raises(ValueError, match="probe returned no cells"):
+        ivfpq_topk_versioned(idx, empty_cb, pq_cb, empty_ovr, q1, k=5,
+                             nprobe=2, residual=True)
+    with pytest.raises(ValueError, match="probe returned no cells"):
+        ivfpq_multi_topk_versioned(idx, empty_cb, pq_cb, empty_ovr, qs,
+                                   k=5, nprobe=2, residual=True)
+
+
+def test_invalidate_memoized_counts(spark):
+    """The sizing memos key on the DataFrame OBJECT; the r12-advice
+    escape hatch evicts one frame or clears both stores."""
+    from img2dataset_spark.operators import similarity as S
+
+    df = spark.range(7).withColumnRenamed("id", "cell")
+    cb = df.withColumn("centroid", F.array(F.lit(0.0)))
+    assert S.memoized_count(df) == 7
+    assert S.codebook_num_cells(cb) == 7
+    assert id(df) in S._COUNT_MEMO and id(cb) in S._CELL_COUNT_MEMO
+    S.invalidate_memoized_counts(df)
+    assert id(df) not in S._COUNT_MEMO
+    assert id(cb) in S._CELL_COUNT_MEMO  # targeted evict leaves others
+    S.invalidate_memoized_counts()
+    assert not S._COUNT_MEMO and not S._CELL_COUNT_MEMO
+    # recount after eviction still answers correctly
+    assert S.memoized_count(df) == 7
