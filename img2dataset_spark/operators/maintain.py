@@ -547,3 +547,83 @@ def rewrite_index_cells(
     # hold in the session file-status cache — a later re-read would
     # fail FILE_NOT_EXIST on the stale listing
     spark.catalog.refreshByPath(index_path)
+
+
+def sq_refit_cells(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    flagged_cells: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fit PER-CELL SQ8 [lo, hi] bounds for the drift-flagged cells
+    only — the SQ analog of :func:`pq_refit_cells`, closing the r12
+    verdict's #2 gap: an IVF+SQ index whose cells drift CLIPS against
+    stale global bounds (every out-of-range value codes to 0 or 255,
+    collapsing whole dimensions to ties) and previously had no remedy
+    short of a full re-index.  Returns (cell, dim, lo, hi) — rows only
+    for flagged cells; this is the version-1 bounds relation
+    :func:`operators.sq.ivfsq_topk_versioned` composes with the frozen
+    global bounds.
+
+    Structurally SIMPLER than the PQ refit — SQ8's standing advantage:
+    no Lloyd, no applyInPandas, no Python at all.  One ivf_assign pass
+    (the only Arrow stage), a broadcast-join filter to the flagged
+    cells, one posexplode, and a ``groupBy(cell, dim).agg(min, max)``
+    — partial aggregation combines map-side, the shuffle carries
+    partitions × flagged_cells × d rows, and min/max are exact (no
+    float-fold hazard), so the relation is bit-identical in any
+    engine.  Nothing corpus-sized ever reaches the driver."""
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    flagged = flagged_cells.select("cell").distinct()
+    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    rows = assigned.join(F.broadcast(flagged), "cell")
+    return (
+        rows.select("cell", F.posexplode(F.col("v")).alias("_p", "_x"))
+        .groupBy("cell", (F.col("_p") + 1).alias("dim"))
+        .agg(F.min("_x").alias("lo"), F.max("_x").alias("hi"))
+    )
+
+
+def sq_reencode_cells(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    overrides: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, codes) for the override cells only — each row
+    byte-encoded with ITS cell's refit bounds (the sq_encode expression
+    against the per-cell [lo, hi]): the SQ analog of
+    :func:`pq_reencode_cells`, and again pure codegen where the PQ
+    version needs an Arrow pass — the per-cell bounds ride the plan as
+    a CASE of literal-array encode expressions (override_cells · 2d
+    literal doubles, gated by the flat-codebook ceiling inside
+    ``sq._collect_cell_bounds``).  Rows outside the override cells
+    never enter the pass (broadcast semi-filter on cell).  Feed the
+    result to :func:`rewrite_index_cells`."""
+    from img2dataset_spark.operators.sq import (
+        _collect_cell_bounds,
+        _encode_expr,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    cell_bounds = _collect_cell_bounds(overrides)
+    if not cell_bounds:
+        raise ValueError("sq_reencode_cells: overrides relation is empty")
+    spark = df.sparkSession
+    cells_df = spark.createDataFrame(
+        [(int(c),) for c in sorted(cell_bounds)], "cell bigint"
+    )
+    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    rows = assigned.join(F.broadcast(cells_df), "cell")
+    codes = None
+    for cell in sorted(cell_bounds):
+        lo, hi = cell_bounds[cell]
+        cond = F.col("cell") == int(cell)
+        expr = _encode_expr(F.col("v"), lo, hi)
+        codes = (
+            F.when(cond, expr) if codes is None else codes.when(cond, expr)
+        )
+    return rows.select(F.col(id_col), "cell", codes.alias("codes"))

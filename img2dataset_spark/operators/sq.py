@@ -366,3 +366,178 @@ def ivfsq_multi_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def _collect_cell_bounds(
+    overrides: DataFrame,
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """{cell: (lo, hi)} from a per-cell bounds override relation
+    (cell, dim, lo, hi) — :func:`_collect_bounds`'s artifact keyed by
+    cell, the SQ analog of ``pq._collect_overrides``.  Bounded by
+    flagged-cells × d rows; the flat-codebook ceiling gates the
+    flagged cell count so this collect can never grow corpus-shaped.
+    Each cell's dims must be contiguous 1..d (a partial bounds row set
+    would silently mis-encode every dimension after the gap)."""
+    from img2dataset_spark.operators.similarity import (
+        FLAT_CODEBOOK_MAX_CELLS,
+    )
+
+    rows = overrides.select("cell", "dim", "lo", "hi").collect()
+    by_cell: dict[int, dict[int, tuple[float, float]]] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+            float(r["lo"]),
+            float(r["hi"]),
+        )
+    if len(by_cell) > FLAT_CODEBOOK_MAX_CELLS:
+        raise ValueError(
+            f"{len(by_cell)} override cells exceed "
+            f"FLAT_CODEBOOK_MAX_CELLS={FLAT_CODEBOOK_MAX_CELLS}; refit in "
+            "bounded batches (the flagged set is a schedule, not one job)"
+        )
+    out = {}
+    for cell, dims in by_cell.items():
+        if sorted(dims) != list(range(1, len(dims) + 1)):
+            raise ValueError(
+                f"override cell {cell} bounds dims not contiguous 1..d: "
+                f"{sorted(dims)[:5]}..."
+            )
+        lo = np.array([dims[i][0] for i in range(1, len(dims) + 1)])
+        hi = np.array([dims[i][1] for i in range(1, len(dims) + 1)])
+        out[cell] = (lo, hi)
+    return out
+
+
+def _asym_dist_expr(codes, lo: np.ndarray, hi: np.ndarray,
+                    qvec: np.ndarray):
+    """ASYMMETRIC SQ distance in quantized VECTOR units — the
+    cross-bounds-comparable distance the versioned search needs: the
+    symmetric code-domain (c−q)² is meaningless across cells whose
+    codes were minted with DIFFERENT bounds (a wide-bounds cell
+    compresses every distance), so the versioned scan reconstructs
+    each code through ITS bounds (``lo_i + c_i·(hi_i−lo_i)/255``,
+    FAISS's asymmetric SQ decode) and measures against the 2^-20
+    fixed-point quantized query — exact int64 per-dimension squares
+    summed by ``aggregate``, order-independent, so the relation
+    strict-compares against a SQL twin (the repo-wide quantized-
+    exactness rule).  The reconstruction's float64 expression order
+    (lo + (c·span)/255, then ·2^20 + 0.5, floor) is mirrored verbatim
+    in the twin — identical IEEE doubles in any engine."""
+    from img2dataset_spark.operators.similarity import _QUANT
+
+    q = np.asarray(qvec, dtype=np.float64)
+    if q.shape[0] != lo.shape[0]:
+        raise ValueError(
+            f"query dim {q.shape[0]} != bounds dim {lo.shape[0]}"
+        )
+    Q = np.floor(q * _QUANT + 0.5).astype(np.int64)
+    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+    span_arr = F.array(*[F.lit(float(h - l)) for h, l in zip(hi, lo)])
+    q_arr = F.array(*[F.lit(int(v)).cast("long") for v in Q])
+
+    def term(c, i):
+        recon = (
+            F.element_at(lo_arr, i + 1)
+            + c.cast("double") * F.element_at(span_arr, i + 1)
+            / F.lit(255.0)
+        )
+        qr = F.floor(recon * F.lit(float(_QUANT)) + F.lit(0.5)).cast("long")
+        diff = F.element_at(q_arr, i + 1) - qr
+        return diff * diff
+
+    return F.aggregate(
+        F.transform(codes, term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfsq_topk_versioned(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    overrides: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    probe_metric: str | None = None,
+) -> DataFrame:
+    """IVF+SQ8 search over a SELECTIVELY-REFIT index — the maintained
+    SQ index (:func:`maintain.sq_refit_cells` + rewrite) made
+    servable, closing the SQ half of the maintenance loop (the r12
+    verdict's #2 gap: drifted IVF+SQ cells clip against stale bounds
+    with no remedy short of a full re-index): cells present in
+    ``overrides`` were re-encoded with their own per-cell [lo, hi]
+    bounds (version 1), every other cell still carries global-bounds
+    codes (version 0), and the scan must decode each row through the
+    bounds that MINTED its codes.
+
+    Same probe rule as :func:`ivfsq_topk` (``nprobe=None`` →
+    ceil(sqrt(num_cells)), ``probe_metric=None`` → "l2", hierarchical
+    codebooks filtered to fine rows).  The distance CANNOT stay
+    symmetric: code-domain (c−q)² across two bounds versions compares
+    incommensurable units, so the versioned scan ranks by the
+    ASYMMETRIC reconstruction distance (:func:`_asym_dist_expr` —
+    exact int64 over 2^-20 fixed-point, vector units, comparable
+    across any bounds) with a CASE dispatching override cells to their
+    bounds and everything else to the global ones — still pure
+    codegen, (override_probed + 1)·d literal doubles in the plan.
+    Bounded collects only: the probe rows and the PROBED cells'
+    override bounds (broadcast semi-join).  Returns (id, sq_adist),
+    (sq_adist asc, id asc), top k."""
+    from img2dataset_spark.operators.similarity import (
+        codebook_num_cells,
+        probe_cells,
+        recommended_nprobe,
+    )
+
+    if probe_metric is None:
+        probe_metric = "l2"
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
+    probed_cells = probed.select("cell")
+    pruned = index_df.join(F.broadcast(probed_cells), "cell")
+    qrow = query_df.select("query_vec").collect()
+    if len(qrow) != 1:
+        raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
+    qvec = np.asarray(
+        [float(x) for x in qrow[0]["query_vec"]], dtype=np.float64
+    )
+    g_lo, g_hi = _collect_bounds(bounds)
+    d = len(g_lo)
+    # bounded collect: the PROBED cells' override bounds only
+    # (broadcast semi-join — never the whole override relation)
+    probed_bounds = _collect_cell_bounds(
+        overrides.join(F.broadcast(probed_cells), "cell")
+    )
+    dist = None
+    for cell in sorted(probed_bounds):
+        lo, hi = probed_bounds[cell]
+        cond = F.col("cell") == int(cell)
+        expr = _asym_dist_expr(F.col("codes"), lo, hi, qvec)
+        dist = F.when(cond, expr) if dist is None else dist.when(cond, expr)
+    g_expr = _asym_dist_expr(F.col("codes"), g_lo, g_hi, qvec)
+    dist = g_expr if dist is None else dist.otherwise(g_expr)
+    # sq_topk's width guard: a short/NULL codes array would otherwise
+    # aggregate over missing dims (transform just stops) or null out —
+    # fail loudly with the row's actual width
+    dist = F.when(
+        F.col("codes").isNull() | (F.size(F.col("codes")) != d),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ivfsq_topk_versioned: codes width != bounds dim {d}"
+                    " — got "
+                ),
+                F.coalesce(
+                    F.size(F.col("codes")).cast("string"), F.lit("NULL")
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(dist)
+    scored = pruned.select(F.col(id_col), dist.alias("sq_adist"))
+    return scored.orderBy(F.asc("sq_adist"), F.asc(id_col)).limit(k)

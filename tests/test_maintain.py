@@ -2,6 +2,7 @@
 
 import os
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -809,3 +810,278 @@ def test_multi_versioned_matches_single(spark):
         ovr.unpersist()
         mixed.unpersist()
     flagged.unpersist()
+
+
+@pytest.fixture(scope="module")
+def sq_drift(spark):
+    """The SQ clipping scenario (r12 verdict item 2): base clusters
+    inside [0, 1]-ish coordinates, a wave cluster far OUTSIDE the base
+    bounds.  Global SQ8 bounds fit on the base slice clip every wave
+    value to 255, collapsing the drifted cell's geometry to ties."""
+    from tools.make_clustered import clustered_embeddings
+
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.sq import sq_fit
+
+    V = clustered_embeddings(1600, dim=64, clusters=8, sigma_point=0.2,
+                             seed=13)
+    # push the wave clusters (vec_id % 8 in {6,7}) far outside the
+    # base value range: every dimension of those rows exceeds the
+    # base-fit hi bound
+    rows = []
+    for i in range(1600):
+        v = [float(x) for x in V[i]]
+        if i % 8 >= 6:
+            v = [x + 25.0 for x in v]
+        rows.append((int(i), v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 8 < 6)
+    ivf_cb = ivf_fit(base, num_cells=8, iters=2)
+    bounds = sq_fit(base)
+    drift = occupancy_drift(
+        index_occupancy(ivf_assign(base, ivf_cb)),
+        index_occupancy(ivf_assign(df, ivf_cb)),
+        threshold=1.3,
+    )
+    flagged = drift.filter(F.col("retrain")).select("cell").persist()
+    assert flagged.count() > 0
+    return df, ivf_cb, bounds, flagged
+
+
+def test_sq_refit_cells_matches_local_bounds(spark, sq_drift):
+    """sq_refit_cells == per-cell numpy min/max over the cell's own
+    rows (exact aggs, no float-fold hazard)."""
+    from img2dataset_spark.operators.maintain import sq_refit_cells
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    fcells = {int(r["cell"]) for r in flagged.collect()}
+    got = {}
+    for r in sq_refit_cells(df, ivf_cb, flagged).collect():
+        got[(int(r["cell"]), int(r["dim"]))] = (r["lo"], r["hi"])
+    assert {c for c, _ in got} == fcells
+    by_cell = {}
+    for r in ivf_assign(df, ivf_cb).collect():
+        if int(r["cell"]) in fcells:
+            by_cell.setdefault(int(r["cell"]), []).append(
+                np.asarray(r["v"], dtype=np.float64)
+            )
+    for cell, vs in by_cell.items():
+        M = np.stack(vs)
+        for d in range(64):
+            lo, hi = got[(cell, d + 1)]
+            assert lo == M[:, d].min() and hi == M[:, d].max(), (cell, d)
+
+
+def test_sq_clipping_and_refit_reencode(spark, sq_drift):
+    """The CLIPPING demonstration: under stale base-fit bounds every
+    drifted row's codes saturate at 255 on every dimension (the whole
+    cell collapses to one codeword — unsearchable); after
+    sq_refit_cells + sq_reencode_cells the cell's codes use its own
+    bounds and the re-encode equals sq_encode against those bounds."""
+    from img2dataset_spark.operators.maintain import (
+        sq_refit_cells,
+        sq_reencode_cells,
+    )
+    from img2dataset_spark.operators.sq import sq_encode
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    drifted = df.filter(F.col("vec_id") % 8 >= 6)
+    stale = sq_encode(drifted, bounds)
+    for r in stale.limit(50).collect():
+        assert all(c == 255 for c in r["codes"]), r["vec_id"]
+    ovr = sq_refit_cells(df, ivf_cb, flagged).persist()
+    re_rows = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in sq_reencode_cells(df, ivf_cb, ovr).collect()
+    }
+    # refit codes must actually discriminate: a drifted row is no
+    # longer all-255
+    drift_ids = {int(r["vec_id"]) for r in drifted.select("vec_id").collect()}
+    re_drift = [re_rows[i] for i in sorted(drift_ids & set(re_rows))]
+    assert re_drift and any(any(c != 255 for c in cs) for cs in re_drift)
+    # parity: each flagged cell's re-encode == sq_encode with that
+    # cell's own bounds relation
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    assign = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in ivf_assign(df, ivf_cb).select("vec_id", "cell").collect()
+    }
+    for cell in [int(r["cell"]) for r in flagged.collect()]:
+        cell_bounds = ovr.filter(F.col("cell") == cell).select(
+            "dim", "lo", "hi"
+        )
+        members = [i for i, c in assign.items() if c == cell]
+        want = {
+            int(r["vec_id"]): list(r["codes"])
+            for r in sq_encode(
+                df.filter(F.col("vec_id").isin(members)), cell_bounds
+            ).collect()
+        }
+        for i in members:
+            assert re_rows[i] == want[i], (cell, i)
+    ovr.unpersist()
+
+
+def test_ivfsq_versioned_search_recovers_clipped_cell(spark, sq_drift):
+    """The closed SQ maintenance loop, measured: a query in the
+    drifted cluster searched against (a) the stale all-global index
+    (versioned search, EMPTY overrides) and (b) the mixed refit index
+    (versioned search with the refit bounds).  Stale recall against
+    exact-L2 ground truth is chance (all drifted rows tie at identical
+    clipped codes, ranked by id); refit recall must be
+    near-perfect — the 255-level per-cell grid resolves the cluster."""
+    from img2dataset_spark.operators.maintain import (
+        sq_refit_cells,
+        sq_reencode_cells,
+    )
+    from img2dataset_spark.operators.recall import exact_l2_topk
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_topk_versioned,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    idx = ivfsq_index(df, ivf_cb, bounds).persist()
+    idx.count()
+    q = df.filter(F.col("vec_id") == 6).select(
+        _as_double(F.col("embedding")).alias("query_vec")
+    )
+    truth = {
+        int(r["vec_id"])
+        for r in exact_l2_topk(df, q, k=10).collect()
+    }
+    empty_ovr = spark.createDataFrame(
+        [], "cell long, dim int, lo double, hi double"
+    )
+    stale = {
+        int(r["vec_id"])
+        for r in ivfsq_topk_versioned(
+            idx, ivf_cb, bounds, empty_ovr, q, k=10, nprobe=2
+        ).collect()
+    }
+    ovr = sq_refit_cells(df, ivf_cb, flagged).persist()
+    re_rows = sq_reencode_cells(df, ivf_cb, ovr)
+    mixed = (
+        idx.join(F.broadcast(flagged), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(re_rows.select("vec_id", "cell", "codes"))
+    )
+    fixed = {
+        int(r["vec_id"])
+        for r in ivfsq_topk_versioned(
+            mixed, ivf_cb, bounds, ovr, q, k=10, nprobe=2
+        ).collect()
+    }
+    stale_recall = len(stale & truth) / 10
+    fixed_recall = len(fixed & truth) / 10
+    assert fixed_recall >= 0.9, (stale_recall, fixed_recall)
+    assert fixed_recall > stale_recall, (stale_recall, fixed_recall)
+    idx.unpersist()
+    ovr.unpersist()
+
+
+def test_ivfsq_versioned_matches_local_asym_recompute(spark, sq_drift):
+    """The asymmetric distance is EXACT: every (id, sq_adist) the
+    versioned search returns equals a local numpy recompute of
+    floor-quantized reconstruction distance through the minting
+    bounds (override cells -> refit bounds, rest -> global)."""
+    from img2dataset_spark.operators.maintain import (
+        sq_refit_cells,
+        sq_reencode_cells,
+    )
+    from img2dataset_spark.operators.similarity import _QUANT, _as_double
+    from img2dataset_spark.operators.sq import (
+        _collect_bounds,
+        _collect_cell_bounds,
+        ivfsq_index,
+        ivfsq_topk_versioned,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    ovr = sq_refit_cells(df, ivf_cb, flagged)
+    idx = ivfsq_index(df, ivf_cb, bounds)
+    mixed = (
+        idx.join(F.broadcast(flagged), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(
+            sq_reencode_cells(df, ivf_cb, ovr).select(
+                "vec_id", "cell", "codes"
+            )
+        )
+        .persist()
+    )
+    mixed.count()
+    q = df.filter(F.col("vec_id") == 6).select(
+        _as_double(F.col("embedding")).alias("query_vec")
+    )
+    got = ivfsq_topk_versioned(mixed, ivf_cb, bounds, ovr, q, k=10,
+                               nprobe=3).collect()
+    qv = np.asarray(
+        q.collect()[0]["query_vec"], dtype=np.float64
+    )
+    Q = np.floor(qv * _QUANT + 0.5).astype(np.int64)
+    g_lo, g_hi = _collect_bounds(bounds)
+    cb = _collect_cell_bounds(ovr)
+    codes = {
+        int(r["vec_id"]): (int(r["cell"]), np.asarray(r["codes"]))
+        for r in mixed.collect()
+    }
+    for r in got:
+        cell, c = codes[int(r["vec_id"])]
+        lo, hi = cb.get(cell, (g_lo, g_hi))
+        recon = lo + c.astype(np.float64) * (hi - lo) / 255.0
+        qr = np.floor(recon * _QUANT + 0.5).astype(np.int64)
+        want = int(((Q - qr) ** 2).sum())
+        assert int(r["sq_adist"]) == want, r
+    mixed.unpersist()
+
+
+def test_sq_versioned_guards(spark, sq_drift):
+    """Ceiling + width guards: the override-bounds collect refuses past
+    FLAT_CODEBOOK_MAX_CELLS (monkeypatch-free: direct call with a tiny
+    ceiling via monkeypatch fixture is overkill here — use the empty
+    relation error and the codes-width raise instead), the re-encode
+    refuses an empty override relation, and a short codes row fails
+    loudly instead of ranking."""
+    from img2dataset_spark.operators.maintain import sq_reencode_cells
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import ivfsq_topk_versioned
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    empty_ovr = spark.createDataFrame(
+        [], "cell long, dim int, lo double, hi double"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        sq_reencode_cells(df, ivf_cb, empty_ovr)
+    bad = spark.createDataFrame(
+        [(0, 0, [1, 2, 3])], "vec_id long, cell long, codes array<long>"
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("query_vec")
+    )
+    with pytest.raises(Exception, match="codes width"):
+        ivfsq_topk_versioned(bad, ivf_cb, bounds, empty_ovr, q, k=5,
+                             nprobe=8).collect()
+
+
+def test_sq_collect_cell_bounds_is_guarded(spark, sq_drift, monkeypatch):
+    """_collect_cell_bounds routes through the FLAT_CODEBOOK_MAX_CELLS
+    ceiling (the pq._collect_overrides precedent): with the ceiling
+    monkeypatched to 0 the collect refuses instead of gathering."""
+    from img2dataset_spark.operators.maintain import sq_refit_cells
+    from img2dataset_spark.operators.sq import _collect_cell_bounds
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    ovr = sq_refit_cells(df, ivf_cb, flagged)
+    monkeypatch.setattr(
+        "img2dataset_spark.operators.similarity.FLAT_CODEBOOK_MAX_CELLS", 0
+    )
+    with pytest.raises(ValueError, match="FLAT_CODEBOOK_MAX_CELLS"):
+        _collect_cell_bounds(ovr)
