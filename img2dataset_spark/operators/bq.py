@@ -204,11 +204,12 @@ def bq_refine_topk(
     vectors_df: DataFrame,
     query_df: DataFrame,
     k: int = 10,
-    refine_factor: int = 4,
+    refine_factor: int | None = None,
     num_planes: int = 64,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_target_occupancy: int = 1024,
 ) -> DataFrame:
     """Two-stage binary search — the role 1-bit codes are FOR (r9
     verdict: Hamming is a screen, not a ranker): stage 1 takes the top
@@ -219,13 +220,32 @@ def bq_refine_topk(
     full vector scan.  Output (id, cos_sim) follows cosine_topk's
     convention (round6 quantized cosine, desc, id-asc ties), directly
     comparable to the brute-force baseline and to ivfpq_refine_topk.
-    Mirrors pq.ivfpq_refine_topk:294-341."""
+    Mirrors pq.ivfpq_refine_topk:294-341.
+
+    ``refine_factor=None`` (the default since round 13) sizes the
+    candidate pool from the CORPUS: a flat screen scans all n rows —
+    one cell of occupancy n — so the tie-mass argument that sizes the
+    IVF refine (recommended_refine_factor: Hamming at a fixed plane
+    budget cannot separate more candidates than its code space, and
+    the indistinguishable mass grows with the scanned row count)
+    applies with num_cells = 1.  rf = 4·ceil(sqrt(n / 1024)) capped
+    at 256; exact recall is monotone in rf (the re-rank is exact over
+    a superset), so the auto size can only match or beat the old
+    fixed 4.  Pass an int to pin the pre-r13 behavior."""
     from img2dataset_spark.operators.similarity import (
         _as_double,
         cosine,
+        memoized_count,
+        recommended_refine_factor,
         round6,
     )
 
+    if refine_factor is None:
+        refine_factor = recommended_refine_factor(
+            memoized_count(codes_df),
+            1,
+            target_occupancy=refine_target_occupancy,
+        )
     cand = bq_topk(
         codes_df, query_df, k=k * refine_factor,
         num_planes=num_planes, dim=dim, id_col=id_col,

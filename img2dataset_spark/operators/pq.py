@@ -913,20 +913,29 @@ def ivfpq_multi_topk_chunked(
     k: int = 10,
     max_queries_per_scan: int | None = None,
     qid_col: str = "qid",
+    overrides: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     """The sanctioned route past :data:`_MULTI_TOPK_MAX_LITERALS`:
     split the probe set into dense-qid chunks, answer each chunk from
-    ONE scan (:func:`ivfpq_multi_topk`), and union with the original
-    qids restored.  Each chunk still amortizes its scan; what is NOT
-    amortized across chunks is the scan count itself — q/chunk_size
-    passes instead of one — which is exactly the plan-size-vs-scans
-    trade the ceiling prices.
+    ONE scan, and union with the original qids restored.  Each chunk
+    still amortizes its scan; what is NOT amortized across chunks is
+    the scan count itself — q/chunk_size passes instead of one — which
+    is exactly the plan-size-vs-scans trade the ceiling prices.
+
+    ``overrides`` (a :func:`maintain.pq_refit_cells` relation) routes
+    every chunk through :func:`ivfpq_multi_topk_versioned` instead —
+    the maintained-index batch search at any probe-set size (the r12
+    verdict's versioned-chunking gap: versioned literals compound as
+    probed_cells·q·m·k, ~30 queries per scan at FAISS-like settings,
+    and previously a caller had to hand-chunk).  ``residual=True``
+    composes with both routes.
 
     ``max_queries_per_scan=None`` sizes chunks from the ceiling and
-    the codebook (non-residual mode); the residual CASE multiplies
-    literals by the probed-cell count, which depends on the probe —
-    pass an explicit chunk size there (the sizing refuses to guess)."""
+    the codebook (raw global-book mode only); the residual and
+    versioned CASEs multiply literals by the probed-cell count, which
+    depends on the probe — pass an explicit chunk size there (the
+    sizing refuses to guess)."""
     from img2dataset_spark.operators.similarity import collect_dense_qids
 
     spark = queries_df.sparkSession
@@ -939,11 +948,11 @@ def ivfpq_multi_topk_chunked(
         key=lambda r: int(r[qid_col]),
     )
     if max_queries_per_scan is None:
-        if kw.get("residual"):
+        if kw.get("residual") or overrides is not None:
             raise ValueError(
-                "ivfpq_multi_topk_chunked: residual mode multiplies "
-                "plan literals by the probed-cell count — pass an "
-                "explicit max_queries_per_scan"
+                "ivfpq_multi_topk_chunked: residual/versioned modes "
+                "multiply plan literals by the probed-cell count — "
+                "pass an explicit max_queries_per_scan"
             )
         cells, _, _ = _collect_codebook(pq_codebook)
         per_q = sum(int(c.max()) + 1 for c in cells)
@@ -957,10 +966,17 @@ def ivfpq_multi_topk_chunked(
              for i, r in enumerate(chunk)],
             schema,
         ).withColumnRenamed("qid", qid_col)
-        res = ivfpq_multi_topk(
-            index_df, ivf_codebook, pq_codebook, cdf, k=k,
-            qid_col=qid_col, **kw,
-        ).withColumn(qid_col, F.col(qid_col) + F.lit(lo))
+        if overrides is not None:
+            res = ivfpq_multi_topk_versioned(
+                index_df, ivf_codebook, pq_codebook, overrides, cdf,
+                k=k, qid_col=qid_col, **kw,
+            )
+        else:
+            res = ivfpq_multi_topk(
+                index_df, ivf_codebook, pq_codebook, cdf, k=k,
+                qid_col=qid_col, **kw,
+            )
+        res = res.withColumn(qid_col, F.col(qid_col) + F.lit(lo))
         out = res if out is None else out.unionByName(res)
     return out
 

@@ -1679,6 +1679,109 @@ SELECT qid, vec_id, sq_dist FROM (
 ) WHERE rk <= 10
 """
 
+# The SQ maintenance loop (maintain.sq_refit_cells / sq_reencode_cells
+# / rewrite_index_cells + sq.ivfsq_topk_versioned) recomputed
+# relationally: frozen global bounds fit on the base slice, drift
+# flags from the occupancy relation (the _REFIT_CTES head verbatim),
+# per-cell [lo, hi] bounds for flagged cells (one min/max agg — no
+# Lloyd), flagged rows re-encoded against their cell's bounds, and a
+# search ranked by the ASYMMETRIC reconstruction distance — each code
+# decoded through the bounds that MINTED it (lo + c·span/255), floor-
+# quantized to 2^-20 fixed point, exact int64 squares against the
+# quantized query.  The reconstruction expression order here mirrors
+# sq._asym_dist_expr token for token (same IEEE doubles in any
+# engine).  nprobe=4 straddles flagged and unflagged cells.
+def _sq_asym_term(lo: str, hi: str, c: str) -> str:
+    recon = (
+        f"CAST(floor(({lo} + {c} * ({hi} - {lo}) / 255.0) "
+        "* 1048576.0 + 0.5) AS BIGINT)"
+    )
+    return f"(q.qvq[i] - {recon}) * (q.qvq[i] - {recon})"
+
+
+ORACLES["ivfsq_refit_versioned"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+qq AS (SELECT v AS qv, qv AS qvq FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, {_QL2.format(a='q.qvq', b='c.qc')} AS pd
+    FROM cqf c, qq q)
+  ORDER BY pd ASC, cell ASC LIMIT 4),
+b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM eb, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
+bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+codes AS (SELECT vec_id,
+  list_transform(generate_series(1, 64), i ->
+    CASE WHEN bl.hi[i] = bl.lo[i] THEN 0
+         ELSE GREATEST(0, LEAST(255,
+           CAST(floor((e.v[i] - bl.lo[i]) * 255.0 / (bl.hi[i] - bl.lo[i]) + 0.5)
+                AS BIGINT)))
+    END) AS c
+  FROM e, bl),
+pb AS (SELECT af.cell, i, min(e.v[i]) AS lo, max(e.v[i]) AS hi
+  FROM e JOIN af ON af.vec_id = e.vec_id
+  JOIN flagged f ON f.cell = af.cell,
+  (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY af.cell, i),
+pbl AS (SELECT cell, list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+  FROM pb GROUP BY cell),
+pcodes AS (SELECT e.vec_id, pbl.cell,
+  list_transform(generate_series(1, 64), i ->
+    CASE WHEN pbl.hi[i] = pbl.lo[i] THEN 0
+         ELSE GREATEST(0, LEAST(255,
+           CAST(floor((e.v[i] - pbl.lo[i]) * 255.0 / (pbl.hi[i] - pbl.lo[i]) + 0.5)
+                AS BIGINT)))
+    END) AS c
+  FROM e JOIN af ON af.vec_id = e.vec_id
+  JOIN pbl ON pbl.cell = af.cell)
+SELECT vec_id, sq_adist FROM (
+  SELECT codes.vec_id,
+    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      {_sq_asym_term('bl.lo[i]', 'bl.hi[i]', 'codes.c[i]')}))
+      AS BIGINT) AS sq_adist
+  FROM codes JOIN af ON af.vec_id = codes.vec_id, bl, qq q
+  WHERE af.cell IN (SELECT cell FROM probe)
+    AND af.cell NOT IN (SELECT cell FROM flagged)
+  UNION ALL
+  SELECT p.vec_id,
+    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      {_sq_asym_term('pbl.lo[i]', 'pbl.hi[i]', 'p.c[i]')}))
+      AS BIGINT) AS sq_adist
+  FROM pcodes p JOIN pbl ON pbl.cell = p.cell, qq q
+  WHERE p.cell IN (SELECT cell FROM probe)
+)
+ORDER BY sq_adist ASC, vec_id ASC LIMIT 10
+"""
+
 # Binary quantization (operators/bq.py): sign bit per md5-seeded
 # hyperplane (the embedding-LSH dot/sign convention), packed 32 bits
 # per word, Hamming = popcount of xor per word summed.  BIGINT-cast

@@ -1925,6 +1925,65 @@ def q_ivfsq_multi_topk(spark, sf_dir):
     return ivfsq_multi_topk(idx, ivf_cb, bounds, qs, k=10, nprobe=2)
 
 
+def q_ivfsq_refit_versioned(spark, sf_dir):
+    """The SQ half of the maintenance loop end-to-end (r12 verdict
+    item 2 — the actuator served only the PQ family; an IVF+SQ index
+    whose cells drift CLIPPED against stale global bounds with no
+    remedy short of a full re-index).  Inside one query: global SQ8
+    bounds fit FROZEN on the 70% base slice, the post-append union
+    corpus byte-indexed cell-partitioned, occupancy_drift (threshold
+    1.02) FLAGS the drifted cells, per-cell [lo, hi] bounds refit for
+    only those cells (maintain.sq_refit_cells — one min/max agg, no
+    Lloyd: SQ's structural edge over the PQ refit), only their rows
+    re-encoded (sq_reencode_cells, pure codegen), only their
+    directories rewritten (rewrite_index_cells), and the search
+    answered from the read-back MIXED index via ivfsq_topk_versioned —
+    ranked by the ASYMMETRIC reconstruction distance (exact int64 over
+    2^-20 fixed-point quantized query and reconstructions), the only
+    distance commensurable across two bounds versions.  The SQL twin
+    recomputes everything relationally: base Lloyd + drift flags (the
+    _REFIT_CTES head), per-dim base bounds, per-cell flagged bounds,
+    both encode variants, and the same floor-quantized reconstruction
+    sum.  nprobe=4 straddles flagged and unflagged cells (both CASE
+    branches land in the hashed result).  Scratch dir atexit-swept."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        rewrite_index_cells,
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_topk_versioned,
+        sq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    bounds = sq_fit(base)
+    tmp = _scratch_dir("graft_ivfsq_refit_")
+    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
+    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
+    flagged = (
+        occupancy_drift(base_occ, new_occ, threshold=1.02)
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = sq_refit_cells(e, ivf_cb, flagged)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    rewrite_index_cells(sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfsq_topk_versioned(idx_rd, ivf_cb, bounds, ovr_rd,
+                                _query_vec(spark, sf_dir), k=10, nprobe=4)
+
+
 def q_ivfbq_multi_topk(spark, sf_dir):
     """Batch binary search (bq.ivfbq_multi_topk): the one-scan
     multi-query shape for the popcount family — per-qid COSINE probe
@@ -2479,6 +2538,7 @@ QUERIES.update(
         "sq8_topk": q_sq8_topk,
         "ivfsq_topk": q_ivfsq_topk,
         "ivfsq_multi_topk": q_ivfsq_multi_topk,
+        "ivfsq_refit_versioned": q_ivfsq_refit_versioned,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
         "bq_topk": q_bq_topk,
         "bq_refine_topk": q_bq_refine_topk,
@@ -2719,14 +2779,20 @@ _EXTRA_NAMES = (
     # probes from one mixed-codes pass (ivfpq_refit_residual holds the
     # maintained-index driver slot)
     "ivfpq_refit_residual_multi",
+    # rotated out round 13 (r11 AND r12 green) to make room for
+    # ivfsq_refit_versioned — the SAME maintenance loop serving the SQ
+    # family; the raw-PQ versioned CASE shape stays in-window twice
+    # over (ivfpq_refit_residual, ivfpq_refit_distortion)
+    "ivfpq_refit_versioned",
 )
 _FLAGSHIP_FIRST = (
+    # never-before-driver-verified (NEW round 13) — first in line
+    "ivfsq_refit_versioned",
     # never-before-driver-verified (NEW round 12) — first in line
     "ivfpq_refit_residual",
     "ivfpq_refine_topk_sized",
     "ivfsq_multi_topk",
     # never-before-driver-verified (NEW round 11) — first in line
-    "ivfpq_refit_versioned",
     "ivfpq_refit_distortion",
     "ivfpq_topk_sized",
     "ivfpq_multi_topk",

@@ -266,3 +266,33 @@ def test_ivfbq_multi_topk_matches_single(spark, emb):
     sparse = qs.withColumn("qid", F.col("qid") * 2)
     with pytest.raises(ValueError, match="dense"):
         ivfbq_multi_topk(idx, ivf_cb, sparse, k=5, nprobe=2)
+
+
+def test_bq_refine_topk_auto_rf(spark, emb):
+    """refine_factor=None (the r13 default) sizes the flat screen's
+    pool from the CORPUS (occupancy = n, num_cells = 1 — the same
+    tie-mass rule the IVF siblings use): equals the explicit rf at the
+    computed value, and can only match-or-beat a smaller fixed rf on
+    recall (exact re-rank over a superset)."""
+    from img2dataset_spark.operators.bq import bq_encode, bq_refine_topk
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        recommended_refine_factor,
+    )
+
+    codes = bq_encode(emb, num_planes=64, dim=64).persist()
+    n = codes.count()
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("query_vec")
+    )
+    rf = recommended_refine_factor(n, 1, target_occupancy=64)
+    assert rf > 4  # the fixture corpus overshoots the target pool
+    auto = [tuple(r) for r in bq_refine_topk(
+        codes, emb, q, k=10, num_planes=64, dim=64,
+        refine_target_occupancy=64,
+    ).collect()]
+    pinned = [tuple(r) for r in bq_refine_topk(
+        codes, emb, q, k=10, refine_factor=rf, num_planes=64, dim=64,
+    ).collect()]
+    assert auto == pinned
+    codes.unpersist()

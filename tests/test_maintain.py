@@ -1085,3 +1085,105 @@ def test_sq_collect_cell_bounds_is_guarded(spark, sq_drift, monkeypatch):
     )
     with pytest.raises(ValueError, match="FLAT_CODEBOOK_MAX_CELLS"):
         _collect_cell_bounds(ovr)
+
+
+def test_chunked_versioned_equals_unchunked(spark):
+    """The sanctioned chunked route now spans the MAINTAINED index
+    (r12 verdict item 3): ivfpq_multi_topk_chunked(overrides=...)
+    returns the same relation as one ivfpq_multi_topk_versioned scan —
+    raw AND residual families, any chunk size, original qids restored
+    across chunk offsets — and still refuses to auto-size (versioned
+    literals depend on the probe)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_topk_chunked,
+        ivfpq_multi_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        ivf_fit,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+        .persist()
+    )
+    assert flagged.count() > 0
+    # reverse insertion order + repartition: the chunking must restore
+    # qids by VALUE, not collect position (the r12-advice fix)
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["query_vec"]]
+        for r in e.filter(F.col("vec_id") < 3)
+        .select("vec_id", _as_double(F.col("embedding")).alias("query_vec"))
+        .collect()
+    }
+    qs = spark.createDataFrame(
+        [(qid, qrows[qid]) for qid in (2, 1, 0)],
+        "qid long, query_vec array<double>",
+    ).repartition(3)
+    for residual in (False, True):
+        if residual:
+            pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
+                           num_codes=4, iters=2, vec_col="rvec")
+        else:
+            pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+        idx = ivfpq_index(e, ivf_cb, pq_cb, residual=residual)
+        ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                             num_codes=4, iters=2,
+                             residual=residual).persist()
+        ovr.count()
+        mixed = (
+            idx.join(F.broadcast(flagged), "cell", "left_anti")
+            .select("vec_id", "cell", "codes")
+            .unionByName(
+                pq_reencode_cells(e, ivf_cb, ovr, residual=residual)
+                .select("vec_id", "cell", "codes")
+            )
+            .persist()
+        )
+        mixed.count()
+        want = sorted(
+            tuple(r)
+            for r in ivfpq_multi_topk_versioned(
+                mixed, ivf_cb, pq_cb, ovr, qs, k=5, nprobe=4,
+                residual=residual,
+            ).collect()
+        )
+        for chunk in (1, 2):
+            got = sorted(
+                tuple(r)
+                for r in ivfpq_multi_topk_chunked(
+                    mixed, ivf_cb, pq_cb, qs, k=5, nprobe=4,
+                    max_queries_per_scan=chunk, overrides=ovr,
+                    residual=residual,
+                ).collect()
+            )
+            assert got == want, (residual, chunk)
+        ovr.unpersist()
+        mixed.unpersist()
+    # auto-sizing refuses for the versioned route exactly like residual
+    with pytest.raises(ValueError, match="max_queries_per_scan"):
+        ivfpq_multi_topk_chunked(
+            e.limit(0), ivf_cb,
+            pq_fit(base, num_subspaces=2, num_codes=4, iters=1), qs,
+            overrides=flagged,
+        )
+    flagged.unpersist()
