@@ -264,6 +264,31 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
         spark.createDataFrame(
             [], "cell long, subspace long, code long, centroid array<double>"
         ).write.parquet(base + "/roverrides")
+    # SQ-versioned artifacts (r13: the SQ half of the maintenance
+    # loop): the same drift flags drive a per-cell BOUNDS refit —
+    # separate index dir, flagged cells rewritten with their own
+    # bounds' byte codes
+    from img2dataset_spark.operators.maintain import (
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+
+    ivfsq_index(
+        e, ivf_rd, spark.read.parquet(base + "/sq_bounds")
+    ).write.partitionBy("cell").parquet(base + "/sq_vindex")
+    if flagged.limit(1).count() > 0:
+        sq_refit_cells(e, ivf_rd, flagged).write.parquet(
+            base + "/sq_overrides"
+        )
+        rewrite_index_cells(
+            sq_reencode_cells(e, ivf_rd,
+                              spark.read.parquet(base + "/sq_overrides")),
+            base + "/sq_vindex",
+        )
+    else:
+        spark.createDataFrame(
+            [], "cell long, dim int, lo double, hi double"
+        ).write.parquet(base + "/sq_overrides")
     _PQ_ARTIFACTS[sf_dir] = base
     return base
 
@@ -274,414 +299,185 @@ def _fitted_query_vec(spark, sf_dir):
     return _query_vec(spark, sf_dir)
 
 
-def _q_pq_adc_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY PQ bench row: codebook + codes read from parquet
-    (the production shape — pq_adc_topk re-trains its codebooks every
-    run, so its number is fit-dominated; this one is the compressed
-    scan the family exists for)."""
-    from img2dataset_spark.operators.pq import pq_topk
+# ---------------------------------------------------------------------------
+# Table-driven *_fitted bench twins (r12 verdict item 6): every twin is
+# "read pre-built artifacts, run ONE searcher" — a spec row instead of a
+# function.  Tokens: "@dir" = parquet under the artifact base; "EMB" =
+# the embeddings table; "WAVE" = its 10% hash-slice; "Q" = the 1-row
+# query frame; "QS" = the 3-probe batch frame.  Adding a family's twin
+# is one dict entry.
+# ---------------------------------------------------------------------------
 
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return pq_topk(
-        spark.read.parquet(base + "/codes"),
-        spark.read.parquet(base + "/pq_cb"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-    )
+_FITTED_SPECS: dict[str, dict] = {
+    "pq_adc_topk_fitted": dict(
+        fn="pq:pq_topk", args=["@codes", "@pq_cb", "Q"], kw=dict(k=10),
+        doc="SEARCH-ONLY PQ: codebook + codes from parquet — the "
+            "compressed ADC scan alone (pq_adc_topk re-trains per run, "
+            "so its number is fit-dominated)."),
+    "pq_adc_topk_fitted_packed": dict(
+        fn="pq:pq_topk", args=["@codes_packed", "@pq_cb", "Q"],
+        kw=dict(k=10, packed=True),
+        doc="Packed-codes twin (byte-packed words, shift+mask slices): "
+            "same search, smaller scan — the storage A/B."),
+    "pq_adc_topk_fitted_k256": dict(
+        fn="pq:pq_topk", args=["@codes256", "@pq_cb256", "Q"], kw=dict(k=10),
+        doc="FAISS-default k=256 codes/subspace: m*256 = 2048 literal "
+            "longs in the plan — the codegen-budget stress test (r10 "
+            "item 4)."),
+    "ivfpq_topk_fitted": dict(
+        fn="pq:ivfpq_topk", args=["@index", "@ivf_cb", "@pq_cb", "Q"],
+        kw=dict(k=10, nprobe=4),
+        doc="SEARCH-ONLY IVF+PQ: probe-rank -> partition-pruned ADC "
+            "scan -> TakeOrdered (zero fits)."),
+    "ivfpq_topk_versioned_fitted": dict(
+        fn="pq:ivfpq_topk_versioned",
+        args=["@vindex", "@ivf_cb", "@pq_cb", "@overrides", "Q"],
+        kw=dict(k=10, nprobe=4),
+        doc="SEARCH-ONLY versioned search: mixed index + override "
+            "relation from parquet; per-probed-cell CASE ADC scan — "
+            "zero fits, zero refits."),
+    "ivfpq_multi_topk_fitted": dict(
+        fn="pq:ivfpq_multi_topk", args=["@index", "@ivf_cb", "@pq_cb", "QS"],
+        kw=dict(k=10, nprobe=4),
+        doc="SEARCH-ONLY batch: three probes through ONE pass over the "
+            "pre-built index — the amortization vs 3x single scans."),
+    "ivfpq_refine_topk_fitted": dict(
+        fn="pq:ivfpq_refine_topk",
+        args=["@index", "@ivf_cb", "@pq_cb", "EMB", "Q"],
+        kw=dict(k=10, nprobe=4, refine_factor=4),
+        doc="SEARCH-ONLY two-stage refine: compressed ADC top-40, exact "
+            "re-rank of just those rows via broadcast semi-join."),
+    "ivfpq_residual_topk_fitted": dict(
+        fn="pq:ivfpq_topk", args=["@rindex", "@rivf_cb", "@rpq_cb", "Q"],
+        kw=dict(k=10, nprobe=4, residual=True),
+        doc="SEARCH-ONLY residual IVF+PQ: per-probed-cell literal ADC "
+            "tables over the pre-built residual index."),
+    "ivfpq_refit_residual_fitted": dict(
+        fn="pq:ivfpq_topk_versioned",
+        args=["@rvindex", "@rivf_cb", "@rpq_cb", "@roverrides", "Q"],
+        kw=dict(k=10, nprobe=4, residual=True),
+        doc="SEARCH-ONLY versioned RESIDUAL search (true LOPQ): mixed "
+            "residual index + per-cell books from parquet."),
+    "ivfsq_multi_topk_fitted": dict(
+        fn="sq:ivfsq_multi_topk",
+        args=["@sq_index", "@ivf_cb", "@sq_bounds", "QS"],
+        kw=dict(k=10, nprobe=4),
+        doc="SEARCH-ONLY batch SQ8: three probes through ONE pass over "
+            "the pre-built byte-code index."),
+    "ivfbq_multi_topk_fitted": dict(
+        fn="bq:ivfbq_multi_topk", args=["@bq_index", "@ivf_cb", "QS"],
+        kw=dict(k=10, nprobe=4, num_planes=64, dim=64),
+        doc="SEARCH-ONLY batch BQ: three probes through ONE pass over "
+            "the pre-built packed-word index."),
+    "ivfpq_refine_auto_fitted": dict(
+        fn="pq:ivfpq_refine_topk",
+        args=["@index", "@ivf_cb", "@pq_cb", "EMB", "Q"],
+        kw=dict(k=10, nprobe=4, refine_target_occupancy=64),
+        doc="SEARCH-ONLY refine with refine_factor=None sizing: what "
+            "the auto-sized exact re-rank costs vs the fixed-rf twin."),
+    "ivfpq_multi_refine_fitted": dict(
+        fn="pq:ivfpq_multi_refine_topk",
+        args=["@index", "@ivf_cb", "@pq_cb", "EMB", "QS"],
+        kw=dict(k=10, nprobe=4, refine_factor=4),
+        doc="SEARCH-ONLY batch refine: one codes pass for three "
+            "queries' candidates + ONE vector re-rank pass."),
+    "ivfpq_multi_versioned_fitted": dict(
+        fn="pq:ivfpq_multi_topk_versioned",
+        args=["@rvindex", "@rivf_cb", "@rpq_cb", "@roverrides", "QS"],
+        kw=dict(k=10, nprobe=4, residual=True),
+        doc="SEARCH-ONLY batch over the MAINTAINED residual index: "
+            "three probes, one mixed-codes pass, per-cell-book CASE."),
+    "ivfpq_multi_versioned_chunked_fitted": dict(
+        fn="pq:ivfpq_multi_topk_chunked",
+        args=["@rvindex", "@rivf_cb", "@rpq_cb", "QS"],
+        kw=dict(k=10, nprobe=4, residual=True, max_queries_per_scan=2),
+        kwf=dict(overrides="@roverrides"),
+        doc="The sanctioned past-the-ceiling route on the MAINTAINED "
+            "index (r13): same three probes as the unchunked twin but "
+            "split 2+1 across scans — the measured cost of chunking."),
+    "ivfsq_topk_fitted": dict(
+        fn="sq:ivfsq_topk", args=["@sq_index", "@ivf_cb", "@sq_bounds", "Q"],
+        kw=dict(k=10, nprobe=4),
+        doc="SEARCH-ONLY IVF+SQ8: probe-rank -> pruned symmetric int64 "
+            "byte scan -> TakeOrdered."),
+    "ivfsq_refit_versioned_fitted": dict(
+        fn="sq:ivfsq_topk_versioned",
+        args=["@sq_vindex", "@ivf_cb", "@sq_bounds", "@sq_overrides", "Q"],
+        kw=dict(k=10, nprobe=4),
+        doc="SEARCH-ONLY versioned SQ search (r13): mixed bounds index "
+            "from parquet, asymmetric reconstruction CASE — the SQ "
+            "maintenance loop's production query shape."),
+    "bq_topk_fitted": dict(
+        fn="bq:bq_topk", args=["@bq_codes", "Q"],
+        kw=dict(k=10, num_planes=64, dim=64),
+        doc="SCAN-ONLY BQ: ceil(p/32) popcounts per row + TakeOrdered "
+            "— the cheapest possible ANN screen."),
+    "ivfbq_topk_fitted": dict(
+        fn="bq:ivfbq_topk", args=["@bq_index", "@ivf_cb", "Q"],
+        kw=dict(k=10, nprobe=4, num_planes=64, dim=64),
+        doc="SEARCH-ONLY IVF+BQ: probe-rank -> pruned popcount scan -> "
+            "TakeOrdered."),
+    "bq_refine_topk_fitted": dict(
+        fn="bq:bq_refine_topk", args=["@bq_codes", "EMB", "Q"],
+        kw=dict(k=10, refine_factor=4, num_planes=64, dim=64),
+        doc="SEARCH-ONLY binary refine: popcount screen to top-40, "
+            "exact-cosine re-rank via broadcast semi-join."),
+    "ivfpq_index_full": dict(
+        fn="pq:ivfpq_index", args=["EMB", "@ivf_cb", "@pq_cb"], kw={},
+        doc="The FULL re-index encode pass (pre-trained books) — the "
+            "denominator of the wave-append story."),
+    "ivfpq_index_append_wave": dict(
+        fn="pq:ivfpq_index", args=["WAVE", "@ivf_cb", "@pq_cb"], kw={},
+        doc="The wave-APPEND encode pass: the same assignment+encode "
+            "restricted to a 10% hash-slice wave — FAISS add(); the "
+            "ratio to ivfpq_index_full should track the wave fraction."),
+}
 
 
-def _q_pq_adc_topk_fitted_packed(spark, sf_dir):
-    """The packed-codes twin of pq_adc_topk_fitted (byte-packed words,
-    shift+mask slices): same search, smaller scan — the storage A/B."""
-    from img2dataset_spark.operators.pq import pq_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return pq_topk(
-        spark.read.parquet(base + "/codes_packed"),
-        spark.read.parquet(base + "/pq_cb"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        packed=True,
-    )
-
-
-def _q_pq_adc_topk_fitted_k256(spark, sf_dir):
-    """SEARCH-ONLY PQ at the FAISS-default k=256 codes/subspace: the
-    literal-map ADC expression carries m*256 = 2048 longs in the plan
-    — this row is the codegen-budget stress test (r10 verdict item 4).
-    Same scan shape as pq_adc_topk_fitted, 16x the table constant."""
-    from img2dataset_spark.operators.pq import pq_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return pq_topk(
-        spark.read.parquet(base + "/codes256"),
-        spark.read.parquet(base + "/pq_cb256"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-    )
-
-
-def _q_ivfpq_topk_versioned_fitted(spark, sf_dir):
-    """SEARCH-ONLY versioned search: mixed index (drift-flagged cells
-    rewritten with per-cell books) + override relation read from
-    parquet; timed region is probe-rank -> pruned per-cell-CASE ADC
-    scan -> TakeOrdered — zero fits, zero refits."""
-    from img2dataset_spark.operators.pq import ivfpq_topk_versioned
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return ivfpq_topk_versioned(
-        spark.read.parquet(base + "/vindex"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-        spark.read.parquet(base + "/overrides"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-    )
-
-
-def _q_ivfpq_multi_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY batch search: three probes through ONE pass over
-    the pre-built cell-partitioned index — the amortization the batch
-    shape exists for (vs 3x the single-query scan)."""
-    import os as _os
-
+def _resolve_token(tok: str, spark, sf_dir: str, base: str):
     from pyspark.sql import functions as F
 
-    from img2dataset_spark.operators.pq import ivfpq_multi_topk
-    from img2dataset_spark.operators.similarity import _as_double
+    if tok.startswith("@"):
+        return spark.read.parquet(f"{base}/{tok[1:]}")
+    if tok == "EMB":
+        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if tok == "WAVE":
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return e.filter(F.col("vec_id") % 10 == 7)
+    if tok == "Q":
+        return _fitted_query_vec(spark, sf_dir)
+    if tok == "QS":
+        from pyspark.sql import functions as F
 
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    qs = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"),
-        _as_double(F.col("embedding")).alias("query_vec"),
-    )
-    return ivfpq_multi_topk(
-        spark.read.parquet(base + "/index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-        qs,
-        k=10,
-        nprobe=4,
-    )
+        from img2dataset_spark.operators.similarity import _as_double
 
-
-def _q_ivfpq_refit_residual_fitted(spark, sf_dir):
-    """SEARCH-ONLY versioned RESIDUAL search (true LOPQ, r12): mixed
-    residual index + residual per-cell override books from parquet;
-    timed region is probe-rank -> per-probed-cell query-RESIDUAL ADC
-    CASE scan -> TakeOrdered — zero fits, zero refits."""
-    from img2dataset_spark.operators.pq import ivfpq_topk_versioned
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return ivfpq_topk_versioned(
-        spark.read.parquet(base + "/rvindex"),
-        spark.read.parquet(base + "/rivf_cb"),
-        spark.read.parquet(base + "/rpq_cb"),
-        spark.read.parquet(base + "/roverrides"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-        residual=True,
-    )
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"),
+            _as_double(F.col("embedding")).alias("query_vec"),
+        )
+    raise ValueError(f"unknown fitted-spec token {tok!r}")
 
 
-def _q_ivfsq_multi_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY batch SQ8: three probes through ONE pass over the
-    pre-built byte-code index (the ivfpq_multi_topk amortization for
-    the SQ family, r11 verdict item 7)."""
-    import os as _os
+def _make_fitted(name: str, spec: dict):
+    def q(spark, sf_dir):
+        import importlib
 
-    from pyspark.sql import functions as F
+        base = _pq_fitted_artifacts(spark, sf_dir)
+        mod, fn = spec["fn"].split(":")
+        f = getattr(
+            importlib.import_module(f"img2dataset_spark.operators.{mod}"),
+            fn,
+        )
+        args = [_resolve_token(t, spark, sf_dir, base) for t in spec["args"]]
+        kw = dict(spec.get("kw", {}))
+        for key, t in spec.get("kwf", {}).items():
+            kw[key] = _resolve_token(t, spark, sf_dir, base)
+        return f(*args, **kw)
 
-    from img2dataset_spark.operators.similarity import _as_double
-    from img2dataset_spark.operators.sq import ivfsq_multi_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    qs = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"),
-        _as_double(F.col("embedding")).alias("query_vec"),
-    )
-    return ivfsq_multi_topk(
-        spark.read.parquet(base + "/sq_index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/sq_bounds"),
-        qs,
-        k=10,
-        nprobe=4,
-    )
-
-
-def _q_ivfbq_multi_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY batch BQ: three probes through ONE pass over the
-    pre-built packed-word index (the popcount family's batch
-    amortization)."""
-    import os as _os
-
-    from pyspark.sql import functions as F
-
-    from img2dataset_spark.operators.bq import ivfbq_multi_topk
-    from img2dataset_spark.operators.similarity import _as_double
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    qs = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"),
-        _as_double(F.col("embedding")).alias("query_vec"),
-    )
-    return ivfbq_multi_topk(
-        spark.read.parquet(base + "/bq_index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        qs,
-        k=10,
-        nprobe=4,
-        num_planes=64,
-        dim=64,
-    )
-
-
-def _q_ivfpq_multi_refine_fitted(spark, sf_dir):
-    """SEARCH-ONLY batch refine: one codes pass for three queries'
-    candidates + ONE vector pass re-ranking all (qid, id) pairs — vs
-    3x (scan + semi-join) as single refines."""
-    import os as _os
-
-    from pyspark.sql import functions as F
-
-    from img2dataset_spark.operators.pq import ivfpq_multi_refine_topk
-    from img2dataset_spark.operators.similarity import _as_double
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    qs = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"),
-        _as_double(F.col("embedding")).alias("query_vec"),
-    )
-    return ivfpq_multi_refine_topk(
-        spark.read.parquet(base + "/index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-        e,
-        qs,
-        k=10,
-        nprobe=4,
-        refine_factor=4,
-    )
-
-
-def _q_ivfpq_multi_versioned_fitted(spark, sf_dir):
-    """SEARCH-ONLY batch over the MAINTAINED residual index (true
-    LOPQ): three probes through one mixed-codes pass, probed cells
-    CASE-dispatched between per-cell residual books and the global
-    one — the refit loop's search economics at batch shape."""
-    import os as _os
-
-    from pyspark.sql import functions as F
-
-    from img2dataset_spark.operators.pq import ivfpq_multi_topk_versioned
-    from img2dataset_spark.operators.similarity import _as_double
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    qs = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"),
-        _as_double(F.col("embedding")).alias("query_vec"),
-    )
-    return ivfpq_multi_topk_versioned(
-        spark.read.parquet(base + "/rvindex"),
-        spark.read.parquet(base + "/rivf_cb"),
-        spark.read.parquet(base + "/rpq_cb"),
-        spark.read.parquet(base + "/roverrides"),
-        qs,
-        k=10,
-        nprobe=4,
-        residual=True,
-    )
-
-
-def _q_ivfpq_refine_auto_fitted(spark, sf_dir):
-    """SEARCH-ONLY refine with the r12 refine_factor=None sizing: the
-    candidate pool grows as ceil(sqrt(occupancy overshoot)) — this row
-    measures what the auto-sized exact re-rank costs vs the fixed
-    rf=4 twin (ivfpq_refine_topk_fitted)."""
-    import os as _os
-
-    from img2dataset_spark.operators.pq import ivfpq_refine_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
-    return ivfpq_refine_topk(
-        spark.read.parquet(base + "/index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-        e,
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-        refine_target_occupancy=64,
-    )
-
-
-def _q_ivfpq_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY IVF+PQ: cell-partitioned index + codebooks from
-    parquet; the timed region is probe-rank -> partition-pruned ADC
-    scan -> TakeOrdered (zero fits)."""
-    from img2dataset_spark.operators.pq import ivfpq_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return ivfpq_topk(
-        spark.read.parquet(base + "/index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-    )
-
-
-def _q_ivfpq_refine_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY two-stage refine: compressed ADC top-40 from the
-    pre-built index, exact-cosine re-rank of just those 40 rows via a
-    broadcast semi-join into the raw vector table."""
-    from img2dataset_spark.operators.pq import ivfpq_refine_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ivfpq_refine_topk(
-        spark.read.parquet(base + "/index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-        e,
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-        refine_factor=4,
-    )
-
-
-def _q_ivfsq_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY IVF+SQ8: cell-partitioned byte-code index + bounds
-    from parquet; timed region is probe-rank -> pruned symmetric int64
-    scan -> TakeOrdered."""
-    from img2dataset_spark.operators.sq import ivfsq_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return ivfsq_topk(
-        spark.read.parquet(base + "/sq_index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/sq_bounds"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-    )
-
-
-def _q_bq_topk_fitted(spark, sf_dir):
-    """SCAN-ONLY binary quantization: pre-encoded 8-byte codes from
-    parquet; the timed region is ceil(p/32) popcounts per row +
-    TakeOrdered — the cheapest possible ANN screen."""
-    from img2dataset_spark.operators.bq import bq_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return bq_topk(
-        spark.read.parquet(base + "/bq_codes"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        num_planes=64,
-        dim=64,
-    )
-
-
-def _q_ivfbq_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY IVF+BQ: cell-partitioned packed words + coarse
-    codebook from parquet; timed region is probe-rank -> pruned
-    popcount scan -> TakeOrdered."""
-    from img2dataset_spark.operators.bq import ivfbq_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return ivfbq_topk(
-        spark.read.parquet(base + "/bq_index"),
-        spark.read.parquet(base + "/ivf_cb"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-        num_planes=64,
-        dim=64,
-    )
-
-
-def _q_bq_refine_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY two-stage binary refine: popcount screen over the
-    pre-encoded 8-byte codes to top-40, exact-cosine re-rank of just
-    those rows via broadcast semi-join into the raw vector table."""
-    from img2dataset_spark.operators.bq import bq_refine_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return bq_refine_topk(
-        spark.read.parquet(base + "/bq_codes"),
-        e,
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        refine_factor=4,
-        num_planes=64,
-        dim=64,
-    )
-
-
-def _q_ivfpq_index_full(spark, sf_dir):
-    """The FULL re-index encode pass (assignment + PQ encode over the
-    whole corpus, pre-trained codebooks) — the denominator of the
-    wave-append story: at 100 TB this is the most expensive job in the
-    shop, and the append row below should cost ~its wave fraction."""
-    from img2dataset_spark.operators.pq import ivfpq_index
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ivfpq_index(
-        e,
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-    )
-
-
-def _q_ivfpq_index_append_wave(spark, sf_dir):
-    """The wave-APPEND encode pass (operators/maintain.py story): the
-    same assignment+encode restricted to a 10% hash-slice wave with the
-    existing codebooks — FAISS add().  Compare against
-    ivfpq_index_full: the ratio should track the wave fraction, because
-    append never touches the existing corpus."""
-    from pyspark.sql import functions as F
-
-    from img2dataset_spark.operators.pq import ivfpq_index
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    wave = e.filter(F.col("vec_id") % 10 == 7)
-    return ivfpq_index(
-        wave,
-        spark.read.parquet(base + "/ivf_cb"),
-        spark.read.parquet(base + "/pq_cb"),
-    )
-
-
-def _q_ivfpq_residual_topk_fitted(spark, sf_dir):
-    """SEARCH-ONLY residual IVF+PQ: per-probed-cell literal ADC tables
-    over the pre-built residual index — the full FAISS query shape."""
-    from img2dataset_spark.operators.pq import ivfpq_topk
-
-    base = _pq_fitted_artifacts(spark, sf_dir)
-    return ivfpq_topk(
-        spark.read.parquet(base + "/rindex"),
-        spark.read.parquet(base + "/rivf_cb"),
-        spark.read.parquet(base + "/rpq_cb"),
-        _fitted_query_vec(spark, sf_dir),
-        k=10,
-        nprobe=4,
-        residual=True,
-    )
+    q.__name__ = f"_q_{name}"
+    q.__doc__ = spec["doc"]
+    return q
 
 
 BENCH_ONLY = {
@@ -689,53 +485,14 @@ BENCH_ONLY = {
     "dedup_substring_spans_hashed": _q_dedup_substring_spans_hashed,
     "semantic_dedup_auto": _q_semantic_dedup_auto,
     "semantic_dedup_hier": _q_semantic_dedup_hier,
-    "pq_adc_topk_fitted": _q_pq_adc_topk_fitted,
-    "pq_adc_topk_fitted_packed": _q_pq_adc_topk_fitted_packed,
-    "pq_adc_topk_fitted_k256": _q_pq_adc_topk_fitted_k256,
-    "ivfpq_topk_fitted": _q_ivfpq_topk_fitted,
-    "ivfpq_topk_versioned_fitted": _q_ivfpq_topk_versioned_fitted,
-    "ivfpq_multi_topk_fitted": _q_ivfpq_multi_topk_fitted,
-    "ivfpq_refine_topk_fitted": _q_ivfpq_refine_topk_fitted,
-    "ivfpq_residual_topk_fitted": _q_ivfpq_residual_topk_fitted,
-    "ivfpq_refit_residual_fitted": _q_ivfpq_refit_residual_fitted,
-    "ivfsq_multi_topk_fitted": _q_ivfsq_multi_topk_fitted,
-    "ivfbq_multi_topk_fitted": _q_ivfbq_multi_topk_fitted,
-    "ivfpq_refine_auto_fitted": _q_ivfpq_refine_auto_fitted,
-    "ivfpq_multi_refine_fitted": _q_ivfpq_multi_refine_fitted,
-    "ivfpq_multi_versioned_fitted": _q_ivfpq_multi_versioned_fitted,
-    "ivfsq_topk_fitted": _q_ivfsq_topk_fitted,
-    "bq_topk_fitted": _q_bq_topk_fitted,
-    "ivfbq_topk_fitted": _q_ivfbq_topk_fitted,
-    "bq_refine_topk_fitted": _q_bq_refine_topk_fitted,
-    "ivfpq_index_full": _q_ivfpq_index_full,
-    "ivfpq_index_append_wave": _q_ivfpq_index_append_wave,
+    **{name: _make_fitted(name, spec)
+       for name, spec in _FITTED_SPECS.items()},
 }
 RESOLVE = {**ALL_QUERIES, **BENCH_ONLY}
 
-# untimed per-query setup (the one-off indexing job the *_fitted rows
-# search against); memoized, so the four rows share one build
-PREPARE = {
-    "pq_adc_topk_fitted": _pq_fitted_artifacts,
-    "pq_adc_topk_fitted_packed": _pq_fitted_artifacts,
-    "pq_adc_topk_fitted_k256": _pq_fitted_artifacts,
-    "ivfpq_topk_fitted": _pq_fitted_artifacts,
-    "ivfpq_topk_versioned_fitted": _pq_fitted_artifacts,
-    "ivfpq_multi_topk_fitted": _pq_fitted_artifacts,
-    "ivfpq_refine_topk_fitted": _pq_fitted_artifacts,
-    "ivfpq_residual_topk_fitted": _pq_fitted_artifacts,
-    "ivfpq_refit_residual_fitted": _pq_fitted_artifacts,
-    "ivfsq_multi_topk_fitted": _pq_fitted_artifacts,
-    "ivfbq_multi_topk_fitted": _pq_fitted_artifacts,
-    "ivfpq_refine_auto_fitted": _pq_fitted_artifacts,
-    "ivfpq_multi_refine_fitted": _pq_fitted_artifacts,
-    "ivfpq_multi_versioned_fitted": _pq_fitted_artifacts,
-    "ivfsq_topk_fitted": _pq_fitted_artifacts,
-    "bq_topk_fitted": _pq_fitted_artifacts,
-    "ivfbq_topk_fitted": _pq_fitted_artifacts,
-    "bq_refine_topk_fitted": _pq_fitted_artifacts,
-    "ivfpq_index_full": _pq_fitted_artifacts,
-    "ivfpq_index_append_wave": _pq_fitted_artifacts,
-}
+# untimed per-query setup (the one-off indexing job every *_fitted row
+# searches against); memoized, so all spec rows share one build
+PREPARE = {name: _pq_fitted_artifacts for name in _FITTED_SPECS}
 
 HEADLINE = [
     "tpch_q1",
@@ -765,6 +522,8 @@ HEADLINE = [
     "ivfpq_refit_versioned",
     "ivfpq_refit_distortion",
     "ivfpq_refit_residual",
+    "ivfsq_refit_versioned",
+    "ann_refit_recall_ledger",
     "ivfpq_refine_topk_sized",
     "ivfpq_residual_topk",
     "ivfpq_refine_topk",
@@ -790,7 +549,9 @@ HEADLINE = [
     "ivfpq_refine_auto_fitted",
     "ivfpq_multi_refine_fitted",
     "ivfpq_multi_versioned_fitted",
+    "ivfpq_multi_versioned_chunked_fitted",
     "ivfsq_topk_fitted",
+    "ivfsq_refit_versioned_fitted",
     "bq_topk_fitted",
     "ivfbq_topk_fitted",
     "bq_refine_topk_fitted",

@@ -251,3 +251,126 @@ def quantizer_recall_ledger(
         for cached in (pq_codes_df, pq_idx, res_idx, sq_codes, sq_idx,
                        bq_codes, bq_idx):
             cached.unpersist()
+
+
+def refit_recall_ledger(
+    df: DataFrame,
+    base_df: DataFrame,
+    num_cells: int = 10,
+    iters: int = 2,
+    pq_subspaces: int = 2,
+    pq_codes: int = 4,
+    k: int = 10,
+    num_queries: int = 3,
+    nprobe: int = 4,
+    threshold: float = 1.02,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Refit RECOVERY as a queryable relation (r12 verdict item 1):
+    the maintained families — versioned raw and versioned residual
+    (true LOPQ), each BEFORE and AFTER the selective refit — ledgered
+    against exact-L2 ground truth on the same deterministic probe set
+    the static menu uses, so "what did drift cost and what did the
+    refit recover" is a relation a scheduler can query per scale
+    point, not a test assertion.
+
+    Pipeline inside one relation: coarse codebook + both global PQ
+    books (raw; residual) fit FROZEN on ``base_df``; the full corpus
+    indexed with each; drift flags from occupancy_drift at
+    ``threshold``; per-cell refit books for the flagged cells
+    (pq_refit_cells, raw and residual variants); flagged rows
+    re-encoded; and four searchers measured through the ONE production
+    code path — :func:`operators.pq.ivfpq_topk_versioned` — with an
+    EMPTY override relation for the "pre" rows (version 0 everywhere,
+    the stale index) and the refit relation for the "post" rows (the
+    mixed index).  Emits the :func:`recall_ledger` schema with
+    families ``versioned_raw_pre`` / ``versioned_raw_post`` /
+    ``versioned_residual_pre`` / ``versioned_residual_post``.
+
+    All model state is bounded (books, flags, probe rows); the mixed
+    indexes are anti-join ∪ re-encode relations, never written.  The
+    same promotion pq_distortion_ledger got in r11: meter → actuator →
+    quality-proof, every stage a relation under the oracle."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    spark = df.sparkSession
+    ivf_cb = ivf_fit(base_df, num_cells=num_cells, iters=iters,
+                     vec_col=vec_col, id_col=id_col)
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base_df, ivf_cb, vec_col, id_col)),
+            index_occupancy(ivf_assign(df, ivf_cb, vec_col, id_col)),
+            threshold=threshold,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+        .persist()
+    )
+    empty_ovr = spark.createDataFrame(
+        [], "cell long, subspace long, code long, centroid array<double>"
+    )
+    cached = [flagged]
+    families = {}
+    for residual in (False, True):
+        name = "versioned_residual" if residual else "versioned_raw"
+        if residual:
+            book = pq_fit(
+                residual_vectors(base_df, ivf_cb, vec_col, id_col),
+                num_subspaces=pq_subspaces, num_codes=pq_codes,
+                iters=iters, vec_col="rvec", id_col=id_col, dim=dim,
+            )
+        else:
+            book = pq_fit(base_df, num_subspaces=pq_subspaces,
+                          num_codes=pq_codes, iters=iters,
+                          vec_col=vec_col, id_col=id_col, dim=dim)
+        idx = ivfpq_index(df, ivf_cb, book, vec_col=vec_col,
+                          id_col=id_col, residual=residual).persist()
+        ovr = pq_refit_cells(df, ivf_cb, flagged,
+                             num_subspaces=pq_subspaces,
+                             num_codes=pq_codes, iters=iters,
+                             vec_col=vec_col, id_col=id_col, dim=dim,
+                             residual=residual).persist()
+        mixed = (
+            idx.join(F.broadcast(flagged), "cell", "left_anti")
+            .select(F.col(id_col), "cell", "codes")
+            .unionByName(
+                pq_reencode_cells(df, ivf_cb, ovr, vec_col=vec_col,
+                                  id_col=id_col, residual=residual)
+                .select(F.col(id_col), "cell", "codes")
+            )
+            .persist()
+        )
+        cached += [idx, ovr, mixed]
+        families[f"{name}_pre"] = (
+            lambda q, _i=idx, _b=book, _r=residual: ivfpq_topk_versioned(
+                _i, ivf_cb, _b, empty_ovr, q, k=k, nprobe=nprobe,
+                id_col=id_col, residual=_r),
+            "l2",
+        )
+        families[f"{name}_post"] = (
+            lambda q, _m=mixed, _b=book, _o=ovr, _r=residual:
+                ivfpq_topk_versioned(
+                    _m, ivf_cb, _b, _o, q, k=k, nprobe=nprobe,
+                    id_col=id_col, residual=_r),
+            "l2",
+        )
+    try:
+        return recall_ledger(df, families, k=k, num_queries=num_queries,
+                             vec_col=vec_col, id_col=id_col)
+    finally:
+        for c in cached:
+            c.unpersist()

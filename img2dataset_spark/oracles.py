@@ -676,6 +676,8 @@ def _pq_sub_sql(
     iters: int,
     query: bool = True,
     fit_where: str = "",
+    prefix: str = "",
+    src: str = "e0",
 ) -> str:
     """CTE chain for subspace ``j`` over slice v[lo:hi]: training frame,
     seeds, ``iters`` Lloyd iterations, final quantized codebook, corpus
@@ -684,48 +686,52 @@ def _pq_sub_sql(
     per-probed-cell qd CTEs themselves.  ``fit_where`` restricts the
     TRAINING frame (seeds + Lloyd) to a predicate over es{j} while the
     code assignment still covers every e0 row — the wave-append twin:
-    codebooks fit on the base slice, codes for base + wave alike."""
+    codebooks fit on the base slice, codes for base + wave alike.
+    ``prefix`` namespaces every generated CTE and ``src`` names the
+    encode-source frame, so TWO books (e.g. a raw and a residual one)
+    can coexist in one query — the refit-recall-ledger twin."""
+    p = prefix
     n = hi - lo + 1
     d_assign = _QL2_N.format(n=n, a="q.qv", b="c.qc")
-    fit_src = f"esb{j}" if fit_where else f"es{j}"
-    head = f"""es{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v,
-  {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM e0)"""
+    fit_src = f"{p}esb{j}" if fit_where else f"{p}es{j}"
+    head = f"""{p}es{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v,
+  {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM {src})"""
     if fit_where:
         head += f""",
-esb{j} AS (SELECT * FROM es{j} WHERE {fit_where})"""
+{p}esb{j} AS (SELECT * FROM {p}es{j} WHERE {fit_where})"""
     parts = [
         head
         + f""",
-seeds{j} AS (SELECT vec_id, v FROM {fit_src}
+{p}seeds{j} AS (SELECT vec_id, v FROM {fit_src}
   ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}),
-c{j}x0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
-  AS cell, v AS centroid FROM seeds{j})"""
+{p}c{j}x0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+  AS cell, v AS centroid FROM {p}seeds{j})"""
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"""cq{j}x{i} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
-  FROM c{j}x{i - 1}),
-a{j}x{i} AS (SELECT vec_id, v, cell FROM (
+            f"""{p}cq{j}x{i} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
+  FROM {p}c{j}x{i - 1}),
+{p}a{j}x{i} AS (SELECT vec_id, v, cell FROM (
   SELECT q.vec_id, q.v, c.cell,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_assign}, c.cell) AS rn
-  FROM {fit_src} q, cq{j}x{i} c) WHERE rn = 1),
-d{j}x{i} AS (SELECT cell, i,
+  FROM {fit_src} q, {p}cq{j}x{i} c) WHERE rn = 1),
+{p}d{j}x{i} AS (SELECT cell, i,
     CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
-  FROM a{j}x{i}, (SELECT unnest(generate_series(1, {n})) AS i)
+  FROM {p}a{j}x{i}, (SELECT unnest(generate_series(1, {n})) AS i)
   GROUP BY cell, i),
-c{j}x{i} AS (SELECT cell, list(cv ORDER BY i) AS centroid FROM d{j}x{i} GROUP BY cell)"""
+{p}c{j}x{i} AS (SELECT cell, list(cv ORDER BY i) AS centroid FROM {p}d{j}x{i} GROUP BY cell)"""
         )
-    tail = f"""cqf{j} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
-  FROM c{j}x{iters}),
-code{j} AS (SELECT vec_id, cell FROM (
+    tail = f"""{p}cqf{j} AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc
+  FROM {p}c{j}x{iters}),
+{p}code{j} AS (SELECT vec_id, cell FROM (
   SELECT q.vec_id, c.cell,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_assign}, c.cell) AS rn
-  FROM es{j} q, cqf{j} c) WHERE rn = 1)"""
+  FROM {p}es{j} q, {p}cqf{j} c) WHERE rn = 1)"""
     if query:
         tail += f""",
-qs{j} AS (SELECT {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM e0 WHERE vec_id = 0),
-qd{j} AS (SELECT c.cell, {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
-  FROM cqf{j} c, qs{j} q)"""
+{p}qs{j} AS (SELECT {_QUANTIZE.format(v=f'v[{lo}:{hi}]')} AS qv FROM {src} WHERE vec_id = 0),
+{p}qd{j} AS (SELECT c.cell, {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
+  FROM {p}cqf{j} c, {p}qs{j} q)"""
     parts.append(tail)
     return ",\n".join(parts)
 
@@ -1176,6 +1182,8 @@ def _pq_percell_sql(
     iters: int,
     residual: bool = False,
     multi: bool = False,
+    prefix: str = "",
+    src: str = "e0",
 ) -> str:
     """Per-cell PQ Lloyd CTE chain for subspace ``j`` over the FLAGGED
     cells' rows (the refit twin — maintain.pq_refit_cells run
@@ -1194,59 +1202,69 @@ def _pq_percell_sql(
     so the per-cell Lloyd fits residual slices unchanged, and the only
     structural difference is the query table — pqd{j} joins the
     per-cell query RESIDUAL subvectors (qs{j}r, keyed by pcell) to
-    that same cell's book instead of sharing one raw query vector."""
+    that same cell's book instead of sharing one raw query vector.
+    ``multi`` without ``residual`` is the batch-raw variant: one
+    per-qid raw query table (qs{j}m) crossed with every refit cell's
+    book.  ``prefix``/``src`` namespace the generated CTEs and the
+    encode-source frame exactly like :func:`_pq_sub_sql` (the shared
+    ``af``/``flagged`` head CTEs keep their fixed names)."""
+    p = prefix
     n = hi - lo + 1
     d = _QL2_N.format(n=n, a="q.qv", b="c.qc")
     parts = [
-        f"""fr{j} AS (SELECT f.cell, e0.vec_id, e0.v[{lo}:{hi}] AS v,
+        f"""{p}fr{j} AS (SELECT f.cell, e0.vec_id, e0.v[{lo}:{hi}] AS v,
          {_QUANTIZE.format(v=f'e0.v[{lo}:{hi}]')} AS qv
-  FROM e0 JOIN af ON af.vec_id = e0.vec_id
+  FROM {src} e0 JOIN af ON af.vec_id = e0.vec_id
   JOIN flagged f ON f.cell = af.cell),
-pse{j} AS (SELECT cell, vec_id, v,
+{p}pse{j} AS (SELECT cell, vec_id, v,
   row_number() OVER (PARTITION BY cell
                      ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
-  FROM fr{j}),
-pc{j}x0 AS (SELECT cell, rn - 1 AS code, v AS centroid
-  FROM pse{j} WHERE rn <= {k})"""
+  FROM {p}fr{j}),
+{p}pc{j}x0 AS (SELECT cell, rn - 1 AS code, v AS centroid
+  FROM {p}pse{j} WHERE rn <= {k})"""
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"""pcq{j}x{i} AS (SELECT cell, code,
-    {_QUANTIZE.format(v='centroid')} AS qc FROM pc{j}x{i - 1}),
-pa{j}x{i} AS (SELECT cell, vec_id, v, code FROM (
+            f"""{p}pcq{j}x{i} AS (SELECT cell, code,
+    {_QUANTIZE.format(v='centroid')} AS qc FROM {p}pc{j}x{i - 1}),
+{p}pa{j}x{i} AS (SELECT cell, vec_id, v, code FROM (
   SELECT q.cell, q.vec_id, q.v, c.code,
          row_number() OVER (PARTITION BY q.cell, q.vec_id
                             ORDER BY {d}, c.code) AS rn
-  FROM fr{j} q JOIN pcq{j}x{i} c ON c.cell = q.cell) WHERE rn = 1),
-pd{j}x{i} AS (SELECT cell, code, i,
+  FROM {p}fr{j} q JOIN {p}pcq{j}x{i} c ON c.cell = q.cell) WHERE rn = 1),
+{p}pd{j}x{i} AS (SELECT cell, code, i,
     CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS cv
-  FROM pa{j}x{i}, (SELECT unnest(generate_series(1, {n})) AS i)
+  FROM {p}pa{j}x{i}, (SELECT unnest(generate_series(1, {n})) AS i)
   GROUP BY cell, code, i),
-pc{j}x{i} AS (SELECT cell, code, list(cv ORDER BY i) AS centroid
-  FROM pd{j}x{i} GROUP BY cell, code)"""
+{p}pc{j}x{i} AS (SELECT cell, code, list(cv ORDER BY i) AS centroid
+  FROM {p}pd{j}x{i} GROUP BY cell, code)"""
         )
     if residual and multi:
         # batch true-LOPQ: the per-cell query table differs per qid AND
         # per cell (qs{j}rm = per-(qid, probed-cell) query residual)
-        qd = f"""pqd{j} AS (SELECT q.qid, c.cell, c.code,
+        qd = f"""{p}pqd{j} AS (SELECT q.qid, c.cell, c.code,
     {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
-  FROM pcqf{j} c JOIN qs{j}rm q ON q.pcell = c.cell)"""
+  FROM {p}pcqf{j} c JOIN {p}qs{j}rm q ON q.pcell = c.cell)"""
     elif residual:
-        qd = f"""pqd{j} AS (SELECT c.cell, c.code,
+        qd = f"""{p}pqd{j} AS (SELECT c.cell, c.code,
     {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
-  FROM pcqf{j} c JOIN qs{j}r q ON q.pcell = c.cell)"""
+  FROM {p}pcqf{j} c JOIN {p}qs{j}r q ON q.pcell = c.cell)"""
+    elif multi:
+        qd = f"""{p}pqd{j} AS (SELECT q.qid, c.cell, c.code,
+    {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
+  FROM {p}pcqf{j} c, {p}qs{j}m q)"""
     else:
-        qd = f"""pqd{j} AS (SELECT c.cell, c.code,
+        qd = f"""{p}pqd{j} AS (SELECT c.cell, c.code,
     {_QL2_N.format(n=n, a='q.qv', b='c.qc')} AS d
-  FROM pcqf{j} c, qs{j} q)"""
+  FROM {p}pcqf{j} c, {p}qs{j} q)"""
     parts.append(
-        f"""pcqf{j} AS (SELECT cell, code,
-    {_QUANTIZE.format(v='centroid')} AS qc FROM pc{j}x{iters}),
-pcode{j} AS (SELECT cell, vec_id, code FROM (
+        f"""{p}pcqf{j} AS (SELECT cell, code,
+    {_QUANTIZE.format(v='centroid')} AS qc FROM {p}pc{j}x{iters}),
+{p}pcode{j} AS (SELECT cell, vec_id, code FROM (
   SELECT q.cell, q.vec_id, c.code,
          row_number() OVER (PARTITION BY q.cell, q.vec_id
                             ORDER BY {d}, c.code) AS rn
-  FROM fr{j} q JOIN pcqf{j} c ON c.cell = q.cell) WHERE rn = 1),
+  FROM {p}fr{j} q JOIN {p}pcqf{j} c ON c.cell = q.cell) WHERE rn = 1),
 {qd}"""
     )
     return ",\n".join(parts)
@@ -1780,6 +1798,198 @@ SELECT vec_id, sq_adist FROM (
   WHERE p.cell IN (SELECT cell FROM probe)
 )
 ORDER BY sq_adist ASC, vec_id ASC LIMIT 10
+"""
+
+# The refit-recovery LEDGER (recall.refit_recall_ledger, r12 verdict
+# item 1): four maintained-family searches — versioned raw and
+# versioned residual, each BEFORE (stale global-book index) and AFTER
+# (mixed selectively-refit index) — recomputed relationally over the
+# md5-sampled 3-probe set, scored against exact float-L2 ground truth,
+# and aggregated to (family, k, num_queries, mean_recall, min_recall).
+# Two PQ books coexist via the prefix/src parameterization: the raw
+# book under prefix "w" (src = raw vectors), the residual book
+# unprefixed (src = e0, the residual relation — the
+# ivfpq_refit_residual_multi conventions verbatim, with qm the sample
+# instead of vec_id IN (0,1,2)).
+_LEDGER_SEARCH = """{name} AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY dd ASC, vec_id ASC) AS rk
+  FROM ({body})) WHERE rk <= 10)"""
+
+ORACLES["ann_refit_recall_ledger"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+qm AS (SELECT vec_id AS qid, v, qv AS qvq FROM e
+       ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 3),
+probe AS (SELECT qid, cell FROM (
+  SELECT q.qid, c.cell,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_QL2.format(a='q.qvq', b='c.qc')} ASC,
+                                     c.cell ASC) AS rn
+  FROM cqf c, qm q) WHERE rn <= 4),
+e0w AS (SELECT vec_id, v FROM e),
+{_pq_sub_sql(0, 1, 32, 4, 2, query=False, fit_where=_APPEND_FIT, prefix='w', src='e0w')},
+{_pq_sub_sql(1, 33, 64, 4, 2, query=False, fit_where=_APPEND_FIT, prefix='w', src='e0w')},
+wqs0m AS (SELECT qid, {_QUANTIZE.format(v='v[1:32]')} AS qv FROM qm),
+wqd0m AS (SELECT q.qid, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM wcqf0 c, wqs0m q),
+wqs1m AS (SELECT qid, {_QUANTIZE.format(v='v[33:64]')} AS qv FROM qm),
+wqd1m AS (SELECT q.qid, c.cell, {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM wcqf1 c, wqs1m q),
+{_pq_percell_sql(0, 1, 32, 4, 2, multi=True, prefix='w', src='e0w')},
+{_pq_percell_sql(1, 33, 64, 4, 2, multi=True, prefix='w', src='e0w')},
+e0 AS (SELECT e.vec_id,
+         list_transform(generate_series(1, 64), i -> e.v[i] - c.centroid[i]) AS v
+       FROM e JOIN af ON af.vec_id = e.vec_id JOIN c2 c ON c.cell = af.cell),
+{_pq_sub_sql(0, 1, 32, 4, 2, query=False, fit_where=_APPEND_FIT)},
+{_pq_sub_sql(1, 33, 64, 4, 2, query=False, fit_where=_APPEND_FIT)},
+qresm AS (SELECT q.qid, p.cell AS pcell,
+    list_transform(generate_series(1, 64), i -> q.v[i] - c.centroid[i]) AS v
+  FROM probe p JOIN c2 c ON c.cell = p.cell JOIN qm q ON q.qid = p.qid),
+qs0rm AS (SELECT qid, pcell, {_QUANTIZE.format(v='v[1:32]')} AS qv FROM qresm),
+qd0rm AS (SELECT q.qid, q.pcell, c.cell,
+    {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf0 c, qs0rm q),
+qs1rm AS (SELECT qid, pcell, {_QUANTIZE.format(v='v[33:64]')} AS qv FROM qresm),
+qd1rm AS (SELECT q.qid, q.pcell, c.cell,
+    {_QL2_N.format(n=32, a='q.qv', b='c.qc')} AS d
+  FROM cqf1 c, qs1rm q),
+{_pq_percell_sql(0, 1, 32, 4, 2, residual=True, multi=True)},
+{_pq_percell_sql(1, 33, 64, 4, 2, residual=True, multi=True)},
+m_af AS MATERIALIZED (SELECT * FROM af),
+m_probe AS MATERIALIZED (SELECT * FROM probe),
+m_flagged AS MATERIALIZED (SELECT * FROM flagged),
+m_wcode0 AS MATERIALIZED (SELECT * FROM wcode0),
+m_wcode1 AS MATERIALIZED (SELECT * FROM wcode1),
+m_wqd0m AS MATERIALIZED (SELECT * FROM wqd0m),
+m_wqd1m AS MATERIALIZED (SELECT * FROM wqd1m),
+m_wpcode0 AS MATERIALIZED (SELECT * FROM wpcode0),
+m_wpcode1 AS MATERIALIZED (SELECT * FROM wpcode1),
+m_wpqd0 AS MATERIALIZED (SELECT * FROM wpqd0),
+m_wpqd1 AS MATERIALIZED (SELECT * FROM wpqd1),
+m_code0 AS MATERIALIZED (SELECT * FROM code0),
+m_code1 AS MATERIALIZED (SELECT * FROM code1),
+m_qd0rm AS MATERIALIZED (SELECT * FROM qd0rm),
+m_qd1rm AS MATERIALIZED (SELECT * FROM qd1rm),
+m_pcode0 AS MATERIALIZED (SELECT * FROM pcode0),
+m_pcode1 AS MATERIALIZED (SELECT * FROM pcode1),
+m_pqd0 AS MATERIALIZED (SELECT * FROM pqd0),
+m_pqd1 AS MATERIALIZED (SELECT * FROM pqd1),
+{_LEDGER_SEARCH.format(name='raw_pre', body='''
+    SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
+    FROM m_wcode0 c0
+    JOIN m_wcode1 c1 ON c1.vec_id = c0.vec_id
+    JOIN m_af af ON af.vec_id = c0.vec_id
+    JOIN m_probe p ON p.cell = af.cell
+    JOIN m_wqd0m g0 ON g0.cell = c0.cell AND g0.qid = p.qid
+    JOIN m_wqd1m g1 ON g1.cell = c1.cell AND g1.qid = p.qid''')},
+{_LEDGER_SEARCH.format(name='raw_post', body='''
+    SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
+    FROM m_wcode0 c0
+    JOIN m_wcode1 c1 ON c1.vec_id = c0.vec_id
+    JOIN m_af af ON af.vec_id = c0.vec_id
+    JOIN m_probe p ON p.cell = af.cell
+    JOIN m_wqd0m g0 ON g0.cell = c0.cell AND g0.qid = p.qid
+    JOIN m_wqd1m g1 ON g1.cell = c1.cell AND g1.qid = p.qid
+    WHERE af.cell NOT IN (SELECT cell FROM m_flagged)
+    UNION ALL
+    SELECT p.qid, p0.vec_id, d0.d + d1.d AS dd
+    FROM m_wpcode0 p0
+    JOIN m_wpcode1 p1 ON p1.vec_id = p0.vec_id
+    JOIN m_probe p ON p.cell = p0.cell
+    JOIN m_wpqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
+                 AND d0.qid = p.qid
+    JOIN m_wpqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
+                 AND d1.qid = p.qid''')},
+{_LEDGER_SEARCH.format(name='res_pre', body='''
+    SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
+    FROM m_code0 c0
+    JOIN m_code1 c1 ON c1.vec_id = c0.vec_id
+    JOIN m_af af ON af.vec_id = c0.vec_id
+    JOIN m_probe p ON p.cell = af.cell
+    JOIN m_qd0rm g0 ON g0.cell = c0.cell AND g0.pcell = af.cell
+                 AND g0.qid = p.qid
+    JOIN m_qd1rm g1 ON g1.cell = c1.cell AND g1.pcell = af.cell
+                 AND g1.qid = p.qid''')},
+{_LEDGER_SEARCH.format(name='res_post', body='''
+    SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
+    FROM m_code0 c0
+    JOIN m_code1 c1 ON c1.vec_id = c0.vec_id
+    JOIN m_af af ON af.vec_id = c0.vec_id
+    JOIN m_probe p ON p.cell = af.cell
+    JOIN m_qd0rm g0 ON g0.cell = c0.cell AND g0.pcell = af.cell
+                 AND g0.qid = p.qid
+    JOIN m_qd1rm g1 ON g1.cell = c1.cell AND g1.pcell = af.cell
+                 AND g1.qid = p.qid
+    WHERE af.cell NOT IN (SELECT cell FROM m_flagged)
+    UNION ALL
+    SELECT p.qid, p0.vec_id, d0.d + d1.d AS dd
+    FROM m_pcode0 p0
+    JOIN m_pcode1 p1 ON p1.vec_id = p0.vec_id
+    JOIN m_probe p ON p.cell = p0.cell
+    JOIN m_pqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
+                AND d0.qid = p.qid
+    JOIN m_pqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
+                AND d1.qid = p.qid''')},
+exactq AS (SELECT qid, vec_id FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                      i -> (e.v[i]-q.v[i])*(e.v[i]-q.v[i]))) ASC,
+                    e.vec_id ASC) AS rk
+  FROM e, qm q) WHERE rk <= 10),
+allf AS (
+  SELECT 'versioned_raw_pre' AS fam, qid, vec_id FROM raw_pre
+  UNION ALL
+  SELECT 'versioned_raw_post' AS fam, qid, vec_id FROM raw_post
+  UNION ALL
+  SELECT 'versioned_residual_pre' AS fam, qid, vec_id FROM res_pre
+  UNION ALL
+  SELECT 'versioned_residual_post' AS fam, qid, vec_id FROM res_post),
+hits AS (SELECT fam, f.qid, COUNT(*) AS c
+  FROM allf f JOIN exactq x ON x.qid = f.qid AND x.vec_id = f.vec_id
+  GROUP BY fam, f.qid),
+rec AS (SELECT fams.fam, q.qid, COALESCE(h.c, 0)/10.0 AS r
+  FROM (SELECT qid FROM qm) q
+  CROSS JOIN (SELECT unnest(['versioned_raw_pre', 'versioned_raw_post',
+                             'versioned_residual_pre',
+                             'versioned_residual_post']) AS fam) fams
+  LEFT JOIN hits h ON h.fam = fams.fam AND h.qid = q.qid)
+SELECT fam AS family, CAST(10 AS BIGINT) AS k,
+  CAST(3 AS BIGINT) AS num_queries,
+  floor(avg(r)*1e6 + 0.5)/1e6 AS mean_recall,
+  floor(min(r)*1e6 + 0.5)/1e6 AS min_recall
+FROM rec GROUP BY fam
 """
 
 # Binary quantization (operators/bq.py): sign bit per md5-seeded

@@ -1984,6 +1984,28 @@ def q_ivfsq_refit_versioned(spark, sf_dir):
                                 _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def q_ann_refit_recall_ledger(spark, sf_dir):
+    """Refit RECOVERY as a driver-oracle relation (r12 verdict item 1
+    — the same promotion pq_distortion_ledger got in r11): the
+    maintained families — versioned raw and versioned residual (true
+    LOPQ), each BEFORE and AFTER the selective refit — recall-ledgered
+    against exact-L2 ground truth over the md5-sampled deterministic
+    probe set, all four searches through the ONE production code path
+    (ivfpq_topk_versioned; empty overrides = the stale version-0
+    index).  "What did drift cost and what did the refit recover" is
+    now a relation a scheduler can query per scale point.  The SQL
+    twin recomputes BOTH global books (prefix-namespaced CTEs), both
+    per-cell refit books, all four searches per probe, and the
+    recall@10 aggregation relationally."""
+    from img2dataset_spark.operators.recall import refit_recall_ledger
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    return refit_recall_ledger(e, base, num_cells=10, iters=2,
+                               pq_subspaces=2, pq_codes=4, k=10,
+                               num_queries=3, nprobe=4, threshold=1.02)
+
+
 def q_ivfbq_multi_topk(spark, sf_dir):
     """Batch binary search (bq.ivfbq_multi_topk): the one-scan
     multi-query shape for the popcount family — per-qid COSINE probe
@@ -2539,6 +2561,7 @@ QUERIES.update(
         "ivfsq_topk": q_ivfsq_topk,
         "ivfsq_multi_topk": q_ivfsq_multi_topk,
         "ivfsq_refit_versioned": q_ivfsq_refit_versioned,
+        "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
         "bq_topk": q_bq_topk,
         "bq_refine_topk": q_bq_refine_topk,
@@ -2784,16 +2807,23 @@ _EXTRA_NAMES = (
     # family; the raw-PQ versioned CASE shape stays in-window twice
     # over (ivfpq_refit_residual, ivfpq_refit_distortion)
     "ivfpq_refit_versioned",
+    # rotated out round 13 (r11 AND r12 green) to make room for
+    # ann_refit_recall_ledger — the refit loop's QUALITY meter
+    # promoted from distortion (reconstruction MSE) to recall against
+    # exact ground truth; the distortion relation stays oracle-checked
+    # here and its refit machinery stays in-window via
+    # ivfpq_refit_residual + the new ledger row
+    "ivfpq_refit_distortion",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 13) — first in line
     "ivfsq_refit_versioned",
+    "ann_refit_recall_ledger",
     # never-before-driver-verified (NEW round 12) — first in line
     "ivfpq_refit_residual",
     "ivfpq_refine_topk_sized",
     "ivfsq_multi_topk",
     # never-before-driver-verified (NEW round 11) — first in line
-    "ivfpq_refit_distortion",
     "ivfpq_topk_sized",
     "ivfpq_multi_topk",
     # never-before-driver-verified (NEW round 10) — first in line

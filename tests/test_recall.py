@@ -107,3 +107,36 @@ def test_quantizer_ledger_clustered_floors(spark):
     assert (got["ivfpq_res_refine"]["mean_recall"]
             >= got["ivfpq_residual"]["mean_recall"])
     assert got["ivfpq_res_refine"]["mean_recall"] >= 0.4
+
+
+def test_refit_recall_ledger_recovery(spark):
+    """The r13 promotion: refit RECOVERY as a relation.  On the
+    clustered drift corpus (base fit on clusters 0-5, wave clusters
+    piling into unseen cells) the ledger must emit all four maintained
+    families and show post-refit recall >= pre-refit recall for BOTH —
+    the refit can only improve the flagged cells' books (measured:
+    residual 0.3 -> 0.633, raw 0.033 -> 0.3 on this seed)."""
+    from tools.make_clustered import clustered_embeddings
+
+    from img2dataset_spark.operators.recall import refit_recall_ledger
+
+    V = clustered_embeddings(2000, dim=64, clusters=8, sigma_point=0.2,
+                             seed=11)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 8 < 6)
+    got = {r["family"]: r for r in
+           refit_recall_ledger(df, base, num_cells=8, pq_subspaces=8,
+                               pq_codes=16, num_queries=3,
+                               threshold=1.3).collect()}
+    assert set(got) == {"versioned_raw_pre", "versioned_raw_post",
+                        "versioned_residual_pre",
+                        "versioned_residual_post"}
+    for fam in ("versioned_raw", "versioned_residual"):
+        pre = got[f"{fam}_pre"]["mean_recall"]
+        post = got[f"{fam}_post"]["mean_recall"]
+        assert post >= pre, (fam, pre, post)
+    # the drifted clustered corpus is exactly where the refit pays:
+    # the residual family must show a real recovery, not a tie
+    assert (got["versioned_residual_post"]["mean_recall"]
+            > got["versioned_residual_pre"]["mean_recall"])
