@@ -407,6 +407,13 @@ _FITTED_SPECS: dict[str, dict] = {
         doc="SEARCH-ONLY versioned SQ search (r13): mixed bounds index "
             "from parquet, asymmetric reconstruction CASE — the SQ "
             "maintenance loop's production query shape."),
+    "ivfsq_multi_versioned_fitted": dict(
+        fn="sq:ivfsq_multi_topk_versioned",
+        args=["@sq_vindex", "@ivf_cb", "@sq_bounds", "@sq_overrides", "QS"],
+        kw=dict(k=10, nprobe=4),
+        doc="SEARCH-ONLY batch over the MAINTAINED SQ index (r13): "
+            "three probes, one mixed byte-codes pass, per-cell-bounds "
+            "CASE with a shared 2-level quantized-query literal."),
     "bq_topk_fitted": dict(
         fn="bq:bq_topk", args=["@bq_codes", "Q"],
         kw=dict(k=10, num_planes=64, dim=64),
@@ -552,6 +559,7 @@ HEADLINE = [
     "ivfpq_multi_versioned_chunked_fitted",
     "ivfsq_topk_fitted",
     "ivfsq_refit_versioned_fitted",
+    "ivfsq_multi_versioned_fitted",
     "bq_topk_fitted",
     "ivfbq_topk_fitted",
     "bq_refine_topk_fitted",

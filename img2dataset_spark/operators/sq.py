@@ -541,3 +541,128 @@ def ivfsq_topk_versioned(
     ).otherwise(dist)
     scored = pruned.select(F.col(id_col), dist.alias("sq_adist"))
     return scored.orderBy(F.asc("sq_adist"), F.asc(id_col)).limit(k)
+
+
+def ivfsq_multi_topk_versioned(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    overrides: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    probe_metric: str | None = None,
+) -> DataFrame:
+    """Batch search over the SELECTIVELY-REFIT SQ index — the
+    maintained byte-code index served at batch shape (the
+    ivfpq_multi_topk_versioned symmetry for the SQ family): every
+    probe vector answered from ONE pass over the mixed codes, each
+    probed cell CASE-dispatched to the BOUNDS that minted its codes,
+    every row ranked by the asymmetric reconstruction distance against
+    ITS query (:func:`_asym_dist_expr`'s math with the quantized
+    queries riding the plan as ONE 2-level ``lit[qid][dim]`` table —
+    q·d longs — shared by every branch; per-branch literals are just
+    the cell's 2·d bounds).  Bounded collects: the dense qid probe
+    set, the probe pairs, and the PROBED cells' override bounds.
+    Returns (qid, id, sq_adist), per-qid (sq_adist asc, id asc)
+    top-k."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        _QUANT,
+        codebook_num_cells,
+        collect_dense_qids,
+        multi_probe_cells,
+        recommended_nprobe,
+    )
+
+    if probe_metric is None:
+        probe_metric = "l2"
+    if nprobe is None:
+        nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
+    if "level" in ivf_codebook.columns:
+        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    qrows = sorted(
+        collect_dense_qids(queries_df, qid_col),
+        key=lambda r: int(r[qid_col]),
+    )
+    g_lo, g_hi = _collect_bounds(bounds)
+    d = len(g_lo)
+    Q2d = []
+    for r in qrows:
+        q = np.asarray([float(x) for x in r["query_vec"]],
+                       dtype=np.float64)
+        if q.shape[0] != d:
+            raise ValueError(f"query dim {q.shape[0]} != bounds dim {d}")
+        Q2d.append(
+            [int(v) for v in np.floor(q * _QUANT + 0.5).astype(np.int64)]
+        )
+    q2d = F.lit(Q2d)
+    probed = multi_probe_cells(
+        ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+    )
+    pruned = index_df.join(F.broadcast(probed), "cell")
+    pcells_df = probed.select("cell").distinct()
+    probed_bounds = _collect_cell_bounds(
+        overrides.join(F.broadcast(pcells_df), "cell")
+    )
+
+    def branch(lo: np.ndarray, hi: np.ndarray):
+        lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+        span_arr = F.array(*[F.lit(float(h - l)) for h, l in zip(hi, lo)])
+
+        def term(c, i):
+            recon = (
+                F.element_at(lo_arr, i + 1)
+                + c.cast("double") * F.element_at(span_arr, i + 1)
+                / F.lit(255.0)
+            )
+            qr = F.floor(
+                recon * F.lit(float(_QUANT)) + F.lit(0.5)
+            ).cast("long")
+            qv = F.element_at(
+                F.element_at(q2d, F.col(qid_col).cast("int") + F.lit(1)),
+                i + 1,
+            )
+            diff = qv - qr
+            return diff * diff
+
+        return F.aggregate(
+            F.transform(F.col("codes"), term),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dist = None
+    for cell in sorted(probed_bounds):
+        lo, hi = probed_bounds[cell]
+        cond = F.col("cell") == int(cell)
+        expr = branch(lo, hi)
+        dist = F.when(cond, expr) if dist is None else dist.when(cond, expr)
+    g_expr = branch(g_lo, g_hi)
+    dist = g_expr if dist is None else dist.otherwise(g_expr)
+    dist = F.when(
+        F.col("codes").isNull() | (F.size(F.col("codes")) != d),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ivfsq_multi_topk_versioned: codes width != bounds "
+                    f"dim {d} — got "
+                ),
+                F.coalesce(
+                    F.size(F.col("codes")).cast("string"), F.lit("NULL")
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(dist)
+    scored = pruned.select(qid_col, F.col(id_col), dist.alias("sq_adist"))
+    wk = Window.partitionBy(qid_col).orderBy(
+        F.asc("sq_adist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1984,6 +1984,64 @@ def q_ivfsq_refit_versioned(spark, sf_dir):
                                 _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def q_ivfsq_refit_versioned_multi(spark, sf_dir):
+    """The maintained SQ index at BATCH shape — q_ivfsq_refit_versioned's
+    pipeline verbatim, answered for THREE probe vectors (vec_id 0, 1,
+    2 as dense qids) from ONE pass over the mixed byte codes
+    (sq.ivfsq_multi_topk_versioned): per-qid l2 probe, probed cells
+    CASE-dispatched to the bounds that minted their codes, one shared
+    2-level quantized-query literal, asymmetric reconstruction
+    distance, one window top-10 per qid.  EXTRA from birth
+    (ivfsq_refit_versioned holds the driver slot); the SQL twin is its
+    twin with per-qid probe and query CTEs."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        rewrite_index_cells,
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        ivf_fit,
+    )
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_topk_versioned,
+        sq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    bounds = sq_fit(base)
+    tmp = _scratch_dir("graft_ivfsq_refit_m_")
+    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = sq_refit_cells(e, ivf_cb, flagged)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    rewrite_index_cells(sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfsq_multi_topk_versioned(idx_rd, ivf_cb, bounds, ovr_rd, qs,
+                                      k=10, nprobe=4)
+
+
 def q_ann_refit_recall_ledger(spark, sf_dir):
     """Refit RECOVERY as a driver-oracle relation (r12 verdict item 1
     — the same promotion pq_distortion_ledger got in r11): the
@@ -2561,6 +2619,7 @@ QUERIES.update(
         "ivfsq_topk": q_ivfsq_topk,
         "ivfsq_multi_topk": q_ivfsq_multi_topk,
         "ivfsq_refit_versioned": q_ivfsq_refit_versioned,
+        "ivfsq_refit_versioned_multi": q_ivfsq_refit_versioned_multi,
         "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
         "bq_topk": q_bq_topk,
@@ -2814,6 +2873,11 @@ _EXTRA_NAMES = (
     # here and its refit machinery stays in-window via
     # ivfpq_refit_residual + the new ledger row
     "ivfpq_refit_distortion",
+    # NEW in round 13, EXTRA from birth (ivfpq_refit_residual_multi
+    # precedent): the maintained SQ index at batch shape —
+    # ivfsq_refit_versioned holds the driver slot; the batch CASE
+    # machinery is parity-pinned vs per-qid singles in test_maintain
+    "ivfsq_refit_versioned_multi",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 13) — first in line

@@ -1187,3 +1187,65 @@ def test_chunked_versioned_equals_unchunked(spark):
             overrides=flagged,
         )
     flagged.unpersist()
+
+
+def test_ivfsq_multi_versioned_matches_single(spark, sq_drift):
+    """The maintained SQ index at batch shape: ivfsq_multi_topk_versioned
+    reproduces per-qid ivfsq_topk_versioned exactly — same l2 probe
+    default, probed cells CASE-dispatched to the bounds that minted
+    their codes, one shared 2-level quantized-query literal."""
+    from img2dataset_spark.operators.maintain import (
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_topk_versioned,
+        ivfsq_topk_versioned,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    ovr = sq_refit_cells(df, ivf_cb, flagged).persist()
+    ovr.count()
+    mixed = (
+        ivfsq_index(df, ivf_cb, bounds)
+        .join(F.broadcast(flagged), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(
+            sq_reencode_cells(df, ivf_cb, ovr).select(
+                "vec_id", "cell", "codes"
+            )
+        )
+        .persist()
+    )
+    mixed.count()
+    # qids 0 and 6: one base-cluster query, one drifted-cluster query —
+    # the probe straddles override and global branches; REVERSE
+    # insertion order (the collect-order regression shape)
+    base_q = {
+        int(r["vec_id"]): [float(x) for x in r["query_vec"]]
+        for r in df.filter(F.col("vec_id").isin([0, 6]))
+        .select("vec_id", _as_double(F.col("embedding")).alias("query_vec"))
+        .collect()
+    }
+    qs = spark.createDataFrame(
+        [(1, base_q[6]), (0, base_q[0])],
+        "qid long, query_vec array<double>",
+    )
+    multi = {}
+    for r in ivfsq_multi_topk_versioned(
+        mixed, ivf_cb, bounds, ovr, qs, k=5, nprobe=3
+    ).collect():
+        multi.setdefault(r["qid"], []).append((r["vec_id"], r["sq_adist"]))
+    assert set(multi) == {0, 1}
+    for qid, vid in ((0, 0), (1, 6)):
+        q1 = df.filter(F.col("vec_id") == vid).select(
+            _as_double(F.col("embedding")).alias("query_vec")
+        )
+        single = [(r["vec_id"], r["sq_adist"]) for r in
+                  ivfsq_topk_versioned(mixed, ivf_cb, bounds, ovr, q1,
+                                       k=5, nprobe=3).collect()]
+        assert multi[qid] == single, qid
+    ovr.unpersist()
+    mixed.unpersist()
