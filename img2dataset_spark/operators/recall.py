@@ -267,6 +267,7 @@ def refit_recall_ledger(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    include_sq: bool = False,
 ) -> DataFrame:
     """Refit RECOVERY as a queryable relation (r12 verdict item 1):
     the maintained families — versioned raw and versioned residual
@@ -275,6 +276,14 @@ def refit_recall_ledger(
     the static menu uses, so "what did drift cost and what did the
     refit recover" is a relation a scheduler can query per scale
     point, not a test assertion.
+
+    ``include_sq=True`` adds the SQ maintenance loop's pair
+    (``versioned_sq_pre`` / ``versioned_sq_post``): global bounds fit
+    frozen on the base, per-cell bounds refit for the flagged cells
+    (maintain.sq_refit_cells), both measured through
+    :func:`operators.sq.ivfsq_topk_versioned` — the asymmetric
+    reconstruction distance, empty overrides for pre.  Off by default
+    so the driver row's SQL twin stays the four-family relation.
 
     Pipeline inside one relation: coarse codebook + both global PQ
     books (raw; residual) fit FROZEN on ``base_df``; the full corpus
@@ -366,6 +375,48 @@ def refit_recall_ledger(
                 ivfpq_topk_versioned(
                     _m, ivf_cb, _b, _o, q, k=k, nprobe=nprobe,
                     id_col=id_col, residual=_r),
+            "l2",
+        )
+    if include_sq:
+        from img2dataset_spark.operators.maintain import (
+            sq_reencode_cells,
+            sq_refit_cells,
+        )
+        from img2dataset_spark.operators.sq import (
+            ivfsq_index,
+            ivfsq_topk_versioned,
+            sq_fit,
+        )
+
+        bounds = sq_fit(base_df, vec_col=vec_col)
+        sq_idx = ivfsq_index(df, ivf_cb, bounds, vec_col=vec_col,
+                             id_col=id_col).persist()
+        sq_ovr = sq_refit_cells(df, ivf_cb, flagged, vec_col=vec_col,
+                                id_col=id_col).persist()
+        sq_mixed = (
+            sq_idx.join(F.broadcast(flagged), "cell", "left_anti")
+            .select(F.col(id_col), "cell", "codes")
+            .unionByName(
+                sq_reencode_cells(df, ivf_cb, sq_ovr, vec_col=vec_col,
+                                  id_col=id_col)
+                .select(F.col(id_col), "cell", "codes")
+            )
+            .persist()
+        )
+        empty_sq_ovr = spark.createDataFrame(
+            [], "cell long, dim int, lo double, hi double"
+        )
+        cached += [sq_idx, sq_ovr, sq_mixed]
+        families["versioned_sq_pre"] = (
+            lambda q: ivfsq_topk_versioned(
+                sq_idx, ivf_cb, bounds, empty_sq_ovr, q, k=k,
+                nprobe=nprobe, id_col=id_col),
+            "l2",
+        )
+        families["versioned_sq_post"] = (
+            lambda q: ivfsq_topk_versioned(
+                sq_mixed, ivf_cb, bounds, sq_ovr, q, k=k,
+                nprobe=nprobe, id_col=id_col),
             "l2",
         )
     try:

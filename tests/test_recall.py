@@ -140,3 +140,38 @@ def test_refit_recall_ledger_recovery(spark):
     # the residual family must show a real recovery, not a tie
     assert (got["versioned_residual_post"]["mean_recall"]
             > got["versioned_residual_pre"]["mean_recall"])
+
+
+def test_refit_recall_ledger_sq_family(spark):
+    """include_sq=True adds the SQ pair to the ledger — measured on
+    the CLIPPING corpus (wave clusters offset far past the base
+    bounds): the stale index's recall collapses on drifted queries
+    (their cells all-tie at saturated codes) and the bounds-refit
+    recovers it, through the same relation schema.  The drift lives
+    on clusters 0 and 4 so the md5-deterministic probe set contains
+    BOTH drifted and base queries (the md5 order of ids 0..1599 puts
+    clusters {0,4} in 4 of the first 8 samples)."""
+    from tools.make_clustered import clustered_embeddings
+
+    from img2dataset_spark.operators.recall import refit_recall_ledger
+
+    V = clustered_embeddings(1600, dim=64, clusters=8, sigma_point=0.2,
+                             seed=13)
+    rows = []
+    for i in range(1600):
+        v = [float(x) for x in V[i]]
+        if i % 8 in (0, 4):
+            v = [x + 25.0 for x in v]
+        rows.append((int(i), v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(~(F.col("vec_id") % 8).isin([0, 4]))
+    got = {r["family"]: r for r in
+           refit_recall_ledger(df, base, num_cells=8, pq_subspaces=8,
+                               pq_codes=16, num_queries=8,
+                               threshold=1.3, include_sq=True).collect()}
+    assert {"versioned_sq_pre", "versioned_sq_post"} <= set(got)
+    assert len(got) == 6
+    pre = got["versioned_sq_pre"]["mean_recall"]
+    post = got["versioned_sq_post"]["mean_recall"]
+    assert post > pre, (pre, post)
+    assert post >= 0.7, (pre, post)
