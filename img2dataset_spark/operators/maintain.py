@@ -627,3 +627,124 @@ def sq_reencode_cells(
             F.when(cond, expr) if codes is None else codes.when(cond, expr)
         )
     return rows.select(F.col(id_col), "cell", codes.alias("codes"))
+
+
+def sq_distortion_ledger(
+    df: DataFrame,
+    index_df: DataFrame,
+    bounds: DataFrame,
+    overrides: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(cell, n, mse) — mean squared SQ8 reconstruction error per
+    coarse cell: ``||v − decode(codes)||²`` with each row decoded
+    through the bounds that MINTED its codes (override cells → their
+    refit [lo, hi], the rest → the global bounds).  The SQ analog of
+    :func:`pq_distortion_ledger`, completing the family's quality
+    meter: occupancy_drift says a cell's mass moved, this relation
+    says what that did to the quantizer (a clipped cell's rows all
+    decode to the bounds corner — the mse explodes with the drift
+    offset — and collapses back after :func:`sq_refit_cells`).
+
+    Exactness: per-row error is an exact int64 SSE between the 2^-20
+    fixed-point quantized vector and the floor-quantized reconstruction
+    ``floor((lo + c·span/255)·2^20 + 0.5)`` — the
+    :func:`operators.sq._asym_dist_expr` arithmetic against the row's
+    OWN vector — summed per cell as exact DECIMAL(38,0) (a CLIPPED
+    cell's per-row error is O(offset²·d·2^40): at a +25-per-dim drift
+    that is ~4.4e16 per row, so a few hundred rows overflow int64 —
+    the exact situation this meter exists to expose; per-row sums stay
+    int64-safe up to |v−recon| < 2^26 per dimension) and divided once;
+    ``mse`` is 6-dp rounded in vector units.  Order-independent, so
+    the relation strict-compares against a SQL twin (DuckDB's
+    SUM(BIGINT) is HUGEINT — exact on the same values).
+
+    Shape: pure whole-stage codegen (the PQ ledger needs an Arrow
+    gather; SQ's decode is arithmetic): one (vector ⋈ codes) join, a
+    CASE of per-bounds reconstruction expressions (override_cells·2d
+    literal doubles, ceiling-gated in ``sq._collect_cell_bounds``),
+    then a cell-domain-sized aggregation."""
+    from img2dataset_spark.operators.similarity import (
+        _QUANT,
+        _as_double,
+        round6,
+    )
+    from img2dataset_spark.operators.sq import (
+        _collect_bounds,
+        _collect_cell_bounds,
+    )
+
+    g_lo, g_hi = _collect_bounds(bounds)
+    d = len(g_lo)
+    cell_bounds = (
+        _collect_cell_bounds(overrides) if overrides is not None else {}
+    )
+
+    def err_expr(lo, hi):
+        lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+        span_arr = F.array(*[F.lit(float(h - l)) for h, l in zip(hi, lo)])
+
+        def term(c, i):
+            recon = (
+                F.element_at(lo_arr, i + 1)
+                + c.cast("double") * F.element_at(span_arr, i + 1)
+                / F.lit(255.0)
+            )
+            qr = F.floor(
+                recon * F.lit(float(_QUANT)) + F.lit(0.5)
+            ).cast("long")
+            qv = F.floor(
+                F.element_at(F.col("_v"), i + 1) * F.lit(float(_QUANT))
+                + F.lit(0.5)
+            ).cast("long")
+            diff = qv - qr
+            return diff * diff
+
+        return F.aggregate(
+            F.transform(F.col("codes"), term),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    err = None
+    for cell in sorted(cell_bounds):
+        lo, hi = cell_bounds[cell]
+        cond = F.col("cell") == int(cell)
+        expr = err_expr(lo, hi)
+        err = F.when(cond, expr) if err is None else err.when(cond, expr)
+    g_expr = err_expr(g_lo, g_hi)
+    err = g_expr if err is None else err.otherwise(g_expr)
+    err = F.when(
+        F.col("codes").isNull() | (F.size(F.col("codes")) != d),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"sq_distortion_ledger: codes width != bounds dim {d}"
+                    " — got "
+                ),
+                F.coalesce(
+                    F.size(F.col("codes")).cast("string"), F.lit("NULL")
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(err)
+    joined = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).join(index_df.select(F.col(id_col), "cell", "codes"), id_col)
+    scale = float(_QUANT) * float(_QUANT)
+    return (
+        joined.select("cell", err.alias("_e"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_e").cast("decimal(38,0)")).alias("_se"),
+        )
+        .select(
+            "cell",
+            "n",
+            round6(
+                (F.col("_se").cast("double") / F.col("n")) / F.lit(scale)
+            ).alias("mse"),
+        )
+    )

@@ -1800,6 +1800,100 @@ SELECT vec_id, sq_adist FROM (
 ORDER BY sq_adist ASC, vec_id ASC LIMIT 10
 """
 
+# The SQ distortion twin (maintain.sq_distortion_ledger over the mixed
+# refit index): per-row exact int64 SSE between the row's quantized
+# vector and its floor-quantized reconstruction through the MINTING
+# bounds — flagged cells via pbl/pcodes (version 1), the rest via
+# bl/codes (version 0) — summed per cell (DuckDB list_sum/SUM are
+# exact HUGEINT, mirroring the engine's DECIMAL(38,0) cell sums) and
+# divided once (mse in vector units = /2^40, 6-dp rounded).
+def _sq_own_term(lo: str, hi: str, c: str) -> str:
+    recon = (
+        f"CAST(floor(({lo} + {c} * ({hi} - {lo}) / 255.0) "
+        "* 1048576.0 + 0.5) AS BIGINT)"
+    )
+    return f"(e.qv[i] - {recon}) * (e.qv[i] - {recon})"
+
+
+ORACLES["ivfsq_refit_distortion"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM eb, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
+bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+codes AS (SELECT vec_id,
+  list_transform(generate_series(1, 64), i ->
+    CASE WHEN bl.hi[i] = bl.lo[i] THEN 0
+         ELSE GREATEST(0, LEAST(255,
+           CAST(floor((e.v[i] - bl.lo[i]) * 255.0 / (bl.hi[i] - bl.lo[i]) + 0.5)
+                AS BIGINT)))
+    END) AS c
+  FROM e, bl),
+pb AS (SELECT af.cell, i, min(e.v[i]) AS lo, max(e.v[i]) AS hi
+  FROM e JOIN af ON af.vec_id = e.vec_id
+  JOIN flagged f ON f.cell = af.cell,
+  (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY af.cell, i),
+pbl AS (SELECT cell, list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+  FROM pb GROUP BY cell),
+pcodes AS (SELECT e.vec_id, pbl.cell,
+  list_transform(generate_series(1, 64), i ->
+    CASE WHEN pbl.hi[i] = pbl.lo[i] THEN 0
+         ELSE GREATEST(0, LEAST(255,
+           CAST(floor((e.v[i] - pbl.lo[i]) * 255.0 / (pbl.hi[i] - pbl.lo[i]) + 0.5)
+                AS BIGINT)))
+    END) AS c
+  FROM e JOIN af ON af.vec_id = e.vec_id
+  JOIN pbl ON pbl.cell = af.cell),
+all_err AS (
+  SELECT af.cell AS cell,
+    list_sum(list_transform(generate_series(1, 64), i ->
+      {_sq_own_term('bl.lo[i]', 'bl.hi[i]', 'codes.c[i]')})) AS err
+  FROM codes
+  JOIN e ON e.vec_id = codes.vec_id
+  JOIN af ON af.vec_id = codes.vec_id, bl
+  WHERE af.cell NOT IN (SELECT cell FROM flagged)
+  UNION ALL
+  SELECT pc.cell AS cell,
+    list_sum(list_transform(generate_series(1, 64), i ->
+      {_sq_own_term('pbl.lo[i]', 'pbl.hi[i]', 'pc.c[i]')})) AS err
+  FROM pcodes pc
+  JOIN e ON e.vec_id = pc.vec_id
+  JOIN pbl ON pbl.cell = pc.cell)
+SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n,
+  floor(((CAST(SUM(err) AS DOUBLE) / COUNT(*)) / 1099511627776.0)
+        * 1e6 + 0.5) / 1e6 AS mse
+FROM all_err GROUP BY cell
+"""
+
 # The maintained SQ index at BATCH shape (sq.ivfsq_multi_topk_versioned):
 # the ivfsq_refit_versioned twin with per-qid probe and query CTEs —
 # three probes (vec_id 0, 1, 2 as dense qids), each row's asymmetric

@@ -2042,6 +2042,59 @@ def q_ivfsq_refit_versioned_multi(spark, sf_dir):
                                       k=10, nprobe=4)
 
 
+def q_ivfsq_refit_distortion(spark, sf_dir):
+    """The SQ maintenance loop's QUALITY meter under the oracle
+    (maintain.sq_distortion_ledger): the same drift → bounds-refit
+    pipeline as q_ivfsq_refit_versioned, but the returned relation is
+    (cell, n, mse) — per-cell mean reconstruction error of the MIXED
+    read-back index, flagged cells decoding through their version-1
+    bounds and everything else through the frozen global bounds.
+    Exact int64 per-row SSE over 2^-20 fixed-point vectors and
+    floor-quantized reconstructions, exact DECIMAL cell sums (a
+    clipped cell's error overflows int64 by design — that is the
+    signal), one division — order-independent, so the SQL twin
+    (shared bounds/codes CTEs + the same floor-quantized decode)
+    strict-compares.  EXTRA from birth (ivfsq_refit_versioned holds
+    the family's driver slot; ivfpq_refit_distortion holds the
+    distortion pattern's r11 driver evidence)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        rewrite_index_cells,
+        sq_distortion_ledger,
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.sq import ivfsq_index, sq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    bounds = sq_fit(base)
+    tmp = _scratch_dir("graft_ivfsq_dist_")
+    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = sq_refit_cells(e, ivf_cb, flagged)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    rewrite_index_cells(sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return sq_distortion_ledger(e, idx_rd, bounds, ovr_rd).select(
+        F.col("cell").cast("long").alias("cell"), "n", "mse"
+    )
+
+
 def q_ann_refit_recall_ledger(spark, sf_dir):
     """Refit RECOVERY as a driver-oracle relation (r12 verdict item 1
     — the same promotion pq_distortion_ledger got in r11): the
@@ -2620,6 +2673,7 @@ QUERIES.update(
         "ivfsq_multi_topk": q_ivfsq_multi_topk,
         "ivfsq_refit_versioned": q_ivfsq_refit_versioned,
         "ivfsq_refit_versioned_multi": q_ivfsq_refit_versioned_multi,
+        "ivfsq_refit_distortion": q_ivfsq_refit_distortion,
         "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
         "bq_topk": q_bq_topk,
@@ -2878,6 +2932,12 @@ _EXTRA_NAMES = (
     # ivfsq_refit_versioned holds the driver slot; the batch CASE
     # machinery is parity-pinned vs per-qid singles in test_maintain
     "ivfsq_refit_versioned_multi",
+    # NEW in round 13, EXTRA from birth: the SQ quality meter over the
+    # mixed refit index (ivfpq_refit_distortion holds the distortion
+    # pattern's r11 driver evidence; ivfsq_refit_versioned the SQ
+    # family's slot) — exact decimal cell sums, clipping-overflow
+    # rationale in the operator docstring
+    "ivfsq_refit_distortion",
 )
 _FLAGSHIP_FIRST = (
     # never-before-driver-verified (NEW round 13) — first in line

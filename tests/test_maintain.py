@@ -1249,3 +1249,79 @@ def test_ivfsq_multi_versioned_matches_single(spark, sq_drift):
         assert multi[qid] == single, qid
     ovr.unpersist()
     mixed.unpersist()
+
+
+def test_sq_distortion_ledger_recovery_and_exactness(spark, sq_drift):
+    """The SQ quality meter: (a) every (cell, mse) equals a local
+    numpy recompute of the exact quantized reconstruction SSE through
+    the minting bounds; (b) on the clipping corpus the flagged cells'
+    mse explodes under stale global bounds and collapses after the
+    bounds refit, while unflagged cells stay byte-identical."""
+    from img2dataset_spark.operators.maintain import (
+        sq_distortion_ledger,
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import _QUANT, ivf_assign
+    from img2dataset_spark.operators.sq import (
+        _collect_bounds,
+        _collect_cell_bounds,
+        ivfsq_index,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    idx = ivfsq_index(df, ivf_cb, bounds).persist()
+    idx.count()
+    before = {int(r["cell"]): r["mse"]
+              for r in sq_distortion_ledger(df, idx, bounds).collect()}
+    ovr = sq_refit_cells(df, ivf_cb, flagged).persist()
+    mixed = (
+        idx.join(F.broadcast(flagged), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(
+            sq_reencode_cells(df, ivf_cb, ovr).select(
+                "vec_id", "cell", "codes"
+            )
+        )
+        .persist()
+    )
+    mixed.count()
+    after_rows = sq_distortion_ledger(df, mixed, bounds,
+                                      overrides=ovr).collect()
+    after = {int(r["cell"]): r["mse"] for r in after_rows}
+    fcells = {int(r["cell"]) for r in flagged.collect()}
+    for c in fcells:
+        # clipped rows decode to the bounds corner ~25 away per dim:
+        # stale mse is O(offset^2 * d), refit mse is quantizer-grain
+        assert before[c] > 100 * max(after[c], 1e-9), (c, before[c], after[c])
+    for c in set(before) - fcells:
+        assert after[c] == before[c], (c, before[c], after[c])
+    # exactness: local recompute of a sample of cells
+    g_lo, g_hi = _collect_bounds(bounds)
+    cb = _collect_cell_bounds(ovr)
+    vecs = {int(r["vec_id"]): np.asarray(r["v"], dtype=np.float64)
+            for r in ivf_assign(df, ivf_cb).collect()}
+    codes = {}
+    for r in mixed.collect():
+        codes.setdefault(int(r["cell"]), []).append(
+            (int(r["vec_id"]), np.asarray(r["codes"], dtype=np.int64))
+        )
+    for cell, rows in codes.items():
+        lo, hi = cb.get(cell, (g_lo, g_hi))
+        sse = 0
+        for vid, c in rows:
+            recon = lo + c.astype(np.float64) * (hi - lo) / 255.0
+            qr = np.floor(recon * _QUANT + 0.5).astype(np.int64)
+            qv = np.floor(vecs[vid] * _QUANT + 0.5).astype(np.int64)
+            sse += int(((qv - qr) ** 2).sum())
+        import math
+        # mirror the engine's op order: exact decimal sum -> double,
+        # then the two divisions (float(sse) is the decimal->double
+        # cast; sse/len would divide the exact rational instead)
+        want = math.floor(
+            float(sse) / len(rows) / (_QUANT * _QUANT) * 1e6 + 0.5
+        ) / 1e6
+        assert after[cell] == want, (cell, after[cell], want)
+    idx.unpersist()
+    ovr.unpersist()
+    mixed.unpersist()
