@@ -438,6 +438,21 @@ def ivfbq_multi_topk(
         for r in qrows
     }
     n_words = len(next(iter(qwords.values())))
+    # q packed words per per-word literal array × n_words arrays ride
+    # the plan — priced against the shared budget with a named remedy
+    # (r13 verdict item 2: the ceiling was PQ-only).  BQ's literals are
+    # the smallest of the three families (p/32 longs per query), so
+    # this fires only at genuinely plan-breaking batch sizes.
+    from img2dataset_spark.operators.pq import _check_plan_literal_budget
+
+    _check_plan_literal_budget(
+        len(qrows) * n_words,
+        f"ivfbq_multi_topk: {len(qrows)} queries x {n_words} packed "
+        "words",
+        "chunk the probe set into smaller dense-qid batches (each "
+        "chunk is still answered from one scan; the PQ/SQ chunked "
+        "wrappers are the shape to mirror)",
+    )
     probed = multi_probe_cells(
         ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )

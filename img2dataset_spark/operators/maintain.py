@@ -382,7 +382,14 @@ def pq_distortion_ledger(
     Shape: one broadcast of the books (model-sized collects — the
     codebook ceiling applies), one Arrow pass over (vector ⋈ codes)
     batches with per-cell vectorized gather/matmul, then a
-    cell-domain-sized sum.  Nothing corpus-shaped on the driver."""
+    cell-domain-sized sum.  Nothing corpus-shaped on the driver.
+
+    Join contract (r13 advice): vectors and index rows are FULL-outer
+    joined on id and a row present on only one side raises loudly
+    naming the id — a meter that silently dropped the disagreeing rows
+    (stale index after deletes, partial rewrite) would under-count
+    exactly when it matters.  Filter both frames to their intersection
+    explicitly to meter a deliberately-partial pair."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -443,9 +450,43 @@ def pq_distortion_ledger(
             ob[cell] = tables
     bc = spark.sparkContext.broadcast((gb, ob))
 
-    joined = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    ).join(index_df.select(F.col(id_col), "cell", "codes"), id_col)
+    # FULL outer join + loud id-naming guard, the sq_distortion_ledger
+    # contract (r13 advice): a meter must not silently drop exactly the
+    # rows where corpus and index disagree.  The guard is folded into
+    # the cell column the Arrow pass consumes, so it fires while the
+    # batch is built — before a NULL vector could crash np.stack with
+    # an opaque error.
+    joined = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .join(
+            index_df.select(F.col(id_col), "cell", "codes"), id_col, "full"
+        )
+        .select(
+            F.when(
+                F.col("cell").isNull() | F.col("_v").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pq_distortion_ledger: vector and index row "
+                            "sets disagree at id="
+                        ),
+                        F.coalesce(
+                            F.col(id_col).cast("string"), F.lit("NULL")
+                        ),
+                        F.lit(
+                            " — the meter joins vectors to index rows on "
+                            "id; reconcile a stale/partial index before "
+                            "metering"
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("cell"))
+            .alias("cell"),
+            "codes",
+            "_v",
+        )
+    )
 
     @pandas_udf("long")
     def err(cells: pd.Series, codes: pd.Series, vs: pd.Series) -> pd.Series:
@@ -664,7 +705,14 @@ def sq_distortion_ledger(
     gather; SQ's decode is arithmetic): one (vector ⋈ codes) join, a
     CASE of per-bounds reconstruction expressions (override_cells·2d
     literal doubles, ceiling-gated in ``sq._collect_cell_bounds``),
-    then a cell-domain-sized aggregation."""
+    then a cell-domain-sized aggregation.
+
+    Join contract (r13 advice): vectors and index rows are FULL-outer
+    joined on id and a row present on only one side raises loudly
+    naming the id — a meter that silently dropped the disagreeing rows
+    (stale index after deletes, partial rewrite) would under-count
+    exactly when it matters.  Filter both frames to their intersection
+    explicitly to meter a deliberately-partial pair."""
     from img2dataset_spark.operators.similarity import (
         _QUANT,
         _as_double,
@@ -678,7 +726,9 @@ def sq_distortion_ledger(
     g_lo, g_hi = _collect_bounds(bounds)
     d = len(g_lo)
     cell_bounds = (
-        _collect_cell_bounds(overrides) if overrides is not None else {}
+        _collect_cell_bounds(overrides, expected_dim=d)
+        if overrides is not None
+        else {}
     )
 
     def err_expr(lo, hi):
@@ -729,9 +779,35 @@ def sq_distortion_ledger(
             )
         ).cast("long"),
     ).otherwise(err)
+    # FULL outer join, deliberately (r13 advice): a quality meter built
+    # to expose index problems must not silently drop exactly the rows
+    # where corpus and index disagree (stale index after deletes, a
+    # partial rewrite, a filtered vector frame).  A row present on only
+    # one side fails LOUDLY here naming the id instead of vanishing
+    # from n and mse.  Reconcile (filter both frames to their
+    # intersection explicitly) before metering a deliberately-partial
+    # pair.  cell NULL ⇔ the index side is missing; _v NULL ⇔ the
+    # vector side is missing — both precede the width guard so a
+    # df-only row's NULL codes reads as a mismatch, not a misencode.
+    err = F.when(
+        F.col("cell").isNull() | F.col("_v").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "sq_distortion_ledger: vector and index row sets "
+                    "disagree at id="
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                F.lit(
+                    " — the meter joins vectors to index rows on id; "
+                    "reconcile a stale/partial index before metering"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(err)
     joined = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    ).join(index_df.select(F.col(id_col), "cell", "codes"), id_col)
+    ).join(index_df.select(F.col(id_col), "cell", "codes"), id_col, "full")
     scale = float(_QUANT) * float(_QUANT)
     return (
         joined.select("cell", err.alias("_e"))

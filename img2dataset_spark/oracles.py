@@ -1511,12 +1511,7 @@ qd1rm AS (SELECT q.qid, q.pcell, c.cell,
 {_pq_percell_sql(0, 1, 32, 4, 2, residual=True, multi=True)},
 {_pq_percell_sql(1, 33, 64, 4, 2, residual=True, multi=True)}"""
 
-ORACLES["ivfpq_refit_residual_multi"] = _REFIT_RESIDUAL_MULTI_CTES + """
-SELECT qid, vec_id, adc_dist FROM (
-  SELECT qid, vec_id, adc_dist,
-         row_number() OVER (PARTITION BY qid
-           ORDER BY adc_dist ASC, vec_id ASC) AS rk
-  FROM (
+_REFIT_RESIDUAL_MULTI_UNION = """
     SELECT p.qid, e0.vec_id, CAST(g0.d + g1.d AS BIGINT) AS adc_dist
     FROM e0
     JOIN af ON af.vec_id = e0.vec_id
@@ -1536,13 +1531,47 @@ SELECT qid, vec_id, adc_dist FROM (
     JOIN pqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
                 AND d0.qid = p.qid
     JOIN pqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
-                AND d1.qid = p.qid
+                AND d1.qid = p.qid"""
+
+ORACLES["ivfpq_refit_residual_multi"] = _REFIT_RESIDUAL_MULTI_CTES + f"""
+SELECT qid, vec_id, adc_dist FROM (
+  SELECT qid, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY adc_dist ASC, vec_id ASC) AS rk
+  FROM ({_REFIT_RESIDUAL_MULTI_UNION}
   )
 ) WHERE rk <= 10
 """
 
-ORACLES["ivfpq_refit_residual"] = _REFIT_RESIDUAL_CTES + """
-SELECT vec_id, adc_dist FROM (
+# Batch refine over the maintained index
+# (pq.ivfpq_multi_refine_topk(overrides=...)): per-qid candidates from
+# the SAME versioned batch union at rk <= 10·4 (refine_factor=4
+# explicit), one exact round6-cosine re-rank per (qid, id) pair, one
+# window top-10 per qid.
+ORACLES["ivfpq_refit_refine_multi"] = _REFIT_RESIDUAL_MULTI_CTES + f""",
+candm AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY adc_dist ASC, vec_id ASC) AS rk
+  FROM ({_REFIT_RESIDUAL_MULTI_UNION}
+  )
+) WHERE rk <= 40)
+SELECT qid, vec_id, cos_sim FROM (
+  SELECT c.qid, e.vec_id, {_R6.format(x=_cos('e.v', 'q.qv'))} AS cos_sim,
+         row_number() OVER (PARTITION BY c.qid
+           ORDER BY {_R6.format(x=_cos('e.v', 'q.qv'))} DESC,
+                    e.vec_id ASC) AS rk
+  FROM candm c
+  JOIN e ON e.vec_id = c.vec_id
+  JOIN qm q ON q.qid = c.qid
+) WHERE rk <= 10
+"""
+
+# The versioned (mixed-books) residual scan body — shared by the
+# maintained-index search twin and the r14 refine-over-maintained twin
+# (which widens the same ranking to k·rf candidates before an exact
+# cosine re-rank).
+_REFIT_RESIDUAL_UNION = """
   SELECT e0.vec_id, CAST(qd0r.d + qd1r.d AS BIGINT) AS adc_dist
   FROM e0
   JOIN af ON af.vec_id = e0.vec_id
@@ -1558,9 +1587,36 @@ SELECT vec_id, adc_dist FROM (
   JOIN pcode1 p1 ON p1.vec_id = p0.vec_id
   JOIN pqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
   JOIN pqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
-  WHERE p0.cell IN (SELECT cell FROM probe)
+  WHERE p0.cell IN (SELECT cell FROM probe)"""
+
+ORACLES["ivfpq_refit_residual"] = _REFIT_RESIDUAL_CTES + f"""
+SELECT vec_id, adc_dist FROM ({_REFIT_RESIDUAL_UNION}
 )
 ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
+# Refine over the MAINTAINED index (r13 verdict item 1 —
+# pq.ivfpq_refine_topk_versioned): the SAME versioned union ranked to
+# k·rf candidates with rf computed RELATIONALLY from COUNT(*) (the
+# production recommended_refine_factor path at target_occupancy=16 —
+# the ivfpq_refine_topk_sized precedent, so ONE twin strict-compares
+# at every sf), then an exact round6-cosine re-rank of just those ids.
+ORACLES["ivfpq_refit_refine"] = _REFIT_RESIDUAL_CTES + f""",
+rfq AS (SELECT CASE WHEN (e_n.n / c_n.k) > 16.0
+                    THEN GREATEST(4, LEAST(256,
+                      4 * CAST(ceil(sqrt((e_n.n / c_n.k) / 16.0)) AS BIGINT)))
+                    ELSE 4 END AS rf
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e) e_n,
+             (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM c2) c_n),
+cand AS (SELECT vec_id FROM (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rn
+  FROM ({_REFIT_RESIDUAL_UNION}
+  )), rfq
+  WHERE rn <= 10 * rfq.rf)
+SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
+FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
 """
 
 # Scalar quantization (SQ8): per-dimension min/max bounds (exact aggs,

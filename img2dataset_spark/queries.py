@@ -1606,7 +1606,14 @@ def q_ivfpq_refit_versioned(spark, sf_dir):
                          num_codes=4, iters=2)
     ovr.write.parquet(f"{tmp}/overrides")
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    rewrite_index_cells(pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
+        )
     idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfpq_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd,
                                 _query_vec(spark, sf_dir), k=10, nprobe=4)
@@ -1655,7 +1662,14 @@ def q_ivfpq_refit_distortion(spark, sf_dir):
                          num_codes=4, iters=2)
     ovr.write.parquet(f"{tmp}/overrides")
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    rewrite_index_cells(pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
+        )
     idx_rd = spark.read.parquet(f"{tmp}/index")
     return pq_distortion_ledger(e, idx_rd, pq_cb, ovr_rd).select(
         F.col("cell").cast("long").alias("cell"), "n", "mse"
@@ -1715,9 +1729,15 @@ def q_ivfpq_refit_residual(spark, sf_dir):
                          num_codes=4, iters=2, residual=True)
     ovr.write.parquet(f"{tmp}/overrides")
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    rewrite_index_cells(
-        pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True), f"{tmp}/index"
-    )
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
+            f"{tmp}/index",
+        )
     idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfpq_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd,
                                 _query_vec(spark, sf_dir), k=10, nprobe=4,
@@ -1775,9 +1795,15 @@ def q_ivfpq_refit_residual_multi(spark, sf_dir):
                          num_codes=4, iters=2, residual=True)
     ovr.write.parquet(f"{tmp}/overrides")
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    rewrite_index_cells(
-        pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True), f"{tmp}/index"
-    )
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
+            f"{tmp}/index",
+        )
     idx_rd = spark.read.parquet(f"{tmp}/index")
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
@@ -1785,6 +1811,143 @@ def q_ivfpq_refit_residual_multi(spark, sf_dir):
     )
     return ivfpq_multi_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd, qs,
                                       k=10, nprobe=4, residual=True)
+
+
+def q_ivfpq_refit_refine(spark, sf_dir):
+    """The refine stage over the MAINTAINED index (r13 verdict item 1
+    — the engine's own 600k ledger read the compressed stage at
+    0.025-0.16 recall at 10x occupancy even post-refit and named the
+    refine stage, measured at 0.65 on the same shape, as the remedy;
+    but no refine variant composed with the versioned searcher, so a
+    maintained corpus could not reach the recall the engine's own
+    measurements say is attainable).  Pipeline =
+    q_ivfpq_refit_residual verbatim (true-LOPQ selective refit: frozen
+    base books, drift flags at 1.02, per-cell residual refits, only
+    flagged directories rewritten), search =
+    pq.ivfpq_refine_topk_versioned: stage 1 screens k*rf candidates
+    through the versioned mixed-codes CASE (every probed cell scored
+    by the book that MINTED its codes), stage 2 exact-cosine re-ranks
+    only those rows via a broadcast semi-join.  refine_factor=None
+    exercises the PRODUCTION auto-rf path (recommended_refine_factor,
+    target 16 so the sizing is LIVE at driver scale: occ 50 -> rf 8 at
+    sf0.001/0.01, occ 200 -> rf 16 at sf0.1); the SQL twin computes
+    the same rf RELATIONALLY from COUNT(*) as a row_number cut over
+    the versioned union, then re-ranks by round6 cosine."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_refine_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
+                   num_codes=4, iters=2, vec_col="rvec")
+    tmp = _scratch_dir("graft_ivfpq_refit_ref_")
+    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
+        "cell"
+    ).parquet(f"{tmp}/index")
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2, residual=True)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
+            f"{tmp}/index",
+        )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfpq_refine_topk_versioned(
+        idx_rd, ivf_cb, pq_cb, ovr_rd, e, _query_vec(spark, sf_dir),
+        k=10, nprobe=4, refine_factor=None, residual=True,
+        refine_target_occupancy=16,
+    )
+
+
+def q_ivfpq_refit_refine_multi(spark, sf_dir):
+    """The maintained-index refine at BATCH shape — the full
+    production composition: q_ivfpq_refit_refine's pipeline with THREE
+    probe vectors answered by ONE versioned mixed-codes screen
+    (ivfpq_multi_refine_topk(overrides=...) routes stage 1 through
+    ivfpq_multi_topk_versioned) and ONE exact-cosine vector pass over
+    all queries' candidates.  refine_factor=4 explicit so the twin is
+    a static rk cut.  EXTRA from birth (ivfpq_refit_refine holds the
+    driver slot; the screen machinery is ivfpq_refit_residual_multi's,
+    oracle-pinned r12)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_refine_topk,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        ivf_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
+                   num_codes=4, iters=2, vec_col="rvec")
+    tmp = _scratch_dir("graft_ivfpq_refit_refm_")
+    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
+        "cell"
+    ).parquet(f"{tmp}/index")
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2, residual=True)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
+            f"{tmp}/index",
+        )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfpq_multi_refine_topk(
+        idx_rd, ivf_cb, pq_cb, e, qs, k=10, nprobe=4, refine_factor=4,
+        residual=True, overrides=ovr_rd,
+    )
 
 
 def q_ivfpq_residual_topk(spark, sf_dir):
@@ -1978,7 +2141,14 @@ def q_ivfsq_refit_versioned(spark, sf_dir):
     ovr = sq_refit_cells(e, ivf_cb, flagged)
     ovr.write.parquet(f"{tmp}/overrides")
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    rewrite_index_cells(sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
+        )
     idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfsq_topk_versioned(idx_rd, ivf_cb, bounds, ovr_rd,
                                 _query_vec(spark, sf_dir), k=10, nprobe=4)
@@ -2032,7 +2202,14 @@ def q_ivfsq_refit_versioned_multi(spark, sf_dir):
     ovr = sq_refit_cells(e, ivf_cb, flagged)
     ovr.write.parquet(f"{tmp}/overrides")
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    rewrite_index_cells(sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
+        )
     idx_rd = spark.read.parquet(f"{tmp}/index")
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
@@ -2088,7 +2265,14 @@ def q_ivfsq_refit_distortion(spark, sf_dir):
     ovr = sq_refit_cells(e, ivf_cb, flagged)
     ovr.write.parquet(f"{tmp}/overrides")
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    rewrite_index_cells(sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index")
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
+        )
     idx_rd = spark.read.parquet(f"{tmp}/index")
     return sq_distortion_ledger(e, idx_rd, bounds, ovr_rd).select(
         F.col("cell").cast("long").alias("cell"), "n", "mse"
@@ -2664,6 +2848,8 @@ QUERIES.update(
         "ivfpq_refit_versioned": q_ivfpq_refit_versioned,
         "ivfpq_refit_distortion": q_ivfpq_refit_distortion,
         "ivfpq_refit_residual": q_ivfpq_refit_residual,
+        "ivfpq_refit_refine": q_ivfpq_refit_refine,
+        "ivfpq_refit_refine_multi": q_ivfpq_refit_refine_multi,
         "ivfpq_refit_residual_multi": q_ivfpq_refit_residual_multi,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_refine_topk": q_ivfpq_refine_topk,
@@ -2932,6 +3118,19 @@ _EXTRA_NAMES = (
     # ivfsq_refit_versioned holds the driver slot; the batch CASE
     # machinery is parity-pinned vs per-qid singles in test_maintain
     "ivfsq_refit_versioned_multi",
+    # rotated out round 14 (r12 AND r13 green) to make room for
+    # ivfpq_refit_refine — the refine stage over the MAINTAINED index,
+    # which carries the SAME auto-rf relational sizing (rfq CTE) plus
+    # the versioned screen; the static-index sized refine stays
+    # oracle-checked here and its screen stays in-window via
+    # ivfpq_multi_topk / ivfpq_topk_sized
+    "ivfpq_refine_topk_sized",
+    # NEW in round 14, EXTRA from birth (ivfpq_refit_residual_multi
+    # precedent): the maintained-index refine at batch shape —
+    # ivfpq_refit_refine holds the driver slot; the batch screen is
+    # ivfpq_refit_residual_multi's machinery plus one exact-cosine
+    # vector pass
+    "ivfpq_refit_refine_multi",
     # NEW in round 13, EXTRA from birth: the SQ quality meter over the
     # mixed refit index (ivfpq_refit_distortion holds the distortion
     # pattern's r11 driver evidence; ivfsq_refit_versioned the SQ
@@ -2940,12 +3139,13 @@ _EXTRA_NAMES = (
     "ivfsq_refit_distortion",
 )
 _FLAGSHIP_FIRST = (
+    # never-before-driver-verified (NEW round 14) — first in line
+    "ivfpq_refit_refine",
     # never-before-driver-verified (NEW round 13) — first in line
     "ivfsq_refit_versioned",
     "ann_refit_recall_ledger",
     # never-before-driver-verified (NEW round 12) — first in line
     "ivfpq_refit_residual",
-    "ivfpq_refine_topk_sized",
     "ivfsq_multi_topk",
     # never-before-driver-verified (NEW round 11) — first in line
     "ivfpq_topk_sized",

@@ -296,3 +296,25 @@ def test_bq_refine_topk_auto_rf(spark, emb):
     ).collect()]
     assert auto == pinned
     codes.unpersist()
+
+
+def test_bq_multi_literal_ceiling(spark, monkeypatch):
+    """The shared plan-literal budget prices the BQ batch scan too
+    (r13 verdict item 2): past the ceiling, a named error instead of
+    an opaque plan failure."""
+    from img2dataset_spark.operators import pq as pq_mod
+    from img2dataset_spark.operators.bq import ivfbq_index, ivfbq_multi_topk
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    idx = ivfbq_index(emb, ivf_cb, num_planes=64, dim=64)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    # 3 queries x 2 packed words = 6 literals > 5
+    monkeypatch.setattr(pq_mod, "_MULTI_TOPK_MAX_LITERALS", 5)
+    with pytest.raises(ValueError, match="packed words"):
+        ivfbq_multi_topk(idx, ivf_cb, qs, k=5, nprobe=2,
+                         num_planes=64, dim=64)

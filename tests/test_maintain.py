@@ -1325,3 +1325,154 @@ def test_sq_distortion_ledger_recovery_and_exactness(spark, sq_drift):
     idx.unpersist()
     ovr.unpersist()
     mixed.unpersist()
+
+
+def test_sq_chunked_versioned_equals_unchunked(spark, sq_drift):
+    """The SQ family's sanctioned chunked route (r13 verdict item 2 —
+    previously only PQ had one): ivfsq_multi_topk_chunked returns the
+    same relation as one scan, plain AND versioned (overrides=...),
+    any chunk size, original qids restored across chunk offsets even
+    when the probe frame arrives multi-partition in reverse order —
+    and auto-sizing refuses for the versioned route (per-chunk plan
+    literals depend on the probed override cells)."""
+    from img2dataset_spark.operators.maintain import (
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_topk,
+        ivfsq_multi_topk_chunked,
+        ivfsq_multi_topk_versioned,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    idx = ivfsq_index(df, ivf_cb, bounds)
+    ovr = sq_refit_cells(df, ivf_cb, flagged).persist()
+    ovr.count()
+    mixed = (
+        idx.join(F.broadcast(flagged), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(
+            sq_reencode_cells(df, ivf_cb, ovr)
+            .select("vec_id", "cell", "codes")
+        )
+        .persist()
+    )
+    mixed.count()
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["query_vec"]]
+        for r in df.filter(F.col("vec_id") < 3)
+        .select("vec_id", _as_double(F.col("embedding")).alias("query_vec"))
+        .collect()
+    }
+    qs = spark.createDataFrame(
+        [(qid, qrows[qid]) for qid in (2, 1, 0)],
+        "qid long, query_vec array<double>",
+    ).repartition(3)
+    want_v = sorted(
+        tuple(r)
+        for r in ivfsq_multi_topk_versioned(
+            mixed, ivf_cb, bounds, ovr, qs, k=5, nprobe=4
+        ).collect()
+    )
+    for chunk in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in ivfsq_multi_topk_chunked(
+                mixed, ivf_cb, bounds, qs, k=5, nprobe=4,
+                max_queries_per_scan=chunk, overrides=ovr,
+            ).collect()
+        )
+        assert got == want_v, chunk
+    # plain route: chunked == one-scan batch on a pure version-0 index
+    want_p = sorted(
+        tuple(r)
+        for r in ivfsq_multi_topk(
+            idx, ivf_cb, bounds, qs, k=5, nprobe=4
+        ).collect()
+    )
+    got_p = sorted(
+        tuple(r)
+        for r in ivfsq_multi_topk_chunked(
+            idx, ivf_cb, bounds, qs, k=5, nprobe=4,
+            max_queries_per_scan=2,
+        ).collect()
+    )
+    assert got_p == want_p
+    with pytest.raises(ValueError, match="max_queries_per_scan"):
+        ivfsq_multi_topk_chunked(
+            idx, ivf_cb, bounds, qs, overrides=ovr
+        )
+    ovr.unpersist()
+    mixed.unpersist()
+
+
+def test_sq_versioned_rejects_mismatched_override_dim(spark, sq_drift):
+    """An override relation fit at a DIFFERENT dimensionality must fail
+    loudly (r13 advice): before this check, element_at past the shorter
+    lo/span arrays yielded NULL distances and NULLS-FIRST asc silently
+    top-ranked exactly the mismatched cells' rows."""
+    from img2dataset_spark.operators.maintain import sq_distortion_ledger
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_topk_versioned,
+        ivfsq_topk_versioned,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    idx = ivfsq_index(df, ivf_cb, bounds)
+    fc = int(flagged.collect()[0]["cell"])
+    # bounds for one flagged cell at d=32 — contiguous 1..32, so only
+    # the new expected_dim check can reject it
+    ovr32 = spark.createDataFrame(
+        [(fc, i, 0.0, 1.0) for i in range(1, 33)],
+        "cell long, dim int, lo double, hi double",
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("query_vec")
+    )
+    # nprobe=8 probes every cell, so the mismatched override is reached
+    with pytest.raises(ValueError, match="different dimensionality"):
+        ivfsq_topk_versioned(idx, ivf_cb, bounds, ovr32, q, k=5, nprobe=8)
+    qs = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="different dimensionality"):
+        ivfsq_multi_topk_versioned(idx, ivf_cb, bounds, ovr32, qs, k=5,
+                                   nprobe=8)
+    with pytest.raises(ValueError, match="different dimensionality"):
+        sq_distortion_ledger(df, idx, bounds, ovr32)
+
+
+def test_distortion_ledgers_reject_mismatched_row_sets(spark, sq_drift):
+    """The distortion meters FULL-outer join vectors to index rows and
+    fail naming the id when the sides disagree (r13 advice): a meter
+    built to expose index problems must not silently drop exactly the
+    disagreeing rows from n and mse."""
+    from img2dataset_spark.operators.maintain import (
+        pq_distortion_ledger,
+        sq_distortion_ledger,
+    )
+    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
+    from img2dataset_spark.operators.sq import ivfsq_index
+
+    df, ivf_cb, bounds, _flagged = sq_drift
+    idx = ivfsq_index(df, ivf_cb, bounds)
+    stale = idx.filter(F.col("vec_id") % 7 != 0)  # deletes, unrebuilt
+    with pytest.raises(Exception, match="disagree at id="):
+        sq_distortion_ledger(df, stale, bounds).collect()
+    # the other direction: a filtered vector frame vs a full index
+    with pytest.raises(Exception, match="disagree at id="):
+        sq_distortion_ledger(
+            df.filter(F.col("vec_id") % 7 != 0), idx, bounds
+        ).collect()
+    pq_cb = pq_fit(df, num_subspaces=2, num_codes=4, iters=1)
+    pidx = ivfpq_index(df, ivf_cb, pq_cb)
+    with pytest.raises(Exception, match="disagree at id="):
+        pq_distortion_ledger(
+            df, pidx.filter(F.col("vec_id") % 7 != 0), pq_cb
+        ).collect()

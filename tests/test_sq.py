@@ -297,3 +297,35 @@ def test_ivfsq_multi_topk_matches_single(spark, emb):
     sparse = qs.withColumn("qid", F.col("qid") * 2)
     with pytest.raises(ValueError, match="dense"):
         ivfsq_multi_topk(idx, ivf_cb, bounds, sparse, k=5, nprobe=2)
+
+
+def test_sq_multi_literal_ceiling(spark, emb, fitted, monkeypatch):
+    """The shared plan-literal budget now prices the SQ batch scans
+    (r13 verdict item 2): past the ceiling the batch searcher fails
+    with a NAMED error pointing at ivfsq_multi_topk_chunked instead of
+    an opaque codegen/plan failure — and the chunked route itself
+    stays under budget per chunk."""
+    from img2dataset_spark.operators import pq as pq_mod
+    from img2dataset_spark.operators.similarity import _as_double, ivf_fit
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_topk,
+        ivfsq_multi_topk_chunked,
+    )
+
+    bounds, _codes = fitted
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    idx = ivfsq_index(emb, ivf_cb, bounds)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    # 3 queries x 64 dims = 192 literals > 100
+    monkeypatch.setattr(pq_mod, "_MULTI_TOPK_MAX_LITERALS", 100)
+    with pytest.raises(ValueError, match="ivfsq_multi_topk_chunked"):
+        ivfsq_multi_topk(idx, ivf_cb, bounds, qs, k=5, nprobe=2)
+    # one query per scan = 64 literals <= 100: the named remedy works
+    got = ivfsq_multi_topk_chunked(
+        idx, ivf_cb, bounds, qs, k=5, nprobe=2, max_queries_per_scan=1
+    )
+    assert got.count() == 15
