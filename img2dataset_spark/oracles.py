@@ -2063,7 +2063,7 @@ _LEDGER_SEARCH = """{name} AS (SELECT qid, vec_id FROM (
            ORDER BY dd ASC, vec_id ASC) AS rk
   FROM ({body})) WHERE rk <= 10)"""
 
-ORACLES["ann_refit_recall_ledger"] = f"""
+_LEDGER_HEAD = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
@@ -2150,16 +2150,20 @@ m_qd1rm AS MATERIALIZED (SELECT * FROM qd1rm),
 m_pcode0 AS MATERIALIZED (SELECT * FROM pcode0),
 m_pcode1 AS MATERIALIZED (SELECT * FROM pcode1),
 m_pqd0 AS MATERIALIZED (SELECT * FROM pqd0),
-m_pqd1 AS MATERIALIZED (SELECT * FROM pqd1),
-{_LEDGER_SEARCH.format(name='raw_pre', body='''
+m_pqd1 AS MATERIALIZED (SELECT * FROM pqd1)"""
+
+# The four versioned search bodies (qid, vec_id, dd) — shared by the
+# rk<=10 ledger searches AND the r14 refine twin's rk<=40 candidate
+# cuts (the same ranking, wider pool).
+_LB_RAW_PRE = '''
     SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
     FROM m_wcode0 c0
     JOIN m_wcode1 c1 ON c1.vec_id = c0.vec_id
     JOIN m_af af ON af.vec_id = c0.vec_id
     JOIN m_probe p ON p.cell = af.cell
     JOIN m_wqd0m g0 ON g0.cell = c0.cell AND g0.qid = p.qid
-    JOIN m_wqd1m g1 ON g1.cell = c1.cell AND g1.qid = p.qid''')},
-{_LEDGER_SEARCH.format(name='raw_post', body='''
+    JOIN m_wqd1m g1 ON g1.cell = c1.cell AND g1.qid = p.qid'''
+_LB_RAW_POST = '''
     SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
     FROM m_wcode0 c0
     JOIN m_wcode1 c1 ON c1.vec_id = c0.vec_id
@@ -2176,8 +2180,8 @@ m_pqd1 AS MATERIALIZED (SELECT * FROM pqd1),
     JOIN m_wpqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
                  AND d0.qid = p.qid
     JOIN m_wpqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
-                 AND d1.qid = p.qid''')},
-{_LEDGER_SEARCH.format(name='res_pre', body='''
+                 AND d1.qid = p.qid'''
+_LB_RES_PRE = '''
     SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
     FROM m_code0 c0
     JOIN m_code1 c1 ON c1.vec_id = c0.vec_id
@@ -2186,8 +2190,8 @@ m_pqd1 AS MATERIALIZED (SELECT * FROM pqd1),
     JOIN m_qd0rm g0 ON g0.cell = c0.cell AND g0.pcell = af.cell
                  AND g0.qid = p.qid
     JOIN m_qd1rm g1 ON g1.cell = c1.cell AND g1.pcell = af.cell
-                 AND g1.qid = p.qid''')},
-{_LEDGER_SEARCH.format(name='res_post', body='''
+                 AND g1.qid = p.qid'''
+_LB_RES_POST = '''
     SELECT p.qid, c0.vec_id, g0.d + g1.d AS dd
     FROM m_code0 c0
     JOIN m_code1 c1 ON c1.vec_id = c0.vec_id
@@ -2206,15 +2210,41 @@ m_pqd1 AS MATERIALIZED (SELECT * FROM pqd1),
     JOIN m_pqd0 d0 ON d0.cell = p0.cell AND d0.code = p0.code
                 AND d0.qid = p.qid
     JOIN m_pqd1 d1 ON d1.cell = p1.cell AND d1.code = p1.code
-                AND d1.qid = p.qid''')},
-exactq AS (SELECT qid, vec_id FROM (
+                AND d1.qid = p.qid'''
+
+_LEDGER_EXACTQ = """exactq AS (SELECT qid, vec_id FROM (
   SELECT q.qid, e.vec_id,
          row_number() OVER (PARTITION BY q.qid
            ORDER BY list_sum(list_transform(generate_series(1, 64),
                       i -> (e.v[i]-q.v[i])*(e.v[i]-q.v[i]))) ASC,
                     e.vec_id ASC) AS rk
-  FROM e, qm q) WHERE rk <= 10),
-allf AS (
+  FROM e, qm q) WHERE rk <= 10)"""
+
+
+def _ledger_tail(fams: list[str]) -> str:
+    """hits/rec/final-SELECT over the union'd family CTEs (allf must
+    already be defined)."""
+    lst = ", ".join(f"'{f}'" for f in fams)
+    return f"""rec AS (SELECT fams.fam, q.qid, COALESCE(h.c, 0)/10.0 AS r
+  FROM (SELECT qid FROM qm) q
+  CROSS JOIN (SELECT unnest([{lst}]) AS fam) fams
+  LEFT JOIN hits h ON h.fam = fams.fam AND h.qid = q.qid)
+SELECT fam AS family, CAST(10 AS BIGINT) AS k,
+  CAST(3 AS BIGINT) AS num_queries,
+  floor(avg(r)*1e6 + 0.5)/1e6 AS mean_recall,
+  floor(min(r)*1e6 + 0.5)/1e6 AS min_recall
+FROM rec GROUP BY fam
+"""
+
+
+ORACLES["ann_refit_recall_ledger"] = (
+    _LEDGER_HEAD + ",\n"
+    + _LEDGER_SEARCH.format(name="raw_pre", body=_LB_RAW_PRE) + ",\n"
+    + _LEDGER_SEARCH.format(name="raw_post", body=_LB_RAW_POST) + ",\n"
+    + _LEDGER_SEARCH.format(name="res_pre", body=_LB_RES_PRE) + ",\n"
+    + _LEDGER_SEARCH.format(name="res_post", body=_LB_RES_POST) + ",\n"
+    + _LEDGER_EXACTQ + ",\n"
+    + """allf AS (
   SELECT 'versioned_raw_pre' AS fam, qid, vec_id FROM raw_pre
   UNION ALL
   SELECT 'versioned_raw_post' AS fam, qid, vec_id FROM raw_post
@@ -2225,18 +2255,87 @@ allf AS (
 hits AS (SELECT fam, f.qid, COUNT(*) AS c
   FROM allf f JOIN exactq x ON x.qid = f.qid AND x.vec_id = f.vec_id
   GROUP BY fam, f.qid),
-rec AS (SELECT fams.fam, q.qid, COALESCE(h.c, 0)/10.0 AS r
-  FROM (SELECT qid FROM qm) q
-  CROSS JOIN (SELECT unnest(['versioned_raw_pre', 'versioned_raw_post',
-                             'versioned_residual_pre',
-                             'versioned_residual_post']) AS fam) fams
-  LEFT JOIN hits h ON h.fam = fams.fam AND h.qid = q.qid)
-SELECT fam AS family, CAST(10 AS BIGINT) AS k,
-  CAST(3 AS BIGINT) AS num_queries,
-  floor(avg(r)*1e6 + 0.5)/1e6 AS mean_recall,
-  floor(min(r)*1e6 + 0.5)/1e6 AS min_recall
-FROM rec GROUP BY fam
 """
+    + _ledger_tail(["versioned_raw_pre", "versioned_raw_post",
+                    "versioned_residual_pre", "versioned_residual_post"])
+)
+
+# The refine twin (r13 verdict item 1): the SAME four versioned
+# rankings cut at rk <= 40 (k·rf, rf=4 explicit) feed an exact
+# round6-cosine re-rank per qid, measured against exact-COSINE ground
+# truth — the re-rank's own metric — alongside the four compressed
+# families vs exact L2.  Eight families, one relation.
+_LEDGER_CAND = """{name} AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY dd ASC, vec_id ASC) AS rk
+  FROM ({body})) WHERE rk <= 40)"""
+
+_LEDGER_REFINE = f"""{{name}} AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cs DESC, vec_id ASC) AS rk
+  FROM (SELECT c.qid, c.vec_id, {_R6.format(x=_cos('e.v', 'q.v'))} AS cs
+        FROM {{cand}} c JOIN e ON e.vec_id = c.vec_id
+        JOIN qm q ON q.qid = c.qid)) WHERE rk <= 10)"""
+
+_LEDGER_EXACTCQ = f"""exactcq AS (SELECT qid, vec_id FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+           ORDER BY {_R6.format(x=_cos('e.v', 'q.v'))} DESC,
+                    e.vec_id ASC) AS rk
+  FROM e, qm q) WHERE rk <= 10)"""
+
+ORACLES["ann_refit_recall_ledger_refine"] = (
+    _LEDGER_HEAD + ",\n"
+    + _LEDGER_SEARCH.format(name="raw_pre", body=_LB_RAW_PRE) + ",\n"
+    + _LEDGER_SEARCH.format(name="raw_post", body=_LB_RAW_POST) + ",\n"
+    + _LEDGER_SEARCH.format(name="res_pre", body=_LB_RES_PRE) + ",\n"
+    + _LEDGER_SEARCH.format(name="res_post", body=_LB_RES_POST) + ",\n"
+    + _LEDGER_CAND.format(name="raw_pre_c", body=_LB_RAW_PRE) + ",\n"
+    + _LEDGER_CAND.format(name="raw_post_c", body=_LB_RAW_POST) + ",\n"
+    + _LEDGER_CAND.format(name="res_pre_c", body=_LB_RES_PRE) + ",\n"
+    + _LEDGER_CAND.format(name="res_post_c", body=_LB_RES_POST) + ",\n"
+    + _LEDGER_REFINE.format(name="raw_pre_r", cand="raw_pre_c") + ",\n"
+    + _LEDGER_REFINE.format(name="raw_post_r", cand="raw_post_c") + ",\n"
+    + _LEDGER_REFINE.format(name="res_pre_r", cand="res_pre_c") + ",\n"
+    + _LEDGER_REFINE.format(name="res_post_r", cand="res_post_c") + ",\n"
+    + _LEDGER_EXACTQ + ",\n"
+    + _LEDGER_EXACTCQ + ",\n"
+    + """allf AS (
+  SELECT 'versioned_raw_pre' AS fam, qid, vec_id FROM raw_pre
+  UNION ALL
+  SELECT 'versioned_raw_post' AS fam, qid, vec_id FROM raw_post
+  UNION ALL
+  SELECT 'versioned_residual_pre' AS fam, qid, vec_id FROM res_pre
+  UNION ALL
+  SELECT 'versioned_residual_post' AS fam, qid, vec_id FROM res_post),
+allrf AS (
+  SELECT 'versioned_raw_refine_pre' AS fam, qid, vec_id FROM raw_pre_r
+  UNION ALL
+  SELECT 'versioned_raw_refine_post' AS fam, qid, vec_id FROM raw_post_r
+  UNION ALL
+  SELECT 'versioned_residual_refine_pre' AS fam, qid, vec_id
+  FROM res_pre_r
+  UNION ALL
+  SELECT 'versioned_residual_refine_post' AS fam, qid, vec_id
+  FROM res_post_r),
+hits AS (
+  SELECT fam, f.qid, COUNT(*) AS c
+  FROM allf f JOIN exactq x ON x.qid = f.qid AND x.vec_id = f.vec_id
+  GROUP BY fam, f.qid
+  UNION ALL
+  SELECT fam, f.qid, COUNT(*) AS c
+  FROM allrf f JOIN exactcq x ON x.qid = f.qid AND x.vec_id = f.vec_id
+  GROUP BY fam, f.qid),
+"""
+    + _ledger_tail([
+        "versioned_raw_pre", "versioned_raw_post",
+        "versioned_residual_pre", "versioned_residual_post",
+        "versioned_raw_refine_pre", "versioned_raw_refine_post",
+        "versioned_residual_refine_pre", "versioned_residual_refine_post",
+    ])
+)
 
 # Binary quantization (operators/bq.py): sign bit per md5-seeded
 # hyperplane (the embedding-LSH dot/sign convention), packed 32 bits

@@ -2301,6 +2301,26 @@ def q_ann_refit_recall_ledger(spark, sf_dir):
                                num_queries=3, nprobe=4, threshold=1.02)
 
 
+def q_ann_refit_recall_ledger_refine(spark, sf_dir):
+    """The refit ledger WITH the refine stage (r13 verdict item 1 —
+    include_refine=True): the four compressed maintained families vs
+    exact L2 plus four refine families (versioned screen at k*rf=40,
+    exact round6-cosine re-rank) vs exact COSINE — eight rows, one
+    relation, "what does the refine stage buy a maintained corpus" as
+    a queryable number.  EXTRA from birth (ann_refit_recall_ledger
+    holds the driver slot; ivfpq_refit_refine the refine-search one);
+    the SQL twin reuses the ledger's four ranking bodies at a wider
+    rk cut plus per-qid cosine re-ranks and a cosine ground truth."""
+    from img2dataset_spark.operators.recall import refit_recall_ledger
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    return refit_recall_ledger(e, base, num_cells=10, iters=2,
+                               pq_subspaces=2, pq_codes=4, k=10,
+                               num_queries=3, nprobe=4, threshold=1.02,
+                               include_refine=True, refine_factor=4)
+
+
 def q_ivfbq_multi_topk(spark, sf_dir):
     """Batch binary search (bq.ivfbq_multi_topk): the one-scan
     multi-query shape for the popcount family — per-qid COSINE probe
@@ -2861,6 +2881,7 @@ QUERIES.update(
         "ivfsq_refit_versioned_multi": q_ivfsq_refit_versioned_multi,
         "ivfsq_refit_distortion": q_ivfsq_refit_distortion,
         "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
+        "ann_refit_recall_ledger_refine": q_ann_refit_recall_ledger_refine,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
         "bq_topk": q_bq_topk,
         "bq_refine_topk": q_bq_refine_topk,
@@ -3125,6 +3146,11 @@ _EXTRA_NAMES = (
     # oracle-checked here and its screen stays in-window via
     # ivfpq_multi_topk / ivfpq_topk_sized
     "ivfpq_refine_topk_sized",
+    # NEW in round 14, EXTRA from birth: the refit ledger with the
+    # refine families (include_refine=True) — ann_refit_recall_ledger
+    # holds the ledger's driver slot, ivfpq_refit_refine the refine
+    # search's; eight families vs their own metrics in one relation
+    "ann_refit_recall_ledger_refine",
     # NEW in round 14, EXTRA from birth (ivfpq_refit_residual_multi
     # precedent): the maintained-index refine at batch shape —
     # ivfpq_refit_refine holds the driver slot; the batch screen is

@@ -1476,3 +1476,95 @@ def test_distortion_ledgers_reject_mismatched_row_sets(spark, sq_drift):
         pq_distortion_ledger(
             df, pidx.filter(F.col("vec_id") % 7 != 0), pq_cb
         ).collect()
+
+
+def test_multi_refine_versioned_matches_single(spark):
+    """ivfpq_multi_refine_topk(overrides=...) — the maintained-index
+    refine at batch shape — reproduces per-qid
+    ivfpq_refine_topk_versioned exactly, with and without the chunked
+    screen route (max_queries_per_scan composes with overrides)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        pq_reencode_cells,
+        pq_refit_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_multi_refine_topk,
+        ivfpq_refine_topk_versioned,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        ivf_fit,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
+                   num_codes=4, iters=2, vec_col="rvec")
+    idx = ivfpq_index(e, ivf_cb, pq_cb, residual=True)
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+        .persist()
+    )
+    assert flagged.count() > 0
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2, residual=True).persist()
+    ovr.count()
+    mixed = (
+        idx.join(F.broadcast(flagged), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(
+            pq_reencode_cells(e, ivf_cb, ovr, residual=True)
+            .select("vec_id", "cell", "codes")
+        )
+        .persist()
+    )
+    mixed.count()
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["query_vec"]]
+        for r in e.filter(F.col("vec_id") < 3)
+        .select("vec_id", _as_double(F.col("embedding")).alias("query_vec"))
+        .collect()
+    }
+    qs = spark.createDataFrame(
+        [(qid, qrows[qid]) for qid in (2, 1, 0)],
+        "qid long, query_vec array<double>",
+    ).repartition(3)
+    want = []
+    for qid in (0, 1, 2):
+        qdf = spark.createDataFrame(
+            [(qrows[qid],)], "query_vec array<double>"
+        )
+        want += [
+            (qid, r["vec_id"], r["cos_sim"])
+            for r in ivfpq_refine_topk_versioned(
+                mixed, ivf_cb, pq_cb, ovr, e, qdf, k=5, nprobe=4,
+                refine_factor=4, residual=True,
+            ).collect()
+        ]
+    want = sorted(want)
+    for chunk in (None, 2):
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_multi_refine_topk(
+                mixed, ivf_cb, pq_cb, e, qs, k=5, nprobe=4,
+                refine_factor=4, residual=True, overrides=ovr,
+                max_queries_per_scan=chunk,
+            ).collect()
+        )
+        assert got == want, chunk
+    flagged.unpersist()
+    ovr.unpersist()
+    mixed.unpersist()

@@ -175,3 +175,42 @@ def test_refit_recall_ledger_sq_family(spark):
     post = got["versioned_sq_post"]["mean_recall"]
     assert post > pre, (pre, post)
     assert post >= 0.7, (pre, post)
+
+
+def test_refit_recall_ledger_refine_families(spark):
+    """include_refine=True adds the refine stage over the SAME
+    maintained indexes (r13 verdict item 1: the compressed stage at
+    high occupancy under-recalls even post-refit and the refine stage
+    is the measured remedy — previously absent from the ledger): four
+    more families, each the versioned screen at k*rf + exact cosine
+    re-rank, measured against exact-cosine ground truth.  Floors: the
+    refine post must beat the refine pre (same recovery law), and the
+    refine stage must lift the residual family's post-refit recall
+    above the compressed post (the whole point of the stage)."""
+    from tools.make_clustered import clustered_embeddings
+
+    from img2dataset_spark.operators.recall import refit_recall_ledger
+
+    V = clustered_embeddings(2000, dim=64, clusters=8, sigma_point=0.2,
+                             seed=11)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 8 < 6)
+    got = {r["family"]: r for r in
+           refit_recall_ledger(df, base, num_cells=8, pq_subspaces=8,
+                               pq_codes=16, num_queries=3,
+                               threshold=1.3, include_refine=True).collect()}
+    assert set(got) == {
+        "versioned_raw_pre", "versioned_raw_post",
+        "versioned_raw_refine_pre", "versioned_raw_refine_post",
+        "versioned_residual_pre", "versioned_residual_post",
+        "versioned_residual_refine_pre", "versioned_residual_refine_post",
+    }
+    for fam in ("versioned_raw_refine", "versioned_residual_refine"):
+        pre = got[f"{fam}_pre"]["mean_recall"]
+        post = got[f"{fam}_post"]["mean_recall"]
+        assert post >= pre, (fam, pre, post)
+    # the refine stage must lift the maintained residual family above
+    # its compressed reading — the gap the r13 600k ledger measured
+    assert (got["versioned_residual_refine_post"]["mean_recall"]
+            >= got["versioned_residual_post"]["mean_recall"])
