@@ -824,3 +824,99 @@ def sq_distortion_ledger(
             ).alias("mse"),
         )
     )
+
+
+def sq_refit_escalation(
+    overrides: DataFrame,
+    bounds: DataFrame,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """The ESCALATION signal the bounds refit cannot act on, as a
+    relation (r13 verdict item 3): per refit cell, how far its
+    version-1 [lo, hi] span stretches relative to the global base-fit
+    span.  A healthy drifted cell refits to a NARROW span (its mass
+    moved but stayed one mode — per-dimension resolution improves,
+    the clipping recovery SCALE.md §13 measured); a BIMODAL cell's
+    refit stretches its 255 levels across both modes, costing its
+    base rows ~span-ratio× resolution (measured ~12×: SQ pair read
+    1.0 → 0.95 on all-base probes) — a problem per-cell BOUNDS cannot
+    fix, only a coarse re-cluster can.  That reading was prose in
+    SCALE.md; this relation makes it queryable:
+
+    (cell, dims, max_span_ratio, mean_span_ratio, unbounded_dims,
+    recluster) — span ratio = (hi−lo)_refit / (hi−lo)_global per
+    dimension; ``recluster`` is true where the max ratio exceeds
+    ``threshold`` (default 1.0 — a refit cell WIDER than the entire
+    base corpus in some dimension must contain mass the base fit
+    never saw, or multiple modes; measured on the clustered fixtures:
+    a pure single-cluster refit reads max 0.58, a cell holding two
+    in-range clusters 1.78, the +25-offset clipping cell 16.0) or
+    where a globally-CONSTANT dimension varies inside the refit cell
+    (``unbounded_dims`` — infinite ratio, the strongest evidence the
+    base fit never saw this data).
+
+    Exactness: spans come from min/max (bit-exact anywhere); each
+    ratio is one float64 division quantized to 2^-20 fixed point, so
+    max/sum aggregate exact int64 and the relation strict-compares
+    against the SQL twin; outputs are 6-dp rounded in ratio units.
+    Shape: override rows ⋈ broadcast d-row global bounds, one
+    cell-domain aggregation — pure codegen, nothing corpus-shaped
+    anywhere (the inputs are already model relations).  A refit dim
+    missing from the global bounds fails loudly (left join + raise),
+    not silently dropped."""
+    from img2dataset_spark.operators.similarity import _QUANT, round6
+
+    g = bounds.select(
+        F.col("dim"), (F.col("hi") - F.col("lo")).alias("_gspan")
+    )
+    o = overrides.select(
+        "cell", F.col("dim"), (F.col("hi") - F.col("lo")).alias("_rspan")
+    )
+    j = o.join(F.broadcast(g), "dim", "left")
+    qratio = F.when(
+        F.col("_gspan").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "sq_refit_escalation: override dim not in the global "
+                    "bounds — dim="
+                ),
+                F.col("dim").cast("string"),
+            )
+        ).cast("long"),
+    ).when(
+        F.col("_gspan") > 0,
+        F.floor(
+            (F.col("_rspan") / F.col("_gspan")) * F.lit(float(_QUANT))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    unb = F.when(
+        (F.col("_gspan") == 0) & (F.col("_rspan") > 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    thr_q = int(np.floor(threshold * float(_QUANT) + 0.5))
+    agg = (
+        j.select("cell", qratio.alias("_q"), unb.alias("_u"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("dims"),
+            F.max("_q").alias("_mq"),
+            F.sum("_q").alias("_sq"),
+            F.sum("_u").cast("long").alias("unbounded_dims"),
+        )
+    )
+    return agg.select(
+        "cell",
+        "dims",
+        round6(F.col("_mq").cast("double") / F.lit(float(_QUANT))).alias(
+            "max_span_ratio"
+        ),
+        round6(
+            (F.col("_sq").cast("double") / F.col("dims"))
+            / F.lit(float(_QUANT))
+        ).alias("mean_span_ratio"),
+        "unbounded_dims",
+        (
+            (F.col("_mq") > F.lit(thr_q)) | (F.col("unbounded_dims") > 0)
+        ).alias("recluster"),
+    )

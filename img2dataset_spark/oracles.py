@@ -1954,6 +1954,67 @@ FROM all_err GROUP BY cell
 # the ivfsq_refit_versioned twin with per-qid probe and query CTEs —
 # three probes (vec_id 0, 1, 2 as dense qids), each row's asymmetric
 # reconstruction distance read against ITS query, per-qid top-10.
+# The escalation meter (maintain.sq_refit_escalation): per refit
+# cell, refit-span / global-span per dimension — one float64 division
+# quantized at 2^-20, exact int64 max/sum, 6-dp rounded outputs;
+# recluster at max > 1.0 (quantized literal 1048576) or any
+# globally-constant dim varying inside the refit cell.
+ORACLES["ivfsq_refit_escalation"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM eb, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
+pb AS (SELECT af.cell, i, min(e.v[i]) AS lo, max(e.v[i]) AS hi
+  FROM e JOIN af ON af.vec_id = e.vec_id
+  JOIN flagged f ON f.cell = af.cell,
+  (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY af.cell, i),
+r AS (SELECT pb.cell, pb.i, (b.hi - b.lo) AS gs, (pb.hi - pb.lo) AS rs
+      FROM pb JOIN b ON b.i = pb.i),
+qx AS (SELECT cell,
+        CASE WHEN gs > 0
+             THEN CAST(floor((rs / gs) * 1048576.0 + 0.5) AS BIGINT)
+             ELSE 0 END AS qr,
+        CASE WHEN gs = 0 AND rs > 0 THEN 1 ELSE 0 END AS unb
+      FROM r)
+SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS dims,
+  floor((CAST(MAX(qr) AS DOUBLE) / 1048576.0) * 1e6 + 0.5)/1e6
+    AS max_span_ratio,
+  floor(((CAST(SUM(qr) AS DOUBLE) / COUNT(*)) / 1048576.0) * 1e6 + 0.5)/1e6
+    AS mean_span_ratio,
+  CAST(SUM(unb) AS BIGINT) AS unbounded_dims,
+  (MAX(qr) > 1048576) OR (SUM(unb) > 0) AS recluster
+FROM qx GROUP BY cell
+"""
+
 ORACLES["ivfsq_refit_versioned_multi"] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv

@@ -2279,6 +2279,49 @@ def q_ivfsq_refit_distortion(spark, sf_dir):
     )
 
 
+def q_ivfsq_refit_escalation(spark, sf_dir):
+    """The bounds-refit ESCALATION meter under the oracle
+    (maintain.sq_refit_escalation — r13 verdict item 3): the same
+    base-fit + drift-flag + per-cell-bounds pipeline as
+    q_ivfsq_refit_versioned, but the returned relation is per refit
+    cell the span-ratio reading — (cell, dims, max_span_ratio,
+    mean_span_ratio, unbounded_dims, recluster) — the queryable form
+    of SCALE.md §13's "refit bounds spanning two modes = coarse
+    re-cluster due" finding.  Ratios are one float64 division
+    quantized at 2^-20 then aggregated as exact int64, 6-dp rounded;
+    the SQL twin mirrors the expression order verbatim.  EXTRA from
+    birth (ivfsq_refit_versioned holds the SQ family's driver slot;
+    the signal's behavior is pinned on the bimodal fixture in
+    test_maintain)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        sq_refit_cells,
+        sq_refit_escalation,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.sq import sq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    bounds = sq_fit(base)
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = sq_refit_cells(e, ivf_cb, flagged)
+    return sq_refit_escalation(ovr, bounds).select(
+        F.col("cell").cast("long").alias("cell"), "dims",
+        "max_span_ratio", "mean_span_ratio", "unbounded_dims", "recluster",
+    )
+
+
 def q_ann_refit_recall_ledger(spark, sf_dir):
     """Refit RECOVERY as a driver-oracle relation (r12 verdict item 1
     — the same promotion pq_distortion_ledger got in r11): the
@@ -2880,6 +2923,7 @@ QUERIES.update(
         "ivfsq_refit_versioned": q_ivfsq_refit_versioned,
         "ivfsq_refit_versioned_multi": q_ivfsq_refit_versioned_multi,
         "ivfsq_refit_distortion": q_ivfsq_refit_distortion,
+        "ivfsq_refit_escalation": q_ivfsq_refit_escalation,
         "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
         "ann_refit_recall_ledger_refine": q_ann_refit_recall_ledger_refine,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
@@ -3146,6 +3190,11 @@ _EXTRA_NAMES = (
     # oracle-checked here and its screen stays in-window via
     # ivfpq_multi_topk / ivfpq_topk_sized
     "ivfpq_refine_topk_sized",
+    # NEW in round 14, EXTRA from birth: the bimodality escalation
+    # signal as a relation (SCALE.md §13's span-ratio reading made
+    # queryable; behavior pinned on the bimodal fixture in
+    # test_maintain; ivfsq_refit_versioned holds the family's slot)
+    "ivfsq_refit_escalation",
     # NEW in round 14, EXTRA from birth: the refit ledger with the
     # refine families (include_refine=True) — ann_refit_recall_ledger
     # holds the ledger's driver slot, ivfpq_refit_refine the refine

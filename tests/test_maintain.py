@@ -1568,3 +1568,50 @@ def test_multi_refine_versioned_matches_single(spark):
     flagged.unpersist()
     ovr.unpersist()
     mixed.unpersist()
+
+
+def test_sq_refit_escalation_bimodal_signal(spark, sq_drift):
+    """The bimodality escalation signal as a relation (r13 verdict
+    item 3 — previously a prose finding in SCALE.md §13): on the
+    clipping fixture the flagged cell holds base mass AND the +25
+    wave mode, so its refit bounds stretch far past the whole base
+    corpus span (measured max ratio ~16) — recluster fires; a pure
+    single-cluster refit stays below the default threshold (measured
+    ~0.58); an override dim absent from the global bounds fails
+    loudly; a globally-constant dim varying inside the refit cell
+    counts as unbounded and fires regardless of ratio."""
+    from img2dataset_spark.operators.maintain import (
+        sq_refit_cells,
+        sq_refit_escalation,
+    )
+    from img2dataset_spark.operators.sq import sq_fit
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    ovr = sq_refit_cells(df, ivf_cb, flagged)
+    esc = {r["cell"]: r for r in sq_refit_escalation(ovr, bounds).collect()}
+    assert esc and all(r["recluster"] for r in esc.values())
+    assert max(r["max_span_ratio"] for r in esc.values()) > 10.0
+    assert all(r["dims"] == 64 for r in esc.values())
+    # healthy refit: one pure in-range cluster's bounds vs the global
+    one = df.filter((F.col("vec_id") % 8) == 2)
+    ob = sq_fit(one).select(F.lit(2).alias("cell"), "dim", "lo", "hi")
+    h = sq_refit_escalation(ob, bounds).collect()[0]
+    assert not h["recluster"], h
+    assert h["max_span_ratio"] < 1.0, h
+    # unknown dim -> loud failure, not a silent inner-join drop
+    bad = spark.createDataFrame(
+        [(0, 999, 0.0, 1.0)], "cell long, dim int, lo double, hi double"
+    )
+    with pytest.raises(Exception, match="not in the global bounds"):
+        sq_refit_escalation(bad, bounds).collect()
+    # a globally-constant dim varying inside the refit cell is the
+    # strongest evidence (infinite ratio): flagged via unbounded_dims
+    gb = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 10.0)], "dim int, lo double, hi double"
+    )
+    ub = spark.createDataFrame(
+        [(7, 1, 0.0, 0.5), (7, 2, 0.0, 1.0)],
+        "cell long, dim int, lo double, hi double",
+    )
+    u = sq_refit_escalation(ub, gb).collect()[0]
+    assert u["unbounded_dims"] == 1 and u["recluster"], u
