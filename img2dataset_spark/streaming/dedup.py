@@ -391,6 +391,74 @@ def semantic_static_codes_index(
     )
 
 
+def codebook_fingerprint(codebook: DataFrame) -> str:
+    """Deterministic md5 of a coarse codebook's IDENTITY — sorted
+    (level, cell, 2^-20-quantized centroid) tuples — the epoch stamp
+    the codes-index accumulation loop pins its appends to (r13 verdict
+    item 4).  Quantized, so the fingerprint is representation-stable
+    across engines/roundtrips exactly like every distance in this
+    repo; model-sized collect (the codebook relation)."""
+    import hashlib
+
+    import numpy as np
+
+    from img2dataset_spark.operators.similarity import _QUANT
+
+    has_level = "level" in codebook.columns
+    cols = (["level"] if has_level else []) + ["cell", "centroid"]
+    items = []
+    for r in codebook.select(*cols).collect():
+        cent = tuple(
+            int(x)
+            for x in np.floor(
+                np.asarray(r["centroid"], dtype=np.float64) * _QUANT + 0.5
+            ).astype(np.int64)
+        )
+        items.append(
+            (r["level"] if has_level else "", int(r["cell"]), cent)
+        )
+    return hashlib.md5(repr(sorted(items)).encode()).hexdigest()
+
+
+def _check_codebook_epoch(
+    spark, codebook: DataFrame, index_path: str
+) -> None:
+    """The REBUILD CONTRACT between the accumulation loop and the
+    maintenance loop (r13 verdict item 4): the persisted codes index's
+    cell assignments were minted by ONE coarse codebook; appending a
+    wave assigned by a DIFFERENT one (a re-cluster, the escalation
+    sq_refit_escalation signals) would silently mix assignment
+    versions — a probe routed by the new codebook never visits the
+    cell an old row sits in, so the pre-screen quietly loses exactly
+    the drifted corpus.  The fingerprint rides the index directory as
+    an underscore-prefixed parquet sidecar (ignored by the index scan,
+    portable to any Hadoop filesystem); a mismatch fails loudly naming
+    the remedy: REBUILD the codes index from the full corpus with the
+    new codebook (semantic_static_codes_index + partitioned write) —
+    there is no incremental path across a coarse re-cluster, because
+    every existing row's cell is stale.  A pre-contract index (no
+    sidecar) is stamped on its first append."""
+    fp = codebook_fingerprint(codebook)
+    fp_path = f"{index_path}/_codebook_fp"
+    try:
+        stored = spark.read.parquet(fp_path).collect()[0]["fp"]
+    except Exception:
+        spark.createDataFrame([(fp,)], "fp string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(fp_path)
+        return
+    if stored != fp:
+        raise ValueError(
+            "append_semantic_codes_index: the codebook does not match "
+            "the one this codes index was built with (fingerprint "
+            f"{fp} != stored {stored}) — a coarse re-fit invalidates "
+            "every accumulated row's cell assignment; rebuild the codes "
+            "index from the full corpus with the new codebook "
+            "(semantic_static_codes_index + a partitionBy('cell') "
+            "write) instead of appending across the refit epoch"
+        )
+
+
 def append_semantic_codes_index(
     wave: DataFrame,
     codebook: DataFrame,
@@ -450,6 +518,9 @@ def append_semantic_codes_index(
             "semantic_static_codes_index + a partitionBy('cell') write, "
             "then append subsequent waves"
         ) from exc
+    # refit-epoch contract: refuse to mix cell-assignment versions
+    # (pre-contract indexes are stamped on first append)
+    _check_codebook_epoch(spark, codebook, index_path)
     existing = existing_idx.groupBy("cell").agg(
         F.count(F.lit(1)).alias("existing_n")
     )

@@ -927,3 +927,46 @@ def test_codes_index_append_missing_index_named_error(spark, tmp_path):
             cb,
             os.path.join(str(tmp_path), "never_written"),
         )
+
+
+def test_codes_index_append_refit_epoch_contract(spark, tmp_path):
+    """The accumulation loop's REBUILD CONTRACT (r13 verdict item 4):
+    the persisted codes index is pinned to the coarse codebook that
+    minted its cell assignments.  An append with the SAME codebook —
+    even a recomputed DataFrame (deterministic Lloyd) — passes and
+    stamps/validates the fingerprint sidecar; an append with a REFIT
+    codebook (fit on the grown corpus — the exact post-escalation
+    re-cluster) fails loudly naming the rebuild remedy instead of
+    silently mixing assignment versions the pre-screen would then
+    quietly miss."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.streaming.dedup import (
+        append_semantic_codes_index,
+        codebook_fingerprint,
+        semantic_static_codes_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 5 > 1)
+    wave1 = e.filter(F.col("vec_id") % 5 == 0)
+    wave2 = e.filter(F.col("vec_id") % 5 == 1)
+    cb = ivf_fit(corpus, num_cells=4, iters=1)
+    path = os.path.join(str(tmp_path), "codes_idx_epoch")
+    semantic_static_codes_index(corpus, cb).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    # first append stamps the fingerprint; the sidecar is invisible to
+    # the index scan (underscore-prefixed)
+    before_cols = set(spark.read.parquet(path).columns)
+    ledger = append_semantic_codes_index(wave1, cb, path)
+    assert ledger.count() > 0
+    assert set(spark.read.parquet(path).columns) == before_cols
+    # a RECOMPUTED identical codebook fingerprints identically
+    cb_again = ivf_fit(corpus, num_cells=4, iters=1)
+    assert codebook_fingerprint(cb_again) == codebook_fingerprint(cb)
+    assert append_semantic_codes_index(wave2, cb_again, path).count() > 0
+    # a refit codebook (fit on the grown corpus) is a different epoch
+    cb_refit = ivf_fit(corpus.unionByName(wave1), num_cells=4, iters=1)
+    assert codebook_fingerprint(cb_refit) != codebook_fingerprint(cb)
+    with pytest.raises(ValueError, match="rebuild the codes index"):
+        append_semantic_codes_index(wave2, cb_refit, path)
