@@ -5,6 +5,15 @@ ONE JSON line: {"metric": ..., "value": secs, "unit": "sec",
 
 Each query is materialized with a noop sink (no driver collect, no
 result serialization) so the number measures engine execution.
+
+QUIET-BOX RULE (standing since r14; the r13 local sweep started at
+loadavg 13 and ~12 untouched-operator rows drifted 10-20%): the
+round-close BENCH_r{N}_local.json must be recorded with
+loadavg_start[0] below ~2 and max spread <= ~1.3 — the JSON's
+loadavg_start/loadavg_end/spread fields exist so a reader can audit
+that, but the RULE is to not record the artifact on a contended box in
+the first place.  Mid-round iteration runs are exempt; the committed
+round-close artifact is not.
 """
 
 from __future__ import annotations
@@ -395,6 +404,36 @@ _FITTED_SPECS: dict[str, dict] = {
         doc="The sanctioned past-the-ceiling route on the MAINTAINED "
             "index (r13): same three probes as the unchunked twin but "
             "split 2+1 across scans — the measured cost of chunking."),
+    "ivfpq_refine_versioned_fitted": dict(
+        fn="pq:ivfpq_refine_topk_versioned",
+        args=["@rvindex", "@rivf_cb", "@rpq_cb", "@roverrides", "EMB", "Q"],
+        kw=dict(k=10, nprobe=4, refine_factor=4, residual=True),
+        doc="SEARCH-ONLY refine over the MAINTAINED residual index "
+            "(r14): versioned mixed-codes screen to top-40, exact "
+            "cosine re-rank via broadcast semi-join — the production "
+            "shape that reaches refine-level recall on a refit corpus."),
+    "ivfpq_refine_versioned_auto_fitted": dict(
+        fn="pq:ivfpq_refine_topk_versioned",
+        args=["@rvindex", "@rivf_cb", "@rpq_cb", "@roverrides", "EMB", "Q"],
+        kw=dict(k=10, nprobe=4, residual=True, refine_target_occupancy=64),
+        doc="The same maintained-index refine with refine_factor=None "
+            "— the corpus-aware auto-rf pool vs the fixed-rf twin."),
+    "ivfpq_multi_refine_versioned_fitted": dict(
+        fn="pq:ivfpq_multi_refine_topk",
+        args=["@rvindex", "@rivf_cb", "@rpq_cb", "EMB", "QS"],
+        kw=dict(k=10, nprobe=4, refine_factor=4, residual=True),
+        kwf=dict(overrides="@roverrides"),
+        doc="Batch refine over the MAINTAINED index: one versioned "
+            "mixed-codes pass for three queries' candidates + ONE "
+            "exact-cosine vector pass."),
+    "ivfsq_multi_versioned_chunked_fitted": dict(
+        fn="sq:ivfsq_multi_topk_chunked",
+        args=["@sq_vindex", "@ivf_cb", "@sq_bounds", "QS"],
+        kw=dict(k=10, nprobe=4, max_queries_per_scan=2),
+        kwf=dict(overrides="@sq_overrides"),
+        doc="The SQ family's sanctioned past-the-ceiling route (r14): "
+            "same three probes as the unchunked versioned twin but "
+            "split 2+1 across scans — the measured chunking cost."),
     "ivfsq_topk_fitted": dict(
         fn="sq:ivfsq_topk", args=["@sq_index", "@ivf_cb", "@sq_bounds", "Q"],
         kw=dict(k=10, nprobe=4),
@@ -529,7 +568,9 @@ HEADLINE = [
     "ivfpq_refit_versioned",
     "ivfpq_refit_distortion",
     "ivfpq_refit_residual",
+    "ivfpq_refit_refine",
     "ivfsq_refit_versioned",
+    "ivfsq_refit_escalation",
     "ann_refit_recall_ledger",
     "ivfpq_refine_topk_sized",
     "ivfpq_residual_topk",
@@ -557,9 +598,13 @@ HEADLINE = [
     "ivfpq_multi_refine_fitted",
     "ivfpq_multi_versioned_fitted",
     "ivfpq_multi_versioned_chunked_fitted",
+    "ivfpq_refine_versioned_fitted",
+    "ivfpq_refine_versioned_auto_fitted",
+    "ivfpq_multi_refine_versioned_fitted",
     "ivfsq_topk_fitted",
     "ivfsq_refit_versioned_fitted",
     "ivfsq_multi_versioned_fitted",
+    "ivfsq_multi_versioned_chunked_fitted",
     "bq_topk_fitted",
     "ivfbq_topk_fitted",
     "bq_refine_topk_fitted",
