@@ -1,9 +1,15 @@
-"""SCALE.md §13 measurement: the refit recall ledger on the clustered
-600k corpus (64 clusters, 16 of them wave-only — the r12
+"""SCALE.md §13/§14 measurement: the refit recall ledger on the
+clustered 600k corpus (64 clusters, 16 of them wave-only — the r12
 refit-economics drift scenario), production-ish books (m=8, k=16).
 
-Usage: python tools/refit_ledger_600k.py [path]
-Prints the four-family ledger plus wall time.
+Usage: python tools/refit_ledger_600k.py [path] [--refine]
+Prints the four-family ledger plus wall time.  ``--refine`` adds the
+r14 maintained-refine families (include_refine=True) at the
+corpus-sized rf — recommended_refine_factor(600k, 64 cells) = 16, the
+auto-rf the engine's production default would pick at this occupancy —
+the measurement closing the r13 gap: the compressed stage at 10×
+occupancy reads 0.025-0.16 even post-refit; the refine stage is the
+recall remedy and must now be measured THROUGH the maintained index.
 """
 from __future__ import annotations
 
@@ -19,14 +25,27 @@ from img2dataset_spark.session import get_spark
 
 
 def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else ".scratch/clustered600k.parquet"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    refine = "--refine" in sys.argv[1:]
+    path = args[0] if args else ".scratch/clustered600k.parquet"
     spark = get_spark(app_name="refit_ledger_600k")
     df = spark.read.parquet(path)
     base = df.filter(F.col("vec_id") % 64 < 48)
+    kw = {}
+    if refine:
+        from img2dataset_spark.operators.similarity import (
+            recommended_refine_factor,
+        )
+
+        kw = dict(
+            include_refine=True,
+            refine_factor=recommended_refine_factor(df.count(), 64),
+        )
+        print(f"refine_factor (auto, corpus-sized): {kw['refine_factor']}")
     t0 = time.time()
     rows = refit_recall_ledger(
         df, base, num_cells=64, pq_subspaces=8, pq_codes=16,
-        num_queries=8, nprobe=8, threshold=1.3,
+        num_queries=8, nprobe=8, threshold=1.3, **kw,
     ).collect()
     wall = time.time() - t0
     for r in sorted(rows, key=lambda r: r["family"]):
