@@ -298,7 +298,11 @@ def refit_recall_ledger(
     against exact-COSINE ground truth, the re-rank's own metric.
     ``refine_factor`` is explicit (default 4) so the relation is
     engine-reproducible; production callers use the auto-rf default on
-    the searcher itself.
+    the searcher itself.  With ``include_sq=True`` as well, the SQ
+    maintained pair also gets its refine families
+    (``versioned_sq_refine_{pre,post}`` via
+    :func:`operators.sq.ivfsq_refine_topk_versioned`) — the remedy
+    stage measured across BOTH maintained codebook families.
 
     Pipeline inside one relation: coarse codebook + both global PQ
     books (raw; residual) fit FROZEN on ``base_df``; the full corpus
@@ -455,6 +459,25 @@ def refit_recall_ledger(
                 nprobe=nprobe, id_col=id_col),
             "l2",
         )
+        if include_refine:
+            from img2dataset_spark.operators.sq import (
+                ivfsq_refine_topk_versioned,
+            )
+
+            families["versioned_sq_refine_pre"] = (
+                lambda q: ivfsq_refine_topk_versioned(
+                    sq_idx, ivf_cb, bounds, empty_sq_ovr, df, q, k=k,
+                    nprobe=nprobe, refine_factor=refine_factor,
+                    vec_col=vec_col, id_col=id_col),
+                "cosine",
+            )
+            families["versioned_sq_refine_post"] = (
+                lambda q: ivfsq_refine_topk_versioned(
+                    sq_mixed, ivf_cb, bounds, sq_ovr, df, q, k=k,
+                    nprobe=nprobe, refine_factor=refine_factor,
+                    vec_col=vec_col, id_col=id_col),
+                "cosine",
+            )
     try:
         return recall_ledger(df, families, k=k, num_queries=num_queries,
                              vec_col=vec_col, id_col=id_col)

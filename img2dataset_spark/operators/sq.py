@@ -780,3 +780,118 @@ def ivfsq_multi_topk_chunked(
         res = res.withColumn(qid_col, F.col(qid_col) + F.lit(lo_i))
         out = res if out is None else out.unionByName(res)
     return out
+
+
+def ivfsq_refine_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    vectors_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    refine_factor: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_metric: str | None = None,
+    refine_target_occupancy: int = 1024,
+) -> DataFrame:
+    """Two-stage refine for the SQ family (r14 — the composition PQ
+    and BQ already had: pq.ivfpq_refine_topk / bq.bq_refine_topk; SQ8
+    loses less per code than either, but at high occupancy its byte
+    resolution still ties more rows than k separates and the exact
+    re-rank is the same measured remedy): stage 1 takes the top
+    ``k·refine_factor`` candidates by the probe-pruned symmetric byte
+    scan (:func:`ivfsq_topk`), stage 2 re-ranks ONLY those candidates
+    by exact cosine via a BROADCAST semi-join into the vector table.
+    ``refine_factor=None`` sizes the pool from cell occupancy
+    (similarity.recommended_refine_factor).  Output (id, cos_sim),
+    round6 quantized cosine, (desc, id asc) top-k — directly
+    comparable to cosine_topk and the other families' refines."""
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        codebook_num_cells,
+        cosine,
+        memoized_count,
+        recommended_refine_factor,
+        round6,
+    )
+
+    if refine_factor is None:
+        refine_factor = recommended_refine_factor(
+            memoized_count(index_df),
+            codebook_num_cells(ivf_codebook),
+            target_occupancy=refine_target_occupancy,
+        )
+    cand = ivfsq_topk(
+        index_df, ivf_codebook, bounds, query_df,
+        k=k * refine_factor, nprobe=nprobe, id_col=id_col,
+        probe_metric=probe_metric,
+    )
+    e = vectors_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    pruned = e.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+    q = F.broadcast(query_df.select("query_vec"))
+    scored = pruned.crossJoin(q).select(
+        F.col(id_col),
+        round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivfsq_refine_topk_versioned(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    overrides: DataFrame,
+    vectors_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    refine_factor: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_metric: str | None = None,
+    refine_target_occupancy: int = 1024,
+) -> DataFrame:
+    """Refine over the MAINTAINED SQ index (r14 — the SQ sibling of
+    pq.ivfpq_refine_topk_versioned, completing the remedy across both
+    maintained codebook families): stage 1 screens ``k·refine_factor``
+    candidates through :func:`ivfsq_topk_versioned`'s mixed-bounds
+    asymmetric CASE (each probed cell decoded through the bounds that
+    MINTED its codes), stage 2 exact-cosine re-ranks only those rows
+    via a broadcast semi-join.  ``refine_factor=None`` auto-sizes from
+    occupancy — the maintained index is exactly the corpus where
+    occupancy has drifted.  Output (id, cos_sim), round6, (desc,
+    id asc) top-k."""
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        codebook_num_cells,
+        cosine,
+        memoized_count,
+        recommended_refine_factor,
+        round6,
+    )
+
+    if refine_factor is None:
+        refine_factor = recommended_refine_factor(
+            memoized_count(index_df),
+            codebook_num_cells(ivf_codebook),
+            target_occupancy=refine_target_occupancy,
+        )
+    cand = ivfsq_topk_versioned(
+        index_df, ivf_codebook, bounds, overrides, query_df,
+        k=k * refine_factor, nprobe=nprobe, id_col=id_col,
+        probe_metric=probe_metric,
+    )
+    e = vectors_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    pruned = e.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+    q = F.broadcast(query_df.select("query_vec"))
+    scored = pruned.crossJoin(q).select(
+        F.col(id_col),
+        round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

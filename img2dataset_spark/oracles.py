@@ -1694,6 +1694,31 @@ ORDER BY sq_dist ASC, codes.vec_id ASC LIMIT 10
 
 # SQ8 persisted-index roundtrip: shares the retrain-in-query twin —
 # parquet roundtrips the bounds/codes exactly.
+# Two-stage SQ refine (sq.ivfsq_refine_topk, r14 — the composition PQ
+# and BQ already had): the ivfsq_topk candidate chain widened to
+# k*refine_factor = 40, then an exact round6-cosine re-rank.
+_IVFSQ_SELECT_CAND = """,
+cand AS (SELECT vec_id FROM (
+  SELECT codes.vec_id,
+    row_number() OVER (ORDER BY
+      CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> (codes.c[i] - qc.qc[i]) * (codes.c[i] - qc.qc[i]))) AS BIGINT)
+      ASC, codes.vec_id ASC) AS rn
+  FROM codes
+  JOIN af ON af.vec_id = codes.vec_id, qc
+  WHERE af.cell IN (SELECT cell FROM probe)) WHERE rn <= 40)"""
+
+ORACLES["ivfsq_refine_topk"] = (
+    ORACLES["ivfsq_topk"].rsplit("SELECT codes.vec_id,", 1)[0].rstrip()
+    .removesuffix(",")
+    + _IVFSQ_SELECT_CAND
+    + f"""
+SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
+FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+"""
+)
+
 ORACLES["ivfsq_fitted_roundtrip"] = ORACLES["ivfsq_topk"]
 
 # Batch IVF+SQ8 (sq.ivfsq_multi_topk): three probes (vec_id 0, 1, 2 as
@@ -1773,7 +1798,7 @@ def _sq_asym_term(lo: str, hi: str, c: str) -> str:
     return f"(q.qvq[i] - {recon}) * (q.qvq[i] - {recon})"
 
 
-ORACLES["ivfsq_refit_versioned"] = f"""
+_IVFSQ_REFIT_CTES = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
@@ -1836,8 +1861,12 @@ pcodes AS (SELECT e.vec_id, pbl.cell,
                 AS BIGINT)))
     END) AS c
   FROM e JOIN af ON af.vec_id = e.vec_id
-  JOIN pbl ON pbl.cell = af.cell)
-SELECT vec_id, sq_adist FROM (
+  JOIN pbl ON pbl.cell = af.cell)"""
+
+# the mixed-bounds asymmetric ranking body (f-string: the per-term
+# reconstruction SQL interpolates here) — shared by the versioned
+# search twin and the r14 SQ refine-over-maintained twin
+_IVFSQ_REFIT_UNION = f"""
   SELECT codes.vec_id,
     CAST(list_sum(list_transform(generate_series(1, 64), i ->
       {_sq_asym_term('bl.lo[i]', 'bl.hi[i]', 'codes.c[i]')}))
@@ -1852,8 +1881,26 @@ SELECT vec_id, sq_adist FROM (
       AS BIGINT) AS sq_adist
   FROM pcodes p JOIN pbl ON pbl.cell = p.cell, qq q
   WHERE p.cell IN (SELECT cell FROM probe)
+"""
+
+ORACLES["ivfsq_refit_versioned"] = _IVFSQ_REFIT_CTES + f"""
+SELECT vec_id, sq_adist FROM ({_IVFSQ_REFIT_UNION}
 )
 ORDER BY sq_adist ASC, vec_id ASC LIMIT 10
+"""
+
+# Refine over the MAINTAINED SQ index (sq.ivfsq_refine_topk_versioned,
+# r14): the same mixed-bounds asymmetric ranking cut at rk <= 40
+# (k*rf, rf=4), then an exact round6-cosine re-rank of just those ids.
+ORACLES["ivfsq_refit_refine"] = _IVFSQ_REFIT_CTES + f""",
+cand AS (SELECT vec_id FROM (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY sq_adist ASC, vec_id ASC) AS rn
+  FROM ({_IVFSQ_REFIT_UNION}
+  )) WHERE rn <= 40)
+SELECT e.vec_id, {_R6.format(x=_cos('e.v', 'qq.qv'))} AS cos_sim
+FROM e JOIN cand ON cand.vec_id = e.vec_id, qq
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
 """
 
 # The SQ distortion twin (maintain.sq_distortion_ledger over the mixed

@@ -2029,6 +2029,86 @@ def q_ivfpq_refine_topk_sized(spark, sf_dir):
     )
 
 
+def q_ivfsq_refine_topk(spark, sf_dir):
+    """Two-stage SQ refine (sq.ivfsq_refine_topk, r14 — the
+    composition the PQ and BQ families already had): probe-pruned
+    symmetric byte screen to k*rf=40 candidates, exact round6-cosine
+    re-rank via broadcast semi-join.  EXTRA from birth (the screen is
+    ivfsq_topk's oracle-pinned chain; the refine shape holds driver
+    slots via bq_refine_topk and ivfpq_refit_refine)."""
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_refine_topk,
+        sq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    bounds = sq_fit(e, dim=64)
+    idx = ivfsq_index(e, ivf_cb, bounds)
+    return ivfsq_refine_topk(idx, ivf_cb, bounds, e,
+                             _query_vec(spark, sf_dir),
+                             k=10, nprobe=2, refine_factor=4)
+
+
+def q_ivfsq_refit_refine(spark, sf_dir):
+    """Refine over the MAINTAINED SQ index (sq.
+    ivfsq_refine_topk_versioned, r14): q_ivfsq_refit_versioned's
+    pipeline verbatim, search = mixed-bounds asymmetric screen to
+    k*rf=40 candidates + exact round6-cosine re-rank — the remedy
+    stage now composes with BOTH maintained codebook families.  EXTRA
+    from birth (ivfpq_refit_refine holds the refine-over-maintained
+    driver slot; ivfsq_refit_versioned the SQ family's)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        rewrite_index_cells,
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_refine_topk_versioned,
+        sq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    bounds = sq_fit(base)
+    tmp = _scratch_dir("graft_ivfsq_refit_ref_")
+    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = sq_refit_cells(e, ivf_cb, flagged)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
+        )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return ivfsq_refine_topk_versioned(
+        idx_rd, ivf_cb, bounds, ovr_rd, e, _query_vec(spark, sf_dir),
+        k=10, nprobe=4, refine_factor=4,
+    )
+
+
 def q_sq8_topk(spark, sf_dir):
     """Scalar quantization end-to-end (operators/sq.py — the FAISS
     IndexScalarQuantizer QT_8bit family): per-dimension min/max bounds
@@ -2924,6 +3004,8 @@ QUERIES.update(
         "ivfsq_refit_versioned_multi": q_ivfsq_refit_versioned_multi,
         "ivfsq_refit_distortion": q_ivfsq_refit_distortion,
         "ivfsq_refit_escalation": q_ivfsq_refit_escalation,
+        "ivfsq_refine_topk": q_ivfsq_refine_topk,
+        "ivfsq_refit_refine": q_ivfsq_refit_refine,
         "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
         "ann_refit_recall_ledger_refine": q_ann_refit_recall_ledger_refine,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
@@ -3190,6 +3272,12 @@ _EXTRA_NAMES = (
     # oracle-checked here and its screen stays in-window via
     # ivfpq_multi_topk / ivfpq_topk_sized
     "ivfpq_refine_topk_sized",
+    # NEW in round 14, EXTRA from birth: the SQ family's refine pair
+    # (static two-stage + refine-over-maintained) — the remedy stage
+    # now composes with both maintained codebook families;
+    # bq_refine_topk and ivfpq_refit_refine hold the driver slots
+    "ivfsq_refine_topk",
+    "ivfsq_refit_refine",
     # NEW in round 14, EXTRA from birth: the bimodality escalation
     # signal as a relation (SCALE.md §13's span-ratio reading made
     # queryable; behavior pinned on the bimodal fixture in

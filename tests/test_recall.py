@@ -168,13 +168,21 @@ def test_refit_recall_ledger_sq_family(spark):
     got = {r["family"]: r for r in
            refit_recall_ledger(df, base, num_cells=8, pq_subspaces=8,
                                pq_codes=16, num_queries=8,
-                               threshold=1.3, include_sq=True).collect()}
-    assert {"versioned_sq_pre", "versioned_sq_post"} <= set(got)
-    assert len(got) == 6
+                               threshold=1.3, include_sq=True,
+                               include_refine=True).collect()}
+    assert {"versioned_sq_pre", "versioned_sq_post",
+            "versioned_sq_refine_pre", "versioned_sq_refine_post"} <= set(got)
+    assert len(got) == 12  # 4 PQ + 4 PQ-refine + 2 SQ + 2 SQ-refine
     pre = got["versioned_sq_pre"]["mean_recall"]
     post = got["versioned_sq_post"]["mean_recall"]
     assert post > pre, (pre, post)
     assert post >= 0.7, (pre, post)
+    # the SQ refine families obey the same recovery law, and the
+    # refined post must not fall below the compressed post's level
+    rpre = got["versioned_sq_refine_pre"]["mean_recall"]
+    rpost = got["versioned_sq_refine_post"]["mean_recall"]
+    assert rpost >= rpre, (rpre, rpost)
+    assert rpost >= 0.7, (rpre, rpost)
 
 
 def test_refit_recall_ledger_refine_families(spark):
