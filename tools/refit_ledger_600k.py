@@ -27,6 +27,13 @@ from img2dataset_spark.session import get_spark
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     refine = "--refine" in sys.argv[1:]
+    # --nprobe=N: attribution knob — if doubling nprobe moves the
+    # refined families but rf does not, the residual loss is PROBE
+    # loss (a true neighbor in an unprobed cell), not pool size
+    nprobe = 8
+    for a in sys.argv[1:]:
+        if a.startswith("--nprobe="):
+            nprobe = int(a.split("=", 1)[1])
     path = args[0] if args else ".scratch/clustered600k.parquet"
     spark = get_spark(app_name="refit_ledger_600k")
     df = spark.read.parquet(path)
@@ -43,9 +50,10 @@ def main() -> None:
         )
         print(f"refine_factor (auto, corpus-sized): {kw['refine_factor']}")
     t0 = time.time()
+    print(f"nprobe: {nprobe}")
     rows = refit_recall_ledger(
         df, base, num_cells=64, pq_subspaces=8, pq_codes=16,
-        num_queries=8, nprobe=8, threshold=1.3, **kw,
+        num_queries=8, nprobe=nprobe, threshold=1.3, **kw,
     ).collect()
     wall = time.time() - t0
     for r in sorted(rows, key=lambda r: r["family"]):
