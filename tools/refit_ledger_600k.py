@@ -31,9 +31,12 @@ def main() -> None:
     # refined families but rf does not, the residual loss is PROBE
     # loss (a true neighbor in an unprobed cell), not pool size
     nprobe = 8
+    rf = None
     for a in sys.argv[1:]:
         if a.startswith("--nprobe="):
             nprobe = int(a.split("=", 1)[1])
+        if a.startswith("--rf="):
+            rf = int(a.split("=", 1)[1])
     path = args[0] if args else ".scratch/clustered600k.parquet"
     spark = get_spark(app_name="refit_ledger_600k")
     df = spark.read.parquet(path)
@@ -46,9 +49,14 @@ def main() -> None:
 
         kw = dict(
             include_refine=True,
-            refine_factor=recommended_refine_factor(df.count(), 64),
+            refine_factor=(
+                rf
+                if rf is not None
+                else recommended_refine_factor(df.count(), 64)
+            ),
         )
-        print(f"refine_factor (auto, corpus-sized): {kw['refine_factor']}")
+        print(f"refine_factor: {kw['refine_factor']}"
+              + ("" if rf is not None else " (auto, corpus-sized)"))
     t0 = time.time()
     print(f"nprobe: {nprobe}")
     rows = refit_recall_ledger(
