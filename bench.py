@@ -571,6 +571,7 @@ HEADLINE = [
     "ivfpq_refit_refine",
     "ivfsq_refit_versioned",
     "ivfsq_refit_escalation",
+    "ann_cell_split",
     "ann_refit_recall_ledger",
     "ivfpq_refine_topk_sized",
     "ivfpq_residual_topk",

@@ -920,3 +920,101 @@ def sq_refit_escalation(
             (F.col("_mq") > F.lit(thr_q)) | (F.col("unbounded_dims") > 0)
         ).alias("recluster"),
     )
+
+
+def split_cells(
+    df: DataFrame,
+    ivf_codebook: DataFrame,
+    cells_to_split: DataFrame,
+    num_subcells: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The escalation signal's ACTUATOR (r14 — :func:`sq_refit_escalation`
+    says "this cell's refit bounds span multiple modes, a coarse
+    re-cluster is due", but the only remedy was the FULL re-fit the
+    drift meter prices): split ONLY the flagged cells — each flagged
+    cell's rows get their own ``num_subcells``-way deterministic Lloyd
+    (:func:`similarity._local_lloyd` inside ``groupBy(cell).
+    applyInPandas`` — md5 seeds, quantized argmin, smallest-id ties,
+    the per-cell-fit machinery the LOPQ refit already uses) and the
+    subcell centroids JOIN the codebook under fresh ids while every
+    other centroid stays byte-identical.  A bimodal cell becomes two
+    unimodal ones; per-subcell SQ bounds / PQ books then fit single
+    modes, recovering the resolution the §13 bimodal finding measured
+    the bounds-refit losing.
+
+    Returns the NEW coarse codebook (cell, centroid): the unsplit rows
+    verbatim, plus one row per surviving subcell with
+    ``cell = max_old_cell + rank`` (rank = 1-based position in
+    (old_cell, local_code) order — deterministic, engine-agnostic, and
+    disjoint from every existing id).  Everything downstream composes
+    unchanged — ``ivf_assign`` / the ``*_index`` builders / the
+    searchers only ever read (cell, centroid) — but the split cells'
+    INDEX rows must be re-assigned + re-encoded (their rows now belong
+    to subcells): rewrite them with the family's index builder over the
+    split cells' rows and :func:`rewrite_index_cells`, exactly like a
+    refit rewrite.  The split changes cell IDENTITY, so per-cell
+    override relations and accumulated screen state for the OLD cell
+    are invalidated — the codes-index fingerprint contract
+    (streaming.dedup.append_semantic_codes_index) rejects
+    post-split appends by construction, because the codebook
+    fingerprint changes.
+
+    Flat codebooks only (a hierarchical codebook's fine ids live under
+    coarse parents; splitting would need parent rewiring — use the
+    full hierarchical re-fit there); raises a named error otherwise.
+    Driver materialization: ONE max(cell) scalar and the subcell rows
+    (splits × num_subcells — model-sized; the flat-codebook ceiling
+    bounds the codebook this joins into)."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        _local_lloyd,
+        ivf_assign,
+    )
+
+    if "level" in ivf_codebook.columns:
+        raise ValueError(
+            "split_cells: hierarchical codebooks carry fine ids under "
+            "coarse parents — splitting would need parent rewiring; "
+            "use ivf_fit_hierarchical for a full re-fit instead"
+        )
+    max_cell = ivf_codebook.agg(F.max("cell").alias("m")).collect()[0]["m"]
+    if max_cell is None:
+        raise ValueError("split_cells: empty ivf_codebook")
+    split = cells_to_split.select("cell").distinct()
+    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    rows = assigned.join(F.broadcast(split), "cell").select(
+        "cell", F.col(id_col).alias("_id"), "v"
+    )
+
+    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        cell = int(pdf["cell"].iloc[0])
+        local_ids, C = _local_lloyd(ids, V, num_subcells, iters)
+        return pd.DataFrame(
+            {
+                "cell": [cell] * len(local_ids),
+                "code": [int(c) for c in local_ids],
+                "centroid": [[float(x) for x in c] for c in C],
+            }
+        )
+
+    sub = rows.groupBy("cell").applyInPandas(
+        fit_cell, schema="cell long, code long, centroid array<double>"
+    )
+    # deterministic fresh ids: 1-based rank in (old_cell, code) order.
+    # The single-partition window is over the SUBCELL relation only
+    # (splits x num_subcells rows — model-sized, never corpus-shaped).
+    w = Window.orderBy("cell", "code")
+    new_rows = sub.select(
+        (F.lit(int(max_cell)) + F.row_number().over(w))
+        .cast("long")
+        .alias("cell"),
+        "centroid",
+    )
+    keep = ivf_codebook.join(F.broadcast(split), "cell", "left_anti")
+    return keep.select("cell", "centroid").unionByName(new_rows)

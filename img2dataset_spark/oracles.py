@@ -2001,6 +2001,67 @@ FROM all_err GROUP BY cell
 # the ivfsq_refit_versioned twin with per-qid probe and query CTEs —
 # three probes (vec_id 0, 1, 2 as dense qids), each row's asymmetric
 # reconstruction distance read against ITS query, per-qid top-10.
+# The escalation ACTUATOR (maintain.split_cells): flagged cells
+# re-clustered per cell by the deterministic 2-subcell Lloyd
+# (_pq_percell_sql over the FULL 64-dim slice — md5 seeds per cell,
+# quantized argmin, smallest-code ties, decimal means that agree with
+# the engine's float64 means after 2^-20 quantization), subcell
+# centroids joining the codebook under fresh dense ids
+# (max_old_cell + rank in (cell, code) order), and the whole corpus
+# re-assigned under the union codebook.  qs0 is a dummy query
+# subvector for _pq_percell_sql's unused ADC table.
+ORACLES["ann_cell_split"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
+           FROM embeddings),
+eb AS (SELECT * FROM e WHERE {_APPEND_FIT}),
+seeds AS (SELECT vec_id, v FROM eb
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 10),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+         AS cell, v AS centroid FROM seeds),
+{_kmeans_iter_sql(1, 'c0', src='eb')},
+{_kmeans_iter_sql(2, 'c1', src='eb')},
+cqf AS (SELECT cell, {_QUANTIZE.format(v='centroid')} AS qc FROM c2),
+af AS (SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, cqf c) WHERE rn = 1),
+ab AS (SELECT cell, count(*) AS base_n FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM eb q, cqf c) WHERE rn = 1 GROUP BY cell),
+aw AS (SELECT cell, count(*) AS new_n FROM af GROUP BY cell),
+tb AS (SELECT SUM(base_n) AS tb FROM ab),
+tw AS (SELECT SUM(new_n) AS tw FROM aw),
+flagged AS (SELECT CAST(COALESCE(ab.cell, aw.cell) AS BIGINT) AS cell
+  FROM ab FULL OUTER JOIN aw ON ab.cell = aw.cell, tb, tw
+  WHERE (COALESCE(ab.base_n, 0) = 0 AND COALESCE(aw.new_n, 0) > 0)
+     OR (COALESCE(ab.base_n, 0) > 0
+         AND ((COALESCE(aw.new_n, 0) / tw.tw) / (ab.base_n / tb.tb)) > 1.02)),
+e0 AS (SELECT vec_id, v FROM e),
+qs0 AS (SELECT {_QUANTIZE.format(v='v[1:64]')} AS qv FROM e WHERE vec_id = 0),
+{_pq_percell_sql(0, 1, 64, 2, 2)},
+maxc AS (SELECT MAX(cell) AS m FROM c2),
+newsub AS (SELECT CAST(m.m + row_number() OVER (ORDER BY s.cell, s.code)
+                       AS BIGINT) AS cell,
+                  {_QUANTIZE.format(v='s.centroid')} AS qc
+           FROM pc0x2 s, maxc m),
+allc AS (SELECT CAST(cell AS BIGINT) AS cell, qc FROM cqf
+         WHERE cell NOT IN (SELECT cell FROM flagged)
+         UNION ALL
+         SELECT cell, qc FROM newsub)
+SELECT vec_id, cell FROM (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_QL2.format(a='q.qv', b='c.qc')},
+                                     c.cell) AS rn
+  FROM e q, allc c) WHERE rn = 1
+"""
+
 # The escalation meter (maintain.sq_refit_escalation): per refit
 # cell, refit-span / global-span per dimension — one float64 division
 # quantized at 2^-20, exact int64 max/sum, 6-dp rounded outputs;

@@ -2402,6 +2402,43 @@ def q_ivfsq_refit_escalation(spark, sf_dir):
     )
 
 
+def q_ann_cell_split(spark, sf_dir):
+    """The escalation actuator under the oracle (maintain.split_cells,
+    r14): base coarse codebook frozen on the 70% slice, drift flags at
+    1.02, each flagged cell's rows re-clustered into 2 subcells by the
+    per-cell deterministic Lloyd (md5 seeds, quantized argmin,
+    smallest-id ties — the _local_lloyd rules the SQL twin mirrors
+    with decimal means, agreeing after 2^-20 quantization), subcell
+    centroids joining the codebook under fresh dense ids
+    (max_old_cell + rank in (cell, code) order).  Returned relation:
+    the FULL corpus re-assigned under the post-split codebook
+    (vec_id, cell) — strict-comparable, and it exercises unsplit and
+    split regions at once.  EXTRA from birth (the iterated
+    meter→actuator convergence loop and the recall proof are pinned on
+    the bimodal fixture in test_maintain)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        split_cells,
+    )
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    new_cb = split_cells(e, ivf_cb, flagged, num_subcells=2, iters=2)
+    return ivf_assign(e, new_cb).select("vec_id", "cell")
+
+
 def q_ann_refit_recall_ledger(spark, sf_dir):
     """Refit RECOVERY as a driver-oracle relation (r12 verdict item 1
     — the same promotion pq_distortion_ledger got in r11): the
@@ -3004,6 +3041,7 @@ QUERIES.update(
         "ivfsq_refit_versioned_multi": q_ivfsq_refit_versioned_multi,
         "ivfsq_refit_distortion": q_ivfsq_refit_distortion,
         "ivfsq_refit_escalation": q_ivfsq_refit_escalation,
+        "ann_cell_split": q_ann_cell_split,
         "ivfsq_refine_topk": q_ivfsq_refine_topk,
         "ivfsq_refit_refine": q_ivfsq_refit_refine,
         "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
@@ -3272,6 +3310,10 @@ _EXTRA_NAMES = (
     # oracle-checked here and its screen stays in-window via
     # ivfpq_multi_topk / ivfpq_topk_sized
     "ivfpq_refine_topk_sized",
+    # NEW in round 14, EXTRA from birth: the escalation actuator —
+    # split_cells' post-split corpus assignment under the oracle; the
+    # convergence loop + recall proof are pinned in test_maintain
+    "ann_cell_split",
     # NEW in round 14, EXTRA from birth: the SQ family's refine pair
     # (static two-stage + refine-over-maintained) — the remedy stage
     # now composes with both maintained codebook families;

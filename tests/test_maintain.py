@@ -1615,3 +1615,153 @@ def test_sq_refit_escalation_bimodal_signal(spark, sq_drift):
     )
     u = sq_refit_escalation(ub, gb).collect()[0]
     assert u["unbounded_dims"] == 1 and u["recluster"], u
+
+
+def test_split_cells_resolves_bimodality(spark, sq_drift):
+    """The escalation signal's ACTUATOR (r14), iterated to a fixed
+    point: sq_refit_escalation flags the bimodal cell -> split_cells
+    gives each mode its own subcell -> re-escalate -> split again
+    while any subcell still spans multiple modes.  On the clipping
+    fixture the loop CONVERGES in two rounds (round 1 separates base
+    mass from the two wave clusters; round 2 separates the wave pair),
+    unsplit centroids stay byte-identical throughout, fresh ids are
+    dense and disjoint, and the versioned search over the split+refit
+    index recalls >= 0.9 on BOTH a drifted probe and a base probe from
+    the formerly-bimodal cell — the resolution the bounds-refit-alone
+    path measurably lost (SCALE.md §13: ~12x per-dim loss)."""
+    from img2dataset_spark.operators.maintain import (
+        split_cells,
+        sq_reencode_cells,
+        sq_refit_cells,
+        sq_refit_escalation,
+    )
+    from img2dataset_spark.operators.recall import exact_l2_topk
+    from img2dataset_spark.operators.similarity import _as_double, ivf_assign
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_topk_versioned,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    ovr = sq_refit_cells(df, ivf_cb, flagged)
+    split_ids = {
+        int(r["cell"])
+        for r in sq_refit_escalation(ovr, bounds)
+        .filter(F.col("recluster"))
+        .collect()
+    }
+    assert split_ids
+    orig = {int(r["cell"]): list(r["centroid"]) for r in ivf_cb.collect()}
+    # determinism of one split step: two runs yield identical relations
+    one_df = spark.createDataFrame(
+        [(c,) for c in sorted(split_ids)], "cell long"
+    )
+    first = {
+        int(r["cell"]): list(r["centroid"])
+        for r in split_cells(df, ivf_cb, one_df, num_subcells=2).collect()
+    }
+    again = {
+        int(r["cell"]): list(r["centroid"])
+        for r in split_cells(df, ivf_cb, one_df, num_subcells=2).collect()
+    }
+    assert first == again
+    # iterate meter -> actuator to the fixed point
+    cur_cb = ivf_cb
+    ever_split: set[int] = set()
+    fresh_all: set[int] = set()
+    S = set(split_ids)
+    sub_ovr = None
+    for _round in range(4):
+        if not S:
+            break
+        prev = {int(r["cell"]) for r in cur_cb.select("cell").collect()}
+        cur_cb = split_cells(
+            df, cur_cb,
+            spark.createDataFrame([(c,) for c in sorted(S)], "cell long"),
+            num_subcells=2,
+        ).persist()
+        cur_cb.count()
+        now = {int(r["cell"]) for r in cur_cb.select("cell").collect()}
+        new_cells = now - prev
+        assert new_cells and min(new_cells) == max(prev) + 1
+        assert sorted(new_cells) == list(
+            range(min(new_cells), min(new_cells) + len(new_cells))
+        )
+        ever_split |= S
+        fresh_all = (fresh_all - S) | new_cells
+        fr_df = spark.createDataFrame(
+            [(c,) for c in sorted(fresh_all)], "cell long"
+        )
+        sub_ovr = sq_refit_cells(df, cur_cb, fr_df).persist()
+        S = {
+            int(r["cell"])
+            for r in sq_refit_escalation(sub_ovr, bounds)
+            .filter(F.col("recluster"))
+            .collect()
+        }
+    assert not S, f"did not converge: {S}"
+    assert len(ever_split) >= 2  # the wave-pair subcell re-split
+    # never-split original centroids byte-identical through both rounds
+    final = {int(r["cell"]): list(r["centroid"]) for r in cur_cb.collect()}
+    for c in set(orig) - ever_split:
+        assert final[c] == orig[c], c
+    # split + per-subcell refit index: recall on both modes
+    fresh_df = spark.createDataFrame(
+        [(c,) for c in sorted(fresh_all)], "cell long"
+    )
+    idx = ivfsq_index(df, cur_cb, bounds)
+    mixed = (
+        idx.join(F.broadcast(fresh_df), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(
+            sq_reencode_cells(df, cur_cb, sub_ovr)
+            .select("vec_id", "cell", "codes")
+        )
+        .persist()
+    )
+    mixed.count()
+    assigned_old = ivf_assign(df, ivf_cb)
+    base_probe = (
+        assigned_old.filter(
+            F.col("cell").isin([int(c) for c in split_ids])
+            & (F.col("vec_id") % 8 < 6)
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]["vec_id"]
+    )
+    drifted_probe = (
+        df.filter(F.col("vec_id") % 8 >= 6)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]["vec_id"]
+    )
+    for pid in (int(base_probe), int(drifted_probe)):
+        q = df.filter(F.col("vec_id") == pid).select(
+            _as_double(F.col("embedding")).alias("query_vec")
+        )
+        want = {r[0] for r in exact_l2_topk(df, q, k=10).collect()}
+        got = {
+            r[0]
+            for r in ivfsq_topk_versioned(
+                mixed, cur_cb, bounds, sub_ovr, q, k=10, nprobe=4
+            ).collect()
+        }
+        assert len(got & want) / 10 >= 0.9, (pid, len(got & want))
+    mixed.unpersist()
+
+
+def test_split_cells_rejects_hierarchical_and_empty(spark, sq_drift):
+    """Named errors: hierarchical codebooks (fine ids live under
+    coarse parents) and an empty codebook both refuse loudly."""
+    from img2dataset_spark.operators.maintain import split_cells
+
+    df, ivf_cb, _bounds, flagged = sq_drift
+    hier = ivf_cb.withColumn("level", F.lit("fine"))
+    with pytest.raises(ValueError, match="hierarchical"):
+        split_cells(df, hier, flagged)
+    empty = spark.createDataFrame([], "cell long, centroid array<double>")
+    with pytest.raises(ValueError, match="empty ivf_codebook"):
+        split_cells(df, empty, flagged)
