@@ -895,3 +895,88 @@ def ivfsq_refine_topk_versioned(
         round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivfsq_multi_refine_topk(
+    index_df: DataFrame,
+    ivf_codebook: DataFrame,
+    bounds: DataFrame,
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    refine_factor: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    probe_metric: str | None = None,
+    refine_target_occupancy: int = 1024,
+    overrides: DataFrame | None = None,
+    max_queries_per_scan: int | None = None,
+) -> DataFrame:
+    """Batch two-stage refine for the SQ family (r14 — completing the
+    batch menu's symmetry: PQ has ivfpq_multi_refine_topk, BQ's flat
+    screen composes via bq_refine_topk): stage 1 answers EVERY query's
+    top ``k·refine_factor`` candidates from ONE pass over the byte
+    codes (:func:`ivfsq_multi_topk`; ``overrides`` routes through
+    :func:`ivfsq_multi_topk_versioned` — the maintained index;
+    ``max_queries_per_scan`` through :func:`ivfsq_multi_topk_chunked`),
+    stage 2 re-ranks all queries' candidates in ONE pass over the
+    vector table — (qid, id) pairs broadcast into an id-join, exact
+    round6 cosine per pair, one window top-k per qid.
+    ``refine_factor=None`` sizes the pool from cell occupancy.
+    Returns (qid, id, cos_sim), per-qid (cos_sim desc, id asc) top-k —
+    directly comparable to cosine_topk / the PQ batch refine."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        codebook_num_cells,
+        cosine,
+        memoized_count,
+        recommended_refine_factor,
+        round6,
+    )
+
+    if refine_factor is None:
+        refine_factor = recommended_refine_factor(
+            memoized_count(index_df),
+            codebook_num_cells(ivf_codebook),
+            target_occupancy=refine_target_occupancy,
+        )
+    if max_queries_per_scan is not None:
+        cand = ivfsq_multi_topk_chunked(
+            index_df, ivf_codebook, bounds, queries_df,
+            k=k * refine_factor, nprobe=nprobe, id_col=id_col,
+            qid_col=qid_col, probe_metric=probe_metric,
+            overrides=overrides,
+            max_queries_per_scan=max_queries_per_scan,
+        )
+    elif overrides is not None:
+        cand = ivfsq_multi_topk_versioned(
+            index_df, ivf_codebook, bounds, overrides, queries_df,
+            k=k * refine_factor, nprobe=nprobe, id_col=id_col,
+            qid_col=qid_col, probe_metric=probe_metric,
+        )
+    else:
+        cand = ivfsq_multi_topk(
+            index_df, ivf_codebook, bounds, queries_df,
+            k=k * refine_factor, nprobe=nprobe, id_col=id_col,
+            qid_col=qid_col, probe_metric=probe_metric,
+        )
+    e = vectors_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    paired = e.join(F.broadcast(cand.select(qid_col, id_col)), id_col)
+    q = F.broadcast(queries_df.select(qid_col, "query_vec"))
+    scored = paired.join(q, qid_col).select(
+        qid_col,
+        F.col(id_col),
+        round6(cosine(F.col("_v"), F.col("query_vec"))).alias("cos_sim"),
+    )
+    wk = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

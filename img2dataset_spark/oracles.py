@@ -2123,7 +2123,7 @@ SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS dims,
 FROM qx GROUP BY cell
 """
 
-ORACLES["ivfsq_refit_versioned_multi"] = f"""
+_IVFSQ_REFIT_MULTI_CTES = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
                   {_QUANTIZE.format(v='list_transform(embedding, x -> x::DOUBLE)')} AS qv
            FROM embeddings),
@@ -2187,8 +2187,13 @@ pcodes AS (SELECT e.vec_id, pbl.cell,
                 AS BIGINT)))
     END) AS c
   FROM e JOIN af ON af.vec_id = e.vec_id
-  JOIN pbl ON pbl.cell = af.cell)
-SELECT qid, vec_id, sq_adist FROM (
+  JOIN pbl ON pbl.cell = af.cell)"""
+
+# the per-qid mixed-bounds asymmetric ranking (row_number select,
+# cut applied by the caller) — shared by the batch versioned search
+# twin (rk <= 10) and the r14 batch refine twin (candidates at
+# rk <= 40 then an exact per-qid cosine re-rank)
+_IVFSQ_REFIT_MULTI_RK = f"""
   SELECT qid, vec_id, sq_adist,
          row_number() OVER (PARTITION BY qid
            ORDER BY sq_adist ASC, vec_id ASC) AS rk
@@ -2212,6 +2217,26 @@ SELECT qid, vec_id, sq_adist FROM (
     JOIN probe p ON p.cell = pc.cell
     JOIN qm q ON q.qid = p.qid
   )
+"""
+
+ORACLES["ivfsq_refit_versioned_multi"] = _IVFSQ_REFIT_MULTI_CTES + f"""
+SELECT qid, vec_id, sq_adist FROM ({_IVFSQ_REFIT_MULTI_RK}) WHERE rk <= 10
+"""
+
+# Batch refine over the maintained SQ index
+# (sq.ivfsq_multi_refine_topk(overrides=...), r14): per-qid
+# candidates from the same ranking at rk <= 40 (k*rf, rf=4), one
+# exact round6-cosine re-rank per (qid, id) pair, window top-10.
+ORACLES["ivfsq_refit_refine_multi"] = _IVFSQ_REFIT_MULTI_CTES + f""",
+candm AS (SELECT qid, vec_id FROM ({_IVFSQ_REFIT_MULTI_RK}) WHERE rk <= 40)
+SELECT qid, vec_id, cos_sim FROM (
+  SELECT c.qid, e.vec_id, {_R6.format(x=_cos('e.v', 'q.v'))} AS cos_sim,
+         row_number() OVER (PARTITION BY c.qid
+           ORDER BY {_R6.format(x=_cos('e.v', 'q.v'))} DESC,
+                    e.vec_id ASC) AS rk
+  FROM candm c
+  JOIN e ON e.vec_id = c.vec_id
+  JOIN qm q ON q.qid = c.qid
 ) WHERE rk <= 10
 """
 

@@ -2299,6 +2299,68 @@ def q_ivfsq_refit_versioned_multi(spark, sf_dir):
                                       k=10, nprobe=4)
 
 
+def q_ivfsq_refit_refine_multi(spark, sf_dir):
+    """Batch refine over the maintained SQ index
+    (sq.ivfsq_multi_refine_topk(overrides=...), r14 — the batch menu's
+    last missing cell: PQ had multi x refine x versioned, SQ now does
+    too): q_ivfsq_refit_versioned_multi's pipeline, THREE probes
+    screened by ONE mixed-bounds asymmetric pass to k*rf=40 candidates
+    each, then ONE exact round6-cosine vector pass re-ranks every
+    query's candidates.  EXTRA from birth (ivfpq_refit_refine and
+    ivfsq_refit_versioned hold the driver slots)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+        rewrite_index_cells,
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        ivf_fit,
+    )
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_refine_topk,
+        sq_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    bounds = sq_fit(base)
+    tmp = _scratch_dir("graft_ivfsq_refit_refm_")
+    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
+        f"{tmp}/index"
+    )
+    flagged = (
+        occupancy_drift(
+            index_occupancy(ivf_assign(base, ivf_cb)),
+            index_occupancy(ivf_assign(e, ivf_cb)),
+            threshold=1.02,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+    ovr = sq_refit_cells(e, ivf_cb, flagged)
+    ovr.write.parquet(f"{tmp}/overrides")
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
+        )
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("query_vec"),
+    )
+    return ivfsq_multi_refine_topk(
+        idx_rd, ivf_cb, bounds, e, qs, k=10, nprobe=4, refine_factor=4,
+        overrides=ovr_rd,
+    )
+
+
 def q_ivfsq_refit_distortion(spark, sf_dir):
     """The SQ maintenance loop's QUALITY meter under the oracle
     (maintain.sq_distortion_ledger): the same drift → bounds-refit
@@ -3044,6 +3106,7 @@ QUERIES.update(
         "ann_cell_split": q_ann_cell_split,
         "ivfsq_refine_topk": q_ivfsq_refine_topk,
         "ivfsq_refit_refine": q_ivfsq_refit_refine,
+        "ivfsq_refit_refine_multi": q_ivfsq_refit_refine_multi,
         "ann_refit_recall_ledger": q_ann_refit_recall_ledger,
         "ann_refit_recall_ledger_refine": q_ann_refit_recall_ledger_refine,
         "ivfbq_multi_topk": q_ivfbq_multi_topk,
@@ -3320,6 +3383,7 @@ _EXTRA_NAMES = (
     # bq_refine_topk and ivfpq_refit_refine hold the driver slots
     "ivfsq_refine_topk",
     "ivfsq_refit_refine",
+    "ivfsq_refit_refine_multi",
     # NEW in round 14, EXTRA from birth: the bimodality escalation
     # signal as a relation (SCALE.md §13's span-ratio reading made
     # queryable; behavior pinned on the bimodal fixture in

@@ -1765,3 +1765,70 @@ def test_split_cells_rejects_hierarchical_and_empty(spark, sq_drift):
     empty = spark.createDataFrame([], "cell long, centroid array<double>")
     with pytest.raises(ValueError, match="empty ivf_codebook"):
         split_cells(df, empty, flagged)
+
+
+def test_sq_multi_refine_versioned_matches_single(spark, sq_drift):
+    """ivfsq_multi_refine_topk(overrides=...) — the SQ batch refine
+    over the maintained index — reproduces per-qid
+    ivfsq_refine_topk_versioned exactly, with and without the chunked
+    screen route."""
+    from img2dataset_spark.operators.maintain import (
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import (
+        ivfsq_index,
+        ivfsq_multi_refine_topk,
+        ivfsq_refine_topk_versioned,
+    )
+
+    df, ivf_cb, bounds, flagged = sq_drift
+    idx = ivfsq_index(df, ivf_cb, bounds)
+    ovr = sq_refit_cells(df, ivf_cb, flagged).persist()
+    ovr.count()
+    mixed = (
+        idx.join(F.broadcast(flagged), "cell", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .unionByName(
+            sq_reencode_cells(df, ivf_cb, ovr)
+            .select("vec_id", "cell", "codes")
+        )
+        .persist()
+    )
+    mixed.count()
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["query_vec"]]
+        for r in df.filter(F.col("vec_id") < 3)
+        .select("vec_id", _as_double(F.col("embedding")).alias("query_vec"))
+        .collect()
+    }
+    qs = spark.createDataFrame(
+        [(qid, qrows[qid]) for qid in (2, 1, 0)],
+        "qid long, query_vec array<double>",
+    ).repartition(3)
+    want = []
+    for qid in (0, 1, 2):
+        qdf = spark.createDataFrame(
+            [(qrows[qid],)], "query_vec array<double>"
+        )
+        want += [
+            (qid, r["vec_id"], r["cos_sim"])
+            for r in ivfsq_refine_topk_versioned(
+                mixed, ivf_cb, bounds, ovr, df, qdf, k=5, nprobe=4,
+                refine_factor=4,
+            ).collect()
+        ]
+    want = sorted(want)
+    for chunk in (None, 2):
+        got = sorted(
+            tuple(r)
+            for r in ivfsq_multi_refine_topk(
+                mixed, ivf_cb, bounds, df, qs, k=5, nprobe=4,
+                refine_factor=4, overrides=ovr,
+                max_queries_per_scan=chunk,
+            ).collect()
+        )
+        assert got == want, chunk
+    ovr.unpersist()
+    mixed.unpersist()
