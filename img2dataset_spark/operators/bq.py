@@ -47,7 +47,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from img2dataset_spark.operators.similarity import _QUANT, _as_double
+from img2dataset_spark.operators.similarity import (
+    _QUANT,
+    _as_double,
+    collect_query_rows as _collect_query_rows,
+)
 
 
 def _plane_matrix(num_planes: int, dim: int) -> np.ndarray:
@@ -172,7 +176,7 @@ def _hamming_expr(qw: np.ndarray, num_planes: int):
 
 
 def _query_words(query_df: DataFrame, num_planes: int, dim: int) -> np.ndarray:
-    qrow = query_df.select("query_vec").collect()
+    qrow = _collect_query_rows(query_df, ("query_vec",))
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     return encode_query_bits(
@@ -365,27 +369,25 @@ def ivfbq_topk(
     measured sf1 probe-loss fix, SCALE.md §10)."""
     from img2dataset_spark.operators.similarity import (
         codebook_num_cells,
-        cosine,
+        probe_cells,
         recommended_nprobe,
-        round6,
     )
 
     if nprobe is None:
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
-    if "level" in ivf_codebook.columns:
-        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    q = F.broadcast(query_df.select("query_vec"))
-    probed = (
-        ivf_codebook.crossJoin(q)
-        .select(
-            "cell",
-            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
-        )
-        .orderBy(F.desc("c_sim"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
+    from img2dataset_spark.operators.similarity import (
+        _collect_flat_codebook,
+        static_prune_cells,
     )
-    pruned = index_df.join(F.broadcast(probed), "cell")
+
+    # probe_cells is the SAME round6-cosine-desc/cell-asc rule this
+    # function previously inlined — flat codebooks rank on the driver
+    # (r14); the probed cells become a STATIC IN-list predicate
+    # (planning-time partition pruning over a cell-partitioned index)
+    probed = probe_cells(ivf_codebook, query_df, nprobe, "cosine")
+    pruned = static_prune_cells(
+        index_df, (c for c, _ in _collect_flat_codebook(probed))
+    )
     return bq_topk(pruned, query_df, k=k, num_planes=num_planes,
                    dim=dim, id_col=id_col)
 
@@ -424,8 +426,10 @@ def ivfbq_multi_topk(
     from img2dataset_spark.operators.similarity import (
         codebook_num_cells,
         collect_dense_qids,
+        flat_multi_probe_pairs,
         multi_probe_cells,
         recommended_nprobe,
+        static_prune_cells,
     )
 
     if nprobe is None:
@@ -453,10 +457,23 @@ def ivfbq_multi_topk(
         "chunk is still answered from one scan; the PQ/SQ chunked "
         "wrappers are the shape to mirror)",
     )
-    probed = multi_probe_cells(
+    # flat codebooks: driver-ranked probe pairs + STATIC IN-list prune
+    # (planning-time partition pruning); hierarchical: distributed
+    # probe, broadcast join only (r14)
+    pairs = flat_multi_probe_pairs(
         ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )
-    pruned = index_df.join(F.broadcast(probed), "cell")
+    if pairs is not None:
+        probed = ivf_codebook.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} bigint, cell bigint"
+        )
+        pre = static_prune_cells(index_df, (c for _, c in pairs))
+    else:
+        probed = multi_probe_cells(
+            ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+        )
+        pre = index_df
+    pruned = pre.join(F.broadcast(probed), "cell")
     dist = None
     for w in range(n_words):
         lit_w = F.lit([int(qwords[qi][w]) for qi in range(len(qrows))])

@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 from img2dataset_spark.operators.similarity import (
     _QUANT,
     _as_double,
+    _collect_flat_codebook,
+    collect_query_rows as _collect_query_rows,
     ivf_fit,
 )
 
@@ -77,30 +79,111 @@ def pq_fit(
     (subspace, cell, centroid) with d/m-dim centroids — m·k rows, the
     whole artifact; persist or write it once per corpus version.
 
-    Scale: each subspace fit scans the corpus slice independently
-    (driver materialization = k centroids per fit, ceiling-gated
-    inside ivf_fit); k ≤ 256 keeps codes byte-sized, and PQ's capacity
-    comes from the PRODUCT k^m, not from big k — so the flat path
-    always suffices here, no hierarchical route needed."""
+    Scale: ONE fused Lloyd pipeline trains all m subspaces together
+    (r14 — the previous shape ran m independent :func:`ivf_fit`
+    pipelines, i.e. m seed-collect jobs plus m jobs per iteration over
+    the SAME corpus scan; fused it is 1 seed job + 1 job per
+    iteration, provably identical output: same md5-ordered seed rows
+    sliced per subspace, same quantized-argmin assignment per
+    subspace, same per-(subspace, cell, pos) exact decimal means).
+    Driver materialization = m·k centroids per iteration, ceiling-safe
+    (k ≤ 256 keeps codes byte-sized; PQ's capacity comes from the
+    PRODUCT k^m, not from big k)."""
+    from pyspark import StorageLevel
+
     sub_dim = _check_geometry(dim, num_subspaces)
-    parts = []
-    for j in range(num_subspaces):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), j * sub_dim + 1, sub_dim).alias(
-                "_sub"
-            ),
+    spark = df.sparkSession
+    from img2dataset_spark.operators.similarity import _seed_order
+
+    e = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = e.orderBy(*_seed_order(id_col)).limit(num_codes).collect()
+    # per-subspace (cell, centroid) books, seeded with the SAME rows
+    # each per-subspace fit would seed with (the md5 order depends only
+    # on the id), sliced locally
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [float(x) for x in r["v"]][j * sub_dim:(j + 1) * sub_dim])
+            for i, r in enumerate(seed_rows)
+        ]
+        for j in range(num_subspaces)
+    ]
+
+    def _literal_book(bks) -> DataFrame:
+        cb = spark.createDataFrame(
+            [
+                (j, int(c), [float(x) for x in cent])
+                for j, book in enumerate(bks)
+                for c, cent in book
+            ],
+            schema="subspace int, cell bigint, centroid array<double>",
         )
-        cb = ivf_fit(sliced, num_codes, iters, vec_col="_sub", id_col=id_col)
-        parts.append(
-            cb.select(
-                F.lit(j).alias("subspace"), "cell", "centroid"
+        # rows are driver-local: pre-seed the codebook memo so the
+        # assignment pass (pq_encode) and every later search skip the
+        # m·k-row collect job
+        cells, QC, nc = [], [], []
+        for book in bks:
+            ids = np.array(sorted(c for c, _ in book), dtype=np.int64)
+            by_id = {int(c): cent for c, cent in book}
+            C = np.stack(
+                [np.asarray(by_id[int(c)], dtype=np.float64) for c in ids]
             )
+            Q = np.floor(C * _QUANT + 0.5).astype(np.int64)
+            cells.append(ids)
+            QC.append(Q)
+            nc.append((Q * Q).sum(axis=1))
+        while len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_CAP:
+            _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
+        _CODEBOOK_MEMO[id(cb)] = (cb, (cells, QC, nc))
+        return cb
+
+    cb = _literal_book(books)
+    for _ in range(iters):
+        assigned = pq_encode(
+            e, cb, vec_col="v", id_col=id_col, keep_cols=("v",)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        sub = F.expr(f"pos div {sub_dim}")
+        agg_rows = (
+            assigned.select("codes", F.posexplode("v"))
+            .select(
+                sub.alias("subspace"),
+                F.element_at("codes", sub.cast("int") + F.lit(1)).alias(
+                    "cell"
+                ),
+                F.expr(f"pos % {sub_dim}").alias("spos"),
+                "col",
+            )
+            .groupBy("subspace", "cell", "spos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+            .groupBy("subspace", "cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("spos", "cv"))).alias(
+                    "pv"
+                )
+            )
+            .select(
+                "subspace",
+                "cell",
+                F.transform(F.col("pv"), lambda s: s["cv"]).alias("centroid"),
+            )
+            .collect()
+        )
+        books = [[] for _ in range(num_subspaces)]
+        for r in agg_rows:
+            books[int(r["subspace"])].append(
+                (int(r["cell"]), [float(x) for x in r["centroid"]])
+            )
+        for book in books:
+            book.sort(key=lambda t: t[0])
+        cb = _literal_book(books)
+    e.unpersist()
+    return cb
 
 
 # (id(df) -> (df, artifact)) memo — callers composing encode + search
@@ -272,7 +355,7 @@ def pq_topk(
     1-row frame with a `query_vec` column (cosine_topk convention);
     the table is computed once on the driver from the k·m-row
     codebook — the one collect, bounded by the codebook size."""
-    qrow = query_df.select("query_vec").collect()
+    qrow = _collect_query_rows(query_df, ("query_vec",))
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     cells, dt = pq_adc_distances(
@@ -615,15 +698,18 @@ def ivfpq_topk(
         # hierarchical coarse codebook: assignment cells are FINE ids
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
-    pruned = index_df.join(F.broadcast(probed.select("cell")), "cell")
-    qrow = query_df.select("query_vec").collect()
+    # bounded probe rows (job-free for flat codebooks — probe_cells
+    # pre-memoizes its literal output); the probed cells prune the scan
+    # as a STATIC IN-list — planning-time partition pruning (r14)
+    probe_rows = _collect_flat_codebook(probed)
+    from img2dataset_spark.operators.similarity import static_prune_cells
+
+    pruned = static_prune_cells(index_df, (c for c, _ in probe_rows))
+    qrow = _collect_query_rows(query_df, ("query_vec",))
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     qvec = np.asarray([float(x) for x in qrow[0]["query_vec"]], dtype=np.float64)
     if residual:
-        # two bounded collects: nprobe probe rows + the codebook ONCE
-        # (per-cell tables are then local numpy, not per-cell jobs)
-        probe_rows = probed.select("cell", "centroid").collect()
         if not probe_rows:
             raise ValueError(
                 "ivfpq_topk: probe returned no cells — is the "
@@ -631,11 +717,11 @@ def ivfpq_topk(
             )
         cb_cells, QC, nc = _collect_codebook(pq_codebook)
         dist = None
-        for r in probe_rows:
+        for p_cell, p_cent in probe_rows:
             dt = _adc_table(
-                QC, nc, qvec - np.asarray(r["centroid"], dtype=np.float64)
+                QC, nc, qvec - np.asarray(p_cent, dtype=np.float64)
             )
-            cond = F.col("cell") == int(r["cell"])
+            cond = F.col("cell") == int(p_cell)
             dist = (
                 F.when(cond, _adc_expr(cb_cells, dt, packed=packed))
                 if dist is None
@@ -708,8 +794,10 @@ def ivfpq_multi_topk(
     from img2dataset_spark.operators.similarity import (
         codebook_num_cells,
         collect_dense_qids,
+        flat_multi_probe_pairs,
         multi_probe_cells,
         recommended_nprobe,
+        static_prune_cells,
     )
 
     if nprobe is None:
@@ -724,10 +812,23 @@ def ivfpq_multi_topk(
     qids = list(range(len(qrows)))
     if probe_metric is None:
         probe_metric = "l2"
-    probed = multi_probe_cells(
+    # flat codebooks: driver-ranked probe pairs + STATIC IN-list prune
+    # (planning-time partition pruning); hierarchical: distributed
+    # probe, broadcast join only (r14)
+    pairs = flat_multi_probe_pairs(
         ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )
-    pruned = index_df.join(F.broadcast(probed), "cell")
+    if pairs is not None:
+        probed = ivf_codebook.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} bigint, cell bigint"
+        )
+        pre = static_prune_cells(index_df, (c for _, c in pairs))
+    else:
+        probed = multi_probe_cells(
+            ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+        )
+        pre = index_df
+    pruned = pre.join(F.broadcast(probed), "cell")
     cells, QC, nc = _collect_codebook(pq_codebook)
     qvecs = {
         int(r[qid_col]): np.asarray(
@@ -743,23 +844,39 @@ def ivfpq_multi_topk(
 
     if residual:
         # bounded collects: the probe pairs (q·nprobe) name the
-        # distinct probed cells, whose centroids come via a broadcast
-        # cell filter — never the whole codebook relation driver-side
-        pcells = sorted(
-            {int(r["cell"]) for r in probed.select("cell").collect()}
-        )
+        # distinct probed cells, whose centroids come locally from the
+        # memoized flat codebook rows (or a broadcast cell filter on
+        # the hierarchical path) — never the whole codebook driver-side
+        if pairs is not None:
+            pcells = sorted({int(c) for _, c in pairs})
+        else:
+            pcells = sorted(
+                {int(r["cell"]) for r in probed.select("cell").collect()}
+            )
         if not pcells:
             raise ValueError(
                 "ivfpq_multi_topk: probe returned no cells — is the "
                 "ivf_codebook empty (or all-coarse)?"
             )
         _check_multi_literals(len(qrows) * len(pcells), pq_codebook)
-        cents = {
-            int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64)
-            for r in ivf_codebook.filter(
-                F.col("cell").isin([int(c) for c in pcells])
-            ).select("cell", "centroid").collect()
-        }
+        if pairs is not None:
+            from img2dataset_spark.operators.similarity import (
+                _collect_flat_codebook as _cb_rows,
+            )
+
+            want = set(pcells)
+            cents = {
+                int(c): np.asarray(cent, dtype=np.float64)
+                for c, cent in _cb_rows(ivf_codebook)
+                if int(c) in want
+            }
+        else:
+            cents = {
+                int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64)
+                for r in ivf_codebook.filter(
+                    F.col("cell").isin([int(c) for c in pcells])
+                ).select("cell", "centroid").collect()
+            }
         dist = None
         for cell in pcells:
             by_qid = {
@@ -859,10 +976,13 @@ def ivfpq_multi_topk_versioned(
     Returns (qid, id, adc_dist), per-qid (adc_dist asc, id asc)
     top-k."""
     from img2dataset_spark.operators.similarity import (
+        _collect_flat_codebook as _cb_rows,
         codebook_num_cells,
         collect_dense_qids,
+        flat_multi_probe_pairs,
         multi_probe_cells,
         recommended_nprobe,
+        static_prune_cells,
     )
 
     if probe_metric is None:
@@ -876,12 +996,28 @@ def ivfpq_multi_topk_versioned(
         np.asarray([float(x) for x in r["query_vec"]], dtype=np.float64)
         for r in sorted(qrows, key=lambda r: int(r[qid_col]))
     ]
-    probed = multi_probe_cells(
+    # flat codebooks: driver-ranked probe pairs + STATIC IN-list prune
+    # (planning-time partition pruning); hierarchical: distributed
+    # probe, broadcast join only (r14)
+    pairs = flat_multi_probe_pairs(
         ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )
-    pruned = index_df.join(F.broadcast(probed), "cell")
-    pcells_df = probed.select("cell").distinct()
-    pcells = sorted(int(r["cell"]) for r in pcells_df.collect())
+    if pairs is not None:
+        probed = ivf_codebook.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} bigint, cell bigint"
+        )
+        pre = static_prune_cells(index_df, (c for _, c in pairs))
+        pcells = sorted({int(c) for _, c in pairs})
+    else:
+        probed = multi_probe_cells(
+            ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+        )
+        pre = index_df
+        pcells = sorted(
+            int(r["cell"])
+            for r in probed.select("cell").distinct().collect()
+        )
+    pruned = pre.join(F.broadcast(probed), "cell")
     if not pcells:
         raise ValueError(
             "ivfpq_multi_topk_versioned: probe returned no cells — is "
@@ -889,17 +1025,25 @@ def ivfpq_multi_topk_versioned(
         )
     _check_multi_literals(len(qrows) * len(pcells), pq_codebook)
     probed_books = _collect_overrides(
-        overrides.join(F.broadcast(pcells_df), "cell")
+        overrides.filter(F.col("cell").isin(pcells))
     )
     g_cells, g_QC, g_nc = _collect_codebook(pq_codebook)
     cents: dict[int, np.ndarray] = {}
     if residual:
-        cents = {
-            int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64)
-            for r in ivf_codebook.filter(
-                F.col("cell").isin(pcells)
-            ).select("cell", "centroid").collect()
-        }
+        if pairs is not None:
+            want = set(pcells)
+            cents = {
+                int(c): np.asarray(cent, dtype=np.float64)
+                for c, cent in _cb_rows(ivf_codebook)
+                if int(c) in want
+            }
+        else:
+            cents = {
+                int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64)
+                for r in ivf_codebook.filter(
+                    F.col("cell").isin(pcells)
+                ).select("cell", "centroid").collect()
+            }
     dist = None
     for cell in pcells:
         code_ids, QC, nc = probed_books.get(cell, (g_cells, g_QC, g_nc))
@@ -1204,10 +1348,16 @@ def ivfpq_topk_versioned(
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    from img2dataset_spark.operators.similarity import static_prune_cells
+
     probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
-    probed_cells = probed.select("cell")
-    pruned = index_df.join(F.broadcast(probed_cells), "cell")
-    qrow = query_df.select("query_vec").collect()
+    # bounded probe rows (job-free for flat codebooks); the probed
+    # cells prune both the index scan and the override read as STATIC
+    # IN-lists — planning-time partition pruning (r14)
+    _probe_rows = _collect_flat_codebook(probed)
+    _pcell_ids = [int(c) for c, _ in _probe_rows]
+    pruned = static_prune_cells(index_df, _pcell_ids)
+    qrow = _collect_query_rows(query_df, ("query_vec",))
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     qvec = [float(x) for x in qrow[0]["query_vec"]]
@@ -1216,24 +1366,21 @@ def ivfpq_topk_versioned(
     # (memoized), and for the residual path the nprobe probe rows; the
     # CASE dispatches per probed cell
     probed_books = _collect_overrides(
-        overrides.join(F.broadcast(probed_cells), "cell")
+        overrides.filter(F.col("cell").isin(_pcell_ids))
     )
     if residual:
         qv = np.asarray(qvec, dtype=np.float64)
         g_cells, g_QC, g_nc = _collect_codebook(pq_codebook)
-        probe_rows = sorted(
-            probed.select("cell", "centroid").collect(),
-            key=lambda r: int(r["cell"]),
-        )
+        probe_rows = sorted(_probe_rows, key=lambda t: int(t[0]))
         if not probe_rows:
             raise ValueError(
                 "ivfpq_topk_versioned: probe returned no cells — is "
                 "the ivf_codebook empty (or all-coarse)?"
             )
         dist = None
-        for r in probe_rows:
-            cell = int(r["cell"])
-            qres = qv - np.asarray(r["centroid"], dtype=np.float64)
+        for cell, cent in probe_rows:
+            cell = int(cell)
+            qres = qv - np.asarray(cent, dtype=np.float64)
             if cell in probed_books:
                 code_ids, QC, nc = probed_books[cell]
                 expr = _adc_expr(

@@ -249,10 +249,163 @@ def ivf_fit(
 
 
 def _literal_codebook(spark, rows) -> DataFrame:
-    return spark.createDataFrame(
-        [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows],
-        schema="cell bigint, centroid array<double>",
+    tuples = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows
+    ]
+    df = spark.createDataFrame(
+        tuples, schema="cell bigint, centroid array<double>"
     )
+    # The rows are driver-local already: pre-seed the codebook-rows memo
+    # so downstream ivf_assign/probe_cells calls on this frame never run
+    # a collect job just to re-read what the fit materialized (r14:
+    # each such collect was a measured ~0.35 s Spark job, and the refit
+    # composites run five of them per query).
+    _memo_put(_CB_ROWS_MEMO, df, tuples)
+    return df
+
+
+# (id(df) -> (df, payload)) memos, LRU-capped — the pq._CODEBOOK_MEMO
+# pattern shared by the flat-codebook rows cache and the bounded
+# query-frame rows cache.  The DataFrame reference is retained so the
+# id cannot be recycled; every payload is ceiling-gated (flat codebooks
+# by FLAT_CODEBOOK_MAX_CELLS, query frames by the probe-set size), so
+# nothing corpus-shaped is ever memoized.
+_CB_ROWS_MEMO: dict[int, tuple[DataFrame, list]] = {}
+_QUERY_ROWS_MEMO: dict[int, tuple[DataFrame, list]] = {}
+_ROWS_MEMO_CAP = 64
+
+
+def _memo_get(memo: dict, df: DataFrame):
+    hit = memo.get(id(df))
+    if hit is not None and hit[0] is df:
+        memo[id(df)] = memo.pop(id(df))  # LRU refresh
+        return hit[1]
+    return None
+
+
+def _memo_put(memo: dict, df: DataFrame, payload) -> None:
+    while len(memo) >= _ROWS_MEMO_CAP:
+        memo.pop(next(iter(memo)))
+    memo[id(df)] = (df, payload)
+
+
+def _collect_flat_codebook(cb: DataFrame) -> list[tuple[int, list[float]]]:
+    """[(cell, centroid)] for a FLAT codebook frame, memoized per
+    DataFrame object.  Bounded by FLAT_CODEBOOK_MAX_CELLS × d (the flat
+    path's standing ceiling); hierarchical codebooks never route here —
+    their fine level is corpus-k-sized and stays distributed."""
+    rows = _memo_get(_CB_ROWS_MEMO, cb)
+    if rows is None:
+        rows = [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in cb.select("cell", "centroid").collect()
+        ]
+        _memo_put(_CB_ROWS_MEMO, cb, rows)
+    return rows
+
+
+def collect_query_rows(query_df: DataFrame, cols: tuple[str, ...]):
+    """Memoized collect of a BOUNDED query/probe frame (1-row query
+    vectors, q-row batch probe sets) keyed on the DataFrame object —
+    a single search composition otherwise collects the same 1-row
+    frame two or three times (probe ranking, ADC table build, refine
+    re-rank), one small Spark job each."""
+    key = (tuple(cols),)
+    cached = _memo_get(_QUERY_ROWS_MEMO, query_df)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    rows = query_df.select(*cols).collect()
+    _memo_put(_QUERY_ROWS_MEMO, query_df, (key, rows))
+    return rows
+
+
+def _probe_rank_local(
+    rows: list[tuple[int, list[float]]],
+    qvec: list[float],
+    metric: str,
+) -> list[tuple[int, list[float]]]:
+    """Driver-local replica of the probe ranking over a FLAT codebook's
+    collected rows — bit-exact with the SQL/expression form:
+
+    - ``cosine``: round6(dot/(norm·norm)) with LEFT-TO-RIGHT float64
+      folds (Python ``acc + x*y`` is the same IEEE op sequence as
+      F.aggregate's fold and DuckDB's), desc, cell-ascending ties;
+      Spark total-order semantics for the unreachable edge cases
+      (NaN sorts greatest; a dim-mismatch NULL sorts last under desc).
+    - ``l2``: exact int64 squared-L2 over 2^-20 quantized values
+      (floor(x·2^20 + 0.5) — Python int arithmetic is exact), asc,
+      cell-ascending ties; a dim-mismatch NULL sorts first under asc
+      (Spark's asc-nulls-first default), mirroring the expression form.
+
+    Returns the FULL ranked row list; callers slice [:nprobe]."""
+    import math
+
+    q = [float(x) for x in qvec]
+    scored: list[tuple[int, list[float], float | int | None]] = []
+    if metric == "cosine":
+        nq = 0.0
+        for y in q:
+            nq = nq + y * y
+        nq = math.sqrt(nq)
+        for cell, cent in rows:
+            if len(cent) != len(q):
+                scored.append((cell, cent, None))
+                continue
+            num = 0.0
+            na = 0.0
+            for x, y in zip(cent, q):
+                num = num + x * y
+                na = na + x * x
+            s = num / (math.sqrt(na) * nq)
+            if not math.isnan(s):
+                s = math.floor(s * 1e6 + 0.5) / 1e6
+            scored.append((cell, cent, s))
+
+        def key(t):
+            s = t[2]
+            if s is None:
+                return (2, 0.0, t[0])  # NULL last under desc
+            if math.isnan(s):
+                return (0, 0.0, t[0])  # NaN greatest -> first under desc
+            return (1, -s, t[0])
+
+    elif metric == "l2":
+        qq = [math.floor(x * float(_QUANT) + 0.5) for x in q]
+        for cell, cent in rows:
+            if len(cent) != len(q):
+                scored.append((cell, cent, None))
+                continue
+            acc = 0
+            for x, b in zip(cent, qq):
+                a = math.floor(x * float(_QUANT) + 0.5)
+                acc += (a - b) * (a - b)
+            scored.append((cell, cent, acc))
+
+        def key(t):
+            s = t[2]
+            if s is None:
+                return (0, 0, t[0])  # NULL first under asc
+            return (1, s, t[0])
+
+    else:
+        raise ValueError(f"probe_cells: unknown metric {metric!r}")
+    scored.sort(key=key)
+    return [(c, cent) for c, cent, _ in scored]
+
+
+def static_prune_cells(index_df: DataFrame, cells) -> DataFrame:
+    """Restrict an index frame to a driver-known probed-cell set with a
+    STATIC ``cell IN (...)`` predicate.  Over a cell-partitioned
+    parquet index this is PLANNING-TIME partition pruning — strictly
+    stronger than the runtime DPP subquery the previous
+    broadcast-join-on-probed-cells shape relied on (r14: a literal
+    probed frame carries no selective filter, so Spark's DPP rule no
+    longer fires; the IN-list needs no runtime subquery at all and
+    shows up in the scan's PartitionFilters).  The list is bounded by
+    nprobe (or q·nprobe for batch searchers) — probe-domain, never
+    corpus-sized."""
+    ids = sorted({int(c) for c in cells})
+    return index_df.filter(F.col("cell").isin(ids))
 
 
 def _assign_cells(
@@ -271,10 +424,10 @@ def _assign_cells(
     among exact ties the smallest cell id wins."""
     from pyspark.sql.functions import pandas_udf
 
-    rows = cents.select("cell", "centroid").collect()
-    order = np.argsort([r["cell"] for r in rows])
-    cell_ids = np.array([rows[i]["cell"] for i in order], dtype=np.int64)
-    C = np.stack([np.asarray(rows[i]["centroid"], dtype=np.float64) for i in order])
+    rows = _collect_flat_codebook(cents)
+    order = np.argsort([c for c, _ in rows])
+    cell_ids = np.array([rows[i][0] for i in order], dtype=np.int64)
+    C = np.stack([np.asarray(rows[i][1], dtype=np.float64) for i in order])
     QC = np.floor(C * _QUANT + 0.5).astype(np.int64)  # k x d
     nc = (QC * QC).sum(axis=1)  # k
     bc = e.sparkSession.sparkContext.broadcast((cell_ids, QC, nc))
@@ -585,20 +738,14 @@ def ivf_topk_fitted(
     With a hierarchical codebook only the FINE cells are ranked (the
     assignment's cell ids are fine ids); the ranking is a distributed
     top-nprobe over the codebook DataFrame, never a driver collect."""
-    if "level" in codebook.columns:
-        codebook = codebook.filter(F.col("level") == "fine")
-    q = F.broadcast(query_df.select("query_vec"))
-    probed = (
-        codebook.crossJoin(q)
-        .select(
-            "cell",
-            round6(cosine(F.col("centroid"), F.col("query_vec"))).alias("c_sim"),
-        )
-        .orderBy(F.desc("c_sim"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
+    # probe_cells is the SAME round6-cosine-desc/cell-asc rule this
+    # function previously inlined — flat codebooks rank on the driver
+    # (r14); the probed cells become a STATIC IN-list predicate
+    # (static_prune_cells) instead of a broadcast join
+    probed = probe_cells(codebook, query_df, nprobe, "cosine")
+    pruned = static_prune_cells(
+        assigned, (c for c, _ in _collect_flat_codebook(probed))
     )
-    pruned = assigned.join(F.broadcast(probed), "cell")
     return cosine_topk(pruned, query_df, k=k, vec_col="v", id_col=id_col)
 
 
@@ -644,9 +791,33 @@ def probe_cells(
       query's own cell 4th-of-7 with NEGATIVE similarity and the scan
       never read the true neighbors.  L2-metric families (PQ ADC,
       SQ8) should probe with l2 on real (clustered) data; the cosine
-      default stands for oracle-twin compatibility."""
-    if "level" in ivf_codebook.columns:
-        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+      default stands for oracle-twin compatibility.
+
+    FLAT codebooks (the ceiling-gated ≤ FLAT_CODEBOOK_MAX_CELLS case)
+    rank on the DRIVER from the memoized collected rows — bit-exact
+    local replicas of both metrics (:func:`_probe_rank_local`), zero
+    Spark jobs when the codebook rows and query row are already
+    memoized (r14: the ranking job plus its crossJoin subtree was pure
+    per-search overhead; FAISS's coarse ranking is likewise local).
+    Hierarchical codebooks keep the distributed ranking — their fine
+    level is corpus-k-sized and must never be driver-collected."""
+    if "level" not in ivf_codebook.columns:
+        qrows = collect_query_rows(query_df, ("query_vec",))
+        if len(qrows) != 1:
+            raise ValueError(
+                f"probe_cells: query_df must have exactly 1 row, "
+                f"got {len(qrows)}"
+            )
+        ranked = _probe_rank_local(
+            _collect_flat_codebook(ivf_codebook),
+            list(qrows[0]["query_vec"]),
+            metric,
+        )[:nprobe]
+        return _literal_codebook(
+            ivf_codebook.sparkSession,
+            [{"cell": c, "centroid": cent} for c, cent in ranked],
+        )
+    ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     q = F.broadcast(query_df.select("query_vec"))
     j = ivf_codebook.crossJoin(q)
     if metric == "cosine":
@@ -680,6 +851,30 @@ def probe_cells(
     return ordered.limit(nprobe).select("cell", "centroid")
 
 
+def flat_multi_probe_pairs(
+    ivf_codebook: DataFrame,
+    queries_df: DataFrame,
+    nprobe: int,
+    metric: str = "l2",
+    qid_col: str = "qid",
+) -> list[tuple[int, int]] | None:
+    """The flat-codebook batch probe, ranked on the DRIVER: (qid, cell)
+    pairs via :func:`_probe_rank_local` per query — or None for a
+    hierarchical codebook (corpus-k-sized fine level, must stay
+    distributed).  Batch searchers use the returned pairs twice: as the
+    literal (qid, cell) join frame AND as the static probed-cell
+    IN-list for planning-time partition pruning (r14)."""
+    if "level" in ivf_codebook.columns:
+        return None
+    rows = _collect_flat_codebook(ivf_codebook)
+    qrows = collect_query_rows(queries_df, (qid_col, "query_vec"))
+    out: list[tuple[int, int]] = []
+    for r in qrows:
+        ranked = _probe_rank_local(rows, list(r["query_vec"]), metric)[:nprobe]
+        out.extend((int(r[qid_col]), c) for c, _ in ranked)
+    return out
+
+
 def multi_probe_cells(
     ivf_codebook: DataFrame,
     queries_df: DataFrame,
@@ -694,11 +889,23 @@ def multi_probe_cells(
     BQ) — one relation instead of q probe jobs.  Metrics mirror
     probe_cells exactly: ``"l2"`` = exact quantized squared-L2 asc
     (the assignment metric, the L2-family production default),
-    ``"cosine"`` = round6 cosine desc; cell-ascending ties both."""
+    ``"cosine"`` = round6 cosine desc; cell-ascending ties both.
+
+    FLAT codebooks rank locally per qid (:func:`_probe_rank_local` —
+    the probe_cells r14 rule; the row_number-over-window ranking of a
+    bounded q × cells frame was a pure-overhead shuffle job) and
+    return a literal (qid, cell) frame; hierarchical codebooks keep
+    the distributed ranking — their fine level is corpus-k-sized."""
     from pyspark.sql import Window
 
-    if "level" in ivf_codebook.columns:
-        ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    pairs = flat_multi_probe_pairs(
+        ivf_codebook, queries_df, nprobe, metric, qid_col
+    )
+    if pairs is not None:
+        return ivf_codebook.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} bigint, cell bigint"
+        )
+    ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
     q = F.broadcast(queries_df.select(qid_col, "query_vec"))
     joined = ivf_codebook.crossJoin(q)
     if metric == "cosine":
@@ -739,8 +946,10 @@ def multi_probe_cells(
 def collect_dense_qids(queries_df: DataFrame, qid_col: str = "qid"):
     """Collect a bounded (qid, query_vec) probe set and validate qids
     are DENSE 0..q-1 (literal probe tables are indexed by qid) —
-    the shared head of every ``*_multi_topk`` searcher."""
-    qrows = queries_df.select(qid_col, "query_vec").collect()
+    the shared head of every ``*_multi_topk`` searcher.  Memoized per
+    frame object (collect_query_rows), so the probe-ranking stage and
+    the literal-table build share ONE collect job."""
+    qrows = collect_query_rows(queries_df, (qid_col, "query_vec"))
     if not qrows:
         raise ValueError("multi_topk: queries_df is empty")
     qids = sorted(int(r[qid_col]) for r in qrows)

@@ -42,6 +42,10 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from img2dataset_spark.operators.similarity import (
+    collect_query_rows as _collect_query_rows,
+)
+
 
 def sq_fit(
     df: DataFrame,
@@ -178,7 +182,7 @@ def sq_topk(
     int64 code-domain squared-L2 — ``aggregate(zip_with(...))`` over
     longs, whole-stage codegen, TakeOrdered.  Returns (id, sq_dist),
     (sq_dist asc, id asc), limit k."""
-    qrow = query_df.select("query_vec").collect()
+    qrow = _collect_query_rows(query_df, ("query_vec",))
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     lo, hi = _collect_bounds(bounds)
@@ -272,10 +276,18 @@ def ivfsq_topk(
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
-    probed = probe_cells(
-        ivf_codebook, query_df, nprobe, probe_metric
-    ).select("cell")
-    pruned = index_df.join(F.broadcast(probed), "cell")
+    from img2dataset_spark.operators.similarity import (
+        _collect_flat_codebook,
+        static_prune_cells,
+    )
+
+    probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
+    # bounded probe rows (job-free for flat codebooks); the probed
+    # cells prune the scan as a STATIC IN-list — planning-time
+    # partition pruning (r14)
+    pruned = static_prune_cells(
+        index_df, (c for c, _ in _collect_flat_codebook(probed))
+    )
     return sq_topk(pruned, bounds, query_df, k=k, id_col=id_col)
 
 
@@ -314,8 +326,10 @@ def ivfsq_multi_topk(
     from img2dataset_spark.operators.similarity import (
         codebook_num_cells,
         collect_dense_qids,
+        flat_multi_probe_pairs,
         multi_probe_cells,
         recommended_nprobe,
+        static_prune_cells,
     )
 
     if probe_metric is None:
@@ -344,10 +358,23 @@ def ivfsq_multi_topk(
     )
     lit2d = F.lit([[int(c) for c in qcodes[qi]]
                    for qi in range(len(qrows))])
-    probed = multi_probe_cells(
+    # flat codebooks: driver-ranked probe pairs + STATIC IN-list prune
+    # (planning-time partition pruning); hierarchical: distributed
+    # probe, broadcast join only (r14)
+    pairs = flat_multi_probe_pairs(
         ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )
-    pruned = index_df.join(F.broadcast(probed), "cell")
+    if pairs is not None:
+        probed = ivf_codebook.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} bigint, cell bigint"
+        )
+        pre = static_prune_cells(index_df, (c for _, c in pairs))
+    else:
+        probed = multi_probe_cells(
+            ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+        )
+        pre = index_df
+    pruned = pre.join(F.broadcast(probed), "cell")
     q_arr = F.element_at(lit2d, F.col(qid_col).cast("int") + F.lit(1))
     dist = F.aggregate(
         F.zip_with(F.col("codes"), q_arr, lambda c, q: (c - q) * (c - q)),
@@ -522,10 +549,18 @@ def ivfsq_topk_versioned(
         nprobe = recommended_nprobe(codebook_num_cells(ivf_codebook))
     if "level" in ivf_codebook.columns:
         ivf_codebook = ivf_codebook.filter(F.col("level") == "fine")
+    from img2dataset_spark.operators.similarity import (
+        _collect_flat_codebook,
+        static_prune_cells,
+    )
+
     probed = probe_cells(ivf_codebook, query_df, nprobe, probe_metric)
-    probed_cells = probed.select("cell")
-    pruned = index_df.join(F.broadcast(probed_cells), "cell")
-    qrow = query_df.select("query_vec").collect()
+    # bounded probe rows (job-free for flat codebooks); the probed
+    # cells prune both the index scan and the override read as STATIC
+    # IN-lists — planning-time partition pruning (r14)
+    _pcell_ids = [int(c) for c, _ in _collect_flat_codebook(probed)]
+    pruned = static_prune_cells(index_df, _pcell_ids)
+    qrow = _collect_query_rows(query_df, ("query_vec",))
     if len(qrow) != 1:
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     qvec = np.asarray(
@@ -537,7 +572,7 @@ def ivfsq_topk_versioned(
     # (broadcast semi-join — never the whole override relation);
     # expected_dim rejects a mismatched-dimensionality override fit
     probed_bounds = _collect_cell_bounds(
-        overrides.join(F.broadcast(probed_cells), "cell"), expected_dim=d
+        overrides.filter(F.col("cell").isin(_pcell_ids)), expected_dim=d
     )
     dist = None
     for cell in sorted(probed_bounds):
@@ -599,8 +634,10 @@ def ivfsq_multi_topk_versioned(
         _QUANT,
         codebook_num_cells,
         collect_dense_qids,
+        flat_multi_probe_pairs,
         multi_probe_cells,
         recommended_nprobe,
+        static_prune_cells,
     )
 
     if probe_metric is None:
@@ -625,13 +662,30 @@ def ivfsq_multi_topk_versioned(
             [int(v) for v in np.floor(q * _QUANT + 0.5).astype(np.int64)]
         )
     q2d = F.lit(Q2d)
-    probed = multi_probe_cells(
+    # flat codebooks: driver-ranked probe pairs + STATIC IN-list prune
+    # (planning-time partition pruning); hierarchical: distributed
+    # probe, broadcast join only (r14)
+    pairs = flat_multi_probe_pairs(
         ivf_codebook, queries_df, nprobe, probe_metric, qid_col
     )
-    pruned = index_df.join(F.broadcast(probed), "cell")
-    pcells_df = probed.select("cell").distinct()
+    if pairs is not None:
+        probed = ivf_codebook.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} bigint, cell bigint"
+        )
+        pre = static_prune_cells(index_df, (c for _, c in pairs))
+        _pcell_ids = sorted({int(c) for _, c in pairs})
+    else:
+        probed = multi_probe_cells(
+            ivf_codebook, queries_df, nprobe, probe_metric, qid_col
+        )
+        pre = index_df
+        _pcell_ids = sorted(
+            int(r["cell"])
+            for r in probed.select("cell").distinct().collect()
+        )
+    pruned = pre.join(F.broadcast(probed), "cell")
     probed_bounds = _collect_cell_bounds(
-        overrides.join(F.broadcast(pcells_df), "cell"), expected_dim=d
+        overrides.filter(F.col("cell").isin(_pcell_ids)), expected_dim=d
     )
     # plan literals: the shared q·d quantized-query table plus 2d
     # bounds doubles per CASE branch (override cells + the global

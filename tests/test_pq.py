@@ -468,17 +468,24 @@ def test_residual_vectors_codebook_hole_fails_loudly(spark, emb):
         monkeypatch.undo()
 
 
-def test_ivfpq_fitted_roundtrip_plan_dynamic_prunes(spark):
-    """The persisted-index registry row (r10): the search over the
-    parquet-roundtripped cell-partitioned index must partition-prune at
-    runtime — the probed-cell broadcast becomes a
-    dynamicpruningexpression on the scan's PartitionFilters, so a 100 TB
-    index reads nprobe cells' code files, not the corpus."""
+def test_ivfpq_fitted_roundtrip_plan_static_prunes(spark):
+    """The persisted-index registry row (r10, tightened r14): the
+    search over the parquet-roundtripped cell-partitioned index must
+    partition-prune — since r14 the probed cells are driver-known
+    (flat probe ranking is local), so the scan carries a STATIC
+    ``cell IN (...)`` PartitionFilter resolved at PLANNING time — no
+    runtime DPP subquery, no broadcast join at all; a 100 TB index
+    reads nprobe cells' code files, not the corpus."""
+    import re
+
     from img2dataset_spark.queries import q_ivfpq_fitted_roundtrip
 
     df = q_ivfpq_fitted_roundtrip(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruningexpression" in plan.lower(), plan
+    low = plan.lower()
+    assert re.search(r"partitionfilters: \[[^]]*cell[^]]* in \(", low), plan
+    # the probe side is gone from the plan entirely: no join remains
+    assert "join" not in low, plan
     assert df.count() == 10
 
 
