@@ -190,6 +190,7 @@ def pq_refit_cells(
     id_col: str = "vec_id",
     dim: int = 64,
     residual: bool = False,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Fit PER-CELL PQ codebooks for the drift-flagged cells only —
     the selective-refit actuator for :func:`occupancy_drift`'s
@@ -233,11 +234,14 @@ def pq_refit_cells(
 
     sub_dim = _check_geometry(dim, num_subspaces)
     flagged = flagged_cells.select("cell").distinct()
+    # `assigned` (r14): a pre-computed ivf_assign(df, ivf_codebook)
+    # frame to reuse — the composites assign once and feed indexing,
+    # occupancy, refit and re-encode from the same persisted pass
     if residual:
-        assigned = residual_vectors(df, ivf_codebook, vec_col, id_col).select(
-            "cell", F.col(id_col), F.col("rvec").alias("v")
-        )
-    else:
+        assigned = residual_vectors(
+            df, ivf_codebook, vec_col, id_col, assigned=assigned
+        ).select("cell", F.col(id_col), F.col("rvec").alias("v"))
+    elif assigned is None:
         assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
     rows = assigned.join(F.broadcast(flagged), "cell").select(
         "cell", F.col(id_col).alias("_id"), "v"
@@ -278,6 +282,7 @@ def pq_reencode_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     residual: bool = False,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, codes) for the override cells only — each row encoded
     with ITS cell's refit codebook (nearest refit centroid per
@@ -307,11 +312,13 @@ def pq_reencode_cells(
     cells_df = spark.createDataFrame(
         [(int(c),) for c in sorted(books)], "cell bigint"
     )
+    # `assigned` (r14): reuse a pre-computed assignment pass, see
+    # pq_refit_cells
     if residual:
-        assigned = residual_vectors(df, ivf_codebook, vec_col, id_col).select(
-            F.col(id_col), "cell", F.col("rvec").alias("v")
-        )
-    else:
+        assigned = residual_vectors(
+            df, ivf_codebook, vec_col, id_col, assigned=assigned
+        ).select(F.col(id_col), "cell", F.col("rvec").alias("v"))
+    elif assigned is None:
         assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
     rows = assigned.join(F.broadcast(cells_df), "cell")
 
@@ -596,6 +603,7 @@ def sq_refit_cells(
     flagged_cells: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Fit PER-CELL SQ8 [lo, hi] bounds for the drift-flagged cells
     only — the SQ analog of :func:`pq_refit_cells`, closing the r12
@@ -618,7 +626,10 @@ def sq_refit_cells(
     from img2dataset_spark.operators.similarity import ivf_assign
 
     flagged = flagged_cells.select("cell").distinct()
-    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    # `assigned` (r14): reuse a pre-computed assignment pass, see
+    # pq_refit_cells
+    if assigned is None:
+        assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
     rows = assigned.join(F.broadcast(flagged), "cell")
     return (
         rows.select("cell", F.posexplode(F.col("v")).alias("_p", "_x"))
@@ -633,6 +644,7 @@ def sq_reencode_cells(
     overrides: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, codes) for the override cells only — each row
     byte-encoded with ITS cell's refit bounds (the sq_encode expression
@@ -657,7 +669,10 @@ def sq_reencode_cells(
     cells_df = spark.createDataFrame(
         [(int(c),) for c in sorted(cell_bounds)], "cell bigint"
     )
-    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    # `assigned` (r14): reuse a pre-computed assignment pass, see
+    # pq_refit_cells
+    if assigned is None:
+        assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
     rows = assigned.join(F.broadcast(cells_df), "cell")
     codes = None
     for cell in sorted(cell_bounds):

@@ -534,16 +534,27 @@ def residual_vectors(
     ivf_codebook: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, rvec) — each vector minus its coarse cell's centroid,
     the residual that real IVF+PQ quantizes (residuals cluster tightly
     around 0, so the same code budget buys far finer resolution than
     coding raw vectors).  Assignment dispatches through ivf_assign;
     the subtraction is a broadcast join + zip_with — pure codegen, no
-    UDF beyond the assignment pass itself."""
+    UDF beyond the assignment pass itself.
+
+    ``assigned`` (r14): a pre-computed ``ivf_assign(df, ivf_codebook)``
+    frame — (id, v, cell) — to reuse instead of re-running the
+    assignment pass; composites that assign once and persist feed the
+    same tagged frame to indexing, occupancy and refit (identical
+    output, the pass just runs once)."""
     from img2dataset_spark.operators.similarity import ivf_assign
 
-    tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    tagged = (
+        assigned
+        if assigned is not None
+        else ivf_assign(df, ivf_codebook, vec_col, id_col)
+    )
     cents = ivf_codebook
     if "level" in cents.columns:
         cents = cents.filter(F.col("level") == "fine")
@@ -605,6 +616,7 @@ def ivfpq_index(
     id_col: str = "vec_id",
     residual: bool = False,
     packed: bool = False,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, codes) — the FAISS-style IVF+PQ index row: coarse IVF
     cell for pruning plus the PQ code word for the ADC scan.  ONE pass
@@ -623,16 +635,26 @@ def ivfpq_index(
     With ``residual=True`` (pair with :func:`ivfpq_fit`) the codes
     quantize v − centroid[cell] instead of v — the standard IVFPQ
     accuracy upgrade; the search side must then also pass
-    ``residual=True`` so its ADC tables are per-probed-cell."""
+    ``residual=True`` so its ADC tables are per-probed-cell.
+
+    ``assigned`` (r14): a pre-computed ``ivf_assign(df, ivf_codebook)``
+    frame to reuse — composites that assign once and persist skip this
+    function's own assignment pass (identical output)."""
     from img2dataset_spark.operators.similarity import ivf_assign
 
     if residual:
-        res = residual_vectors(df, ivf_codebook, vec_col, id_col)
+        res = residual_vectors(
+            df, ivf_codebook, vec_col, id_col, assigned=assigned
+        )
         return pq_encode(
             res, pq_codebook, vec_col="rvec", id_col=id_col,
             keep_cols=("cell",), packed=packed,
         )
-    tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    tagged = (
+        assigned
+        if assigned is not None
+        else ivf_assign(df, ivf_codebook, vec_col, id_col)
+    )
     return pq_encode(
         tagged, pq_codebook, vec_col="v", id_col=id_col,
         keep_cols=("cell",), packed=packed,

@@ -96,13 +96,14 @@ def recall_ledger(
     "cosine" and selects the exact ground-truth search.  Exact and
     approximate top-k run as ordinary distributed jobs per probe;
     recall math happens on 2·k ids per (family, probe)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from img2dataset_spark.operators.similarity import cosine_topk
 
     spark = df.sparkSession
     probes = sample_query_vectors(df, num_queries, vec_col, id_col)
     if not probes:
         raise ValueError("recall_ledger: empty corpus")
-    exact_ids: dict[str, list[set]] = {}
 
     def _qdf(vec: Sequence[float]) -> DataFrame:
         return spark.createDataFrame([(list(vec),)],
@@ -111,21 +112,48 @@ def recall_ledger(
     for metric in {m for _, m in families.values()}:
         if metric not in ("l2", "cosine"):
             raise ValueError(f"unknown metric {metric!r}")
+
+    # Every (metric, probe) exact search and every (family, probe)
+    # approximate search is an INDEPENDENT bounded job — run them
+    # overlapped from a small thread pool (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially; FIFO
+    # scheduling back-fills each job's task tail with the next job's
+    # tasks).  Results land in pre-indexed slots, so the emitted
+    # relation is byte-identical to the sequential loop's (r14).
+    def _exact(metric: str, v):
         fn = exact_l2_topk if metric == "l2" else cosine_topk
-        exact_ids[metric] = [
-            {r[0] for r in fn(df, _qdf(v), k=k,
-                              vec_col=vec_col, id_col=id_col).collect()}
-            for _, v in probes
-        ]
-    out = []
-    for name, (searcher, metric) in families.items():
-        recalls = []
-        for i, (_, v) in enumerate(probes):
-            got = {r[0] for r in searcher(_qdf(v)).collect()}
-            recalls.append(len(got & exact_ids[metric][i]) / k)
-        out.append((name, k, len(probes),
-                    round(sum(recalls) / len(recalls), 6),
-                    round(min(recalls), 6)))
+        return {r[0] for r in fn(df, _qdf(v), k=k, vec_col=vec_col,
+                                 id_col=id_col).collect()}
+
+    def _approx(searcher, v):
+        return {r[0] for r in searcher(_qdf(v)).collect()}
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        exact_futs = {
+            (metric, i): pool.submit(_exact, metric, v)
+            for metric in {m for _, m in families.values()}
+            for i, (_, v) in enumerate(probes)
+        }
+        approx_futs = {
+            (name, i): pool.submit(_approx, searcher, v)
+            for name, (searcher, _) in families.items()
+            for i, (_, v) in enumerate(probes)
+        }
+        exact_ids = {
+            metric: [exact_futs[(metric, i)].result()
+                     for i in range(len(probes))]
+            for metric in {m for _, m in families.values()}
+        }
+        out = []
+        for name, (_, metric) in families.items():
+            recalls = [
+                len(approx_futs[(name, i)].result()
+                    & exact_ids[metric][i]) / k
+                for i in range(len(probes))
+            ]
+            out.append((name, k, len(probes),
+                        round(sum(recalls) / len(recalls), 6),
+                        round(min(recalls), 6)))
     return spark.createDataFrame(
         out,
         "family string, k long, num_queries long, "
@@ -338,10 +366,16 @@ def refit_recall_ledger(
     spark = df.sparkSession
     ivf_cb = ivf_fit(base_df, num_cells=num_cells, iters=iters,
                      vec_col=vec_col, id_col=id_col)
+    # assign ONCE per side (r14): the corpus assignment feeds both
+    # indexes, both refits, both re-encodes (and the SQ family), the
+    # base assignment feeds the drift flags and the residual book fit —
+    # previously each stage re-ran its own Arrow assignment pass
+    tagged = ivf_assign(df, ivf_cb, vec_col, id_col).persist()
+    btagged = ivf_assign(base_df, ivf_cb, vec_col, id_col).persist()
     flagged = (
         occupancy_drift(
-            index_occupancy(ivf_assign(base_df, ivf_cb, vec_col, id_col)),
-            index_occupancy(ivf_assign(df, ivf_cb, vec_col, id_col)),
+            index_occupancy(btagged),
+            index_occupancy(tagged),
             threshold=threshold,
         )
         .filter(F.col("retrain"))
@@ -351,13 +385,14 @@ def refit_recall_ledger(
     empty_ovr = spark.createDataFrame(
         [], "cell long, subspace long, code long, centroid array<double>"
     )
-    cached = [flagged]
+    cached = [flagged, tagged, btagged]
     families = {}
     for residual in (False, True):
         name = "versioned_residual" if residual else "versioned_raw"
         if residual:
             book = pq_fit(
-                residual_vectors(base_df, ivf_cb, vec_col, id_col),
+                residual_vectors(base_df, ivf_cb, vec_col, id_col,
+                                 assigned=btagged),
                 num_subspaces=pq_subspaces, num_codes=pq_codes,
                 iters=iters, vec_col="rvec", id_col=id_col, dim=dim,
             )
@@ -366,18 +401,20 @@ def refit_recall_ledger(
                           num_codes=pq_codes, iters=iters,
                           vec_col=vec_col, id_col=id_col, dim=dim)
         idx = ivfpq_index(df, ivf_cb, book, vec_col=vec_col,
-                          id_col=id_col, residual=residual).persist()
+                          id_col=id_col, residual=residual,
+                          assigned=tagged).persist()
         ovr = pq_refit_cells(df, ivf_cb, flagged,
                              num_subspaces=pq_subspaces,
                              num_codes=pq_codes, iters=iters,
                              vec_col=vec_col, id_col=id_col, dim=dim,
-                             residual=residual).persist()
+                             residual=residual, assigned=tagged).persist()
         mixed = (
             idx.join(F.broadcast(flagged), "cell", "left_anti")
             .select(F.col(id_col), "cell", "codes")
             .unionByName(
                 pq_reencode_cells(df, ivf_cb, ovr, vec_col=vec_col,
-                                  id_col=id_col, residual=residual)
+                                  id_col=id_col, residual=residual,
+                                  assigned=tagged)
                 .select(F.col(id_col), "cell", "codes")
             )
             .persist()
@@ -430,15 +467,15 @@ def refit_recall_ledger(
 
         bounds = sq_fit(base_df, vec_col=vec_col)
         sq_idx = ivfsq_index(df, ivf_cb, bounds, vec_col=vec_col,
-                             id_col=id_col).persist()
+                             id_col=id_col, assigned=tagged).persist()
         sq_ovr = sq_refit_cells(df, ivf_cb, flagged, vec_col=vec_col,
-                                id_col=id_col).persist()
+                                id_col=id_col, assigned=tagged).persist()
         sq_mixed = (
             sq_idx.join(F.broadcast(flagged), "cell", "left_anti")
             .select(F.col(id_col), "cell", "codes")
             .unionByName(
                 sq_reencode_cells(df, ivf_cb, sq_ovr, vec_col=vec_col,
-                                  id_col=id_col)
+                                  id_col=id_col, assigned=tagged)
                 .select(F.col(id_col), "cell", "codes")
             )
             .persist()

@@ -220,6 +220,7 @@ def ivfsq_index(
     bounds: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell, codes) — the FAISS IVF+SQ index row (IndexIVFScalarQuantizer):
     coarse IVF cell for pruning plus the SQ8 byte codes.  ONE pass:
@@ -232,7 +233,13 @@ def ivfsq_index(
     from img2dataset_spark.operators.similarity import ivf_assign
 
     lo, hi = _collect_bounds(bounds)
-    tagged = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    # `assigned` (r14): reuse a pre-computed assignment pass, see
+    # maintain.pq_refit_cells
+    tagged = (
+        assigned
+        if assigned is not None
+        else ivf_assign(df, ivf_codebook, vec_col, id_col)
+    )
     return tagged.select(
         F.col(id_col),
         "cell",

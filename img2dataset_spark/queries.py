@@ -1553,6 +1553,160 @@ def q_ann_occupancy_drift(spark, sf_dir):
     )
 
 
+
+def _assigned_once(e, ivf_cb):
+    """ivf_assign(e, ivf_cb) computed ONCE, persisted and materialized,
+    plus its 70% base slice (r14 optimization): the refit composites
+    previously re-ran the same Arrow assignment pass five times per
+    query (index build, base occupancy, new occupancy, per-cell refit,
+    re-encode); every stage now reuses one persisted tagged frame via
+    the operators' ``assigned=`` parameter — identical relations, one
+    pass.  The eager count pins the cache before concurrent stages
+    race to materialize it."""
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    tagged = ivf_assign(e, ivf_cb).persist()
+    tagged.count()
+    return tagged, tagged.filter(F.col("vec_id") % 10 < 7)
+
+
+def _drift_flagged(base_tagged, tagged, threshold=1.02):
+    """occupancy_drift's retrain flags over the shared assigned frame
+    — identical to flagging from two independent ivf_assign passes
+    (the slice relation is the same)."""
+    from img2dataset_spark.operators.maintain import (
+        index_occupancy,
+        occupancy_drift,
+    )
+
+    return (
+        occupancy_drift(
+            index_occupancy(base_tagged),
+            index_occupancy(tagged),
+            threshold=threshold,
+        )
+        .filter(F.col("retrain"))
+        .select("cell")
+    )
+
+
+def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
+    """The shared selective-refit pipeline of the ivfpq_refit_* family
+    (books frozen on the 70% base slice, full corpus indexed
+    cell-partitioned, drift flags at 1.02, flagged cells' books refit
+    per cell, their rows re-encoded, their directories rewritten) —
+    restructured r14 for wall-clock, output-identical:
+
+    - ONE persisted assignment pass feeds indexing, both occupancy
+      sides, the refit and the re-encode (``assigned=``);
+    - the index write and the override write are INDEPENDENT jobs and
+      run overlapped from a 2-thread pool (guide §2.6 — FIFO
+      scheduling back-fills the tail of one job with the other's
+      tasks; at lower core counts they simply serialize).
+
+    Returns (e, ivf_cb, pq_cb, ovr_rd, idx_rd)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from img2dataset_spark.operators.maintain import (
+        pq_reencode_cells,
+        pq_refit_cells,
+        rewrite_index_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        ivfpq_index,
+        pq_fit,
+        residual_vectors,
+    )
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    tagged, base_tagged = _assigned_once(e, ivf_cb)
+    if residual:
+        pq_cb = pq_fit(
+            residual_vectors(base, ivf_cb, assigned=base_tagged),
+            num_subspaces=2, num_codes=4, iters=2, vec_col="rvec",
+        )
+    else:
+        pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+    tmp = _scratch_dir(prefix)
+    flagged = _drift_flagged(base_tagged, tagged)
+    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=2, residual=residual,
+                         assigned=tagged)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(
+            lambda: ivfpq_index(
+                e, ivf_cb, pq_cb, residual=residual, assigned=tagged
+            ).write.partitionBy("cell").parquet(f"{tmp}/index")
+        )
+        fo = pool.submit(lambda: ovr.write.parquet(f"{tmp}/overrides"))
+        fi.result()
+        fo.result()
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    # flagged can be empty on a drift-free corpus: skip the reencode/
+    # rewrite (which raise on empty overrides) and search all-global —
+    # the versioned searcher treats empty overrides as version-0
+    # everywhere (r13 advice; mirrors bench.py's artifact builder)
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=residual,
+                              assigned=tagged),
+            f"{tmp}/index",
+        )
+    tagged.unpersist()
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return e, ivf_cb, pq_cb, ovr_rd, idx_rd
+
+
+def _refit_sq_artifacts(spark, sf_dir, prefix):
+    """The SQ twin of :func:`_refit_pq_artifacts` (global bounds frozen
+    on the base slice, byte index cell-partitioned, drift flags,
+    per-cell bounds refit, flagged rows re-encoded, directories
+    rewritten) — same r14 restructure: one persisted assignment pass +
+    overlapped index/override writes.  Returns
+    (e, ivf_cb, bounds, ovr_rd, idx_rd)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from img2dataset_spark.operators.maintain import (
+        rewrite_index_cells,
+        sq_reencode_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.operators.sq import ivfsq_index, sq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+    bounds = sq_fit(base)
+    tagged, base_tagged = _assigned_once(e, ivf_cb)
+    tmp = _scratch_dir(prefix)
+    flagged = _drift_flagged(base_tagged, tagged)
+    ovr = sq_refit_cells(e, ivf_cb, flagged, assigned=tagged)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(
+            lambda: ivfsq_index(
+                e, ivf_cb, bounds, assigned=tagged
+            ).write.partitionBy("cell").parquet(f"{tmp}/index")
+        )
+        fo = pool.submit(lambda: ovr.write.parquet(f"{tmp}/overrides"))
+        fi.result()
+        fo.result()
+    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+    # flagged can be empty on a drift-free corpus (r13 advice) — see
+    # _refit_pq_artifacts
+    if ovr_rd.limit(1).count() > 0:
+        rewrite_index_cells(
+            sq_reencode_cells(e, ivf_cb, ovr_rd, assigned=tagged),
+            f"{tmp}/index",
+        )
+    tagged.unpersist()
+    idx_rd = spark.read.parquet(f"{tmp}/index")
+    return e, ivf_cb, bounds, ovr_rd, idx_rd
+
+
 def q_ivfpq_refit_versioned(spark, sf_dir):
     """The CLOSED maintenance loop end-to-end (operators/maintain.py,
     r10 verdict item 1): the meter's retrain flag now drives an
@@ -1573,48 +1727,11 @@ def q_ivfpq_refit_versioned(spark, sf_dir):
     assignment/means CTEs) and the drift flags.  nprobe=4 so the
     probe straddles flagged and unflagged cells (both CASE branches
     land in the hashed result).  Scratch dir atexit-swept."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        pq_reencode_cells,
-        pq_refit_cells,
-        rewrite_index_cells,
-    )
-    from img2dataset_spark.operators.pq import (
-        ivfpq_index,
-        ivfpq_topk_versioned,
-        pq_fit,
-    )
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.pq import ivfpq_topk_versioned
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
-    tmp = _scratch_dir("graft_ivfpq_refit_")
-    ivfpq_index(e, ivf_cb, pq_cb).write.partitionBy("cell").parquet(
-        f"{tmp}/index"
+    e, ivf_cb, pq_cb, ovr_rd, idx_rd = _refit_pq_artifacts(
+        spark, sf_dir, "graft_ivfpq_refit_", residual=False
     )
-    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
-    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
-    flagged = (
-        occupancy_drift(base_occ, new_occ, threshold=1.02)
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
-                         num_codes=4, iters=2)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfpq_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd,
                                 _query_vec(spark, sf_dir), k=10, nprobe=4)
 
@@ -1632,45 +1749,11 @@ def q_ivfpq_refit_distortion(spark, sf_dir):
     vectors and centroids, per-cell integer sums, one division —
     order-independent, so the SQL twin (shared refit CTEs + per-row
     reconstruction joins) strict-compares."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        pq_distortion_ledger,
-        pq_reencode_cells,
-        pq_refit_cells,
-        rewrite_index_cells,
-    )
-    from img2dataset_spark.operators.pq import ivfpq_index, pq_fit
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.maintain import pq_distortion_ledger
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
-    tmp = _scratch_dir("graft_ivfpq_dist_")
-    ivfpq_index(e, ivf_cb, pq_cb).write.partitionBy("cell").parquet(
-        f"{tmp}/index"
+    e, ivf_cb, pq_cb, ovr_rd, idx_rd = _refit_pq_artifacts(
+        spark, sf_dir, "graft_ivfpq_dist_", residual=False
     )
-    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
-    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
-    flagged = (
-        occupancy_drift(base_occ, new_occ, threshold=1.02)
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
-                         num_codes=4, iters=2)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            pq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     return pq_distortion_ledger(e, idx_rd, pq_cb, ovr_rd).select(
         F.col("cell").cast("long").alias("cell"), "n", "mse"
     )
@@ -1694,51 +1777,11 @@ def q_ivfpq_refit_residual(spark, sf_dir):
     SQL twin recomputes the per-cell residual Lloyds and the
     per-probed-cell query residual tables relationally.  nprobe=4
     straddles flagged and unflagged cells."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        pq_reencode_cells,
-        pq_refit_cells,
-        rewrite_index_cells,
-    )
-    from img2dataset_spark.operators.pq import (
-        ivfpq_index,
-        ivfpq_topk_versioned,
-        pq_fit,
-        residual_vectors,
-    )
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.pq import ivfpq_topk_versioned
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
-                   num_codes=4, iters=2, vec_col="rvec")
-    tmp = _scratch_dir("graft_ivfpq_refit_res_")
-    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
-        "cell"
-    ).parquet(f"{tmp}/index")
-    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
-    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
-    flagged = (
-        occupancy_drift(base_occ, new_occ, threshold=1.02)
-        .filter(F.col("retrain"))
-        .select("cell")
+    e, ivf_cb, pq_cb, ovr_rd, idx_rd = _refit_pq_artifacts(
+        spark, sf_dir, "graft_ivfpq_refit_res_", residual=True
     )
-    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
-                         num_codes=4, iters=2, residual=True)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
-            f"{tmp}/index",
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfpq_topk_versioned(idx_rd, ivf_cb, pq_cb, ovr_rd,
                                 _query_vec(spark, sf_dir), k=10, nprobe=4,
                                 residual=True)
@@ -1754,57 +1797,12 @@ def q_ivfpq_refit_residual_multi(spark, sf_dir):
     (ivfpq_refit_residual and ivfpq_multi_topk hold the driver slots);
     the SQL twin recomputes the per-cell residual Lloyds and the
     (qid, pcell)-keyed tables relationally."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        pq_reencode_cells,
-        pq_refit_cells,
-        rewrite_index_cells,
-    )
-    from img2dataset_spark.operators.pq import (
-        ivfpq_index,
-        ivfpq_multi_topk_versioned,
-        pq_fit,
-        residual_vectors,
-    )
-    from img2dataset_spark.operators.similarity import (
-        _as_double,
-        ivf_assign,
-        ivf_fit,
-    )
+    from img2dataset_spark.operators.pq import ivfpq_multi_topk_versioned
+    from img2dataset_spark.operators.similarity import _as_double
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
-                   num_codes=4, iters=2, vec_col="rvec")
-    tmp = _scratch_dir("graft_ivfpq_refit_resm_")
-    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
-        "cell"
-    ).parquet(f"{tmp}/index")
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
+    e, ivf_cb, pq_cb, ovr_rd, idx_rd = _refit_pq_artifacts(
+        spark, sf_dir, "graft_ivfpq_refit_resm_", residual=True
     )
-    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
-                         num_codes=4, iters=2, residual=True)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
-            f"{tmp}/index",
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
         _as_double(F.col("embedding")).alias("query_vec"),
@@ -1833,49 +1831,11 @@ def q_ivfpq_refit_refine(spark, sf_dir):
     sf0.001/0.01, occ 200 -> rf 16 at sf0.1); the SQL twin computes
     the same rf RELATIONALLY from COUNT(*) as a row_number cut over
     the versioned union, then re-ranks by round6 cosine."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        pq_reencode_cells,
-        pq_refit_cells,
-        rewrite_index_cells,
-    )
-    from img2dataset_spark.operators.pq import (
-        ivfpq_index,
-        ivfpq_refine_topk_versioned,
-        pq_fit,
-        residual_vectors,
-    )
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.pq import ivfpq_refine_topk_versioned
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
-                   num_codes=4, iters=2, vec_col="rvec")
-    tmp = _scratch_dir("graft_ivfpq_refit_ref_")
-    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
-        "cell"
-    ).parquet(f"{tmp}/index")
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
+    e, ivf_cb, pq_cb, ovr_rd, idx_rd = _refit_pq_artifacts(
+        spark, sf_dir, "graft_ivfpq_refit_ref_", residual=True
     )
-    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
-                         num_codes=4, iters=2, residual=True)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
-            f"{tmp}/index",
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfpq_refine_topk_versioned(
         idx_rd, ivf_cb, pq_cb, ovr_rd, e, _query_vec(spark, sf_dir),
         k=10, nprobe=4, refine_factor=None, residual=True,
@@ -1893,53 +1853,12 @@ def q_ivfpq_refit_refine_multi(spark, sf_dir):
     a static rk cut.  EXTRA from birth (ivfpq_refit_refine holds the
     driver slot; the screen machinery is ivfpq_refit_residual_multi's,
     oracle-pinned r12)."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        pq_reencode_cells,
-        pq_refit_cells,
-        rewrite_index_cells,
-    )
-    from img2dataset_spark.operators.pq import (
-        ivfpq_index,
-        ivfpq_multi_refine_topk,
-        pq_fit,
-        residual_vectors,
-    )
-    from img2dataset_spark.operators.similarity import (
-        _as_double,
-        ivf_assign,
-        ivf_fit,
-    )
+    from img2dataset_spark.operators.pq import ivfpq_multi_refine_topk
+    from img2dataset_spark.operators.similarity import _as_double
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    pq_cb = pq_fit(residual_vectors(base, ivf_cb), num_subspaces=2,
-                   num_codes=4, iters=2, vec_col="rvec")
-    tmp = _scratch_dir("graft_ivfpq_refit_refm_")
-    ivfpq_index(e, ivf_cb, pq_cb, residual=True).write.partitionBy(
-        "cell"
-    ).parquet(f"{tmp}/index")
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
+    e, ivf_cb, pq_cb, ovr_rd, idx_rd = _refit_pq_artifacts(
+        spark, sf_dir, "graft_ivfpq_refit_refm_", residual=True
     )
-    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
-                         num_codes=4, iters=2, residual=True)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=True),
-            f"{tmp}/index",
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
         _as_double(F.col("embedding")).alias("query_vec"),
@@ -2189,47 +2108,11 @@ def q_ivfsq_refit_versioned(spark, sf_dir):
     both encode variants, and the same floor-quantized reconstruction
     sum.  nprobe=4 straddles flagged and unflagged cells (both CASE
     branches land in the hashed result).  Scratch dir atexit-swept."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        rewrite_index_cells,
-        sq_reencode_cells,
-        sq_refit_cells,
-    )
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
-    from img2dataset_spark.operators.sq import (
-        ivfsq_index,
-        ivfsq_topk_versioned,
-        sq_fit,
-    )
+    from img2dataset_spark.operators.sq import ivfsq_topk_versioned
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    bounds = sq_fit(base)
-    tmp = _scratch_dir("graft_ivfsq_refit_")
-    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
-        f"{tmp}/index"
+    e, ivf_cb, bounds, ovr_rd, idx_rd = _refit_sq_artifacts(
+        spark, sf_dir, "graft_ivfsq_refit_"
     )
-    base_occ = index_occupancy(ivf_assign(base, ivf_cb))
-    new_occ = index_occupancy(ivf_assign(e, ivf_cb))
-    flagged = (
-        occupancy_drift(base_occ, new_occ, threshold=1.02)
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = sq_refit_cells(e, ivf_cb, flagged)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfsq_topk_versioned(idx_rd, ivf_cb, bounds, ovr_rd,
                                 _query_vec(spark, sf_dir), k=10, nprobe=4)
 
@@ -2244,53 +2127,12 @@ def q_ivfsq_refit_versioned_multi(spark, sf_dir):
     distance, one window top-10 per qid.  EXTRA from birth
     (ivfsq_refit_versioned holds the driver slot); the SQL twin is its
     twin with per-qid probe and query CTEs."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        rewrite_index_cells,
-        sq_reencode_cells,
-        sq_refit_cells,
-    )
-    from img2dataset_spark.operators.similarity import (
-        _as_double,
-        ivf_assign,
-        ivf_fit,
-    )
-    from img2dataset_spark.operators.sq import (
-        ivfsq_index,
-        ivfsq_multi_topk_versioned,
-        sq_fit,
-    )
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import ivfsq_multi_topk_versioned
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    bounds = sq_fit(base)
-    tmp = _scratch_dir("graft_ivfsq_refit_m_")
-    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
-        f"{tmp}/index"
+    e, ivf_cb, bounds, ovr_rd, idx_rd = _refit_sq_artifacts(
+        spark, sf_dir, "graft_ivfsq_refit_m_"
     )
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = sq_refit_cells(e, ivf_cb, flagged)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
         _as_double(F.col("embedding")).alias("query_vec"),
@@ -2308,49 +2150,12 @@ def q_ivfsq_refit_refine_multi(spark, sf_dir):
     each, then ONE exact round6-cosine vector pass re-ranks every
     query's candidates.  EXTRA from birth (ivfpq_refit_refine and
     ivfsq_refit_versioned hold the driver slots)."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        rewrite_index_cells,
-        sq_reencode_cells,
-        sq_refit_cells,
-    )
-    from img2dataset_spark.operators.similarity import (
-        _as_double,
-        ivf_assign,
-        ivf_fit,
-    )
-    from img2dataset_spark.operators.sq import (
-        ivfsq_index,
-        ivfsq_multi_refine_topk,
-        sq_fit,
-    )
+    from img2dataset_spark.operators.similarity import _as_double
+    from img2dataset_spark.operators.sq import ivfsq_multi_refine_topk
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    bounds = sq_fit(base)
-    tmp = _scratch_dir("graft_ivfsq_refit_refm_")
-    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
-        f"{tmp}/index"
+    e, ivf_cb, bounds, ovr_rd, idx_rd = _refit_sq_artifacts(
+        spark, sf_dir, "graft_ivfsq_refit_refm_"
     )
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = sq_refit_cells(e, ivf_cb, flagged)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
         _as_double(F.col("embedding")).alias("query_vec"),
@@ -2376,46 +2181,11 @@ def q_ivfsq_refit_distortion(spark, sf_dir):
     strict-compares.  EXTRA from birth (ivfsq_refit_versioned holds
     the family's driver slot; ivfpq_refit_distortion holds the
     distortion pattern's r11 driver evidence)."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        rewrite_index_cells,
-        sq_distortion_ledger,
-        sq_reencode_cells,
-        sq_refit_cells,
-    )
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
-    from img2dataset_spark.operators.sq import ivfsq_index, sq_fit
+    from img2dataset_spark.operators.maintain import sq_distortion_ledger
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    bounds = sq_fit(base)
-    tmp = _scratch_dir("graft_ivfsq_dist_")
-    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
-        f"{tmp}/index"
+    e, ivf_cb, bounds, ovr_rd, idx_rd = _refit_sq_artifacts(
+        spark, sf_dir, "graft_ivfsq_dist_"
     )
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = sq_refit_cells(e, ivf_cb, flagged)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     return sq_distortion_ledger(e, idx_rd, bounds, ovr_rd).select(
         F.col("cell").cast("long").alias("cell"), "n", "mse"
     )
