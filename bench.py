@@ -166,8 +166,17 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     )
     ivf_cb = ivf_fit(e, num_cells=k_coarse, iters=2)
     ivf_cb.write.parquet(base + "/ivf_cb")
+    # assign ONCE per coarse codebook (r14): the read-back ivf_cb
+    # drives five index/maintenance builds below — share one persisted
+    # assignment pass via the operators' assigned= parameter
+    from img2dataset_spark.operators.similarity import ivf_assign
+
+    ivf_rd0 = spark.read.parquet(base + "/ivf_cb")
+    tagged_e = ivf_assign(e, ivf_rd0)
+    tagged_e = tagged_e.persist()
+    tagged_e.count()
     ivfpq_index(
-        e, spark.read.parquet(base + "/ivf_cb"), pq_cb_rd
+        e, ivf_rd0, pq_cb_rd, assigned=tagged_e
     ).write.partitionBy("cell").parquet(base + "/index")
     rivf_cb, rpq_cb = ivfpq_fit(
         e, num_cells=k_coarse, num_subspaces=8, num_codes=16, iters=2
@@ -210,16 +219,16 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     )
     from img2dataset_spark.operators.similarity import ivf_assign
 
-    ivf_rd = spark.read.parquet(base + "/ivf_cb")
+    ivf_rd = ivf_rd0
     pq_rd = spark.read.parquet(base + "/pq_cb")
-    ivfpq_index(e, ivf_rd, pq_rd).write.partitionBy("cell").parquet(
-        base + "/vindex"
-    )
-    vbase = e.filter(F.col("vec_id") % 10 < 7)
+    ivfpq_index(e, ivf_rd, pq_rd, assigned=tagged_e).write.partitionBy(
+        "cell"
+    ).parquet(base + "/vindex")
+    tagged_vbase = tagged_e.filter(F.col("vec_id") % 10 < 7)
     flagged = (
         occupancy_drift(
-            index_occupancy(ivf_assign(vbase, ivf_rd)),
-            index_occupancy(ivf_assign(e, ivf_rd)),
+            index_occupancy(tagged_vbase),
+            index_occupancy(tagged_e),
             threshold=1.02,
         )
         .filter(F.col("retrain"))
@@ -227,10 +236,12 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     )
     if flagged.limit(1).count() > 0:
         pq_refit_cells(e, ivf_rd, flagged, num_subspaces=8, num_codes=16,
-                       iters=2).write.parquet(base + "/overrides")
+                       iters=2, assigned=tagged_e).write.parquet(
+            base + "/overrides")
         rewrite_index_cells(
             pq_reencode_cells(e, ivf_rd,
-                              spark.read.parquet(base + "/overrides")),
+                              spark.read.parquet(base + "/overrides"),
+                              assigned=tagged_e),
             base + "/vindex",
         )
     else:
@@ -246,13 +257,16 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     # re-encoded, separate index dir (rewrite mutates partitions)
     rivf_rd = spark.read.parquet(base + "/rivf_cb")
     rpq_rd = spark.read.parquet(base + "/rpq_cb")
-    ivfpq_index(e, rivf_rd, rpq_rd, residual=True).write.partitionBy(
+    tagged_r = ivf_assign(e, rivf_rd).persist()
+    tagged_r.count()
+    ivfpq_index(e, rivf_rd, rpq_rd, residual=True,
+                assigned=tagged_r).write.partitionBy(
         "cell"
     ).parquet(base + "/rvindex")
     rflagged = (
         occupancy_drift(
-            index_occupancy(ivf_assign(vbase, rivf_rd)),
-            index_occupancy(ivf_assign(e, rivf_rd)),
+            index_occupancy(tagged_r.filter(F.col("vec_id") % 10 < 7)),
+            index_occupancy(tagged_r),
             threshold=1.02,
         )
         .filter(F.col("retrain"))
@@ -260,19 +274,21 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     )
     if rflagged.limit(1).count() > 0:
         pq_refit_cells(e, rivf_rd, rflagged, num_subspaces=8, num_codes=16,
-                       iters=2, residual=True).write.parquet(
+                       iters=2, residual=True,
+                       assigned=tagged_r).write.parquet(
             base + "/roverrides"
         )
         rewrite_index_cells(
             pq_reencode_cells(e, rivf_rd,
                               spark.read.parquet(base + "/roverrides"),
-                              residual=True),
+                              residual=True, assigned=tagged_r),
             base + "/rvindex",
         )
     else:
         spark.createDataFrame(
             [], "cell long, subspace long, code long, centroid array<double>"
         ).write.parquet(base + "/roverrides")
+    tagged_r.unpersist()
     # SQ-versioned artifacts (r13: the SQ half of the maintenance
     # loop): the same drift flags drive a per-cell BOUNDS refit —
     # separate index dir, flagged cells rewritten with their own
@@ -283,21 +299,25 @@ def _pq_fitted_artifacts(spark, sf_dir: str) -> str:
     )
 
     ivfsq_index(
-        e, ivf_rd, spark.read.parquet(base + "/sq_bounds")
+        e, ivf_rd, spark.read.parquet(base + "/sq_bounds"),
+        assigned=tagged_e
     ).write.partitionBy("cell").parquet(base + "/sq_vindex")
     if flagged.limit(1).count() > 0:
-        sq_refit_cells(e, ivf_rd, flagged).write.parquet(
+        sq_refit_cells(e, ivf_rd, flagged,
+                       assigned=tagged_e).write.parquet(
             base + "/sq_overrides"
         )
         rewrite_index_cells(
             sq_reencode_cells(e, ivf_rd,
-                              spark.read.parquet(base + "/sq_overrides")),
+                              spark.read.parquet(base + "/sq_overrides"),
+                              assigned=tagged_e),
             base + "/sq_vindex",
         )
     else:
         spark.createDataFrame(
             [], "cell long, dim int, lo double, hi double"
         ).write.parquet(base + "/sq_overrides")
+    tagged_e.unpersist()
     _PQ_ARTIFACTS[sf_dir] = base
     return base
 

@@ -652,11 +652,30 @@ def dedup_phash(
     )
 
     if data_col is not None:
+        from pyspark import StorageLevel
+
         from img2dataset_spark.functions.phash import make_phash_udf
 
-        df = df.withColumn(phash_col, make_phash_udf()(F.col(data_col)))
+        # Hash ONCE into a persisted (id, hash) projection (r14): the
+        # previous withColumn embedded the decode+DCT UDF subtree into
+        # every reference — the banded self-join alone references it on
+        # both sides plus the bucket-size scan, and the survivors
+        # anti-join re-decoded the corpus once more (~5 full decode
+        # passes per run).  The persisted frame is 8 bytes + id per
+        # row; the payload column is attached back by an id join (ids
+        # are unique by the dedup family's contract), so the UDF runs
+        # exactly once and the survivors scan prunes the payload UDF
+        # away entirely when the caller only selects (id, hash).
+        hashed = df.select(
+            F.col(id_col),
+            make_phash_udf()(F.col(data_col)).alias(phash_col),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        df = df.join(hashed, id_col)
+        pairs_src = hashed
+    else:
+        pairs_src = df
     pairs = hamming_pairs64(
-        df,
+        pairs_src,
         hash_col=phash_col,
         id_col=id_col,
         max_hamming=max_hamming,

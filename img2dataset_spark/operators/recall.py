@@ -372,6 +372,11 @@ def refit_recall_ledger(
     # previously each stage re-ran its own Arrow assignment pass
     tagged = ivf_assign(df, ivf_cb, vec_col, id_col).persist()
     btagged = ivf_assign(base_df, ivf_cb, vec_col, id_col).persist()
+    # eager materialization: the concurrent fits/searches below would
+    # otherwise thundering-herd the first computation of the shared
+    # cached pass
+    tagged.count()
+    btagged.count()
     flagged = (
         occupancy_drift(
             index_occupancy(btagged),
@@ -387,19 +392,30 @@ def refit_recall_ledger(
     )
     cached = [flagged, tagged, btagged]
     families = {}
-    for residual in (False, True):
-        name = "versioned_residual" if residual else "versioned_raw"
+
+    # The raw and residual book FITS are independent given (ivf_cb,
+    # btagged) — overlap their Lloyd jobs from a 2-thread pool (guide
+    # §2.6); the families dict below is still built in the fixed
+    # (raw, residual) order, so the emitted relation is unchanged (r14)
+    def _fit_book(residual: bool):
         if residual:
-            book = pq_fit(
+            return pq_fit(
                 residual_vectors(base_df, ivf_cb, vec_col, id_col,
                                  assigned=btagged),
                 num_subspaces=pq_subspaces, num_codes=pq_codes,
                 iters=iters, vec_col="rvec", id_col=id_col, dim=dim,
             )
-        else:
-            book = pq_fit(base_df, num_subspaces=pq_subspaces,
-                          num_codes=pq_codes, iters=iters,
-                          vec_col=vec_col, id_col=id_col, dim=dim)
+        return pq_fit(base_df, num_subspaces=pq_subspaces,
+                      num_codes=pq_codes, iters=iters,
+                      vec_col=vec_col, id_col=id_col, dim=dim)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _books = {r: _pool.submit(_fit_book, r) for r in (False, True)}
+    for residual in (False, True):
+        name = "versioned_residual" if residual else "versioned_raw"
+        book = _books[residual].result()
         idx = ivfpq_index(df, ivf_cb, book, vec_col=vec_col,
                           id_col=id_col, residual=residual,
                           assigned=tagged).persist()
