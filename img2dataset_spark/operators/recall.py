@@ -105,9 +105,14 @@ def recall_ledger(
     if not probes:
         raise ValueError("recall_ledger: empty corpus")
 
+    from img2dataset_spark.operators.similarity import (
+        literal_query_frame,
+    )
+
     def _qdf(vec: Sequence[float]) -> DataFrame:
-        return spark.createDataFrame([(list(vec),)],
-                                     "query_vec array<double>")
+        # memo-seeded literal frame: downstream searchers collect the
+        # query row job-free (r14)
+        return literal_query_frame(spark, vec)
 
     for metric in {m for _, m in families.values()}:
         if metric not in ("l2", "cosine"):

@@ -319,6 +319,23 @@ def collect_query_rows(query_df: DataFrame, cols: tuple[str, ...]):
     return rows
 
 
+def literal_query_frame(spark, vec) -> DataFrame:
+    """A 1-row (query_vec array<double>) frame built from a
+    DRIVER-LOCAL vector, with the query-rows memo pre-seeded — callers
+    that mint probe frames from local data (the recall ledgers) get
+    job-free query collects in every downstream searcher (r14)."""
+    vals = [float(x) for x in vec]
+    df = spark.createDataFrame([(vals,)], "query_vec array<double>")
+    from pyspark.sql import Row
+
+    _memo_put(
+        _QUERY_ROWS_MEMO,
+        df,
+        ((("query_vec",),), [Row(query_vec=vals)]),
+    )
+    return df
+
+
 def _probe_rank_local(
     rows: list[tuple[int, list[float]]],
     qvec: list[float],

@@ -1623,26 +1623,33 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
     base = e.filter(F.col("vec_id") % 10 < 7)
     ivf_cb = ivf_fit(base, num_cells=10, iters=2)
     tagged, base_tagged = _assigned_once(e, ivf_cb)
-    if residual:
-        pq_cb = pq_fit(
-            residual_vectors(base, ivf_cb, assigned=base_tagged),
-            num_subspaces=2, num_codes=4, iters=2, vec_col="rvec",
-        )
-    else:
-        pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
     tmp = _scratch_dir(prefix)
     flagged = _drift_flagged(base_tagged, tagged)
     ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
                          num_codes=4, iters=2, residual=residual,
                          assigned=tagged)
+
+    # the override write depends only on (tagged, flagged); the PQ book
+    # fit + index write do not depend on the overrides — run the two
+    # chains overlapped (guide §2.6), so the Lloyd fit's jobs back-fill
+    # the refit write's task tail
+    def _fit_and_index():
+        if residual:
+            pq_cb = pq_fit(
+                residual_vectors(base, ivf_cb, assigned=base_tagged),
+                num_subspaces=2, num_codes=4, iters=2, vec_col="rvec",
+            )
+        else:
+            pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+        ivfpq_index(
+            e, ivf_cb, pq_cb, residual=residual, assigned=tagged
+        ).write.partitionBy("cell").parquet(f"{tmp}/index")
+        return pq_cb
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fi = pool.submit(
-            lambda: ivfpq_index(
-                e, ivf_cb, pq_cb, residual=residual, assigned=tagged
-            ).write.partitionBy("cell").parquet(f"{tmp}/index")
-        )
+        fi = pool.submit(_fit_and_index)
         fo = pool.submit(lambda: ovr.write.parquet(f"{tmp}/overrides"))
-        fi.result()
+        pq_cb = fi.result()
         fo.result()
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
     # flagged can be empty on a drift-free corpus: skip the reencode/
@@ -1680,19 +1687,24 @@ def _refit_sq_artifacts(spark, sf_dir, prefix):
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 < 7)
     ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    bounds = sq_fit(base)
     tagged, base_tagged = _assigned_once(e, ivf_cb)
     tmp = _scratch_dir(prefix)
     flagged = _drift_flagged(base_tagged, tagged)
     ovr = sq_refit_cells(e, ivf_cb, flagged, assigned=tagged)
+
+    # bounds fit + byte-index write overlapped with the override write
+    # (guide §2.6) — the two chains share only the persisted tagged
+    def _fit_and_index():
+        bounds = sq_fit(base)
+        ivfsq_index(
+            e, ivf_cb, bounds, assigned=tagged
+        ).write.partitionBy("cell").parquet(f"{tmp}/index")
+        return bounds
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fi = pool.submit(
-            lambda: ivfsq_index(
-                e, ivf_cb, bounds, assigned=tagged
-            ).write.partitionBy("cell").parquet(f"{tmp}/index")
-        )
+        fi = pool.submit(_fit_and_index)
         fo = pool.submit(lambda: ovr.write.parquet(f"{tmp}/overrides"))
-        fi.result()
+        bounds = fi.result()
         fo.result()
     ovr_rd = spark.read.parquet(f"{tmp}/overrides")
     # flagged can be empty on a drift-free corpus (r13 advice) — see
