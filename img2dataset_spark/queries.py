@@ -1600,9 +1600,14 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
     - ONE persisted assignment pass feeds indexing, both occupancy
       sides, the refit and the re-encode (``assigned=``);
     - the index write and the override write are INDEPENDENT jobs and
-      run overlapped from a 2-thread pool (guide §2.6 — FIFO
-      scheduling back-fills the tail of one job with the other's
-      tasks; at lower core counts they simply serialize).
+      run overlapped from a thread pool (guide §2.6 — FIFO scheduling
+      back-fills the tail of one job with the other's tasks; at lower
+      core counts they simply serialize);
+    - for the NON-residual family the global PQ book depends only on
+      the base slice, not on the coarse codebook, so its Lloyd fit
+      starts overlapped with the coarse ``ivf_fit`` itself (the
+      residual book needs the assignment and keeps its
+      post-assignment slot).
 
     Returns (e, ivf_cb, pq_cb, ovr_rd, idx_rd)."""
     from concurrent.futures import ThreadPoolExecutor
@@ -1621,32 +1626,36 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
 
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    tagged, base_tagged = _assigned_once(e, ivf_cb)
-    tmp = _scratch_dir(prefix)
-    flagged = _drift_flagged(base_tagged, tagged)
-    ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
-                         num_codes=4, iters=2, residual=residual,
-                         assigned=tagged)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_pq = None if residual else pool.submit(
+            pq_fit, base, num_subspaces=2, num_codes=4, iters=2
+        )
+        ivf_cb = ivf_fit(base, num_cells=10, iters=2)
+        tagged, base_tagged = _assigned_once(e, ivf_cb)
+        tmp = _scratch_dir(prefix)
+        flagged = _drift_flagged(base_tagged, tagged)
+        ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
+                             num_codes=4, iters=2, residual=residual,
+                             assigned=tagged)
 
-    # the override write depends only on (tagged, flagged); the PQ book
-    # fit + index write do not depend on the overrides — run the two
-    # chains overlapped (guide §2.6), so the Lloyd fit's jobs back-fill
-    # the refit write's task tail
-    def _fit_and_index():
-        if residual:
-            pq_cb = pq_fit(
-                residual_vectors(base, ivf_cb, assigned=base_tagged),
-                num_subspaces=2, num_codes=4, iters=2, vec_col="rvec",
-            )
-        else:
-            pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
-        ivfpq_index(
-            e, ivf_cb, pq_cb, residual=residual, assigned=tagged
-        ).write.partitionBy("cell").parquet(f"{tmp}/index")
-        return pq_cb
+        # the override write depends only on (tagged, flagged); the PQ
+        # book fit + index write do not depend on the overrides — run
+        # the two chains overlapped (guide §2.6), so the Lloyd fit's
+        # jobs back-fill the refit write's task tail
+        def _fit_and_index():
+            if residual:
+                pq_cb = pq_fit(
+                    residual_vectors(base, ivf_cb, assigned=base_tagged),
+                    num_subspaces=2, num_codes=4, iters=2,
+                    vec_col="rvec",
+                )
+            else:
+                pq_cb = f_pq.result()
+            ivfpq_index(
+                e, ivf_cb, pq_cb, residual=residual, assigned=tagged
+            ).write.partitionBy("cell").parquet(f"{tmp}/index")
+            return pq_cb
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
         fi = pool.submit(_fit_and_index)
         fo = pool.submit(lambda: ovr.write.parquet(f"{tmp}/overrides"))
         pq_cb = fi.result()
