@@ -1304,6 +1304,28 @@ def q_ann_ivf_hier_assign(spark, sf_dir):
     return ivf_assign(e, cb).select("vec_id", "cell")
 
 
+
+def _fit_ivf_pq_books(vectors):
+    """ivf_fit ∥ pq_fit for the non-residual IVF+PQ compositions
+    (guide §2.6): the global PQ book depends only on the vectors, not
+    on the coarse codebook, so the two driver-coordinated Lloyd fits
+    run overlapped — a pool thread runs pq_fit while the main thread
+    runs ivf_fit.  Pure scheduling: each fit's seeds, jobs and
+    arithmetic are exactly the sequential ones (the fused-fit pins in
+    test_r14_optimizations cover pq_fit), so both books are
+    bit-identical to the sequential composition's."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from img2dataset_spark.operators.pq import pq_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_pq = pool.submit(pq_fit, vectors, num_subspaces=2,
+                           num_codes=4, iters=2)
+        ivf_cb = ivf_fit(vectors, num_cells=10, iters=2)
+        return ivf_cb, f_pq.result()
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """The FAISS-style IVF+PQ composition end-to-end: 10-cell coarse
     codebook (ann_ivf_fit_topk's fit), 2×4 PQ codebook, one indexing
@@ -1317,8 +1339,7 @@ def q_ivfpq_topk(spark, sf_dir):
     from img2dataset_spark.operators.similarity import ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(e)
     idx = ivfpq_index(e, ivf_cb, pq_cb)
     return ivfpq_topk(idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir), k=10, nprobe=2)
 
@@ -1338,8 +1359,7 @@ def q_ivfpq_topk_sized(spark, sf_dir):
     from img2dataset_spark.operators.similarity import ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(e)
     idx = ivfpq_index(e, ivf_cb, pq_cb)
     return ivfpq_topk(idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir),
                       k=10, nprobe=None)
@@ -1361,8 +1381,7 @@ def q_ivfpq_multi_topk(spark, sf_dir):
     from img2dataset_spark.operators.similarity import _as_double, ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(e)
     idx = ivfpq_index(e, ivf_cb, pq_cb)
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
@@ -1388,8 +1407,7 @@ def q_ivfpq_multi_refine_topk(spark, sf_dir):
     from img2dataset_spark.operators.similarity import _as_double, ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(e)
     idx = ivfpq_index(e, ivf_cb, pq_cb)
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
@@ -1448,8 +1466,7 @@ def q_ivfpq_fitted_roundtrip(spark, sf_dir):
     from img2dataset_spark.operators.similarity import ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(e)
     tmp = _scratch_dir("graft_ivfpq_rt_")
     ivf_cb.write.parquet(f"{tmp}/ivf_cb")
     pq_cb.write.parquet(f"{tmp}/pq_cb")
@@ -1484,8 +1501,7 @@ def q_ivfpq_index_append(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 < 7)
     wave = e.filter(F.col("vec_id") % 10 >= 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    pq_cb = pq_fit(base, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(base)
     tmp = _scratch_dir("graft_ivfpq_append_")
     ivfpq_index(base, ivf_cb, pq_cb).write.partitionBy("cell").parquet(
         f"{tmp}/index"
@@ -1930,8 +1946,7 @@ def q_ivfpq_refine_topk(spark, sf_dir):
     from img2dataset_spark.operators.similarity import ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(e)
     idx = ivfpq_index(e, ivf_cb, pq_cb)
     return ivfpq_refine_topk(
         idx, ivf_cb, pq_cb, e, _query_vec(spark, sf_dir),
@@ -1960,8 +1975,7 @@ def q_ivfpq_refine_topk_sized(spark, sf_dir):
     from img2dataset_spark.operators.similarity import ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
-    pq_cb = pq_fit(e, num_subspaces=2, num_codes=4, iters=2)
+    ivf_cb, pq_cb = _fit_ivf_pq_books(e)
     idx = ivfpq_index(e, ivf_cb, pq_cb)
     return ivfpq_refine_topk(
         idx, ivf_cb, pq_cb, e, _query_vec(spark, sf_dir),
