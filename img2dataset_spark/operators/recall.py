@@ -398,6 +398,11 @@ def refit_recall_ledger(
     cached = [flagged, tagged, btagged]
     families = {}
 
+    # eager tiny materialization: both _prep_family threads below read
+    # the persisted flagged frame; computing it once up front keeps the
+    # concurrent refit collects from herding its first computation
+    flagged.count()
+
     # The raw and residual book FITS are independent given (ivf_cb,
     # btagged) — overlap their Lloyd jobs from a 2-thread pool (guide
     # §2.6); the families dict below is still built in the fixed
@@ -414,30 +419,42 @@ def refit_recall_ledger(
                       num_codes=pq_codes, iters=iters,
                       vec_col=vec_col, id_col=id_col, dim=dim)
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        _books = {r: _pool.submit(_fit_book, r) for r in (False, True)}
-    for residual in (False, True):
-        name = "versioned_residual" if residual else "versioned_raw"
-        book = _books[residual].result()
-        idx = ivfpq_index(df, ivf_cb, book, vec_col=vec_col,
-                          id_col=id_col, residual=residual,
-                          assigned=tagged).persist()
+    # The per-cell REFIT books and their re-encode pass depend only on
+    # (ivf_cb, flagged, tagged) — never on the global books — and
+    # pq_reencode_cells eagerly collects the override relation (the
+    # per-cell Lloyd job).  Run both families' refit+collect chains on
+    # pool threads CONCURRENTLY with the two global book fits (guide
+    # §2.6); previously each family's override collect ran serially on
+    # the main thread after both fits had already joined (~1.5 s each,
+    # phase-measured).  The frames produced are identical — only the
+    # submission order changed.
+    def _prep_family(residual: bool):
         ovr = pq_refit_cells(df, ivf_cb, flagged,
                              num_subspaces=pq_subspaces,
                              num_codes=pq_codes, iters=iters,
                              vec_col=vec_col, id_col=id_col, dim=dim,
                              residual=residual, assigned=tagged).persist()
+        reenc = pq_reencode_cells(df, ivf_cb, ovr, vec_col=vec_col,
+                                  id_col=id_col, residual=residual,
+                                  assigned=tagged)
+        return ovr, reenc
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _books = {r: _pool.submit(_fit_book, r) for r in (False, True)}
+        _preps = {r: _pool.submit(_prep_family, r) for r in (False, True)}
+    for residual in (False, True):
+        name = "versioned_residual" if residual else "versioned_raw"
+        book = _books[residual].result()
+        ovr, reenc = _preps[residual].result()
+        idx = ivfpq_index(df, ivf_cb, book, vec_col=vec_col,
+                          id_col=id_col, residual=residual,
+                          assigned=tagged).persist()
         mixed = (
             idx.join(F.broadcast(flagged), "cell", "left_anti")
             .select(F.col(id_col), "cell", "codes")
-            .unionByName(
-                pq_reencode_cells(df, ivf_cb, ovr, vec_col=vec_col,
-                                  id_col=id_col, residual=residual,
-                                  assigned=tagged)
-                .select(F.col(id_col), "cell", "codes")
-            )
+            .unionByName(reenc.select(F.col(id_col), "cell", "codes"))
             .persist()
         )
         cached += [idx, ovr, mixed]

@@ -1037,6 +1037,19 @@ def memoized_count(df: DataFrame) -> int:
     return n
 
 
+def seed_memoized_count(df: DataFrame, n: int) -> None:
+    """Pre-seed :func:`memoized_count` for a frame whose row count the
+    caller already knows from the SAME query's computation — e.g. a
+    1:1-encoded index written and read back within one composite, whose
+    row count equals the already-materialized assignment pass's count.
+    Skips the sizing count job (one Spark job per auto-rf search).
+    Same-run reuse only: callers must derive ``n`` inside the same
+    query execution, never from a previous run or persisted artifact."""
+    while len(_COUNT_MEMO) >= _CELL_COUNT_MEMO_CAP:
+        _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
+    _COUNT_MEMO[id(df)] = (df, int(n))
+
+
 def invalidate_memoized_counts(df: DataFrame | None = None) -> None:
     """Evict ``df`` from both sizing memos (codebook_num_cells,
     memoized_count), or clear them entirely when ``df`` is None — the

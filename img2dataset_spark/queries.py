@@ -1582,8 +1582,8 @@ def _assigned_once(e, ivf_cb):
     from img2dataset_spark.operators.similarity import ivf_assign
 
     tagged = ivf_assign(e, ivf_cb).persist()
-    tagged.count()
-    return tagged, tagged.filter(F.col("vec_id") % 10 < 7)
+    n = tagged.count()
+    return tagged, tagged.filter(F.col("vec_id") % 10 < 7), n
 
 
 def _drift_flagged(base_tagged, tagged, threshold=1.02):
@@ -1638,7 +1638,10 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
         pq_fit,
         residual_vectors,
     )
-    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.operators.similarity import (
+        ivf_fit,
+        seed_memoized_count,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 < 7)
@@ -1647,7 +1650,7 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
             pq_fit, base, num_subspaces=2, num_codes=4, iters=2
         )
         ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-        tagged, base_tagged = _assigned_once(e, ivf_cb)
+        tagged, base_tagged, n_rows = _assigned_once(e, ivf_cb)
         tmp = _scratch_dir(prefix)
         flagged = _drift_flagged(base_tagged, tagged)
         ovr = pq_refit_cells(e, ivf_cb, flagged, num_subspaces=2,
@@ -1672,16 +1675,23 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
             ).write.partitionBy("cell").parquet(f"{tmp}/index")
             return pq_cb
 
+        def _write_and_probe_overrides():
+            # fold the read-back + nonempty probe into this chain so the
+            # tiny probe job overlaps the index-write tail instead of
+            # running after both chains join (guide §2.6)
+            ovr.write.parquet(f"{tmp}/overrides")
+            rd = spark.read.parquet(f"{tmp}/overrides")
+            return rd, rd.limit(1).count() > 0
+
         fi = pool.submit(_fit_and_index)
-        fo = pool.submit(lambda: ovr.write.parquet(f"{tmp}/overrides"))
+        fo = pool.submit(_write_and_probe_overrides)
         pq_cb = fi.result()
-        fo.result()
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+        ovr_rd, ovr_nonempty = fo.result()
     # flagged can be empty on a drift-free corpus: skip the reencode/
     # rewrite (which raise on empty overrides) and search all-global —
     # the versioned searcher treats empty overrides as version-0
     # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
+    if ovr_nonempty:
         rewrite_index_cells(
             pq_reencode_cells(e, ivf_cb, ovr_rd, residual=residual,
                               assigned=tagged),
@@ -1689,6 +1699,13 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
         )
     tagged.unpersist()
     idx_rd = spark.read.parquet(f"{tmp}/index")
+    # the index is a 1:1 encode of the assignment pass and the rewrite
+    # preserves per-cell row counts, so the read-back index has exactly
+    # the corpus row count already materialized above — seed the sizing
+    # memo so the auto-rf searcher (ivfpq_refit_refine) skips its count
+    # job (same-run reuse; pinned by
+    # test_r14_optimizations.test_refit_index_count_matches_corpus)
+    seed_memoized_count(idx_rd, n_rows)
     return e, ivf_cb, pq_cb, ovr_rd, idx_rd
 
 
@@ -1712,7 +1729,7 @@ def _refit_sq_artifacts(spark, sf_dir, prefix):
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 < 7)
     ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    tagged, base_tagged = _assigned_once(e, ivf_cb)
+    tagged, base_tagged, _n_rows = _assigned_once(e, ivf_cb)
     tmp = _scratch_dir(prefix)
     flagged = _drift_flagged(base_tagged, tagged)
     ovr = sq_refit_cells(e, ivf_cb, flagged, assigned=tagged)
@@ -1726,15 +1743,22 @@ def _refit_sq_artifacts(spark, sf_dir, prefix):
         ).write.partitionBy("cell").parquet(f"{tmp}/index")
         return bounds
 
+    def _write_and_probe_overrides():
+        # read-back + nonempty probe folded into this chain so the tiny
+        # probe job overlaps the index-write tail (see
+        # _refit_pq_artifacts)
+        ovr.write.parquet(f"{tmp}/overrides")
+        rd = spark.read.parquet(f"{tmp}/overrides")
+        return rd, rd.limit(1).count() > 0
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         fi = pool.submit(_fit_and_index)
-        fo = pool.submit(lambda: ovr.write.parquet(f"{tmp}/overrides"))
+        fo = pool.submit(_write_and_probe_overrides)
         bounds = fi.result()
-        fo.result()
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
+        ovr_rd, ovr_nonempty = fo.result()
     # flagged can be empty on a drift-free corpus (r13 advice) — see
     # _refit_pq_artifacts
-    if ovr_rd.limit(1).count() > 0:
+    if ovr_nonempty:
         rewrite_index_cells(
             sq_reencode_cells(e, ivf_cb, ovr_rd, assigned=tagged),
             f"{tmp}/index",

