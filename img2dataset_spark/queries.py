@@ -1305,6 +1305,26 @@ def q_ann_ivf_hier_assign(spark, sf_dir):
 
 
 
+def _residual_books_once(e):
+    """``ivfpq_fit(e, 10, 2, 4, 2)`` with the coarse assignment pass
+    SHARED (r14, guide §2.4): the residual book fit's input and the
+    residual index each ran their own ivf_assign Arrow pass; one
+    persisted tagged frame now feeds both through the operators'
+    ``assigned=`` parameter.  The composition is ivfpq_fit's body
+    verbatim (ivf_fit + pq_fit over residual_vectors), so the books are
+    bit-identical; callers pass the returned tagged frame to
+    ``ivfpq_index(..., assigned=tagged)``.  The persist lives inside
+    one query's computation (bench clears cache between queries)."""
+    from img2dataset_spark.operators.pq import pq_fit, residual_vectors
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    ivf_cb = ivf_fit(e, num_cells=10, iters=2)
+    tagged = ivf_assign(e, ivf_cb).persist()
+    pq_cb = pq_fit(residual_vectors(e, ivf_cb, assigned=tagged),
+                   num_subspaces=2, num_codes=4, iters=2, vec_col="rvec")
+    return ivf_cb, pq_cb, tagged
+
+
 def _fit_ivf_pq_books(vectors):
     """ivf_fit ∥ pq_fit for the non-residual IVF+PQ compositions
     (guide §2.6): the global PQ book depends only on the vectors, not
@@ -1426,18 +1446,12 @@ def q_ivfpq_multi_topk_residual(spark, sf_dir):
     EXTRA from birth (ivfpq_multi_topk holds the batch driver slot,
     ivfpq_refit_residual the residual one); the SQL twin keys the
     residual query tables by (qid, pcell)."""
-    from img2dataset_spark.operators.pq import (
-        ivfpq_fit,
-        ivfpq_index,
-        ivfpq_multi_topk,
-    )
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_multi_topk
     from img2dataset_spark.operators.similarity import _as_double
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb, pq_cb = ivfpq_fit(
-        e, num_cells=10, num_subspaces=2, num_codes=4, iters=2
-    )
-    idx = ivfpq_index(e, ivf_cb, pq_cb, residual=True)
+    ivf_cb, pq_cb, tagged = _residual_books_once(e)
+    idx = ivfpq_index(e, ivf_cb, pq_cb, residual=True, assigned=tagged)
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
         _as_double(F.col("embedding")).alias("query_vec"),
@@ -1937,17 +1951,11 @@ def q_ivfpq_residual_topk(spark, sf_dir):
     cell — an nprobe-way CASE of literal tables, still pure codegen.
     The SQL twin recomputes both codebooks on residuals and the
     per-cell query tables."""
-    from img2dataset_spark.operators.pq import (
-        ivfpq_fit,
-        ivfpq_index,
-        ivfpq_topk,
-    )
+    from img2dataset_spark.operators.pq import ivfpq_index, ivfpq_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    ivf_cb, pq_cb = ivfpq_fit(
-        e, num_cells=10, num_subspaces=2, num_codes=4, iters=2
-    )
-    idx = ivfpq_index(e, ivf_cb, pq_cb, residual=True)
+    ivf_cb, pq_cb, tagged = _residual_books_once(e)
+    idx = ivfpq_index(e, ivf_cb, pq_cb, residual=True, assigned=tagged)
     return ivfpq_topk(
         idx, ivf_cb, pq_cb, _query_vec(spark, sf_dir),
         k=10, nprobe=2, residual=True,
