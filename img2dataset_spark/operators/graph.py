@@ -58,14 +58,14 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.localCheckpoint()
 
 
-def _symmetrize(edges: DataFrame, src: str, dst: str, checkpoint_dir):
+def _symmetrize_edges(edges: DataFrame, src: str, dst: str, checkpoint_dir):
     # both directions from ONE pass over the edge subtree: a UNION of
     # two selects would reference `edges` twice, and upstream edge
     # producers are expensive (LSH pair generation with exact-Jaccard
     # verify) — measured at the 100x point, the double execution was
     # the entire gap between dedup_components (242s) and pair
     # generation alone (60s).  explode(array(fwd, rev)) scans once.
-    sym = _truncate(
+    return _truncate(
         edges.select(
             F.explode(
                 F.array(
@@ -78,13 +78,83 @@ def _symmetrize(edges: DataFrame, src: str, dst: str, checkpoint_dir):
         .distinct(),
         checkpoint_dir,
     )
-    labels = _truncate(
+
+
+def _initial_labels(sym: DataFrame, checkpoint_dir):
+    return _truncate(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node")),
         checkpoint_dir,
     )
-    return sym, labels
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str, checkpoint_dir):
+    sym = _symmetrize_edges(edges, src, dst, checkpoint_dir)
+    return sym, _initial_labels(sym, checkpoint_dir)
+
+
+# Driver-local ceiling for connected_components_auto (r14): a
+# symmetrized edge list at or under this row count is collected once
+# (bounded: 2 ids/row — ~2 MB of longs at the ceiling) and closed with
+# an exact union-find, because at this size EVERY distributed round
+# costs more than the whole graph does — each label-propagation round
+# is a join + aggregation + eager lineage-truncation job plus a
+# convergence-probe job (~1 s of fixed cost locally, several scheduler
+# round-trips on a cluster) while the data is a few MB.  Past the
+# ceiling nothing is collected and the round-budgeted hybrid runs
+# unchanged; the gate itself reads a count off the already-materialized
+# (localCheckpoint'd) frame, so the distributed path pays one cheap
+# cached-scan job, never a second pass over the edge subtree.  Same
+# pattern as similarity.FLAT_CODEBOOK_MAX_CELLS: exact driver-local
+# small-side fast path under a named bound, distributed algorithm past
+# it.
+LOCAL_CC_MAX_EDGES = 1 << 17
+
+
+def _local_components_frame(sym: DataFrame) -> DataFrame:
+    """Exact min-id connected components of a BOUNDED symmetrized edge
+    frame, computed on the driver with path-compressing union-find and
+    returned as a (node, component) literal frame.  Output contract is
+    identical to the distributed variants: every edge endpoint appears
+    once, component = smallest reachable node id (union-find closes the
+    same transitive reachability min-label propagation converges to —
+    pinned against both distributed algorithms in test_graph)."""
+    rows = sym.collect()  # bounded by LOCAL_CC_MAX_EDGES
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # link larger root under smaller: roots stay the min of
+            # their tree, so find() lands on the component min directly
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = sorted((node, find(node)) for node in parent)
+    from pyspark.sql.types import StructField, StructType
+
+    atype = sym.schema["a"].dataType
+    schema = StructType(
+        [
+            StructField("node", atype, False),
+            StructField("component", atype, False),
+        ]
+    )
+    return sym.sparkSession.createDataFrame(out, schema)
 
 
 def _label_prop(
@@ -191,8 +261,16 @@ def connected_components_auto(
     (component = min reachable node id): the min node m of a component
     always keeps label m, and the quotient graph of a connected
     component is connected, so the two-phase pass maps every label of
-    the component to m."""
-    sym, labels = _symmetrize(edges, src, dst, checkpoint_dir)
+    the component to m.
+
+    Tiny graphs (symmetrized edge count ≤ :data:`LOCAL_CC_MAX_EDGES`)
+    are closed with one bounded driver collect + exact union-find
+    instead — see the ceiling's rationale — with the same (node,
+    min-reachable-id) output."""
+    sym = _symmetrize_edges(edges, src, dst, checkpoint_dir)
+    if sym.count() <= LOCAL_CC_MAX_EDGES:
+        return _local_components_frame(sym)
+    labels = _initial_labels(sym, checkpoint_dir)
     labels, converged = _label_prop(sym, labels, lp_rounds, checkpoint_dir)
     if converged:
         return labels.select("node", F.col("label").alias("component"))

@@ -2841,6 +2841,13 @@ def q_dedup_phash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 200
     )
+    # the 200-row id frame arrives in ONE parquet split, which would run
+    # the synth+decode+DCT Python pass on one core (r14, measured 1.25 s
+    # -> 0.69 s): spread the 8-byte ids across the session's cores
+    # BEFORE the payload column exists — the shuffle moves 200 longs,
+    # never image bytes (guide §8: decide placement on the proxy, move
+    # heavy bytes once — here the heavy bytes are never moved at all)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     png = make_synth_png_udf()
     payloads = d.select("doc_id", png(F.col("doc_id")).alias("data"))
     surv = dedup_phash(payloads, data_col="data", max_hamming=4)

@@ -167,3 +167,62 @@ def test_auto_handoff_with_reliable_checkpoint(spark, tmp_path):
         )
     )
     assert cc == {i: 0 for i in range(26)}
+
+
+# -- r14: driver-local union-find ceiling in connected_components_auto ------
+
+
+def test_auto_local_gate_matches_distributed_paths(spark, monkeypatch):
+    """Under LOCAL_CC_MAX_EDGES the auto variant closes the graph with a
+    driver-local union-find; forcing the gate off must give the exact
+    same (node, component) map — pinned against BOTH distributed
+    algorithms on a pseudo-random multi-component graph."""
+    import hashlib
+
+    from img2dataset_spark.operators import graph as G
+
+    pairs = []
+    for i in range(200):
+        h = int(hashlib.md5(f"lg:{i}".encode()).hexdigest()[:8], 16)
+        pairs.append((h % 83, (h // 83) % 83))
+    edges = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    local = _comp(G.connected_components_auto(edges))
+    monkeypatch.setattr(G, "LOCAL_CC_MAX_EDGES", -1)
+    distributed = _comp(G.connected_components_auto(edges))
+    assert local == distributed
+    assert local == _comp(connected_components_two_phase(edges))
+
+
+def test_auto_local_gate_handoff_still_exact_when_forced_off(spark, monkeypatch):
+    """The forced-distributed path still exercises the LP->two-phase
+    handoff (a chain longer than the budget) — keeps the hybrid's
+    distributed machinery covered now that tiny fixtures take the
+    local path by default."""
+    from img2dataset_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "LOCAL_CC_MAX_EDGES", -1)
+    n = 40
+    edges = _edges(spark, [(i, i + 1) for i in range(n)])
+    cc = _comp(G.connected_components_auto(edges, lp_rounds=3))
+    assert cc == {i: 0 for i in range(n + 1)}
+
+
+def test_auto_local_gate_empty_edges(spark):
+    from img2dataset_spark.operators.graph import connected_components_auto
+
+    out = connected_components_auto(_edges(spark, []))
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
+
+
+def test_auto_local_gate_string_ids(spark):
+    """Union-find min must agree with the SQL least/min semantics on
+    STRING ids (lexicographic), not just longs."""
+    from img2dataset_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string"
+    )
+    assert _comp(G.connected_components_auto(edges)) == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+    }
