@@ -143,54 +143,34 @@ def pq_fit(
         assigned = pq_encode(
             e, cb, vec_col="v", id_col=id_col, keep_cols=("v",)
         )
-        # sub_dim is driver-known, so the per-subspace means are ONE
-        # groupBy(subspace, cell) with sub_dim per-dim exact-decimal
-        # mean expressions over the subspace SLICE — explode factor m
-        # (one row per subspace) instead of d (one per element), and
-        # one shuffle instead of the (subspace, cell, spos)-keyed one
-        # plus the reassembly (r14).  Bit-identical: decimal sums are
-        # exact hence order-independent, the per-(subspace, cell) row
-        # count equals the old per-(subspace, cell, spos) count for
-        # fixed-d vectors (the Arrow encode pass already requires
-        # that), and F.array(c0..c{sub_dim-1}) assembles the same spos
-        # order array_sort(struct(spos, cv)) did.
+        sub = F.expr(f"pos div {sub_dim}")
         agg_rows = (
-            assigned.select(
-                "codes",
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.slice("v", j * sub_dim + 1, sub_dim)
-                            for j in range(num_subspaces)
-                        ]
-                    )
-                ).alias("subspace", "sv"),
-            )
+            assigned.select("codes", F.posexplode("v"))
             .select(
-                "subspace",
-                F.element_at(
-                    "codes", F.col("subspace").cast("int") + F.lit(1)
-                ).alias("cell"),
-                "sv",
+                sub.alias("subspace"),
+                F.element_at("codes", sub.cast("int") + F.lit(1)).alias(
+                    "cell"
+                ),
+                F.expr(f"pos % {sub_dim}").alias("spos"),
+                "col",
+            )
+            .groupBy("subspace", "cell", "spos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
             )
             .groupBy("subspace", "cell")
             .agg(
-                *[
-                    (
-                        F.sum(
-                            F.element_at("sv", i + 1).cast("decimal(28,12)")
-                        ).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias(f"_c{i}")
-                    for i in range(sub_dim)
-                ]
+                F.array_sort(F.collect_list(F.struct("spos", "cv"))).alias(
+                    "pv"
+                )
             )
             .select(
                 "subspace",
                 "cell",
-                F.array(*[F.col(f"_c{i}") for i in range(sub_dim)]).alias(
-                    "centroid"
-                ),
+                F.transform(F.col("pv"), lambda s: s["cv"]).alias("centroid"),
             )
             .collect()
         )

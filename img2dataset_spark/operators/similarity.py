@@ -200,10 +200,8 @@ def ivf_fit(
     the k centroids broadcast (one torrent-distributed copy per
     executor, not a per-task closure; one (n x d) @ (d x k) matmul per
     batch, no n*k row explosion, no per-vector window shuffle), then
-    one groupBy(cell) aggregation carrying d per-dim exact decimal
-    sums (d is driver-known from the seed rows — no posexplode, so the
-    aggregate never materializes n·d rows).  No corpus self-join
-    anywhere.  The training frame is persisted across the
+    one (cell, dim) aggregation with exact decimal sums.  No corpus
+    self-join anywhere.  The training frame is persisted across the
     iteration scans; seed cell ids are assigned on the driver from the
     collected orderBy+limit rows (k rows) — a row_number window here
     would be a global single-partition window, the one shape to never
@@ -222,41 +220,23 @@ def ivf_fit(
         df.sparkSession,
         [{"cell": i, "centroid": r["v"]} for i, r in enumerate(seed_rows)],
     )
-    # d is driver-known from the seed rows, so the per-iteration means
-    # are ONE groupBy(cell) with d per-dim exact-decimal mean
-    # expressions — no posexplode (which materialized n·d rows through
-    # the partial aggregate) and one shuffle instead of the
-    # (cell, pos)-keyed one plus the (cell) reassembly (r14).
-    # Bit-identical: decimal(28,12) sums are exact hence
-    # order-independent, the per-cell row count equals the old
-    # per-(cell, pos) count because vectors are fixed-d (the numpy
-    # assignment pass already requires that), and the double division
-    # is the same expression.  F.array(c0..c{d-1}) assembles the same
-    # dim order array_sort(struct(pos, cv)) did.
-    d = len(seed_rows[0]["v"]) if seed_rows else 0
     for _ in range(iters):
         assigned = _assign_cells(e, cents, "v", id_col)
-        if d == 0:
-            # degenerate zero-dim vectors: the explode path aggregated
-            # zero rows, i.e. an empty codebook
-            cents = _literal_codebook(df.sparkSession, [])
-            continue
-        updated = (
-            assigned.groupBy("cell")
+        dims = (
+            assigned.select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
             .agg(
-                *[
-                    (
-                        F.sum(
-                            F.element_at("v", i + 1).cast("decimal(28,12)")
-                        ).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias(f"_c{i}")
-                    for i in range(d)
-                ]
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
             )
+        )
+        updated = (
+            dims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pv"))
             .select(
-                "cell",
-                F.array(*[F.col(f"_c{i}") for i in range(d)]).alias("centroid"),
+                "cell", F.transform(F.col("pv"), lambda s: s["cv"]).alias("centroid")
             )
         )
         # Materialize the tiny codebook to a LITERAL frame each
