@@ -945,6 +945,7 @@ def split_cells(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """The escalation signal's ACTUATOR (r14 — :func:`sq_refit_escalation`
     says "this cell's refit bounds span multiple modes, a coarse
@@ -1000,7 +1001,10 @@ def split_cells(
     if max_cell is None:
         raise ValueError("split_cells: empty ivf_codebook")
     split = cells_to_split.select("cell").distinct()
-    assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
+    # `assigned` (r14): reuse a pre-computed assignment pass, see
+    # pq_refit_cells
+    if assigned is None:
+        assigned = ivf_assign(df, ivf_codebook, vec_col, id_col)
     rows = assigned.join(F.broadcast(split), "cell").select(
         "cell", F.col(id_col).alias("_id"), "v"
     )

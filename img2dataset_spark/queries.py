@@ -2273,28 +2273,24 @@ def q_ivfsq_refit_escalation(spark, sf_dir):
     the signal's behavior is pinned on the bimodal fixture in
     test_maintain)."""
     from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
         sq_refit_cells,
         sq_refit_escalation,
     )
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+    from img2dataset_spark.operators.similarity import ivf_fit
     from img2dataset_spark.operators.sq import sq_fit
 
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 < 7)
     ivf_cb = ivf_fit(base, num_cells=10, iters=2)
     bounds = sq_fit(base)
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = sq_refit_cells(e, ivf_cb, flagged)
+    # one persisted assignment pass feeds both occupancy sides AND the
+    # per-cell bounds refit (r14, the _assigned_once pattern — the
+    # base slice of the shared frame is the same relation as an
+    # independent ivf_assign(base): row-wise assignment commutes with
+    # the filter); bench.py clearCache()s between queries
+    tagged, base_tagged, _n = _assigned_once(e, ivf_cb)
+    flagged = _drift_flagged(base_tagged, tagged)
+    ovr = sq_refit_cells(e, ivf_cb, flagged, assigned=tagged)
     return sq_refit_escalation(ovr, bounds).select(
         F.col("cell").cast("long").alias("cell"), "dims",
         "max_span_ratio", "mean_span_ratio", "unbounded_dims", "recluster",
@@ -2315,26 +2311,21 @@ def q_ann_cell_split(spark, sf_dir):
     split regions at once.  EXTRA from birth (the iterated
     meter→actuator convergence loop and the recall proof are pinned on
     the bimodal fixture in test_maintain)."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        split_cells,
-    )
+    from img2dataset_spark.operators.maintain import split_cells
     from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
 
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 < 7)
     ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    new_cb = split_cells(e, ivf_cb, flagged, num_subcells=2, iters=2)
+    # one persisted assignment pass feeds both occupancy sides AND the
+    # flagged cells' per-cell Lloyd inside split_cells (r14, the
+    # _assigned_once pattern); the final re-assignment under the
+    # POST-SPLIT codebook is a different codebook — inherently a
+    # fresh pass
+    tagged, base_tagged, _n = _assigned_once(e, ivf_cb)
+    flagged = _drift_flagged(base_tagged, tagged)
+    new_cb = split_cells(e, ivf_cb, flagged, num_subcells=2, iters=2,
+                         assigned=tagged)
     return ivf_assign(e, new_cb).select("vec_id", "cell")
 
 

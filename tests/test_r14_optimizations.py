@@ -174,6 +174,27 @@ def test_assigned_reuse_is_identical(spark, emb):
     )
 
 
+def test_split_cells_assigned_reuse_is_identical(spark, emb):
+    """split_cells with a pre-computed assigned= frame must equal its
+    own-assignment output (the escalation-actuator queries feed it the
+    shared persisted pass that also computes their drift flags)."""
+    from img2dataset_spark.operators.maintain import split_cells
+    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
+
+    ivf_cb = ivf_fit(emb, num_cells=5, iters=2)
+    tagged = ivf_assign(emb, ivf_cb)
+    flagged = spark.createDataFrame([(0,), (3,)], "cell bigint")
+
+    def rows(df):
+        return sorted(
+            (int(r["cell"]), tuple(r["centroid"])) for r in df.collect()
+        )
+
+    assert rows(split_cells(emb, ivf_cb, flagged, num_subcells=2)) == rows(
+        split_cells(emb, ivf_cb, flagged, num_subcells=2, assigned=tagged)
+    )
+
+
 def test_static_prune_cells_matches_join(spark, emb):
     """The static IN-list prune keeps exactly the rows the broadcast
     probed-cell join kept."""
