@@ -841,7 +841,14 @@ def q_ingest_wave_e2e(spark, sf_dir):
         .distinct()
     )
     fresh = not_seen.join(matched, "doc_id", "left_anti")
-    passed = quality_flags(d).filter("passed").select("doc_id")
+    # quality-gate the WAVE, not the whole corpus (r14, guide §2.3
+    # filter-early): every id in `fresh` is a wave id (u ⊆ wave), and
+    # quality_flags is purely row-wise (per-document expressions + the
+    # repetition UDF), so restricting its input to the wave slice
+    # leaves the left-semi result — and this query's rows — identical
+    # while the Gopher pass and its Python repetition UDF read 1/3 of
+    # the documents
+    passed = quality_flags(wave).filter("passed").select("doc_id")
     return fresh.join(passed, "doc_id", "left_semi")
 
 
