@@ -1699,25 +1699,34 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
         def _write_and_probe_overrides():
             # fold the read-back + nonempty probe into this chain so the
             # tiny probe job overlaps the index-write tail instead of
-            # running after both chains join (guide §2.6)
+            # running after both chains join (guide §2.6); when cells
+            # are flagged, ALSO materialize the re-encode pass here —
+            # it depends only on (ovr_rd, tagged), never on the index
+            # write, so its Arrow job back-fills the index-write tail
+            # and the post-join rewrite_index_cells only WRITES the
+            # cached rows (same relation, same bytes)
             ovr.write.parquet(f"{tmp}/overrides")
             rd = spark.read.parquet(f"{tmp}/overrides")
-            return rd, rd.limit(1).count() > 0
+            nonempty = rd.limit(1).count() > 0
+            enc = None
+            if nonempty:
+                enc = pq_reencode_cells(
+                    e, ivf_cb, rd, residual=residual, assigned=tagged
+                ).persist()
+                enc.count()
+            return rd, nonempty, enc
 
         fi = pool.submit(_fit_and_index)
         fo = pool.submit(_write_and_probe_overrides)
         pq_cb = fi.result()
-        ovr_rd, ovr_nonempty = fo.result()
+        ovr_rd, ovr_nonempty, enc = fo.result()
     # flagged can be empty on a drift-free corpus: skip the reencode/
     # rewrite (which raise on empty overrides) and search all-global —
     # the versioned searcher treats empty overrides as version-0
     # everywhere (r13 advice; mirrors bench.py's artifact builder)
     if ovr_nonempty:
-        rewrite_index_cells(
-            pq_reencode_cells(e, ivf_cb, ovr_rd, residual=residual,
-                              assigned=tagged),
-            f"{tmp}/index",
-        )
+        rewrite_index_cells(enc, f"{tmp}/index")
+        enc.unpersist()
     tagged.unpersist()
     idx_rd = spark.read.parquet(f"{tmp}/index")
     # the index is a 1:1 encode of the assignment pass and the rewrite
@@ -1767,7 +1776,9 @@ def _refit_sq_artifacts(spark, sf_dir, prefix):
     def _write_and_probe_overrides():
         # read-back + nonempty probe folded into this chain so the tiny
         # probe job overlaps the index-write tail (see
-        # _refit_pq_artifacts)
+        # _refit_pq_artifacts; the PQ twin also front-runs its
+        # re-encode here, but the SQ re-encode is pure codegen —
+        # persisting it costs more than the overlap buys, measured)
         ovr.write.parquet(f"{tmp}/overrides")
         rd = spark.read.parquet(f"{tmp}/overrides")
         return rd, rd.limit(1).count() > 0
