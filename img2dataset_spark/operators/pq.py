@@ -1044,9 +1044,7 @@ def ivfpq_multi_topk_versioned(
             "the ivf_codebook empty (or all-coarse)?"
         )
     _check_multi_literals(len(qrows) * len(pcells), pq_codebook)
-    probed_books = _collect_overrides(
-        overrides.filter(F.col("cell").isin(pcells))
-    )
+    probed_books = _collect_overrides(overrides, cells=pcells)
     g_cells, g_QC, g_nc = _collect_codebook(pq_codebook)
     cents: dict[int, np.ndarray] = {}
     if residual:
@@ -1265,8 +1263,19 @@ def ivfpq_multi_refine_topk(
     )
 
 
+# (id(df) -> (df, books)) memo for override-relation collects — the
+# _CODEBOOK_MEMO pattern: one composite computes the override relation,
+# probes it nonempty, re-encodes with it and then searches through it,
+# and each step ran its own collect job over the same bounded frame
+# (r14 opt 2).  Payloads stay gated by FLAT_CODEBOOK_MAX_CELLS inside
+# the parse, so nothing corpus-shaped is memoized.
+_OVERRIDES_MEMO: dict[int, tuple[DataFrame, dict]] = {}
+_OVERRIDES_MEMO_CAP = 64
+
+
 def _collect_overrides(
     overrides: DataFrame,
+    cells=None,
 ) -> dict[int, tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]]:
     """{cell: (code_ids, QC, nc)} from a per-cell override codebook
     relation (cell, subspace, code, centroid) — the _collect_codebook
@@ -1275,12 +1284,47 @@ def _collect_overrides(
     the flagged cell count so this collect can never grow corpus-
     shaped.  Gap-safe exactly like the global book: codes are actual
     surviving Lloyd ids per (cell, subspace), kept ascending so
-    first-minimum argmin ties resolve to the smallest code."""
+    first-minimum argmin ties resolve to the smallest code.
+
+    ``cells`` restricts the result to the probed cells (the versioned
+    searchers' bounded-collect contract).  Full-relation collects are
+    memoized per DataFrame object (r14 opt 2): a refit composite's
+    re-encode pass collects the whole bounded relation anyway, so the
+    searcher's probed slice — and every ledger search over the same
+    override frame — becomes a driver-local dict filter instead of one
+    Spark job per search.  On a memo miss with ``cells`` given, only
+    the probed slice is collected, exactly the pre-memo shape."""
+    hit = _OVERRIDES_MEMO.get(id(overrides))
+    if hit is not None and hit[0] is overrides:
+        _OVERRIDES_MEMO[id(overrides)] = _OVERRIDES_MEMO.pop(id(overrides))
+        full = hit[1]
+        if cells is None:
+            return full
+        want = {int(c) for c in cells}
+        return {c: v for c, v in full.items() if c in want}
+    if cells is not None:
+        ids = sorted({int(c) for c in cells})
+        return _parse_override_rows(
+            overrides.filter(F.col("cell").isin(ids))
+            .select("cell", "subspace", "code", "centroid")
+            .collect()
+        )
+    full = _parse_override_rows(
+        overrides.select("cell", "subspace", "code", "centroid").collect()
+    )
+    while len(_OVERRIDES_MEMO) >= _OVERRIDES_MEMO_CAP:
+        _OVERRIDES_MEMO.pop(next(iter(_OVERRIDES_MEMO)))
+    _OVERRIDES_MEMO[id(overrides)] = (overrides, full)
+    return full
+
+
+def _parse_override_rows(
+    rows,
+) -> dict[int, tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]]:
     from img2dataset_spark.operators.similarity import (
         FLAT_CODEBOOK_MAX_CELLS,
     )
 
-    rows = overrides.select("cell", "subspace", "code", "centroid").collect()
     by_cell: dict[int, dict[int, dict[int, list[float]]]] = {}
     for r in rows:
         by_cell.setdefault(int(r["cell"]), {}).setdefault(
@@ -1385,9 +1429,7 @@ def ivfpq_topk_versioned(
     # semi-join — never the whole override relation), the global book
     # (memoized), and for the residual path the nprobe probe rows; the
     # CASE dispatches per probed cell
-    probed_books = _collect_overrides(
-        overrides.filter(F.col("cell").isin(_pcell_ids))
-    )
+    probed_books = _collect_overrides(overrides, cells=_pcell_ids)
     if residual:
         qv = np.asarray(qvec, dtype=np.float64)
         g_cells, g_QC, g_nc = _collect_codebook(pq_codebook)

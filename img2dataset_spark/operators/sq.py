@@ -413,9 +413,70 @@ def ivfsq_multi_topk(
     )
 
 
+# (id(df) -> (df, bounds)) memo for override-bounds collects — the SQ
+# analog of pq._OVERRIDES_MEMO (r14 opt 2): a refit composite's
+# re-encode pass collects the whole bounded relation, so the versioned
+# searcher's probed slice becomes a driver-local dict filter instead of
+# its own Spark job.  Payloads stay gated by FLAT_CODEBOOK_MAX_CELLS
+# inside the parse.
+_CELL_BOUNDS_MEMO: dict[int, tuple[DataFrame, dict]] = {}
+_CELL_BOUNDS_MEMO_CAP = 64
+
+
 def _collect_cell_bounds(
     overrides: DataFrame,
     expected_dim: int | None = None,
+    cells=None,
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    hit = _CELL_BOUNDS_MEMO.get(id(overrides))
+    if hit is not None and hit[0] is overrides:
+        _CELL_BOUNDS_MEMO[id(overrides)] = _CELL_BOUNDS_MEMO.pop(
+            id(overrides)
+        )
+        full = hit[1]
+        if cells is not None:
+            want = {int(c) for c in cells}
+            full = {c: v for c, v in full.items() if c in want}
+        _check_bounds_dim(full, expected_dim)
+        return full
+    if cells is not None:
+        ids = sorted({int(c) for c in cells})
+        out = _parse_cell_bounds_rows(
+            overrides.filter(F.col("cell").isin(ids))
+            .select("cell", "dim", "lo", "hi")
+            .collect()
+        )
+        _check_bounds_dim(out, expected_dim)
+        return out
+    full = _parse_cell_bounds_rows(
+        overrides.select("cell", "dim", "lo", "hi").collect()
+    )
+    while len(_CELL_BOUNDS_MEMO) >= _CELL_BOUNDS_MEMO_CAP:
+        _CELL_BOUNDS_MEMO.pop(next(iter(_CELL_BOUNDS_MEMO)))
+    _CELL_BOUNDS_MEMO[id(overrides)] = (overrides, full)
+    _check_bounds_dim(full, expected_dim)
+    return full
+
+
+def _check_bounds_dim(
+    out: dict[int, tuple[np.ndarray, np.ndarray]], expected_dim: int | None
+) -> None:
+    """The r13-advice dimensionality guard, applied per CALL to the
+    returned cells (the memo stores raw parsed bounds; different
+    callers may know different global dims)."""
+    if expected_dim is None:
+        return
+    for cell, (lo, _hi) in out.items():
+        if len(lo) != expected_dim:
+            raise ValueError(
+                f"override cell {cell} carries bounds for {len(lo)} "
+                f"dims but the global bounds have {expected_dim} — the "
+                "override relation was fit at a different dimensionality"
+            )
+
+
+def _parse_cell_bounds_rows(
+    rows,
 ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
     """{cell: (lo, hi)} from a per-cell bounds override relation
     (cell, dim, lo, hi) — :func:`_collect_bounds`'s artifact keyed by
@@ -429,12 +490,11 @@ def _collect_cell_bounds(
     different dimensionality passes the contiguity check alone, and
     downstream ``element_at`` past the shorter arrays yields NULL
     (non-ANSI) distances that NULLS-FIRST asc would silently top-rank
-    (r13 advice)."""
+    (r13 advice, enforced per call by :func:`_check_bounds_dim`)."""
     from img2dataset_spark.operators.similarity import (
         FLAT_CODEBOOK_MAX_CELLS,
     )
 
-    rows = overrides.select("cell", "dim", "lo", "hi").collect()
     by_cell: dict[int, dict[int, tuple[float, float]]] = {}
     for r in rows:
         by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
@@ -453,12 +513,6 @@ def _collect_cell_bounds(
             raise ValueError(
                 f"override cell {cell} bounds dims not contiguous 1..d: "
                 f"{sorted(dims)[:5]}..."
-            )
-        if expected_dim is not None and len(dims) != expected_dim:
-            raise ValueError(
-                f"override cell {cell} carries bounds for {len(dims)} "
-                f"dims but the global bounds have {expected_dim} — the "
-                "override relation was fit at a different dimensionality"
             )
         lo = np.array([dims[i][0] for i in range(1, len(dims) + 1)])
         hi = np.array([dims[i][1] for i in range(1, len(dims) + 1)])
@@ -579,7 +633,7 @@ def ivfsq_topk_versioned(
     # (broadcast semi-join — never the whole override relation);
     # expected_dim rejects a mismatched-dimensionality override fit
     probed_bounds = _collect_cell_bounds(
-        overrides.filter(F.col("cell").isin(_pcell_ids)), expected_dim=d
+        overrides, expected_dim=d, cells=_pcell_ids
     )
     dist = None
     for cell in sorted(probed_bounds):
@@ -692,7 +746,7 @@ def ivfsq_multi_topk_versioned(
         )
     pruned = pre.join(F.broadcast(probed), "cell")
     probed_bounds = _collect_cell_bounds(
-        overrides.filter(F.col("cell").isin(_pcell_ids)), expected_dim=d
+        overrides, expected_dim=d, cells=_pcell_ids
     )
     # plan literals: the shared q·d quantized-query table plus 2d
     # bounds doubles per CASE branch (override cells + the global

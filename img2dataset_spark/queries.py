@@ -1707,7 +1707,14 @@ def _refit_pq_artifacts(spark, sf_dir, prefix, residual):
             # cached rows (same relation, same bytes)
             ovr.write.parquet(f"{tmp}/overrides")
             rd = spark.read.parquet(f"{tmp}/overrides")
-            nonempty = rd.limit(1).count() > 0
+            # ONE bounded collect (memo-seeded) serves the nonempty
+            # probe here, the re-encode's book collect, and the final
+            # versioned search's probed slice — previously three
+            # separate jobs (limit-count + two collects) over the same
+            # flagged-cells × m × k relation (r14 opt 2)
+            from img2dataset_spark.operators.pq import _collect_overrides
+
+            nonempty = len(_collect_overrides(rd)) > 0
             enc = None
             if nonempty:
                 enc = pq_reencode_cells(
@@ -1781,7 +1788,12 @@ def _refit_sq_artifacts(spark, sf_dir, prefix):
         # persisting it costs more than the overlap buys, measured)
         ovr.write.parquet(f"{tmp}/overrides")
         rd = spark.read.parquet(f"{tmp}/overrides")
-        return rd, rd.limit(1).count() > 0
+        # ONE bounded collect (memo-seeded) serves the nonempty probe,
+        # the re-encode's bounds collect and the final versioned
+        # search's probed slice (r14 opt 2 — the PQ twin above)
+        from img2dataset_spark.operators.sq import _collect_cell_bounds
+
+        return rd, len(_collect_cell_bounds(rd)) > 0
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         fi = pool.submit(_fit_and_index)

@@ -262,3 +262,66 @@ def test_refit_ledger_prep_overlap_families_identical(spark, emb):
     for r in out:
         assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
         assert r["num_queries"] == 3 and r["k"] == 10
+
+
+def test_override_collect_memo_slice_matches_fresh_collect(spark, emb):
+    """r14 opt 2: the memoized full-relation override collect, sliced
+    driver-side to the probed cells, must equal a fresh collect of the
+    filtered relation (the pre-memo searcher shape) — for both the PQ
+    book and the SQ bounds variants."""
+    import numpy as np
+
+    from img2dataset_spark.operators.maintain import (
+        pq_refit_cells,
+        sq_refit_cells,
+    )
+    from img2dataset_spark.operators.pq import (
+        _OVERRIDES_MEMO,
+        _collect_overrides,
+    )
+    from img2dataset_spark.operators.similarity import ivf_fit
+    from img2dataset_spark.operators.sq import (
+        _CELL_BOUNDS_MEMO,
+        _collect_cell_bounds,
+    )
+
+    ivf_cb = ivf_fit(emb, num_cells=4, iters=1)
+    flagged = spark.createDataFrame([(0,), (2,), (3,)], "cell long")
+    ovr = pq_refit_cells(emb, ivf_cb, flagged, num_subspaces=2,
+                         num_codes=4, iters=1)
+
+    def canon_books(b):
+        return {
+            c: tuple(
+                (tuple(ids.tolist()),
+                 tuple(map(tuple, qc.tolist())),
+                 tuple(nc.tolist()))
+                for ids, qc, nc in zip(*v)
+            )
+            for c, v in b.items()
+        }
+
+    full = _collect_overrides(ovr)  # seeds the memo
+    assert id(ovr) in _OVERRIDES_MEMO
+    sliced = _collect_overrides(ovr, cells=[2, 3])
+    fresh = _collect_overrides(
+        ovr.filter(F.col("cell").isin([2, 3]))  # distinct df: memo miss
+    )
+    assert set(sliced) == {2, 3}
+    assert canon_books(sliced) == canon_books(fresh)
+    assert set(full) == {0, 2, 3}
+
+    sovr = sq_refit_cells(emb, ivf_cb, flagged)
+    sfull = _collect_cell_bounds(sovr)  # seeds the memo
+    assert id(sovr) in _CELL_BOUNDS_MEMO
+    ssliced = _collect_cell_bounds(sovr, expected_dim=64, cells=[0, 3])
+    sfresh = _collect_cell_bounds(
+        sovr.filter(F.col("cell").isin([0, 3])), expected_dim=64
+    )
+    assert set(ssliced) == {0, 3}
+    for c in ssliced:
+        assert np.array_equal(ssliced[c][0], sfresh[c][0])
+        assert np.array_equal(ssliced[c][1], sfresh[c][1])
+    # the r13-advice dimensionality guard still fires through the memo
+    with pytest.raises(ValueError, match="different dimensionality"):
+        _collect_cell_bounds(sovr, expected_dim=32, cells=[0])
