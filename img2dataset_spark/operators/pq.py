@@ -161,22 +161,24 @@ def pq_fit(
                     / F.count(F.lit(1))
                 ).alias("cv")
             )
+            .groupBy("subspace", "cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("spos", "cv"))).alias(
+                    "pv"
+                )
+            )
+            .select(
+                "subspace",
+                "cell",
+                F.transform(F.col("pv"), lambda s: s["cv"]).alias("centroid"),
+            )
             .collect()
         )
-        # Centroid arrays assembled on the DRIVER from the (subspace,
-        # cell, spos, cv) means (r14 opt 2 — same as ivf_fit): the
-        # second groupBy + array_sort(collect_list) pass was an extra
-        # exchange/AQE stage per iteration to reorder m·k·sub_dim
-        # already-final doubles; the collect moves the same bytes and
-        # sorting by spos is a pure reorder — bit-identical books.
-        by_key: dict[tuple[int, int], dict[int, float]] = {}
-        for r in agg_rows:
-            by_key.setdefault(
-                (int(r["subspace"]), int(r["cell"])), {}
-            )[int(r["spos"])] = r["cv"]
         books = [[] for _ in range(num_subspaces)]
-        for (j, cell), pv in by_key.items():
-            books[j].append((cell, [pv[p] for p in sorted(pv)]))
+        for r in agg_rows:
+            books[int(r["subspace"])].append(
+                (int(r["cell"]), [float(x) for x in r["centroid"]])
+            )
         for book in books:
             book.sort(key=lambda t: t[0])
         cb = _literal_book(books)

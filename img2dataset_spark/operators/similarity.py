@@ -232,29 +232,18 @@ def ivf_fit(
                 ).alias("cv")
             )
         )
+        updated = (
+            dims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pv"))
+            .select(
+                "cell", F.transform(F.col("pv"), lambda s: s["cv"]).alias("centroid")
+            )
+        )
         # Materialize the tiny codebook to a LITERAL frame each
         # iteration (k-means is inherently driver-coordinated): one job
         # per iteration, and downstream plans don't drag the whole
-        # training lineage along for re-execution.  The per-dim means
-        # are assembled into centroid ARRAYS on the driver (r14 opt 2:
-        # the second groupBy(cell) + array_sort(collect_list) pass was
-        # a whole extra exchange/AQE stage per iteration just to
-        # reorder num_cells × d already-final doubles; collecting the
-        # (cell, pos, cv) rows moves the same bytes and the assembly is
-        # a pure sort-by-pos reorder — bit-identical centroids).
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in dims.collect():
-            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = r["cv"]
-        cents = _literal_codebook(
-            df.sparkSession,
-            [
-                {
-                    "cell": c,
-                    "centroid": [pv[p] for p in sorted(pv)],
-                }
-                for c, pv in sorted(by_cell.items())
-            ],
-        )
+        # training lineage along for re-execution.
+        cents = _literal_codebook(df.sparkSession, updated.collect())
     e.unpersist()
     return cents
 
