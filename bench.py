@@ -9,8 +9,11 @@ result serialization) so the number measures engine execution.
 QUIET-BOX RULE (standing since r14; the r13 local sweep started at
 loadavg 13 and ~12 untouched-operator rows drifted 10-20%): the
 round-close BENCH_r{N}_local.json must be recorded with
-loadavg_start[0] below ~2 and max spread <= ~1.3 — the JSON's
-loadavg_start/loadavg_end/spread fields exist so a reader can audit
+loadavg_start[0] below ~2 and max spread <= ~1.3 — the
+loadavg_start/loadavg_end/spread diagnostics (on STDERR as their own
+JSON line since r15; the stdout contract line stays lean so the
+driver's output-tail capture can never front-truncate it, which is how
+the r13 round-over-round comparison died) exist so a reader can audit
 that, but the RULE is to not record the artifact on a contended box in
 the first place.  Mid-round iteration runs are exempt; the committed
 round-close artifact is not.
@@ -716,14 +719,16 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Diagnostics move to STDERR (r15, verdict item 3): the r13
+    # round-over-round comparison died because the one stdout JSON
+    # line, grown to several KB by the 102-entry spread map, was
+    # front-truncated by the driver's output-tail capture.  The stdout
+    # contract line is now LEAN (metric/value/unit/queries/sf only) and
+    # printed LAST, so a tail capture always contains it whole.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "diagnostics": "bench",
                 # contention self-identification: 1/5/15-min load averages
                 # at start and end of the run (32-core box; load >> 32
                 # means the numbers above include neighbor noise)
@@ -734,7 +739,21 @@ def main() -> None:
                 # samples, >1.3 = still contended after 4 runs
                 "spread": spread,
             }
-        )
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        flush=True,
     )
 
 

@@ -10,14 +10,18 @@ list in FIXED rule order, so downstream can both filter and audit
 *why* documents died (per-reason drop rates are the standard pipeline
 health dashboard).
 
-Plan shape: every per-row signal is a codegen expression over the text
-column, and the repetition signals (top token / top bigram fraction)
-are a fused Arrow UDF that counts grams per document in one pass — so
-the whole filter is MAP-ONLY: no explode, no shuffle, no join.  (The
+Plan shape: every per-row signal — INCLUDING the repetition signals
+(top token / top bigram fraction), which are higher-order-function
+expressions over the token array since r15 — is a JVM expression over
+the text column, so the whole filter is MAP-ONLY with **zero Python
+boundary**: no explode, no shuffle, no join, no ArrowEvalPython.  (The
 standalone text_repetition query keeps the relational explode→agg
-formulation as the spec; per-document mode counting is exactly the
-workload where an Arrow pass beats two hash-agg shuffles — see the
-functions/text_fast.py header.)  All ratios round to 6 dp before
+formulation as the spec; per-document mode counting over the 30-90
+token documents this filter targets is O(distinct·n) per row in
+codegen, far below one JVM↔Python round trip — guide §4.1 "prefer
+built-ins including higher-order functions".  The former Arrow UDF is
+kept as `make_repetition_udf` and equivalence-pinned in
+tests/test_r15_optimizations.py.)  All ratios round to 6 dp before
 threshold comparison, so verdicts are bit-stable across engines (the
 SQL oracle compares the identically rounded values).
 """
@@ -84,6 +88,66 @@ def _round6(c):
     return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
 
 
+def _gram_mode_fraction(arr):
+    """round6(top gram count / total grams) over a token/bigram array
+    COLUMN; NULL when the array is empty (or null) — exactly the
+    Counter-max/frac semantics of make_repetition_udf.  The top
+    multiplicity is the longest equal run of the sorted array: one
+    O(n log n) sort plus one O(n) fold per row, all JVM-side.
+
+    ``arr`` MUST be a bound column reference, never an inline
+    expression tree: higher-order functions evaluate interpreted (no
+    whole-stage codegen), and an interpreted HOF re-evaluates its
+    argument expression on each access — an inline tree here would be
+    rebuilt per fold step, turning the row cost superquadratic
+    (measured: ~50 ms/row on 60-token docs vs ~20 µs for the bound
+    form).  Bit-equivalence with the UDF: counts are exact ints,
+    int/int division and the floor-round are the same IEEE-754 double
+    op sequence as Python's ``max/n * 1e6 + 0.5``."""
+    step = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+    top = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda a, x: F.struct(
+            step(a, x).alias("run"),
+            F.greatest(a["best"], step(a, x)).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda a: a["best"],
+    )
+    n = F.size(arr)
+    return F.when(n > 0, _round6(top / n))
+
+
+def with_repetition_fractions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``df`` plus (ttf, tbf) — the JVM twin of make_repetition_udf:
+    tokens are the non-empty pieces of a whitespace split of the
+    lowered text (dropping empty boundary pieces is exactly Python
+    ``str.strip()``+split for ASCII whitespace — and for the non-ASCII
+    classes Java/RE2 ``\\s`` does not match, this form agrees with the
+    SQL oracle and the relational text_repetition twin where the UDF
+    did not), bigrams are the adjacent token pairs (shingles(toks, 2)).
+
+    Staged projections on purpose: each array is materialized as a
+    named column before the mode-count fold reads it (see
+    _gram_mode_fraction), and the >1-reference non-cheap aliases keep
+    CollapseProject from re-inlining the trees."""
+    toks = F.filter(X.tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    return (
+        df.withColumn("__qf_tk", toks)
+        .withColumn("__qf_bg", X.shingles(F.col("__qf_tk"), 2))
+        .select(
+            *df.columns,
+            _gram_mode_fraction(F.col("__qf_tk")).alias("ttf"),
+            _gram_mode_fraction(F.col("__qf_bg")).alias("tbf"),
+        )
+    )
+
+
 def quality_flags(
     df: DataFrame,
     rules: dict[str, float] | None = None,
@@ -109,15 +173,16 @@ def quality_flags(
     swr = _round6(X.stopword_ratio(toks))
     pr = _round6(X.punct_ratio(F.col(text_col)))
 
-    rep = make_repetition_udf()(F.col(text_col))
-    j = df.select(
+    j = with_repetition_fractions(
+        df.select(F.col(id_col), F.col(text_col)), text_col
+    ).select(
         F.col(id_col),
         n_tokens.alias("_nt"),
         mean_len.alias("_ml"),
         swr.alias("_swr"),
         pr.alias("_pr"),
-        rep.getField("ttf").alias("_ttf"),
-        rep.getField("tbf").alias("_tbf"),
+        F.col("ttf").alias("_ttf"),
+        F.col("tbf").alias("_tbf"),
     )
 
     checks = [

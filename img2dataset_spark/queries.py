@@ -2075,50 +2075,18 @@ def q_ivfsq_refit_refine(spark, sf_dir):
     k*rf=40 candidates + exact round6-cosine re-rank — the remedy
     stage now composes with BOTH maintained codebook families.  EXTRA
     from birth (ivfpq_refit_refine holds the refine-over-maintained
-    driver slot; ivfsq_refit_versioned the SQ family's)."""
-    from img2dataset_spark.operators.maintain import (
-        index_occupancy,
-        occupancy_drift,
-        rewrite_index_cells,
-        sq_reencode_cells,
-        sq_refit_cells,
-    )
-    from img2dataset_spark.operators.similarity import ivf_assign, ivf_fit
-    from img2dataset_spark.operators.sq import (
-        ivfsq_index,
-        ivfsq_refine_topk_versioned,
-        sq_fit,
-    )
+    driver slot; ivfsq_refit_versioned the SQ family's).  r15: built
+    through the shared :func:`_refit_sq_artifacts` helper (one
+    persisted assignment pass, overlapped index/override writes) —
+    this was the last refit composite still assembling its artifacts
+    sequentially with per-stage re-assignment (r14 verdict backlog);
+    the relations are pinned identical by the ``assigned=`` reuse
+    tests and the EXTRA oracle replay."""
+    from img2dataset_spark.operators.sq import ivfsq_refine_topk_versioned
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 10 < 7)
-    ivf_cb = ivf_fit(base, num_cells=10, iters=2)
-    bounds = sq_fit(base)
-    tmp = _scratch_dir("graft_ivfsq_refit_ref_")
-    ivfsq_index(e, ivf_cb, bounds).write.partitionBy("cell").parquet(
-        f"{tmp}/index"
+    e, ivf_cb, bounds, ovr_rd, idx_rd = _refit_sq_artifacts(
+        spark, sf_dir, "graft_ivfsq_refit_ref_"
     )
-    flagged = (
-        occupancy_drift(
-            index_occupancy(ivf_assign(base, ivf_cb)),
-            index_occupancy(ivf_assign(e, ivf_cb)),
-            threshold=1.02,
-        )
-        .filter(F.col("retrain"))
-        .select("cell")
-    )
-    ovr = sq_refit_cells(e, ivf_cb, flagged)
-    ovr.write.parquet(f"{tmp}/overrides")
-    ovr_rd = spark.read.parquet(f"{tmp}/overrides")
-    # flagged can be empty on a drift-free corpus: skip the reencode/
-    # rewrite (which raise on empty overrides) and search all-global —
-    # the versioned searcher treats empty overrides as version-0
-    # everywhere (r13 advice; mirrors bench.py's artifact builder)
-    if ovr_rd.limit(1).count() > 0:
-        rewrite_index_cells(
-            sq_reencode_cells(e, ivf_cb, ovr_rd), f"{tmp}/index"
-        )
-    idx_rd = spark.read.parquet(f"{tmp}/index")
     return ivfsq_refine_topk_versioned(
         idx_rd, ivf_cb, bounds, ovr_rd, e, _query_vec(spark, sf_dir),
         k=10, nprobe=4, refine_factor=4,
