@@ -133,9 +133,9 @@ def pq_fit(
             cells.append(ids)
             QC.append(Q)
             nc.append((Q * Q).sum(axis=1))
-        while len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_CAP:
-            _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
-        _CODEBOOK_MEMO[id(cb)] = (cb, (cells, QC, nc))
+        from img2dataset_spark.operators.similarity import _memo_put
+
+        _memo_put(_CODEBOOK_MEMO, cb, (cells, QC, nc))
         return cb
 
     cb = _literal_book(books)
@@ -191,7 +191,6 @@ def pq_fit(
 # collect the m·k-row model ONCE instead of one Spark job per call.
 # The df reference is retained so the id can't be recycled; capped.
 _CODEBOOK_MEMO: dict[int, tuple[DataFrame, tuple]] = {}
-_CODEBOOK_MEMO_CAP = 64
 
 
 def _collect_codebook(
@@ -206,11 +205,11 @@ def _collect_codebook(
     back through cells_j, the ADC lookup is a map (not an indexed
     array), and the SQL twin joins by cell — all gap-safe.
     Memoized per codebook-DataFrame object."""
-    hit = _CODEBOOK_MEMO.get(id(codebook))
-    if hit is not None and hit[0] is codebook:
-        # LRU refresh: re-insert so the hot model outlives cap eviction
-        _CODEBOOK_MEMO[id(codebook)] = _CODEBOOK_MEMO.pop(id(codebook))
-        return hit[1]
+    from img2dataset_spark.operators.similarity import _memo_get
+
+    hit = _memo_get(_CODEBOOK_MEMO, codebook)
+    if hit is not None:
+        return hit
     rows = codebook.select("subspace", "cell", "centroid").collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in rows:
@@ -230,12 +229,12 @@ def _collect_codebook(
         cells.append(ids)
         QC.append(Q)
         nc.append((Q * Q).sum(axis=1))
-    while len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_CAP:
-        # evict least-recently-used (insertion-ordered dict), not the
-        # whole memo — a long session cycling many models keeps its
-        # hot codebooks collected-once (r10 verdict nit)
-        _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
-    _CODEBOOK_MEMO[id(codebook)] = (codebook, (cells, QC, nc))
+    from img2dataset_spark.operators.similarity import _memo_put
+
+    # LRU-evicting, lock-guarded put (shared helper, r15): a long
+    # session cycling many models keeps its hot codebooks
+    # collected-once (r10 verdict nit)
+    _memo_put(_CODEBOOK_MEMO, codebook, (cells, QC, nc))
     return cells, QC, nc
 
 
@@ -1272,7 +1271,6 @@ def ivfpq_multi_refine_topk(
 # (r14 opt 2).  Payloads stay gated by FLAT_CODEBOOK_MAX_CELLS inside
 # the parse, so nothing corpus-shaped is memoized.
 _OVERRIDES_MEMO: dict[int, tuple[DataFrame, dict]] = {}
-_OVERRIDES_MEMO_CAP = 64
 
 
 def _collect_overrides(
@@ -1296,12 +1294,15 @@ def _collect_overrides(
     override frame — becomes a driver-local dict filter instead of one
     Spark job per search.  On a memo miss with ``cells`` given, only
     the probed slice is collected, exactly the pre-memo shape."""
-    hit = _OVERRIDES_MEMO.get(id(overrides))
-    if hit is not None and hit[0] is overrides:
-        _OVERRIDES_MEMO[id(overrides)] = _OVERRIDES_MEMO.pop(id(overrides))
-        full = hit[1]
+    from img2dataset_spark.operators.similarity import _memo_get, _memo_put
+
+    full = _memo_get(_OVERRIDES_MEMO, overrides)
+    if full is not None:
         if cells is None:
-            return full
+            # copy: callers must never be able to mutate the cached
+            # mapping in place (r14 advice); payload arrays are shared
+            # and treated as immutable
+            return dict(full)
         want = {int(c) for c in cells}
         return {c: v for c, v in full.items() if c in want}
     if cells is not None:
@@ -1314,10 +1315,24 @@ def _collect_overrides(
     full = _parse_override_rows(
         overrides.select("cell", "subspace", "code", "centroid").collect()
     )
-    while len(_OVERRIDES_MEMO) >= _OVERRIDES_MEMO_CAP:
-        _OVERRIDES_MEMO.pop(next(iter(_OVERRIDES_MEMO)))
-    _OVERRIDES_MEMO[id(overrides)] = (overrides, full)
-    return full
+    _memo_put(_OVERRIDES_MEMO, overrides, full)
+    return dict(full)
+
+
+def empty_overrides_frame(spark) -> DataFrame:
+    """The canonical EMPTY per-cell override relation — the version-0
+    ("pre", stale-index) side of every versioned search.  Memo-seeded
+    at creation (the _literal_codebook pattern, r15): the frame is
+    known-empty on the driver, so no searcher ever runs a filter+collect
+    Spark job (~0.3 s each, one per "pre" family search in the refit
+    ledgers) just to discover zero rows."""
+    df = spark.createDataFrame(
+        [], "cell long, subspace long, code long, centroid array<double>"
+    )
+    from img2dataset_spark.operators.similarity import _memo_put
+
+    _memo_put(_OVERRIDES_MEMO, df, {})
+    return df
 
 
 def _parse_override_rows(

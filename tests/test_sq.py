@@ -239,10 +239,12 @@ def test_bounds_memo_lru_keeps_hot_model(spark, emb, fitted, monkeypatch):
     clear-all forced a cold re-collect)."""
     from pyspark.sql import DataFrame
 
+    from img2dataset_spark.operators import similarity as simmod
     from img2dataset_spark.operators import sq as sqmod
 
     bounds, _ = fitted
-    monkeypatch.setattr(sqmod, "_BOUNDS_MEMO_CAP", 3)
+    # the cap now lives on the shared memo helpers (r15)
+    monkeypatch.setattr(simmod, "_ROWS_MEMO_CAP", 3)
     monkeypatch.setattr(sqmod, "_BOUNDS_MEMO", {})
     hot = _collect_bounds(bounds)
     # churn: two fresh bounds frames fill the cap alongside the hot one
