@@ -1137,6 +1137,14 @@ def ivfpq_multi_topk_chunked(
         cells, _, _ = _collect_codebook(pq_codebook)
         per_q = sum(int(c.max()) + 1 for c in cells)
         max_queries_per_scan = max(1, _MULTI_TOPK_MAX_LITERALS // per_q)
+    if overrides is not None and len(qrows) > max_queries_per_scan:
+        # collect the bounded override relation ONCE (memoizing) before
+        # the chunk loop: each chunk's probed-slice lookup becomes a
+        # driver-local dict filter instead of one filter+collect Spark
+        # job per chunk (r15; the relation is flagged-cells × m × k
+        # rows, ceiling-gated in the parse — n_chunks slice jobs cost
+        # more than one full bounded collect as soon as there are 2+)
+        _collect_overrides(overrides)
     out = None
     schema = "qid long, query_vec array<double>"
     for lo in range(0, len(qrows), max_queries_per_scan):

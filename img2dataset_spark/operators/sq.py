@@ -884,6 +884,11 @@ def ivfsq_multi_topk_chunked(
             )
         d = len(_collect_bounds(bounds)[0])
         max_queries_per_scan = max(1, _MULTI_TOPK_MAX_LITERALS // d)
+    if overrides is not None and len(qrows) > max_queries_per_scan:
+        # one bounded full collect (memoizing) instead of one
+        # filter+collect job per chunk — the pq chunked wrapper's r15
+        # move; each chunk's probed slice becomes a driver-local filter
+        _collect_cell_bounds(overrides)
     out = None
     schema = "qid long, query_vec array<double>"
     for lo_i in range(0, len(qrows), max_queries_per_scan):
