@@ -89,38 +89,60 @@ def _round6(c):
 
 
 def _gram_mode_fraction(arr):
-    """round6(top gram count / total grams) over a token/bigram array
-    COLUMN; NULL when the array is empty (or null) — exactly the
+    """round6(top gram count / total grams) over a token/bigram array;
+    NULL when the array is empty (or null) — exactly the
     Counter-max/frac semantics of make_repetition_udf.  The top
     multiplicity is the longest equal run of the sorted array: one
-    O(n log n) sort plus one O(n) fold per row, all JVM-side.
+    O(n log n) sort plus ONE O(n) fold per row, all JVM-side.
 
-    ``arr`` MUST be a bound column reference, never an inline
-    expression tree: higher-order functions evaluate interpreted (no
-    whole-stage codegen), and an interpreted HOF re-evaluates its
-    argument expression on each access — an inline tree here would be
-    rebuilt per fold step, turning the row cost superquadratic
-    (measured: ~50 ms/row on 60-token docs vs ~20 µs for the bound
-    form).  Bit-equivalence with the UDF: counts are exact ints,
-    int/int division and the floor-round are the same IEEE-754 double
-    op sequence as Python's ``max/n * 1e6 + 0.5``."""
+    SINGLE-REFERENCE by design (r15): the fold counts n in its own
+    accumulator instead of a separate ``size(arr)``, so ``arr`` appears
+    exactly once in the emitted tree.  Higher-order functions evaluate
+    interpreted (CodegenFallback), and the optimizer legitimately
+    re-inlines projection aliases when a filter pushes through
+    (curation_e2e's ``quality_flags(d).filter("passed")`` shape
+    measured 3× slower with the old two-reference form + shingles —
+    every extra reference is another full split per row once inlined).
+    Bit-equivalence with the UDF: counts are exact ints, int/int
+    division and the floor-round are the same IEEE-754 double op
+    sequence as Python's ``max/n * 1e6 + 0.5``."""
     step = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
-    top = F.aggregate(
+    frac = F.aggregate(
         F.array_sort(arr),
         F.struct(
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
             F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("n"),
         ),
         lambda a, x: F.struct(
             step(a, x).alias("run"),
             F.greatest(a["best"], step(a, x)).alias("best"),
             x.alias("prev"),
+            (a["n"] + 1).alias("n"),
         ),
-        lambda a: a["best"],
+        lambda a: F.when(a["n"] > 0, _round6(a["best"] / a["n"])),
     )
-    n = F.size(arr)
-    return F.when(n > 0, _round6(top / n))
+    return frac
+
+
+def _adjacent_bigrams(toks):
+    """Adjacent token pairs joined by one space — shingles(toks, 2) by
+    content and order, built with ``zip_with(slice, slice)`` instead of
+    a per-position ``slice(toks, i, 2)`` transform (r15): zip_with
+    evaluates each child array ONCE per row, while the transform form
+    re-evaluates ``toks`` per output element under interpreted HOF
+    evaluation — quadratic in tokens as soon as the optimizer inlines
+    the split tree (the curation_e2e filter-pushdown shape)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def with_repetition_fractions(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -130,16 +152,17 @@ def with_repetition_fractions(df: DataFrame, text_col: str = "text") -> DataFram
     ``str.strip()``+split for ASCII whitespace — and for the non-ASCII
     classes Java/RE2 ``\\s`` does not match, this form agrees with the
     SQL oracle and the relational text_repetition twin where the UDF
-    did not), bigrams are the adjacent token pairs (shingles(toks, 2)).
+    did not), bigrams are the adjacent token pairs (shingles(toks, 2)
+    by content; built per :func:`_adjacent_bigrams`).
 
-    Staged projections on purpose: each array is materialized as a
-    named column before the mode-count fold reads it (see
-    _gram_mode_fraction), and the >1-reference non-cheap aliases keep
-    CollapseProject from re-inlining the trees."""
+    Staged projections so the arrays are named columns when the plan
+    keeps them; every subtree is also safe to INLINE (single-reference
+    fold, zip_with bigrams — see the helpers), because a pushed-down
+    filter legitimately collapses these projections."""
     toks = F.filter(X.tokens(F.col(text_col)), lambda x: x != F.lit(""))
     return (
         df.withColumn("__qf_tk", toks)
-        .withColumn("__qf_bg", X.shingles(F.col("__qf_tk"), 2))
+        .withColumn("__qf_bg", _adjacent_bigrams(F.col("__qf_tk")))
         .select(
             *df.columns,
             _gram_mode_fraction(F.col("__qf_tk")).alias("ttf"),
