@@ -280,6 +280,13 @@ _ROWS_MEMO_CAP = 64
 # are multi-step (r15, the r14 advice's concurrent-refit race).  The
 # guarded region is driver-local dict surgery — never a Spark call —
 # so contention is nanoseconds.
+#
+# WRITE-ONCE ASSUMPTION (r14 advice, documented): a memoized payload is
+# trusted for the lifetime of its DataFrame object.  That is sound for
+# every producer in this package — literal frames, write-once tmp/scratch
+# parquet, and bounded model relations are never rewritten in place.  A
+# caller that DOES rewrite a memoized frame's underlying files must use
+# a fresh DataFrame object (a new read) to see the new bytes.
 import threading as _threading
 
 _MEMO_LOCK = _threading.Lock()
