@@ -476,7 +476,9 @@ def ivfbq_multi_topk(
     pruned = pre.join(F.broadcast(probed), "cell")
     dist = None
     for w in range(n_words):
-        lit_w = F.lit([int(qwords[qi][w]) for qi in range(len(qrows))])
+        from img2dataset_spark.operators.similarity import lit_long_array
+
+        lit_w = lit_long_array(qwords[qi][w] for qi in range(len(qrows)))
         term = F.bit_count(
             F.col("codes")[w].bitwiseXOR(
                 F.element_at(lit_w, F.col(qid_col).cast("int") + F.lit(1))

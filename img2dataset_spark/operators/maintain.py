@@ -747,8 +747,10 @@ def sq_distortion_ledger(
     )
 
     def err_expr(lo, hi):
-        lo_arr = F.array(*[F.lit(float(v)) for v in lo])
-        span_arr = F.array(*[F.lit(float(h - l)) for h, l in zip(hi, lo)])
+        from img2dataset_spark.operators.similarity import lit_double_array
+
+        lo_arr = lit_double_array(lo)
+        span_arr = lit_double_array(h - l for h, l in zip(hi, lo))
 
         def term(c, i):
             recon = (

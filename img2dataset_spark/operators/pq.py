@@ -430,29 +430,60 @@ def _adc_expr(cells: list[np.ndarray], dt: list[np.ndarray], packed: bool = Fals
     j div 8: ``shiftright(word, 8·(j mod 8)) & 255`` — the arithmetic
     shift's sign-extension only touches bits the mask drops, so byte 7
     of a negative word still reads correctly."""
-    dist = None
+    return F.expr(_adc_expr_sql(cells, dt, packed=packed))
+
+
+def _code_sql(j: int, packed: bool) -> str:
+    """SQL for the j-th code: the array element, or the byte slice of
+    word j div 8 in packed mode — exactly the Column forms the r15 SQL
+    generators replaced (`codes[j]` is the same 0-based GetArrayItem)."""
+    if packed:
+        return f"(shiftright(`codes`[{j // 8}], {8 * (j % 8)}) & 255)"
+    return f"`codes`[{j}]"
+
+
+def _adc_term_sql(table_sql: str, code_sql: str) -> str:
+    """One subspace's guarded lookup: element_at is 1-based; over-range
+    yields NULL -> sentinel via coalesce, and the explicit branch keeps
+    negative codes away from element_at's from-the-end indexing /
+    index-0 error."""
+    return (
+        f"(CASE WHEN {code_sql} < 0 THEN {_ADC_SENTINEL}L ELSE "
+        f"coalesce(element_at({table_sql}, CAST({code_sql} AS INT) + 1), "
+        f"{_ADC_SENTINEL}L) END)"
+    )
+
+
+def _adc_expr_sql(
+    cells: list[np.ndarray], dt: list[np.ndarray], packed: bool = False
+) -> str:
+    """The ADC sum as ONE SQL string (r15): building the same tree
+    through the Column API cost hundreds of Py4J gateway round trips
+    per search (a cProfile read ~0.24 s per _adc_expr build); the JVM
+    parses this string in one round trip into the IDENTICAL expression
+    — CASE WHEN is CaseWhen, `...L` literals are the same int64s,
+    element_at/coalesce/cast are the same functions (value-equivalence
+    pinned in tests/test_r15_optimizations.py and by every ADC
+    oracle row)."""
+    terms = []
     for j in range(len(dt)):
         dense = np.full(int(cells[j].max()) + 1, _ADC_SENTINEL,
                         dtype=np.int64)
         dense[cells[j]] = dt[j]
-        table = F.lit([int(v) for v in dense])
-        if packed:
-            code_j = F.shiftright(
-                F.col("codes")[j // 8], 8 * (j % 8)
-            ).bitwiseAND(F.lit(255))
-        else:
-            code_j = F.col("codes")[j]
-        # element_at is 1-based; over-range yields NULL -> sentinel,
-        # and the explicit branch keeps negative codes away from
-        # element_at's from-the-end indexing / index-0 error
-        term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
-            F.coalesce(
-                F.element_at(table, code_j.cast("int") + F.lit(1)),
-                F.lit(_ADC_SENTINEL),
-            )
-        )
-        dist = term if dist is None else dist + term
-    return dist
+        table = "array(" + ",".join(f"{int(v)}L" for v in dense) + ")"
+        terms.append(_adc_term_sql(table, _code_sql(j, packed)))
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cell_case_sql(branches: list[tuple[int, str]], else_sql: str | None) -> str:
+    """``CASE WHEN cell = c THEN <branch> ... [ELSE <else>] END`` over
+    per-probed-cell distance strings — the one-round-trip form of the
+    former F.when chains."""
+    body = " ".join(
+        f"WHEN `cell` = {int(c)} THEN {sql}" for c, sql in branches
+    )
+    tail = f" ELSE {else_sql}" if else_sql is not None else ""
+    return f"(CASE {body}{tail} END)"
 
 
 def ivfpq_refine_topk(
@@ -737,17 +768,21 @@ def ivfpq_topk(
                 "ivf_codebook empty (or all-coarse)?"
             )
         cb_cells, QC, nc = _collect_codebook(pq_codebook)
-        dist = None
-        for p_cell, p_cent in probe_rows:
-            dt = _adc_table(
-                QC, nc, qvec - np.asarray(p_cent, dtype=np.float64)
+        # one-string CASE over the probed cells (r15, _adc_expr_sql)
+        branches = [
+            (
+                int(p_cell),
+                _adc_expr_sql(
+                    cb_cells,
+                    _adc_table(
+                        QC, nc, qvec - np.asarray(p_cent, dtype=np.float64)
+                    ),
+                    packed=packed,
+                ),
             )
-            cond = F.col("cell") == int(p_cell)
-            dist = (
-                F.when(cond, _adc_expr(cb_cells, dt, packed=packed))
-                if dist is None
-                else dist.when(cond, _adc_expr(cb_cells, dt, packed=packed))
-            )
+            for p_cell, p_cent in probe_rows
+        ]
+        dist = F.expr(_cell_case_sql(branches, None))
         scored = pruned.select(F.col(id_col), dist.alias("adc_dist"))
     else:
         cb_cells, dt = pq_adc_distances(pq_codebook, qvec)
@@ -858,8 +893,8 @@ def ivfpq_multi_topk(
         for r in qrows
     }
 
-    def _sum_terms(by_qid):
-        return _multi_adc_expr(
+    def _sum_terms_sql(by_qid):
+        return _multi_adc_expr_sql(
             cells, [by_qid[qi] for qi in range(len(qids))], qid_col, packed
         )
 
@@ -898,26 +933,25 @@ def ivfpq_multi_topk(
                     F.col("cell").isin([int(c) for c in pcells])
                 ).select("cell", "centroid").collect()
             }
-        dist = None
+        branches = []
         for cell in pcells:
             by_qid = {
                 qi: _adc_table(QC, nc, qvecs[qi] - cents[cell])
                 for qi in range(len(qids))
             }
-            cond = F.col("cell") == cell
-            expr = _sum_terms(by_qid)
-            dist = (
-                F.when(cond, expr) if dist is None else dist.when(cond, expr)
-            )
+            branches.append((int(cell), _sum_terms_sql(by_qid)))
         # pruned holds only probed cells; sentinel otherwise keeps an
-        # unknown cell rank-last instead of NULL-first
-        dist = dist.otherwise(F.lit(len(cells) * _ADC_SENTINEL))
+        # unknown cell rank-last instead of NULL-first.  One-string
+        # CASE (r15): see _adc_expr_sql.
+        dist = F.expr(
+            _cell_case_sql(branches, f"{len(cells) * _ADC_SENTINEL}L")
+        )
     else:
         _check_multi_literals(len(qrows), pq_codebook)
         by_qid = {
             qi: _adc_table(QC, nc, qvecs[qi]) for qi in range(len(qids))
         }
-        dist = _sum_terms(by_qid)
+        dist = F.expr(_sum_terms_sql(by_qid))
     scored = pruned.select(qid_col, F.col(id_col), dist.alias("adc_dist"))
     wk = Window.partitionBy(qid_col).orderBy(
         F.asc("adc_dist"), F.asc(id_col)
@@ -938,34 +972,33 @@ def _multi_adc_expr(code_ids, tables_by_qid, qid_col: str, packed: bool):
     (element_at would read from the array's END).  The batch-shape
     sibling of :func:`_adc_expr`, shared by the raw, residual and
     versioned multi-query scans."""
-    dist = None
+    return F.expr(
+        _multi_adc_expr_sql(code_ids, tables_by_qid, qid_col, packed)
+    )
+
+
+def _multi_adc_expr_sql(
+    code_ids, tables_by_qid, qid_col: str, packed: bool
+) -> str:
+    """:func:`_multi_adc_expr` as ONE SQL string — see
+    :func:`_adc_expr_sql` for why (r15 Py4J round-trip cost)."""
+    terms = []
     for j in range(len(code_ids)):
         size = int(code_ids[j].max()) + 1
-        tables = []
+        rows = []
         for by_sub in tables_by_qid:
             dense = np.full(size, _ADC_SENTINEL, dtype=np.int64)
             dense[code_ids[j]] = by_sub[j]
-            tables.append([int(v) for v in dense])
-        lit2d = F.lit(tables)
-        if packed:
-            code_j = F.shiftright(
-                F.col("codes")[j // 8], 8 * (j % 8)
-            ).bitwiseAND(F.lit(255))
-        else:
-            code_j = F.col("codes")[j]
-        term = F.when(code_j < 0, F.lit(_ADC_SENTINEL)).otherwise(
-            F.coalesce(
-                F.element_at(
-                    F.element_at(
-                        lit2d, F.col(qid_col).cast("int") + F.lit(1)
-                    ),
-                    code_j.cast("int") + F.lit(1),
-                ),
-                F.lit(_ADC_SENTINEL),
-            )
+            rows.append("array(" + ",".join(f"{int(v)}L" for v in dense) + ")")
+        t2d = "array(" + ",".join(rows) + ")"
+        code = _code_sql(j, packed)
+        terms.append(
+            f"(CASE WHEN {code} < 0 THEN {_ADC_SENTINEL}L ELSE "
+            f"coalesce(element_at(element_at({t2d}, "
+            f"CAST(`{qid_col}` AS INT) + 1), "
+            f"CAST({code} AS INT) + 1), {_ADC_SENTINEL}L) END)"
         )
-        dist = term if dist is None else dist + term
-    return dist
+    return "(" + " + ".join(terms) + ")"
 
 
 def ivfpq_multi_topk_versioned(
@@ -1063,17 +1096,21 @@ def ivfpq_multi_topk_versioned(
                     F.col("cell").isin(pcells)
                 ).select("cell", "centroid").collect()
             }
-    dist = None
+    branches = []
     for cell in pcells:
         code_ids, QC, nc = probed_books.get(cell, (g_cells, g_QC, g_nc))
         tables_by_qid = [
             _adc_table(QC, nc, qv - cents[cell] if residual else qv)
             for qv in qvecs
         ]
-        cond = F.col("cell") == cell
-        expr = _multi_adc_expr(code_ids, tables_by_qid, qid_col, packed)
-        dist = F.when(cond, expr) if dist is None else dist.when(cond, expr)
-    dist = dist.otherwise(F.lit(len(g_cells) * _ADC_SENTINEL))
+        branches.append((
+            int(cell),
+            _multi_adc_expr_sql(code_ids, tables_by_qid, qid_col, packed),
+        ))
+    # one-string CASE (r15): see _adc_expr_sql
+    dist = F.expr(
+        _cell_case_sql(branches, f"{len(g_cells) * _ADC_SENTINEL}L")
+    )
     scored = pruned.select(qid_col, F.col(id_col), dist.alias("adc_dist"))
     from pyspark.sql import Window
 
@@ -1464,40 +1501,46 @@ def ivfpq_topk_versioned(
                 "ivfpq_topk_versioned: probe returned no cells — is "
                 "the ivf_codebook empty (or all-coarse)?"
             )
-        dist = None
+        branches = []
         for cell, cent in probe_rows:
             cell = int(cell)
             qres = qv - np.asarray(cent, dtype=np.float64)
             if cell in probed_books:
                 code_ids, QC, nc = probed_books[cell]
-                expr = _adc_expr(
+                sql = _adc_expr_sql(
                     code_ids, _adc_table(QC, nc, qres), packed=packed
                 )
             else:
-                expr = _adc_expr(
+                sql = _adc_expr_sql(
                     g_cells, _adc_table(g_QC, g_nc, qres), packed=packed
                 )
-            cond = F.col("cell") == cell
-            dist = (
-                F.when(cond, expr) if dist is None else dist.when(cond, expr)
-            )
+            branches.append((cell, sql))
         # pruned holds only probed cells, so every row matches a branch;
         # the sentinel otherwise keeps a race-appended unknown cell
-        # rank-last instead of NULL (NULLS-FIRST asc would top-rank it)
-        dist = dist.otherwise(F.lit(len(g_cells) * _ADC_SENTINEL))
+        # rank-last instead of NULL (NULLS-FIRST asc would top-rank it).
+        # One-string CASE (r15): see _adc_expr_sql.
+        dist = F.expr(
+            _cell_case_sql(branches, f"{len(g_cells) * _ADC_SENTINEL}L")
+        )
     else:
         g_cells, g_dt = pq_adc_distances(pq_codebook, qvec)
-        dist = None
-        for cell in sorted(probed_books):
-            code_ids, QC, nc = probed_books[cell]
-            dt = _adc_table(QC, nc, qvec)
-            cond = F.col("cell") == int(cell)
-            expr = _adc_expr(code_ids, dt, packed=packed)
-            dist = (
-                F.when(cond, expr) if dist is None else dist.when(cond, expr)
+        g_sql = _adc_expr_sql(g_cells, g_dt, packed=packed)
+        branches = [
+            (
+                int(cell),
+                _adc_expr_sql(
+                    probed_books[cell][0],
+                    _adc_table(
+                        probed_books[cell][1], probed_books[cell][2], qvec
+                    ),
+                    packed=packed,
+                ),
             )
-        g_expr = _adc_expr(g_cells, g_dt, packed=packed)
-        dist = g_expr if dist is None else dist.otherwise(g_expr)
+            for cell in sorted(probed_books)
+        ]
+        dist = F.expr(
+            _cell_case_sql(branches, g_sql) if branches else g_sql
+        )
     scored = pruned.select(F.col(id_col), dist.alias("adc_dist"))
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 

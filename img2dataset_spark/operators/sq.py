@@ -117,8 +117,10 @@ def _encode_expr(vec, lo: np.ndarray, hi: np.ndarray):
     """codegen byte-code expression: per-dimension
     clamp(floor((x−lo)·255/(hi−lo) + 0.5), 0, 255); hi=lo codes to 0.
     Bounds ride the plan as two d-value literal arrays."""
-    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
-    hi_arr = F.array(*[F.lit(float(v)) for v in hi])
+    from img2dataset_spark.operators.similarity import lit_double_array
+
+    lo_arr = lit_double_array(lo)
+    hi_arr = lit_double_array(hi)
     d = len(lo)
 
     def code(x, i):
@@ -187,7 +189,9 @@ def sq_topk(
         raise ValueError(f"query_df must have exactly 1 row, got {len(qrow)}")
     lo, hi = _collect_bounds(bounds)
     qc = encode_query(lo, hi, [float(x) for x in qrow[0]["query_vec"]])
-    q_arr = F.array(*[F.lit(int(c)).cast("long") for c in qc])
+    from img2dataset_spark.operators.similarity import lit_long_array
+
+    q_arr = lit_long_array(qc)
     dist = F.aggregate(
         F.zip_with(F.col("codes"), q_arr, lambda c, q: (c - q) * (c - q)),
         F.lit(0).cast("long"),
@@ -554,9 +558,16 @@ def _asym_dist_expr(codes, lo: np.ndarray, hi: np.ndarray,
             f"query dim {q.shape[0]} != bounds dim {lo.shape[0]}"
         )
     Q = np.floor(q * _QUANT + 0.5).astype(np.int64)
-    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
-    span_arr = F.array(*[F.lit(float(h - l)) for h, l in zip(hi, lo)])
-    q_arr = F.array(*[F.lit(int(v)).cast("long") for v in Q])
+    from img2dataset_spark.operators.similarity import (
+        lit_double_array,
+        lit_long_array,
+    )
+
+    # one gateway round trip per array, not one per element (r15);
+    # values are bit-identical to the per-element F.lit form (pinned)
+    lo_arr = lit_double_array(lo)
+    span_arr = lit_double_array(h - l for h, l in zip(hi, lo))
+    q_arr = lit_long_array(Q)
 
     def term(c, i):
         recon = (
@@ -733,7 +744,9 @@ def ivfsq_multi_topk_versioned(
         Q2d.append(
             [int(v) for v in np.floor(q * _QUANT + 0.5).astype(np.int64)]
         )
-    q2d = F.lit(Q2d)
+    from img2dataset_spark.operators.similarity import lit_long_array_2d
+
+    q2d = lit_long_array_2d(Q2d)
     # flat codebooks: driver-ranked probe pairs + STATIC IN-list prune
     # (planning-time partition pruning); hierarchical: distributed
     # probe, broadcast join only (r14)

@@ -250,3 +250,45 @@ class TestEmptyOverridesFastPath:
         again.pop(0)
         assert 0 in _collect_overrides(ovr)
         del _OVERRIDES_MEMO[id(ovr)]
+
+
+class TestLitArrayHelpers:
+    """r15: literal arrays built via one F.expr gateway round trip
+    must be VALUE-identical to the per-element F.lit form (a cProfile
+    of one versioned search build showed 3,137 Py4J round trips
+    ~1.05 s, mostly literal-table construction)."""
+
+    def test_long_arrays_value_identical(self, spark):
+        from img2dataset_spark.operators.similarity import (
+            lit_long_array,
+            lit_long_array_2d,
+        )
+
+        vals = [0, 1, -7, 2**62, -(2**62), 255, 9007199254740993]
+        row = spark.range(1).select(
+            lit_long_array(vals).alias("a"),
+            F.array(*[F.lit(int(v)).cast("long") for v in vals]).alias("b"),
+            lit_long_array_2d([vals, [5, 6]]).alias("a2"),
+        ).first()
+        assert row["a"] == row["b"] == vals
+        assert row["a2"] == [vals, [5, 6]]
+
+    def test_double_arrays_bit_identical(self, spark):
+        import math
+        import struct
+
+        from img2dataset_spark.operators.similarity import lit_double_array
+
+        vals = [0.0, -0.0, 1.0 / 3, 1e-308, 1.7976931348623157e308,
+                -2.2250738585072014e-308, 0.1, 297.1152, 1e16 + 2]
+        row = spark.range(1).select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+        ).first()
+        bits = lambda xs: [struct.pack("<d", x) for x in xs]
+        assert bits(row["a"]) == bits(row["b"]) == bits(vals)
+        # non-finite falls back to the per-element form
+        nf = [float("inf"), float("-inf"), float("nan")]
+        row2 = spark.range(1).select(lit_double_array(nf).alias("a")).first()
+        assert row2["a"][0] == math.inf and row2["a"][1] == -math.inf
+        assert math.isnan(row2["a"][2])
